@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column builders composed from native (codegen'd)
+  * `org.apache.spark.sql.functions` — no UDFs. Semantics are mirrored
+  * 1:1 by the DuckDB oracle SQL in the operator modules, so keep both in
+  * sync when editing.
+  */
+object Text {
+
+  /** Whitespace tokenization of trimmed text. `split` on an empty string
+    * yields `[""]` in both Spark and DuckDB (`regexp_split_to_array`) —
+    * parity preserved.
+    */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Word n-gram shingles: join every n consecutive tokens with a space.
+    * Empty result when fewer than n tokens.
+    */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(
+        sequence(lit(0), size(toks) - lit(n)),
+        i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+
+  /** Distinct token set (order-normalized for set similarity). */
+  def tokenSet(text: Column): Column = array_sort(array_distinct(tokens(text)))
+
+  // Small per-language marker-word lists for the n-gram/stopword heuristic
+  // language ID. Mirrored literally in the oracle SQL.
+  val EN: Seq[String] = Seq("the", "and", "of", "to", "in", "is", "a")
+  val ES: Seq[String] = Seq("el", "la", "los", "de", "que", "y", "en")
+  val FR: Seq[String] = Seq("le", "la", "les", "et", "des", "un", "est")
+  val DE: Seq[String] = Seq("der", "die", "das", "und", "ist", "ein")
+  val PT: Seq[String] = Seq("o", "os", "de", "que", "e", "uma", "um")
+
+  private def markerCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words)))
+
+  /** Heuristic language ID: CJK codepoints → zh, else argmax of
+    * marker-word hits with a fixed priority order (en,es,fr,de,pt), und
+    * when no marker hits at all.
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val en = markerCount(toks, EN)
+    val es = markerCount(toks, ES)
+    val fr = markerCount(toks, FR)
+    val de = markerCount(toks, DE)
+    val pt = markerCount(toks, PT)
+    val top = greatest(en, es, fr, de, pt)
+    when(text.rlike("[\\x{4e00}-\\x{9fff}]"), "zh")
+      .when(top === 0, "und")
+      .when(en === top, "en")
+      .when(es === top, "es")
+      .when(fr === top, "fr")
+      .when(de === top, "de")
+      .otherwise("pt")
+  }
+
+  /** Number of non-alphanumeric, non-space characters. */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[^a-zA-Z0-9\\s]", ""))
+
+  /** Stopword ratio over EN markers (quality signal). */
+  def stopwordCount(text: Column): Column =
+    markerCount(tokens(lower(text)), EN)
+
+  /** Composite quality score in [0,1]: length component + low-punctuation
+    * component + stopword-presence component. Deterministic, mirrored in
+    * the oracle SQL.
+    */
+  def qualityScore(text: Column): Column = {
+    val len = length(text).cast("double")
+    val nTok = size(tokens(text)).cast("double")
+    val lenScore = least(len / lit(500.0), lit(1.0))
+    val punctRatio = punctCount(text).cast("double") / greatest(len, lit(1.0))
+    val stopRatio = stopwordCount(text).cast("double") / greatest(nTok, lit(1.0))
+    round(
+      lit(0.4) * lenScore + lit(0.3) * (lit(1.0) - least(punctRatio * 5, lit(1.0))) +
+        lit(0.3) * least(stopRatio * 4, lit(1.0)),
+      4)
+  }
+}

@@ -1,0 +1,195 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** JVM-side kernels invoked from the custom Catalyst expressions in
+  * [[Exprs]]. Kept as static-style helpers so generated code can call them
+  * directly (`graft.functions.TextKernels.stripAccents(...)`) and stay
+  * inside whole-stage codegen.
+  *
+  * All hashing is xxhash64 over the raw UTF-8 bytes (Spark's own
+  * [[XXH64]]), so signatures are stable across JVMs and partitions.
+  */
+object TextKernels {
+
+  /** NFD-decompose then drop combining marks — same observable behavior as
+    * DuckDB's `strip_accents` on Latin text (reference uses NFKD in
+    * `misc.py:33-35`; NFD vs NFKD differ only on compatibility chars which
+    * the governance keys never contain — we expose a separate nfkd variant
+    * for the J2/J5 join keys).
+    */
+  def stripAccents(s: UTF8String): UTF8String = {
+    val str = s.toString
+    var needs = false
+    var i = 0
+    while (i < str.length && !needs) {
+      if (str.charAt(i) >= 0x80) needs = true
+      i += 1
+    }
+    if (!needs) return s // ASCII fast path: no allocation
+    val n = java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(n.length)
+    i = 0
+    while (i < n.length) {
+      val c = n.charAt(i)
+      if (Character.getType(c) != Character.NON_SPACING_MARK) sb.append(c)
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  /** NFKD variant used for governance join-key normalization
+    * (reference `misc.py:33-35` uses unicodedata.normalize('NFKD')). */
+  def stripAccentsNfkd(s: UTF8String): UTF8String = {
+    val n = java.text.Normalizer.normalize(
+      s.toString, java.text.Normalizer.Form.NFKD)
+    val sb = new java.lang.StringBuilder(n.length)
+    var i = 0
+    while (i < n.length) {
+      val c = n.charAt(i)
+      if (Character.getType(c) != Character.NON_SPACING_MARK) sb.append(c)
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  private def hashToken(t: UTF8String, seed: Long): Long =
+    XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, seed)
+
+  /** 64-bit SimHash over a token array: per-token xxhash64, each bit votes
+    * +1/-1, sign of the vote becomes the output bit. One pass per row —
+    * O(tokens * 64) integer ops, no allocation beyond the vote array.
+    */
+  def simHash64(tokens: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val h = hashToken(tokens.getUTF8String(i), 0L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** MinHash signature: k independent permutations approximated by k
+    * xxhash64 seeds; sig(j) = min over shingles of hash(shingle, j).
+    * Returns LongArray(k); empty input yields Long.MaxValue entries so the
+    * signature is well-defined (and never collides with real minima in
+    * LSH banding).
+    */
+  def minHash(shingles: ArrayData, k: Int): ArrayData = {
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      if (!shingles.isNullAt(i)) {
+        val t = shingles.getUTF8String(i)
+        var j = 0
+        while (j < k) {
+          val h = XXH64.hashUnsafeBytes(
+            t.getBaseObject, t.getBaseOffset, t.numBytes, j.toLong)
+          if (h < sig(j)) sig(j) = h
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** Winnowing fingerprints (Schleimer et al., SIGMOD'03): hash every
+    * k-token shingle, slide a window of w hashes, keep the min of each
+    * window (rightmost on ties), dedup. Returns the selected hashes sorted
+    * — a compact, position-independent document sketch.
+    */
+  def winnow(tokens: ArrayData, k: Int, w: Int): ArrayData = {
+    val n = tokens.numElements()
+    val nGrams = n - k + 1
+    if (nGrams <= 0) return new GenericArrayData(Array.emptyLongArray)
+    // hash each k-gram: xxhash64 chained over token hashes
+    val gh = new Array[Long](nGrams)
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      th(i) = if (tokens.isNullAt(i)) 0L else hashToken(tokens.getUTF8String(i), 0L)
+      i += 1
+    }
+    i = 0
+    while (i < nGrams) {
+      var h = -7046029254386353131L // xxhash64 prime as chain seed
+      var j = 0
+      while (j < k) {
+        h = XXH64.hashLong(th(i + j), h)
+        j += 1
+      }
+      gh(i) = h
+      i += 1
+    }
+    val sel = new java.util.TreeSet[java.lang.Long]()
+    if (nGrams <= w) {
+      var min = gh(0); i = 1
+      while (i < nGrams) { if (gh(i) <= min) min = gh(i); i += 1 }
+      sel.add(min)
+    } else {
+      var start = 0
+      while (start + w <= nGrams) {
+        var min = gh(start)
+        var j = start + 1
+        while (j < start + w) { if (gh(j) <= min) min = gh(j); j += 1 }
+        sel.add(min)
+        start += 1
+      }
+    }
+    val out = new Array[Long](sel.size)
+    val it = sel.iterator(); i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Dot product of two float vectors accumulated in double (sequential
+    * left-to-right, matching DuckDB's list_cosine_similarity order). */
+  def dotF(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  /** Cosine similarity of two float vectors in double precision. */
+  def cosineF(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val d = math.sqrt(na) * math.sqrt(nb)
+    if (d == 0.0) 0.0 else dot / d
+  }
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+}

@@ -1,0 +1,28 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One gate-checked query: a Spark DataFrame program plus (when
+  * SQL-expressible) the equivalent DuckDB oracle SQL run by the driver on
+  * the same parquet tables. Queries without an oracle get a weaker
+  * rows-only check — keep their outputs guaranteed non-empty.
+  *
+  * Determinism rules (both sides):
+  *  - every double that passes through an aggregation is summed as
+  *    DECIMAL (order-independent exact) and only then cast to double;
+  *  - rounded (`round(x, n)`) before any threshold compare or ranking;
+  *  - ties in top-k broken by a unique key column;
+  *  - output columns only primitive types, names identical in both
+  *    dialects (the driver's compare hashes by sorted column name).
+  */
+final case class Q(
+    name: String,
+    oracle: Option[String])(
+    val fn: (SparkSession, String) => DataFrame)
+
+object Q {
+  def sql(name: String, oracle: String)(fn: (SparkSession, String) => DataFrame): Q =
+    Q(name, Some(oracle))(fn)
+  def rowsOnly(name: String)(fn: (SparkSession, String) => DataFrame): Q =
+    Q(name, None)(fn)
+}

@@ -1,0 +1,322 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Relational operator inventory from SURVEY.md §2 re-expressed over the
+  * driver's star schema: aggregations (A1-A8), joins (J1-J11 classes),
+  * filters (F1-F9), set ops (§2.7), window/top-k (§2.6 / K5), pivot
+  * (A6/K3), scope fan-out collapse (A3), recodes (X25), year extraction
+  * (X23), key normalization (X20/X27).
+  *
+  * Scale notes (100 TB design intent, verified via .explain on the bench):
+  *  - dimension sides (region/nation/supplier/customer-by-key) are
+  *    `broadcast()` so fact scans never shuffle for the join;
+  *  - aggregations are partial (map-side combine) by construction;
+  *  - top-k per group is window + row_number ≤ k, which AQE executes as a
+  *    single shuffle on the partition key — no global sort;
+  *  - all filters/projections are pushdown-friendly (no UDF gates).
+  */
+object Relational {
+
+  /** TPC-H Q1-shaped pricing summary: the A1 "wide agg" archetype.
+    * Decimal-exact sums, double at the boundary. */
+  val q01 = Q.sql("q01_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(sum(CAST(l_extendedprice*(1.0-l_discount)*(1.0+l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)/count(*) AS avg_qty,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("sum_disc_price"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))
+          .cast("decimal(18,6)")).cast("double").as("sum_charge"),
+        (sum(col("l_quantity").cast("decimal(18,2)")).cast("double") / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** A1: count by (dimension, day) over the event stream table. */
+  val q02 = Q.sql("q02_events_by_type_day",
+    """SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("event_type", "day")
+  }
+
+  /** A2: conditional sum (reference's fulltext metric shape). */
+  val q03 = Q.sql("q03_conditional_sum",
+    """SELECT CAST(ts AS DATE) AS day, count(*) AS total,
+      |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+      |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(
+        count(lit(1)).as("total"),
+        sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("n_purchase"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .orderBy("day")
+  }
+
+  /** F1: the governance input gate — IN-set + non-null + non-empty. */
+  val q04 = Q.sql("q04_filter_gate",
+    """SELECT o_orderstatus, count(*) AS cnt
+      |FROM orders
+      |WHERE o_orderstatus IN ('O','F') AND o_orderpriority IS NOT NULL
+      |  AND o_orderpriority <> ''
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .filter(col("o_orderstatus").isin("O", "F") &&
+        col("o_orderpriority").isNotNull && col("o_orderpriority") =!= "")
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("cnt"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** J1-class: fact scan + chain of broadcast dimension joins. */
+  val q05 = Q.sql("q05_star_join",
+    """SELECT r_name, n_name, count(*) AS cnt,
+      |  CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** J3-class: left join + coalesce fallback precedence. */
+  val q06 = Q.sql("q06_left_join_coalesce",
+    """SELECT coalesce(n_name, 'unknown') AS nation_name, count(*) AS cnt,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+      |FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"), "left")
+      .groupBy(coalesce(col("n_name"), lit("unknown")).as("nation_name"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("sum_bal"))
+      .orderBy("nation_name")
+  }
+
+  /** Left-semi join (EXISTS): J6's probe shape. */
+  val q07 = Q.sql("q07_semi_join",
+    """SELECT c_mktsegment, count(*) AS cnt FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("cnt"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Left-anti join (NOT EXISTS). */
+  val q08 = Q.sql("q08_anti_join",
+    """SELECT c_mktsegment, count(*) AS cnt FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("cnt"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** K5: top-10 per group via ranking window, deterministic tie-break. */
+  val q09 = Q.sql("q09_topk_per_group",
+    """SELECT c_mktsegment, c_custkey, c_acctbal, rn FROM (
+      |  SELECT c_mktsegment, c_custkey, c_acctbal,
+      |    CAST(row_number() OVER (PARTITION BY c_mktsegment
+      |      ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rn
+      |  FROM customer) t
+      |WHERE rn <= 10
+      |ORDER BY c_mktsegment, rn""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(s, d)
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+        row_number().over(w).cast("bigint").as("rn"))
+      .filter(col("rn") <= 10)
+      .orderBy("c_mktsegment", "rn")
+  }
+
+  /** A6/K3: pivot day × event_type counts (the JSON-export shape). */
+  val q10 = Q.sql("q10_pivot_day_type",
+    """SELECT CAST(ts AS DATE) AS day,
+      |  CAST(sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+      |  CAST(sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+      |  CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+      |  CAST(sum(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+      |  CAST(sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0, types)
+      .orderBy("day")
+  }
+
+  /** A3 collapsed: the reference's global + per-scope re-runs become one
+    * scope-exploded aggregation pass. */
+  val q11 = Q.sql("q11_scope_explode",
+    """SELECT scope, count(*) AS cnt,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM (SELECT unnest(['GLOBAL', o_orderstatus]) AS scope, o_totalprice
+      |      FROM orders) t
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .select(explode(array(lit("GLOBAL"), col("o_orderstatus"))).as("scope"),
+        col("o_totalprice"))
+      .groupBy("scope")
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+      .orderBy("scope")
+  }
+
+  /** A5: distinct count per group. */
+  val q12 = Q.sql("q12_distinct_users",
+    """SELECT event_type, count(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("event_type")
+  }
+
+  /** S9: multi-source union with provenance tag. */
+  val q13 = Q.sql("q13_union_provenance",
+    """SELECT _source, count(*) AS cnt,
+      |  CAST(sum(CAST(acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+      |FROM (SELECT c_acctbal AS acctbal, 'customer' AS _source FROM customer
+      |      UNION ALL
+      |      SELECT s_acctbal, 'supplier' FROM supplier) t
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val c = Tables.customer(s, d)
+      .select(col("c_acctbal").as("acctbal"), lit("customer").as("_source"))
+    val p = Tables.supplier(s, d)
+      .select(col("s_acctbal").as("acctbal"), lit("supplier").as("_source"))
+    c.unionByName(p)
+      .groupBy("_source")
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("acctbal").cast("decimal(18,2)")).cast("double").as("sum_bal"))
+      .orderBy("_source")
+  }
+
+  /** A4: set-union accumulation (collect_set ≡ $addToSet), order-normalized. */
+  val q14 = Q.sql("q14_collect_set",
+    """SELECT c_nationkey, array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments
+      |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    Tables.customer(s, d)
+      .groupBy("c_nationkey")
+      .agg(array_join(array_sort(collect_set(col("c_mktsegment"))), ",").as("segments"))
+      .orderBy("c_nationkey")
+  }
+
+  /** A8: min/max bounds per group. */
+  val q15 = Q.sql("q15_minmax_bounds",
+    """SELECT event_type, min(CAST(ts AS DATE)) AS min_day,
+      |  max(CAST(ts AS DATE)) AS max_day, count(*) AS cnt
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(
+        min(to_date(col("ts"))).as("min_day"),
+        max(to_date(col("ts"))).as("max_day"),
+        count(lit(1)).as("cnt"))
+      .orderBy("event_type")
+  }
+
+  /** §2.6: running sum window (decimal-exact accumulation). */
+  val q16 = Q.sql("q16_running_sum",
+    """SELECT event_id, user_id,
+      |  round(CAST(sum(CAST(value AS DECIMAL(18,4))) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 3) AS running_value
+      |FROM events ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        round(sum(col("value").cast("decimal(18,4)")).over(w).cast("double"), 3)
+          .as("running_value"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** X25: $switch-style recode via when-chain. */
+  val q17 = Q.sql("q17_recode",
+    """SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 'critical'
+      |            WHEN o_orderpriority = '2-HIGH' THEN 'high'
+      |            WHEN o_orderpriority IN ('3-MEDIUM','4-NOT SPECIFIED') THEN 'normal'
+      |            ELSE 'low' END AS priority_class,
+      |  count(*) AS cnt
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(
+        when(col("o_orderpriority") === "1-URGENT", "critical")
+          .when(col("o_orderpriority") === "2-HIGH", "high")
+          .when(col("o_orderpriority").isin("3-MEDIUM", "4-NOT SPECIFIED"), "normal")
+          .otherwise("low").as("priority_class"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("priority_class")
+  }
+
+  /** X23: regex year extraction with default-0 fallback. */
+  val q18 = Q.sql("q18_year_extract",
+    """SELECT CAST(coalesce(nullif(regexp_extract(CAST(CAST(o_orderdate AS DATE) AS VARCHAR), '\d{4}'), ''), '0') AS BIGINT) AS year,
+      |  count(*) AS cnt
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(
+        coalesce(
+          nullif(regexp_extract(col("o_orderdate").cast("date").cast("string"), "\\d{4}", 0), lit("")),
+          lit("0")).cast("bigint").as("year"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("year")
+  }
+
+  /** X20/X27: join-key normalization — lower/trim/strip-accents via the
+    * custom codegen StripAccents expression (DuckDB strip_accents parity,
+    * exercised with injected accented text). */
+  val q19 = Q.sql("q19_normalize_key",
+    """SELECT strip_accents(lower(trim(p_name || ' Çafé'))) AS norm_key, count(*) AS cnt
+      |FROM part GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    Tables.part(s, d)
+      .groupBy(graft.functions.Exprs.strip_accents(
+        lower(trim(concat(col("p_name"), lit(" Çafé"))))).as("norm_key"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("norm_key")
+  }
+
+  val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
+    q11, q12, q13, q14, q15, q16, q17, q18, q19)
+}

