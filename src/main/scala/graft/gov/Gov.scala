@@ -1,0 +1,214 @@
+package graft.gov
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+
+/** Layer 02 (+02_x01) of the governance pipeline as one shuffle-free
+  * Spark stage: landing-zone docs → standardized iAHx docs.
+  *
+  * Architecture choice: the ~30 interdependent per-doc transforms
+  * (X1–X19) are a single typed `Dataset.map` with broadcast lookup maps
+  * (J1–J3, J7) — embarrassingly parallel, Encoder-backed, zero shuffles;
+  * the heavy order-sensitive string formatting (X6/X7/X9) gains nothing
+  * from per-column codegen and everything from being one coherent,
+  * golden-tested function. Relational shapes (filters, joins, aggs,
+  * explodes) stay in the DataFrame API (see operators/ and Enrich/Metrics).
+  */
+object Gov {
+
+  implicit val landingEnc: ExpressionEncoder[Landing] = ExpressionEncoder[Landing]()
+  implicit val iahxEnc: ExpressionEncoder[IahxDoc] = ExpressionEncoder[IahxDoc]()
+
+  /** JSON read schema: the encoder schema with the `abstracts` field
+    * renamed back to the wire name `abstract` (a reserved Java identifier
+    * the encoder can't carry). */
+  private val readSchema = org.apache.spark.sql.types.StructType(
+    landingEnc.schema.fields.map(f =>
+      if (f.name == "abstracts") f.copy(name = "abstract") else f))
+
+  /** Read landing-zone JSONL (the S1 "fetch to JSONL then read.json" shape)
+    * with the explicit schema — no inference pass at scale. */
+  def readLanding(spark: SparkSession, path: String): Dataset[Landing] =
+    spark.read.schema(readSchema).json(path)
+      .withColumnRenamed("abstract", "abstracts").as[Landing]
+
+  /** The classpath fixture corpus (written by tools/golden.py). */
+  def fixtureLanding(spark: SparkSession): Dataset[Landing] = {
+    val in = getClass.getResourceAsStream("/graft/gov/landing.jsonl")
+    val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines().toSeq
+    val ds = spark.createDataset(lines)(Encoders.STRING)
+    spark.read.schema(readSchema).json(ds)
+      .withColumnRenamed("abstract", "abstracts").as[Landing]
+  }
+
+  /** F1 input gate (02_create…py:776-779). */
+  def gate(ds: Dataset[Landing]): Dataset[Landing] =
+    ds.filter { d =>
+      d.status.exists(s => s == 0 || s == 1 || s == -2 || s == -3) &&
+        d.treatment_level != null && d.treatment_level.nonEmpty
+    }
+
+  /** The 02 transform glue (02_create…py:783-999) + the 02_x01 pass
+    * (country-name caps + ai rename — the reference runs it as a separate
+    * read-modify-write DAG; here it composes into the same map). */
+  def toIahx(ds: Dataset[Landing], lookups: Lookups, nowYear: Int): Dataset[IahxDoc] = {
+    val sc = ds.sparkSession.sparkContext
+    val lk = sc.broadcast(lookups)
+    gate(ds).map(d => transformDoc(d, lk.value, nowYear))
+  }
+
+  def transformDoc(d: Landing, lk: Lookups, nowYear: Int): IahxDoc = {
+    import RefTransforms._
+
+    def opt(s: String): Option[String] = Option(s).filter(_.nonEmpty)
+    def seqOf(s: Seq[String]): Seq[String] = if (s == null) Nil else s
+
+    val pg: Seq[String] =
+      if (d.pages != null && d.pages.nonEmpty) standardizePages(d.pages)
+      else opt(d.pages_monographic).toSeq
+
+    val titleFields = standardizeMultilingualTitle(d)
+    val abstractFields = standardizeAbstract(d.abstracts)
+    val e = standardizeEletronicAddress(d.electronic_address)
+
+    // X10 author-source precedence (02_create…py:802-814)
+    val authorSource = Seq(
+      d.individual_author, d.corporate_author,
+      d.individual_author_monographic, d.corporate_author_monographic,
+      d.individual_author_collection, d.corporate_author_collection)
+      .find(s => s != null && s.nonEmpty)
+    val authors = authorSource.map(standardizeIndividualAuthors(_, lk.country))
+      .getOrElse(Authors(Nil, Nil, Nil, Nil, Nil, Nil, Nil))
+
+    val kw = d.author_keyword.flatMap(_.get("text"))
+    val lo = standardizeLocation(d.call_number)
+    val fo = standardizeFo(d)
+
+    // publication_country precedence: own field, else journal-country
+    // fallback via title_serial (02_create…py:829-841). Key-absence
+    // semantics: publication_country is Option (None = key absent).
+    val pubCountry: Option[String] = d.publication_country match {
+      case Some(pc) => Some(pc).filter(_ != null)
+      case None =>
+        lk.titleCountry.get(Option(d.title_serial).getOrElse("").toLowerCase.trim)
+          .flatMap(_.headOption)
+    }
+    val cp = pubCountry.filter(_.nonEmpty)
+      .map(standardizeCp(_, lk.country)).getOrElse(Nil)
+    val paisPub = pubCountry.filter(_.nonEmpty)
+      .flatMap(standardizePaisPublicacao(_, lk.country))
+      .map(normalizeAfiliacaoString) // 02_x01 pass
+
+    val ct = d.check_tags.flatMap(getDecsMfn(_, lk.decs))
+    val ptv = d.publication_type.flatMap(getDecsMfn(_, lk.decs))
+    val mj = d.descriptors_primary.flatMap(_.get("text"))
+      .flatMap(t => getDecsMfn(t.replace("^d", ""), lk.decs))
+    val mh = d.descriptors_secondary.flatMap(_.get("text"))
+      .flatMap(t => getDecsMfn(t.replace("^d", ""), lk.decs))
+
+    var susProg, susAlvo = Vector[String]()
+    d.community_collection_path.foreach { item =>
+      if (item.contains("Programas"))
+        extractSusdigitalTheme(item).foreach(susProg :+= _)
+      if (item.contains("Alvo"))
+        extractSusdigitalTheme(item).foreach(susAlvo :+= _)
+    }
+
+    val id = standardizeId(d.id, d.LILACS_original_id)
+    val dl: Seq[String] = Option(d.local_descriptors).filter(_.nonEmpty)
+      .map(_.split("\\r?\\n", -1).toSeq).getOrElse(Nil)
+    val taVar = standardizeTaVar(d, lk.issn, lk.shortTitle)
+    val pdn = Option(d.publication_date_normalized).getOrElse("")
+
+    val bookTitle: Option[String] =
+      if (d.title_monographic.nonEmpty && !(
+        Seq("T", "N").contains(d.literature_type.toUpperCase) &&
+          !d.treatment_level.toLowerCase.startsWith("a")))
+        d.title_monographic.headOption.flatMap(m => Option(m.getOrElse("text", null)))
+      else None
+
+    def seqM(s: Seq[Map[String, String]]): Seq[Map[String, String]] =
+      if (s == null) Nil else s
+    val ai0 = (seqM(d.corporate_author) ++ seqM(d.corporate_author_monographic))
+      .map(_.getOrElse("text", null))
+    val ai = renameAi(ai0.filter(_ != null), lk.aiMap) // 02_x01 pass
+
+    IahxDoc(
+      id = id,
+      id_pk = d.id,
+      ai = ai,
+      aid = opt(d.doi_number),
+      alternate_id = d.alternate_ids.filter(a => a != null && a.nonEmpty && a != id),
+      book_title = bookTitle,
+      cc = opt(d.cooperative_center_code),
+      cn_co = opt(d.conference_country), cn_cy = opt(d.conference_city),
+      cn_da = opt(d.conference_normalized_date), cn_dt = opt(d.conference_date),
+      cn_in = opt(d.conference_sponsoring_institution), cn_na = opt(d.conference_name),
+      ct = ct,
+      cy = opt(d.publication_city),
+      da = if (pdn.nonEmpty) Some(pdn.take(6)) else None,
+      database = seqOf(d.database),
+      db = seqOf(d.indexed_database),
+      descritores_locais = dl,
+      dp = opt(d.publication_date),
+      ec = if (d.clinical_trial_registry_name != null && d.clinical_trial_registry_name.nonEmpty) Some(1L) else None,
+      ed = opt(d.edition),
+      entry_date = opt(Option(d.created_time).filter(_.nonEmpty)
+        .getOrElse(Option(d.transfer_date_to_database).getOrElse(""))
+        .take(10).replace("-", "")),
+      ip = opt(d.issue_number),
+      is = opt(d.issn),
+      isbn = opt(d.isbn),
+      la = seqOf(d.text_language),
+      license = opt(d.license),
+      mh = mh, mj = mj,
+      nivel_tratamento = opt(d.treatment_level),
+      no_indexing = if (d.descriptors_primary.isEmpty && d.descriptors_secondary.isEmpty) Some(1L) else None,
+      non_decs_region = opt(d.non_decs_region),
+      ntv = opt(d.total_number_of_volumes),
+      ot = dl,
+      pg = pg,
+      pr_in = opt(d.project_sponsoring_institution),
+      pr_na = opt(d.project_name), pr_nu = opt(d.project_number),
+      pt = ptv,
+      pu = opt(d.publisher),
+      related_research = seqOf(d.related_research).map(String.valueOf),
+      related_resource = seqOf(d.related_resource).map(String.valueOf),
+      status_fiadmin = d.status.flatMap(StatusMap.get),
+      ta = opt(d.title_serial),
+      ta_fascic = standardizeTaFascic(taVar, d.volume_serial, d.issue_number, pdn.take(4)),
+      ta_var = taVar,
+      tag_comunidade = seqOf(d.community),
+      tag_colecao = seqOf(d.community_collection_path),
+      th_in = opt(d.thesis_dissertation_institution),
+      th_le = d.thesis_dissertation_leader.flatMap(_.get("text")),
+      th_ti = opt(d.thesis_dissertation_academic_title),
+      tombo = opt(d.inventory_number),
+      `type` = determineDocumentType(d),
+      update_date = opt(Option(d.updated_time).getOrElse("").take(10).replace("-", "")),
+      vi = Seq(d.volume_monographic, d.volume_serial).filter(v => v != null && v.nonEmpty),
+      weight = calculateWeight(d, nowYear),
+      fo = fo,
+      lo = lo,
+      ti = titleFields,
+      ab = abstractFields,
+      kw = kw,
+      au = authors.au, af = authors.af,
+      afiliacao_autor = authors.afiliacao,
+      instituicao_pais_afiliacao = authors.instPais,
+      pais_afiliacao = authors.paisAfiliacao.map(normalizeAfiliacaoString), // 02_x01
+      auid = authors.auid, email = authors.email,
+      ur = e.ur, ur_multimedia = e.urMultimedia, ur_audio = e.urAudio,
+      ur_meta = e.urMeta, fulltext = e.fulltext,
+      cp = cp,
+      pais_publicacao = paisPub,
+      tema_susdigital_programas = susProg,
+      tema_susdigital_publico_alvo = susAlvo,
+      dyn = Map.empty)
+  }
+
+  /** The fixture corpus pushed through 02+02_x01 — the shared source of
+    * the q40-q42 gate queries. */
+  def fixtureIahx(spark: SparkSession): DataFrame =
+    toIahx(fixtureLanding(spark), Fixtures.lookups, nowYear = 2026).toDF()
+}

@@ -1,0 +1,76 @@
+package graft.gov
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Q
+
+/** Gate queries for the governance layer: the fixture corpus through the
+  * full 02+02_x01 transform, flattened to scalar columns and compared to
+  * the golden oracle (GovOracle — VALUES computed by running the
+  * REFERENCE's own python on the same fixtures; tools/golden.py).
+  */
+object GovOps {
+
+  /** '|'-joined array, NULL when empty (the drop-if-empty contract). */
+  private def jn(c: Column): Column =
+    when(size(c) > 0, array_join(c, "|"))
+
+  private def iahx(s: SparkSession): DataFrame = Gov.fixtureIahx(s)
+
+  val q40 = Q.sql("q40_iahx_biblio", GovOracle.q40) { (s, _) =>
+    iahx(s).select(
+      col("id"), col("id_pk"), col("fo"), col("lo"), jn(col("pg")).as("pg"),
+      col("book_title"), col("da"), col("dp"), col("entry_date"),
+      col("update_date"), col("status_fiadmin"), col("weight"),
+      jn(col("vi")).as("vi"), col("is").as("issn"), col("ta"), col("aid"),
+      col("cc"), col("ed"), col("cy"), col("pu"), col("tombo"),
+      jn(col("la")).as("la"), jn(col("database")).as("dbase"),
+      jn(col("db")).as("db"),
+      jn(element_at(col("ti"), "pt")).as("ti_pt"),
+      jn(element_at(col("ti"), "en")).as("ti_en"),
+      jn(element_at(col("ti"), "es")).as("ti_es"),
+      element_at(col("ab"), "pt").as("ab_pt"),
+      element_at(col("ab"), "en").as("ab_en"),
+      jn(array_sort(col("type"))).as("doctype"),
+      col("ec"), col("no_indexing"),
+      jn(col("alternate_id")).as("alternate_id"),
+      jn(col("related_research")).as("related_research"),
+      jn(col("ot")).as("ot"), jn(col("ta_var")).as("ta_var"),
+      jn(col("ta_fascic")).as("ta_fascic"),
+      col("nivel_tratamento"), col("ip"))
+      .orderBy("id")
+  }
+
+  val q41 = Q.sql("q41_iahx_authors", GovOracle.q41) { (s, _) =>
+    iahx(s).select(
+      col("id"), jn(col("au")).as("au"), jn(col("af")).as("af"),
+      jn(col("afiliacao_autor")).as("afiliacao_autor"),
+      jn(col("pais_afiliacao")).as("pais_afiliacao"),
+      jn(col("instituicao_pais_afiliacao")).as("instituicao_pais_afiliacao"),
+      jn(col("auid")).as("auid"), jn(col("email")).as("email"),
+      jn(col("kw")).as("kw"), jn(col("ai")).as("ai"),
+      jn(array_sort(col("cp"))).as("cp"), col("pais_publicacao"))
+      .orderBy("id")
+  }
+
+  val q42 = Q.sql("q42_iahx_tags", GovOracle.q42) { (s, _) =>
+    iahx(s).select(
+      col("id"), jn(col("ct")).as("ct"), jn(col("pt")).as("pt"),
+      jn(col("mj")).as("mj"), jn(col("mh")).as("mh"),
+      jn(col("tema_susdigital_programas")).as("tema_susdigital_programas"),
+      jn(col("tema_susdigital_publico_alvo")).as("tema_susdigital_publico_alvo"),
+      jn(col("tag_comunidade")).as("tag_comunidade"),
+      jn(col("tag_colecao")).as("tag_colecao"),
+      col("th_in"), jn(col("th_le")).as("th_le"), col("th_ti"),
+      jn(col("ur")).as("ur"),
+      jn(col("ur_multimedia")).as("ur_multimedia"),
+      jn(col("ur_audio")).as("ur_audio"),
+      jn(col("ur_meta")).as("ur_meta"),
+      col("fulltext"),
+      jn(col("descritores_locais")).as("descritores_locais"))
+      .orderBy("id")
+  }
+
+  val all: Seq[Q] = Seq(q40, q41, q42)
+}
