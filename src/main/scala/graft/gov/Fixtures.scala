@@ -36,6 +36,17 @@ object Fixtures {
 
   val aiRows: Seq[(String, String)] = Seq("Organização Z" -> "Organizacao Z Renamed")
 
+  // ---- layer-03 enrichment fixtures (hand-computed oracle in GovOps.q43) ----
+  val instanceEcollection: Seq[Enrich.InstRow] = Seq(
+    Enrich.InstRow("lilacs", Seq("regional"), Seq("colA")))
+  val dbInstanceEcollection: Seq[Enrich.DbInstRow] = Seq(
+    Enrich.DbInstRow("lilacs", Seq("LILACS-DB"), Seq("regional2"), Seq("proj:valor1")),
+    Enrich.DbInstRow("bdenf", Nil, Seq("enfermagem"), Seq("proj:valor2", "area:x")))
+  val temas: Seq[Enrich.TemaRow] = Seq(
+    Enrich.TemaRow("lil-839300", "fonte1", Seq("bvs"), Seq("colA"),
+      Seq("tagX", "v1", "tagX", "v2"), Seq("tagY", "v3"), Seq("ctx1", "p1")),
+    Enrich.TemaRow("biblio-1002", "fonte2", Nil, Seq("colB"), Nil, Nil, Nil))
+
   /** Build the key-normalized lookup maps exactly like the reference
     * loaders (misc.py load_tabpais/load_decs_descriptors/load_title_current,
     * 02_x01 _carregar_mapa_ai). */

@@ -72,5 +72,67 @@ object GovOps {
       .orderBy("id")
   }
 
-  val all: Seq[Q] = Seq(q40, q41, q42)
+  /** Layer-03 enrichment (J4/J5/J6) on the fixture corpus; expected
+    * values hand-computed from Fixtures.{instanceEcollection,
+    * dbInstanceEcollection, temas}. All set-valued outputs sorted (the
+    * reference's $setUnion order is unspecified). */
+  val q43 = Q.sql("q43_enrich",
+    """SELECT * FROM (VALUES
+      |  ('biblio-1002', NULL, NULL, NULL, 'fonte2', NULL, NULL, NULL, NULL, NULL),
+      |  ('biblio-1003', NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
+      |  ('biblio-1004', NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
+      |  ('biblio-1005', NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
+      |  ('biblio-1006', NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
+      |  ('biblio-1009', NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
+      |  ('biblio-1010', NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
+      |  ('lil-839300', 'LILACS-DB|lilacs', 'bvs|enfermagem|regional|regional2',
+      |   'fonte1|lilacs', NULL, 'valor1|valor2', 'x', 'v1|v2', 'v3', 'p1')
+      |) AS t(id, db, instance, cola, colb, proj, area, tagx, tagy, ctx1)
+      |ORDER BY id""".stripMargin) { (s, _) =>
+    val enriched = Enrich(s, iahx(s),
+      graft.gov.Fixtures.instanceEcollection,
+      graft.gov.Fixtures.dbInstanceEcollection,
+      graft.gov.Fixtures.temas)
+    def dynCol(k: String) = jn(array_sort(element_at(col("dyn"), k)))
+    enriched.select(
+      col("id"),
+      jn(array_sort(col("db"))).as("db"),
+      dynCol("instance").as("instance"),
+      dynCol("colA").as("cola"),
+      dynCol("colB").as("colb"),
+      dynCol("proj").as("proj"),
+      dynCol("area").as("area"),
+      dynCol("tagX").as("tagx"),
+      dynCol("tagY").as("tagy"),
+      dynCol("ctx1").as("ctx1"))
+      .orderBy("id")
+  }
+
+  /** K1 — each fixture doc serialized to its `<doc>` XML, compared to the
+    * reference's own ElementTree output (golden.py `to_xml`). Newlines
+    * normalized to literal `\n` on both sides. */
+  val q44 = Q.sql("q44_solr_xml", GovOracle.q44) { (s, _) =>
+    import s.implicits._
+    Gov.toIahx(Gov.fixtureLanding(s), Fixtures.lookups, 2026)
+      .map(d => (d.id, SolrXml.docXml(d)))
+      .toDF("id", "xml")
+      .withColumn("xml", regexp_replace(col("xml"), "\n", "\\\\n"))
+      .orderBy("id")
+  }
+
+  /** K1+S5 roundtrip: export the corpus to a single `<add>` file, parse
+    * it back with the StAX source, count fields per doc. */
+  val q46 = Q.sql("q46_xml_roundtrip", GovOracle.q46) { (s, _) =>
+    import s.implicits._
+    val ds = Gov.toIahx(Gov.fixtureLanding(s), Fixtures.lookups, 2026)
+    val dir = java.nio.file.Files.createTempDirectory("graft_xml")
+    val file = dir.resolve("export.xml").toString
+    SolrXml.writeSingleFile(ds, file)
+    graft.ingest.XmlSource.read(s, file)
+      .map(d => (d.id, d.fields.valuesIterator.map(_.size).sum.toLong))
+      .toDF("id", "n_fields")
+      .orderBy("id")
+  }
+
+  val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q46)
 }

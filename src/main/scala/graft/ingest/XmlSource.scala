@@ -1,0 +1,74 @@
+package graft.ingest
+
+import javax.xml.stream.{XMLInputFactory, XMLStreamConstants}
+
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+
+/** S5 — streaming scan of iAHx `<add><doc><field name=…>` XML exports
+  * (reference tmgl_metrics/dag_01_full_update.py:96-178, which uses lxml
+  * iterparse). Spark shape: `binaryFiles` gives one stream per file split
+  * across the cluster; each is parsed with StAX (no DOM, constant memory
+  * per doc), repeated field names fold to arrays, and the optional
+  * `instance` gate + first-seen-id dedup mirror the reference
+  * (`:133-134`, `:110,148-158`).
+  *
+  * Scale note: parallelism is per-file (XML is not splittable); a 100 TB
+  * corpus arrives as many files, which is exactly this layout.
+  */
+object XmlSource {
+
+  /** One parsed `<doc>`: boost attribute + field-name → values. */
+  case class XmlDoc(id: String, boost: String, fields: Map[String, Seq[String]])
+
+  private def parseStream(in: java.io.InputStream): Iterator[XmlDoc] = {
+    val f = XMLInputFactory.newInstance()
+    f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+    f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
+    val r = f.createXMLStreamReader(in, "UTF-8")
+    val docs = Seq.newBuilder[XmlDoc]
+    var fields: scala.collection.mutable.LinkedHashMap[String, Vector[String]] = null
+    var boost = ""
+    while (r.hasNext) {
+      r.next() match {
+        case XMLStreamConstants.START_ELEMENT =>
+          r.getLocalName match {
+            case "doc" =>
+              fields = scala.collection.mutable.LinkedHashMap()
+              boost = Option(r.getAttributeValue(null, "boost")).getOrElse("")
+            case "field" if fields != null =>
+              val name = Option(r.getAttributeValue(null, "name")).getOrElse("")
+              val value = r.getElementText
+              fields(name) = fields.getOrElse(name, Vector()) :+ value
+            case _ =>
+          }
+        case XMLStreamConstants.END_ELEMENT if r.getLocalName == "doc" =>
+          val id = fields.get("id").flatMap(_.headOption).getOrElse("")
+          docs += XmlDoc(id, boost, fields.toMap)
+          fields = null
+        case _ =>
+      }
+    }
+    r.close()
+    docs.result().iterator
+  }
+
+  /** Read all XML files under `path` into a Dataset of parsed docs.
+    * `instanceFilter` keeps only docs whose `instance` field contains the
+    * value (the reference's `instance == "tmgl"` gate); first-seen-id
+    * dedup via dropDuplicates. */
+  def read(spark: SparkSession, path: String,
+      instanceFilter: Option[String] = None): Dataset[XmlDoc] = {
+    implicit val enc = Encoders.product[XmlDoc]
+    val rdd = spark.sparkContext.binaryFiles(path)
+      .flatMap { case (_, pds) =>
+        val in = pds.open()
+        try parseStream(in).toVector finally in.close()
+      }
+    val ds = spark.createDataset(rdd)
+    val filtered = instanceFilter match {
+      case Some(v) => ds.filter(d => d.fields.get("instance").exists(_.contains(v)))
+      case None => ds
+    }
+    filtered.dropDuplicates("id")
+  }
+}

@@ -516,6 +516,32 @@ GATES = {
     ],
 }
 
+# ---- K1 Solr-XML golden: serialize each 02 doc exactly like the
+# reference's export (04_export_xml.py:102-121, ElementTree + indent).
+# Set-derived fields (type, cp) canonicalized to sorted order — their
+# iteration order is PYTHONHASHSEED-dependent in the reference.
+m04 = _load("dg_04", f"{REF}/04_export_xml.py")
+import xml.etree.ElementTree as ET
+
+def to_xml(t):
+    doc = dict(t)
+    for k in ("type", "cp"):
+        if k in doc:
+            doc[k] = sorted(doc[k])
+    root = ET.Element("doc", boost=str(doc.get("weight", "")))
+    for key in sorted(doc.keys()):
+        value = doc[key]
+        if isinstance(value, list):
+            for item in value:
+                ET.SubElement(root, "field", name=key).text = m04.remove_invalid_xml_chars(item)
+        else:
+            ET.SubElement(root, "field", name=key).text = m04.remove_invalid_xml_chars(value)
+    n_fields = len(root)
+    ET.indent(root, space="  ", level=0)
+    return ET.tostring(root, encoding="unicode"), n_fields
+
+XMLS = {t["id"]: to_xml(t) for t in results}
+
 out = ["package graft.gov",
        "",
        "/** GENERATED by tools/golden.py — DuckDB VALUES oracles computed by",
@@ -534,6 +560,25 @@ for gate, cols in GATES.items():
     out.append(f'  val {gate.split("_")[0]}: String =')
     out.append("    \"\"\"" + sql.replace("\n", "\n      |") + '""".stripMargin')
     out.append("")
+# q44: XML per doc (newlines escaped to literal \n on both sides);
+# q46: roundtrip field counts.
+xml_rows = []
+cnt_rows = []
+for t in sorted(results, key=lambda r: r["id_pk"]):
+    x, n = XMLS[t["id"]]
+    xml_rows.append(f"({lit(t['id'])}, {lit(x)})")
+    cnt_rows.append(f"({lit(t['id'])}, CAST({n} AS BIGINT))")
+out.append("  val q44: String =")
+out.append("    \"\"\"" +
+           ("SELECT * FROM (VALUES\n  " + ",\n  ".join(xml_rows) +
+            "\n) AS t(id, xml) ORDER BY id").replace("\n", "\n      |") +
+           '""".stripMargin')
+out.append("")
+out.append("  val q46: String =")
+out.append("    \"\"\"" +
+           ("SELECT * FROM (VALUES\n  " + ",\n  ".join(cnt_rows) +
+            "\n) AS t(id, n_fields) ORDER BY id").replace("\n", "\n      |") +
+           '""".stripMargin')
 out.append("}")
 with open("src/main/scala/graft/gov/GovOracle.scala", "w") as f:
     f.write("\n".join(out) + "\n")
