@@ -15,7 +15,8 @@ import graft.operators.{Q, Relational, Similarity, TextOps}
 object SparkEntry {
 
   def allQueries: Seq[Q] =
-    Relational.all ++ TextOps.all ++ Similarity.all ++ graft.gov.GovOps.all
+    Relational.all ++ TextOps.all ++ Similarity.all ++
+      graft.gov.GovOps.all ++ graft.metrics.MetricsOps.all
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. Star join +
     * agg + top-k window — exercises scan, broadcast join, partial agg,

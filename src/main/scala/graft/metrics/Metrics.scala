@@ -1,0 +1,128 @@
+package graft.metrics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** TMGL bibliometric metrics (reference dags/tmgl_regions/dag_02_*.py):
+  * explode a dimension → X23 year extraction from `dp` → year ≥ 1500
+  * gate → count by (name, year), computed once globally and once per WHO
+  * region scope.
+  *
+  * The reference runs each metric 1 + R times (once per region with a
+  * country-regex $match prepended — A3 in SURVEY §2.5). Here the scope
+  * fan-out is collapsed: doc→regions matches (F5) are computed ONCE into
+  * a (doc, region) table and every metric joins it — one pass over the
+  * corpus per metric instead of R+1, and the region-match logic lives in
+  * one place. Cells: (type, region, name, year, count) with region NULL
+  * for the global scope.
+  */
+object Metrics {
+
+  /** The iAHx-shaped TMGL doc fields the metrics read. */
+  case class TmglDoc(id: String, who_regions: Seq[String], mj: Seq[String],
+      la: Seq[String], dp: String, fulltext: String,
+      pais_afiliacao: Seq[String], cp: Seq[String])
+
+  /** WHO region → lowercase country names (J8, tmgl_regions/misc.py:4-24). */
+  case class WhoRegion(who_region: String, countries: Seq[String])
+
+  /** X23 — year from `dp`: first \d{4}, default 0 (BASE_PIPELINE). */
+  private def yearCol: org.apache.spark.sql.Column =
+    coalesce(nullif(regexp_extract(col("dp"), "\\d{4}", 0), lit("")), lit("0"))
+      .cast("bigint")
+
+  /** F5 — doc→region matches: pais_afiliacao contains `^i<country>` or cp
+    * contains `<country>`, case-insensitive (tmgl_metrics/misc.py:27-44).
+    * Broadcast cross-match against the (region, country) pairs — the
+    * country table is tiny; each doc tests ~hundreds of substrings with
+    * no shuffle. */
+  def docRegions(spark: SparkSession, docs: DataFrame,
+      regions: Seq[WhoRegion]): DataFrame = {
+    import spark.implicits._
+    val rc = broadcast(regions.flatMap(r => r.countries.map(c => (r.who_region, c.toLowerCase)))
+      .toDF("region", "country"))
+    docs.select($"id", $"pais_afiliacao", $"cp")
+      .join(rc, lit(true))
+      .filter(
+        exists($"pais_afiliacao", x => lower(x).contains(concat(lit("^i"), $"country"))) ||
+        exists($"cp", x => lower(x).contains($"country")))
+      .select($"id", $"region").distinct()
+  }
+
+  /** Run one exploded-dimension count metric in both scopes. `nameExpr`
+    * maps the exploded value column `dim` to the cell name. */
+  private def dimMetric(docs: DataFrame, docReg: DataFrame, metricType: String,
+      dimCol: String, nameExpr: org.apache.spark.sql.Column): DataFrame = {
+    val base = docs
+      .select(col("id"), explode(col(dimCol)).as("dim"), col("dp"))
+      .withColumn("year", yearCol)
+      .withColumn("name", nameExpr)
+      .filter(col("year") >= 1500 && col("name").isNotNull)
+    val global = base.groupBy("name", "year")
+      .agg(count(lit(1)).as("count"))
+      .select(lit(metricType).as("type"), lit(null.asInstanceOf[String]).as("region"),
+        col("name"), col("year"), col("count"))
+    val scoped = base.join(docReg, "id")
+      .groupBy("region", "name", "year")
+      .agg(count(lit(1)).as("count"))
+      .select(lit(metricType).as("type"), col("region"), col("name"),
+        col("year"), col("count"))
+    global.unionByName(scoped)
+  }
+
+  /** Publications per WHO region (dag_02_regions.py): name = the
+    * who_regions value when it matches `.+/.+`. */
+  def regions(docs: DataFrame, docReg: DataFrame): DataFrame =
+    dimMetric(docs, docReg, "region", "who_regions",
+      when(col("dim").rlike(".+/.+"), regexp_extract(col("dim"), ".+/.+", 0)))
+
+  /** Subjects (dag_02_subjects.py): subject_id = first (\d+) capture of
+    * mj, labeled via the DECS Mfn→English map (J9), fallback raw id. */
+  def subjects(docs: DataFrame, docReg: DataFrame,
+      decsLabels: Map[String, String]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val labels = broadcast(decsLabels.toSeq.toDF("mfn", "label"))
+    val cells = dimMetric(docs, docReg, "subject", "mj",
+      nullif(regexp_extract(col("dim"), "(\\d+)", 1), lit("")))
+    cells.join(labels, cells("name") === labels("mfn"), "left")
+      .select($"type", $"region", coalesce($"label", $"name").as("name"),
+        $"year", $"count")
+  }
+
+  /** Languages (dag_02_languages.py): name = lower(la). */
+  def languages(docs: DataFrame, docReg: DataFrame): DataFrame =
+    dimMetric(docs, docReg, "language", "la", lower(col("dim")))
+
+  /** Timeline (dag_02_timeline.py, A2): per year total + fulltext=='1'
+    * conditional count; emitted as two cell names. */
+  def timeline(docs: DataFrame, docReg: DataFrame): DataFrame = {
+    def agg2(df: DataFrame, regionCol: org.apache.spark.sql.Column,
+        grp: Seq[String]): DataFrame =
+      df.withColumn("year", yearCol)
+        .filter(col("year") >= 1500)
+        .groupBy(grp.map(col): _*)
+        .agg(count(lit(1)).as("total"),
+          sum(when(col("fulltext") === "1", 1L).otherwise(0L)).as("with_fulltext"))
+        .select(lit("timeline").as("type"), regionCol.as("region"), col("year"),
+          col("total"), col("with_fulltext"))
+    val global = agg2(docs, lit(null.asInstanceOf[String]), Seq("year"))
+    val scoped = agg2(docs.join(docReg, "id"), col("region"), Seq("region", "year"))
+    global.unionByName(scoped)
+      .select(col("type"), col("region"),
+        explode(map(lit("total"), col("total"), lit("with_fulltext"), col("with_fulltext"))),
+        col("year"))
+      .withColumnRenamed("key", "name").withColumnRenamed("value", "count")
+      .select("type", "region", "name", "year", "count")
+  }
+
+  /** All metric cells for a corpus — union of the implemented metrics. */
+  def allCells(spark: SparkSession, docs: DataFrame, regions0: Seq[WhoRegion],
+      decsLabels: Map[String, String]): DataFrame = {
+    val dr = docRegions(spark, docs, regions0).cache()
+    regions(docs, dr)
+      .unionByName(subjects(docs, dr, decsLabels))
+      .unionByName(languages(docs, dr))
+      .unionByName(timeline(docs, dr))
+  }
+}

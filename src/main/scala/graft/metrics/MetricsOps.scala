@@ -1,0 +1,67 @@
+package graft.metrics
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Q
+
+/** Gate for the TMGL metric pass: a 4-doc fixture exercising dimension
+  * explode, X23 year extraction (+ the 1400 year-floor reject), regex
+  * name extraction, DECS label fallback (J9), F5 country matching via
+  * pais_afiliacao / cp, and the A3 global+region scope fan-out. Oracle
+  * hand-computed.
+  */
+object MetricsOps {
+
+  val fixtureDocs: Seq[Metrics.TmglDoc] = Seq(
+    Metrics.TmglDoc("t1", Seq("AMRO/Brazil"), Seq("^d12345^s22"),
+      Seq("en", "pt"), "2020", "1",
+      Seq("^iBrazil^eBrasil^pBrasil^fBrésil"), Nil),
+    Metrics.TmglDoc("t2", Seq("AMRO/Brazil", "EURO/France"), Seq("^d99"),
+      Seq("EN"), "jul. 2021", "", Nil, Seq("France")),
+    Metrics.TmglDoc("t3", Seq("EURO/France"), Nil, Seq("fr"), "1400", "1",
+      Nil, Seq("france")),
+    Metrics.TmglDoc("t4", Nil, Seq("^d12345"), Seq("pt"), "2020", "1",
+      Seq("^iUnited States of America"), Nil))
+
+  val fixtureRegions: Seq[Metrics.WhoRegion] = Seq(
+    Metrics.WhoRegion("AMR", Seq("brazil")),
+    Metrics.WhoRegion("EUR", Seq("france")))
+
+  val fixtureDecsLabels: Map[String, String] = Map("12345" -> "Traditional Medicine")
+
+  val q45 = Q.sql("q45_tmgl_metrics",
+    """SELECT * FROM (VALUES
+      |  ('language', NULL, 'en', CAST(2020 AS BIGINT), CAST(1 AS BIGINT)),
+      |  ('language', NULL, 'en', CAST(2021 AS BIGINT), CAST(1 AS BIGINT)),
+      |  ('language', NULL, 'pt', CAST(2020 AS BIGINT), CAST(2 AS BIGINT)),
+      |  ('language', 'AMR', 'en', CAST(2020 AS BIGINT), CAST(1 AS BIGINT)),
+      |  ('language', 'AMR', 'pt', CAST(2020 AS BIGINT), CAST(1 AS BIGINT)),
+      |  ('language', 'EUR', 'en', CAST(2021 AS BIGINT), CAST(1 AS BIGINT)),
+      |  ('region', NULL, 'AMRO/Brazil', CAST(2020 AS BIGINT), CAST(1 AS BIGINT)),
+      |  ('region', NULL, 'AMRO/Brazil', CAST(2021 AS BIGINT), CAST(1 AS BIGINT)),
+      |  ('region', NULL, 'EURO/France', CAST(2021 AS BIGINT), CAST(1 AS BIGINT)),
+      |  ('region', 'AMR', 'AMRO/Brazil', CAST(2020 AS BIGINT), CAST(1 AS BIGINT)),
+      |  ('region', 'EUR', 'AMRO/Brazil', CAST(2021 AS BIGINT), CAST(1 AS BIGINT)),
+      |  ('region', 'EUR', 'EURO/France', CAST(2021 AS BIGINT), CAST(1 AS BIGINT)),
+      |  ('subject', NULL, '99', CAST(2021 AS BIGINT), CAST(1 AS BIGINT)),
+      |  ('subject', NULL, 'Traditional Medicine', CAST(2020 AS BIGINT), CAST(2 AS BIGINT)),
+      |  ('subject', 'AMR', 'Traditional Medicine', CAST(2020 AS BIGINT), CAST(1 AS BIGINT)),
+      |  ('subject', 'EUR', '99', CAST(2021 AS BIGINT), CAST(1 AS BIGINT)),
+      |  ('timeline', NULL, 'total', CAST(2020 AS BIGINT), CAST(2 AS BIGINT)),
+      |  ('timeline', NULL, 'total', CAST(2021 AS BIGINT), CAST(1 AS BIGINT)),
+      |  ('timeline', NULL, 'with_fulltext', CAST(2020 AS BIGINT), CAST(2 AS BIGINT)),
+      |  ('timeline', NULL, 'with_fulltext', CAST(2021 AS BIGINT), CAST(0 AS BIGINT)),
+      |  ('timeline', 'AMR', 'total', CAST(2020 AS BIGINT), CAST(1 AS BIGINT)),
+      |  ('timeline', 'AMR', 'with_fulltext', CAST(2020 AS BIGINT), CAST(1 AS BIGINT)),
+      |  ('timeline', 'EUR', 'total', CAST(2021 AS BIGINT), CAST(1 AS BIGINT)),
+      |  ('timeline', 'EUR', 'with_fulltext', CAST(2021 AS BIGINT), CAST(0 AS BIGINT))
+      |) AS t(type, region, name, year, count)
+      |ORDER BY type, region NULLS FIRST, name, year""".stripMargin) { (s, _) =>
+    import s.implicits._
+    val docs = s.createDataset(fixtureDocs).toDF()
+    Metrics.allCells(s, docs, fixtureRegions, fixtureDecsLabels)
+      .orderBy(col("type"), col("region").asc_nulls_first, col("name"), col("year"))
+  }
+
+  val all: Seq[Q] = Seq(q45)
+}
