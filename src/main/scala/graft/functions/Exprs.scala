@@ -106,6 +106,21 @@ object Exprs {
       copy(left = l, right = r)
   }
 
+  /** Intersection size of two sorted distinct string arrays (merge walk,
+    * no per-row allocation) — the set-similarity join kernel. */
+  case class SortedIntersectCount(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = IntegerType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      TextKernels.sortedIntersectCount(
+        a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"$K.sortedIntersectCount($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedIntersectCount =
+      copy(left = l, right = r)
+  }
+
   // ---- Column-API wrappers ------------------------------------------------
 
   private def c(e: Expression): Column = Shim.column(e)
@@ -119,4 +134,6 @@ object Exprs {
     c(Winnow(e(tokens), k, w))
   def cosine_sim(a: Column, b: Column): Column = c(CosineSim(e(a), e(b)))
   def dot_f(a: Column, b: Column): Column = c(DotF(e(a), e(b)))
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    c(SortedIntersectCount(e(a), e(b)))
 }

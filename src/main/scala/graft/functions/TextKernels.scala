@@ -192,4 +192,21 @@ object TextKernels {
 
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** Intersection size of two SORTED, DISTINCT string arrays — a single
+    * merge walk. Replaces array_intersect+array_union (which build a hash
+    * set per invocation) in the O(n²) similarity join hot path:
+    * |union| = |a| + |b| - |intersect|.
+    */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var cnt = 0
+    while (i < na && j < nb) {
+      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (cmp == 0) { cnt += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    cnt
+  }
 }

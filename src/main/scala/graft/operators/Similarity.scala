@@ -42,7 +42,9 @@ object Similarity {
       |WHERE rn <= 5
       |ORDER BY query_id, sim DESC, neighbor_id""".stripMargin) { (s, d) =>
     val e = Tables.embeddings(s, d)
-    val a = e.select(col("vec_id").as("query_id"), col("embedding").as("va"))
+    // single-split parquet: spread the probe side across all cores
+    val a = e.repartition(s.sparkContext.defaultParallelism)
+      .select(col("vec_id").as("query_id"), col("embedding").as("va"))
     val b = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("vb"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id"))
