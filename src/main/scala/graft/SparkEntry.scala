@@ -16,7 +16,8 @@ object SparkEntry {
 
   def allQueries: Seq[Q] =
     Relational.all ++ TextOps.all ++ Similarity.all ++
-      graft.gov.GovOps.all ++ graft.metrics.MetricsOps.all
+      graft.gov.GovOps.all ++ graft.metrics.MetricsOps.all ++
+      graft.streaming.StreamOps.all ++ graft.multimodal.Multimodal.all
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. Star join +
     * agg + top-k window — exercises scan, broadcast join, partial agg,

@@ -1,0 +1,99 @@
+package graft.multimodal
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Q
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, processed in batch-shaped partitions.
+  *
+  * The decode kernels are STUBS — this container has no image/audio
+  * libraries — but everything Spark-side is real and load-bearing:
+  * the (payload: binary, meta: struct) schema, the batched
+  * mapPartitions shape (exactly what a Pandas-UDF/mapInPandas port
+  * would see: fixed-size record batches per worker), partitioning, and
+  * the explode of per-item frames. Swap [[fakeDecode]] for a real
+  * decoder and nothing else changes. Payloads here are the documents'
+  * UTF-8 bytes standing in for media bytes.
+  */
+object Multimodal {
+
+  case class MediaMeta(mime: String, n_bytes: Long, sha: String)
+  case class MediaRow(doc_id: Long, payload: Array[Byte], meta: MediaMeta)
+  case class Frame(doc_id: Long, frame_idx: Int, width: Int, height: Int,
+      brightness: Double)
+
+  val BATCH_SIZE = 64 // records per decode batch (the mapInPandas shape)
+
+  def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select("doc_id", "text").as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes = text.getBytes("UTF-8")
+        val md = MessageDigest.getInstance("MD5")
+        val sha = md.digest(bytes).map("%02x".format(_)).mkString
+        MediaRow(id, bytes, MediaMeta("application/octet-stream", bytes.length.toLong, sha))
+      }
+  }
+
+  /** STUB decode — deterministic fake standing in for an image/video
+    * decoder (??? in spirit): derives frame count and dimensions from
+    * the byte stream, "brightness" = mean byte value of the frame's
+    * slice. Replace with a real codec; the batching/plumbing stays. */
+  private def fakeDecode(row: MediaRow, everyN: Int): Seq[Frame] = {
+    val n = row.payload.length
+    val frameCount = math.max(1, n / 256)
+    (0 until frameCount by everyN).map { i =>
+      val start = i * 256 % math.max(n, 1)
+      val end = math.min(start + 256, n)
+      val slice = row.payload.slice(start, end)
+      val bright = if (slice.isEmpty) 0.0
+        else slice.map(b => (b & 0xff).toDouble).sum / slice.length
+      Frame(row.doc_id, i, 64 + (n % 64), 64 + (n % 48), bright)
+    }
+  }
+
+  /** Frame sampling through batch-shaped partitions: the iterator is
+    * consumed in BATCH_SIZE groups so a vectorized decoder (or a Python
+    * worker via mapInPandas) sees the same record-batch contract. */
+  def sampleFrames(media: Dataset[MediaRow], everyN: Int): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(BATCH_SIZE).flatMap { batch =>
+        batch.iterator.flatMap(fakeDecode(_, everyN))
+      }
+    }
+  }
+
+  /** Metadata extraction gate — the binary/meta schema end-to-end,
+    * checked against DuckDB computing the same digest over the bytes. */
+  val q52 = Q.sql("q52_multimodal_meta",
+    """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  md5(text) AS sha
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    mediaTable(s, d)
+      .map(r => (r.doc_id, r.meta.n_bytes, r.meta.sha))
+      .toDF("doc_id", "n_bytes", "sha")
+      .orderBy("doc_id")
+  }
+
+  /** Frame-sample pipeline (stubbed decode): per-doc frame counts +
+    * mean brightness. Rows-only (no SQL-expressible oracle for the
+    * fake decoder). */
+  val q53 = Q.rowsOnly("q53_multimodal_frames") { (s, d) =>
+    import s.implicits._
+    sampleFrames(mediaTable(s, d), everyN = 2).toDF()
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_frames"),
+        round(avg(col("brightness")), 2).as("mean_brightness"),
+        max(col("width")).as("width"), max(col("height")).as("height"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(q52, q53)
+}

@@ -1,0 +1,39 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Q
+
+/** Gates for the streaming surface: each runs a real Structured
+  * Streaming query (memory sink, AvailableNow-style synchronous drain)
+  * whose final result must equal the batch SQL the DuckDB oracle runs.
+  */
+object StreamOps {
+
+  private def qn(prefix: String): String =
+    prefix + "_" + java.util.UUID.randomUUID().toString.replace("-", "")
+
+  /** Watermarked tumbling-window counts ≡ batch date_trunc group-by. */
+  val q50 = Q.sql("q50_stream_window",
+    """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type, count(*) AS cnt
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    Streams.windowedCounts(s, d, qn("wincounts"))
+      .orderBy("hour", "event_type")
+  }
+
+  /** Stateful sessionization ≡ batch lag-gap cumulative count. */
+  val q51 = Q.sql("q51_stream_sessions",
+    """WITH o AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events)
+      |SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events
+      |FROM o GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    Streams.sessionize(s, d, qn("sessions"))
+      .orderBy("user_id")
+  }
+
+  val all: Seq[Q] = Seq(q50, q51)
+}

@@ -1,0 +1,96 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming over the events table. The reference is
+  * batch-only (SURVEY §2.9 — "incremental" = scheduled re-harvest), so
+  * these are the engine's forward-looking stream surface: the same
+  * operators exposed as streams with Trigger.AvailableNow semantics —
+  * a parquet drop-folder behaves like the reference's landing zone.
+  *
+  *  - windowed aggregation: tumbling-hour counts per event_type with a
+  *    watermark (late data bounded at 1h);
+  *  - stateful sessionization: flatMapGroupsWithState over user_id with a
+  *    30-minute inactivity gap — the canonical custom-state operator.
+  *
+  * Both run synchronously here (memory sink + processAllAvailable) so the
+  * batch oracle can check them; on a cluster the same code runs
+  * continuously with kafka/files sources.
+  */
+object Streams {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  case class SessionAgg(user_id: Long, n_sessions: Long, n_events: Long)
+
+  private def eventStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // file-stream sources take a directory: point at the sf dir with a
+    // glob so the events drop-folder shape is preserved
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling 1-hour window counts by event_type, 1h watermark. */
+  def windowedCounts(spark: SparkSession, dir: String, queryName: String): DataFrame = {
+    val agg = eventStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("hour"), col("event_type"), col("cnt"))
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory").queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
+  /** Sessionize per user with a 30-minute inactivity gap; emit per-user
+    * session and event counts. State = (last event time, session count,
+    * event count); events arrive time-ordered per group after a
+    * secondary sort inside the group iterator. */
+  def sessionize(spark: SparkSession, dir: String, queryName: String,
+      gapMinutes: Int = 30): DataFrame = {
+    import spark.implicits._
+    val events = eventStream(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value").as[Event]
+
+    def fn(userId: Long, it: Iterator[Event],
+        state: GroupState[(Long, Long, Long)]): Iterator[SessionAgg] = {
+      val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var (lastTs, sessions, count) = state.getOption.getOrElse((Long.MinValue, 0L, 0L))
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        if (lastTs == Long.MinValue || t - lastTs > gapMinutes * 60000L) sessions += 1
+        lastTs = t
+        count += 1
+      }
+      state.update((lastTs, sessions, count))
+      Iterator(SessionAgg(userId, sessions, count))
+    }
+
+    val q = events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout)(fn)
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    // Update-mode memory sink appends one row per group per batch; the
+    // final state per user is the last emitted row.
+    val t = spark.table(queryName)
+    t.groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("n_sessions"))).as("s"))
+      .select(col("user_id"), col("s.n_sessions").as("n_sessions"),
+        col("s.n_events").as("n_events"))
+  }
+}
