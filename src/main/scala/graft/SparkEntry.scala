@@ -17,6 +17,7 @@ object SparkEntry {
   def allQueries: Seq[Q] =
     Relational.all ++ TextOps.all ++ Similarity.all ++
       graft.gov.GovOps.all ++ graft.metrics.MetricsOps.all ++
+      graft.metrics.Exports.all ++
       graft.streaming.StreamOps.all ++ graft.multimodal.Multimodal.all
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. Star join +

@@ -1,0 +1,67 @@
+package graft.ingest
+
+import java.time.LocalDate
+import java.time.format.DateTimeFormatter
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** S1/S3/S6 — harvest planning and landing-zone maintenance for the
+  * paginated FI-Admin REST source (reference tasks_for_01.py,
+  * 01_full_update.py). The HTTP fetch itself is environment-dependent
+  * (zero egress here); everything around it is engine logic:
+  *
+  *  - the striped page plan (worker i fetches offsets i·limit,
+  *    i·limit + w·limit, … — `01_full_update.py:67-80`): at scale the
+  *    plan becomes `spark.range(nPages)` repartitioned to the fetch
+  *    parallelism, each partition running the HTTP loop in mapPartitions
+  *    and appending JSONL to the landing zone;
+  *  - the incremental trailing window (X28, `tasks_for_01.py:117-119` —
+  *    docstring says 5 days, code says 10; code wins);
+  *  - the dead-letter replay union (S3): failed page params are data, the
+  *    replay pass is re-fetch + union before dedup;
+  *  - last-write-wins upsert (S6): the Mongo `UpdateOne(upsert=True)`
+  *    becomes a windowed keep-latest merge by id.
+  */
+object Harvest {
+
+  case class Page(worker: Int, offset: Int, limit: Int)
+
+  /** Striped page plan: worker i fetches offsets i·limit, i·limit+step,…
+    * with step = workers·limit, until total is covered. */
+  def planPages(total: Int, limit: Int = 100, workers: Int = 3): Seq[Page] =
+    (0 until workers).flatMap { w =>
+      Iterator.from(0).map(k => w * limit + k * workers * limit)
+        .takeWhile(_ < total)
+        .map(off => Page(w, off, limit))
+    }.sortBy(p => (p.worker, p.offset))
+
+  /** X28 — incremental harvest params: trailing N-day window. */
+  def incrementalParams(today: LocalDate, days: Int = 10): Map[String, String] =
+    Map("updated_time__gte" ->
+      today.minusDays(days.toLong).format(DateTimeFormatter.ISO_LOCAL_DATE))
+
+  /** The page plan as a DataFrame — the distributed fetch skeleton:
+    * `.repartition(workers)` then mapPartitions(httpFetch) at runtime. */
+  def planDf(spark: SparkSession, total: Int, limit: Int = 100,
+      workers: Int = 3): DataFrame = {
+    import spark.implicits._
+    planPages(total, limit, workers).toDF("worker", "offset", "limit")
+      .repartition(workers, col("worker"))
+  }
+
+  /** S6 — last-write-wins upsert of a new batch into the landing zone,
+    * keyed on `idCol`, latest `versionCol` (e.g. updated_time) kept;
+    * ties broken toward the new batch. */
+  def upsert(existing: DataFrame, incoming: DataFrame, idCol: String,
+      versionCol: String): DataFrame = {
+    val tagged = existing.withColumn("__src", lit(0))
+      .unionByName(incoming.withColumn("__src", lit(1)))
+    val w = Window.partitionBy(idCol)
+      .orderBy(col(versionCol).desc, col("__src").desc)
+    tagged.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__src")
+  }
+}

@@ -1,0 +1,67 @@
+package graft.metrics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Q
+
+/** Metric-cell exports: K3 (pivot to year × name tables, the reference's
+  * client-side JSON shape) and K5 (the year-range rollup + top-k that the
+  * reference ships to the browser, moved into the engine as
+  * Window.rank ≤ k).
+  */
+object Exports {
+
+  /** K3 — pivot one metric's global cells to {year, name₁:count…} rows. */
+  def pivotYearByName(cells: DataFrame, metricType: String,
+      names: Seq[String]): DataFrame =
+    cells.filter(col("type") === metricType && col("region").isNull)
+      .groupBy(col("year").as("ano"))
+      .pivot("name", names)
+      .sum("count")
+      .na.fill(0, names)
+
+  /** K3 JSON rows — the `[{ano: year, <name>: count,…}]` export shape. */
+  def pivotJson(cells: DataFrame, metricType: String, names: Seq[String]): DataFrame =
+    pivotYearByName(cells, metricType, names)
+      .select(to_json(struct((Seq("ano") ++ names).map(col): _*)).as("row_json"))
+
+  /** K5 — rollup counts across years, top-k names per metric (global
+    * scope), deterministic tie-break by name. */
+  def topK(cells: DataFrame, metricType: String, k: Int): DataFrame = {
+    val w = Window.orderBy(col("total").desc, col("name"))
+    cells.filter(col("type") === metricType && col("region").isNull)
+      .groupBy("name").agg(sum("count").as("total"))
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .filter(col("rn") <= k)
+  }
+
+  private def fixtureCells(s: org.apache.spark.sql.SparkSession): DataFrame = {
+    import s.implicits._
+    Metrics.allCells(s, s.createDataset(MetricsOps.fixtureDocs).toDF(),
+      MetricsOps.fixtureRegions, MetricsOps.fixtureDecsLabels,
+      MetricsOps.fixtureAreaLabels)
+  }
+
+  /** Pivoted language table (global): hand-computed from the q45 cells. */
+  val q47 = Q.sql("q47_pivot_export",
+    """SELECT * FROM (VALUES
+      |  (CAST(2020 AS BIGINT), CAST(1 AS BIGINT), CAST(2 AS BIGINT)),
+      |  (CAST(2021 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT))
+      |) AS t(ano, en, pt) ORDER BY ano""".stripMargin) { (s, _) =>
+    pivotYearByName(fixtureCells(s), "language", Seq("en", "pt"))
+      .orderBy("ano")
+  }
+
+  /** Top-2 document types by all-year rollup (tie → name order). */
+  val q48 = Q.sql("q48_topk_rollup",
+    """SELECT * FROM (VALUES
+      |  ('Articles', CAST(2 AS BIGINT), CAST(1 AS BIGINT)),
+      |  ('Multimedia', CAST(2 AS BIGINT), CAST(2 AS BIGINT))
+      |) AS t(name, total, rn) ORDER BY rn""".stripMargin) { (s, _) =>
+    topK(fixtureCells(s), "doctype", 2).orderBy("rn")
+  }
+
+  val all: Seq[Q] = Seq(q47, q48)
+}

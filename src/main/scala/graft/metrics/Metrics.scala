@@ -21,7 +21,44 @@ object Metrics {
   /** The iAHx-shaped TMGL doc fields the metrics read. */
   case class TmglDoc(id: String, who_regions: Seq[String], mj: Seq[String],
       la: Seq[String], dp: String, fulltext: String,
-      pais_afiliacao: Seq[String], cp: Seq[String])
+      pais_afiliacao: Seq[String], cp: Seq[String],
+      `type`: Seq[String], type_of_study: Seq[String], ta: String,
+      tag_dimentions: Seq[String])
+
+  /** X25 $switch recodes (dag_02_doc_type.py:14-29,
+    * dag_02_study_type.py:14-43), default = passthrough. */
+  val DocTypeMap: Map[String, String] = Map(
+    "article" -> "Articles", "monography" -> "Monograph",
+    "thesis" -> "Thesis", "non-conventional" -> "Non-conventional",
+    "project document" -> "Project document",
+    "congress and conference" -> "Congress and conference",
+    "video" -> "Multimedia", "audio" -> "Multimedia",
+    "podcast" -> "Multimedia")
+  val StudyTypeMap: Map[String, String] = Map(
+    "systematic_reviews" -> "Systematic review",
+    "systematic_review_of_observational_studies" -> "Systematic review",
+    "literature_review" -> "Other Reviews", "review" -> "Other Reviews",
+    "guideline" -> "Practice guideline",
+    "clinical_trials" -> "Controlled Clinical Trials",
+    "qualitative_research" -> "Qualitative studies",
+    "risk_factors_studies" -> "Risk factors", "overview" -> "Overview",
+    "evidence_synthesis" -> "Evidence synthesis",
+    "observational_studies" -> "Observational studies",
+    "sysrev_observational_studies" -> "Observational studies",
+    "policy_brief" -> "Policy brief",
+    "diagnostic_studies" -> "Other studies",
+    "etiology_studies" -> "Other studies",
+    "prognostic_studies" -> "Other studies",
+    "prevalence_studies" -> "Other studies",
+    "screening_studies" -> "Other studies",
+    "incidence_studies" -> "Other studies",
+    "health_technology_assessment" -> "Other studies",
+    "health_economic_evaluation" -> "Other studies",
+    "evaluation_studies" -> "Other studies",
+    "overview_evidence_synthesis" -> "Other studies")
+
+  private def recodeExpr(m: Map[String, String]): org.apache.spark.sql.Column =
+    coalesce(element_at(typedlit(m), col("dim")), col("dim"))
 
   /** WHO region → lowercase country names (J8, tmgl_regions/misc.py:4-24). */
   case class WhoRegion(who_region: String, countries: Seq[String])
@@ -94,6 +131,33 @@ object Metrics {
   def languages(docs: DataFrame, docReg: DataFrame): DataFrame =
     dimMetric(docs, docReg, "language", "la", lower(col("dim")))
 
+  /** Document types (dag_02_doc_type.py): unwind type -> 9-branch recode. */
+  def docTypes(docs: DataFrame, docReg: DataFrame): DataFrame =
+    dimMetric(docs, docReg, "doctype", "type", recodeExpr(DocTypeMap))
+
+  /** Study types (dag_02_study_type.py): 23-branch recode. */
+  def studyTypes(docs: DataFrame, docReg: DataFrame): DataFrame =
+    dimMetric(docs, docReg, "studytype", "type_of_study", recodeExpr(StudyTypeMap))
+
+  /** Journals (dag_02_journals.py): F4 gate `type == "article"` (Mongo
+    * array-equality = contains), dimension = the scalar `ta`. */
+  def journals(docs: DataFrame, docReg: DataFrame): DataFrame =
+    dimMetric(
+      docs.filter(array_contains(col("type"), "article"))
+        .withColumn("__ta", array(col("ta"))),
+      docReg, "journal", "__ta", col("dim"))
+
+  /** Dimensions (dag_02_dimention.py + J10 area labels): unwind
+    * tag_dimentions, keep values matching `.+/.+`, label via
+    * tmgl_areas.label_en with code fallback. */
+  def dimensions(docs: DataFrame, docReg: DataFrame,
+      areaLabels: Map[String, String]): DataFrame = {
+    val m = when(col("dim").rlike(".+/.+"), regexp_extract(col("dim"), ".+/.+", 0))
+    val named = if (areaLabels.isEmpty) m
+      else coalesce(element_at(typedlit(areaLabels), m), m)
+    dimMetric(docs, docReg, "dimension", "tag_dimentions", named)
+  }
+
   /** Timeline (dag_02_timeline.py, A2): per year total + fulltext=='1'
     * conditional count; emitted as two cell names. */
   def timeline(docs: DataFrame, docReg: DataFrame): DataFrame = {
@@ -118,11 +182,16 @@ object Metrics {
 
   /** All metric cells for a corpus — union of the implemented metrics. */
   def allCells(spark: SparkSession, docs: DataFrame, regions0: Seq[WhoRegion],
-      decsLabels: Map[String, String]): DataFrame = {
+      decsLabels: Map[String, String],
+      areaLabels: Map[String, String] = Map.empty): DataFrame = {
     val dr = docRegions(spark, docs, regions0).cache()
     regions(docs, dr)
       .unionByName(subjects(docs, dr, decsLabels))
       .unionByName(languages(docs, dr))
       .unionByName(timeline(docs, dr))
+      .unionByName(docTypes(docs, dr))
+      .unionByName(studyTypes(docs, dr))
+      .unionByName(journals(docs, dr))
+      .unionByName(dimensions(docs, dr, areaLabels))
   }
 }

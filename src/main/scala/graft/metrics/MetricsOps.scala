@@ -15,22 +15,38 @@ object MetricsOps {
   val fixtureDocs: Seq[Metrics.TmglDoc] = Seq(
     Metrics.TmglDoc("t1", Seq("AMRO/Brazil"), Seq("^d12345^s22"),
       Seq("en", "pt"), "2020", "1",
-      Seq("^iBrazil^eBrasil^pBrasil^fBrésil"), Nil),
+      Seq("^iBrazil^eBrasil^pBrasil^fBrésil"), Nil,
+      Seq("article"), Seq("systematic_reviews", "unknown_x"), "Revista A",
+      Seq("dim/One")),
     Metrics.TmglDoc("t2", Seq("AMRO/Brazil", "EURO/France"), Seq("^d99"),
-      Seq("EN"), "jul. 2021", "", Nil, Seq("France")),
+      Seq("EN"), "jul. 2021", "", Nil, Seq("France"),
+      Seq("monography", "video"), Nil, "", Nil),
     Metrics.TmglDoc("t3", Seq("EURO/France"), Nil, Seq("fr"), "1400", "1",
-      Nil, Seq("france")),
+      Nil, Seq("france"), Seq("article"), Nil, "Journal B", Nil),
     Metrics.TmglDoc("t4", Nil, Seq("^d12345"), Seq("pt"), "2020", "1",
-      Seq("^iUnited States of America"), Nil))
+      Seq("^iUnited States of America"), Nil,
+      Seq("article", "podcast"), Seq("review"), "Revista A", Seq("nodim")))
 
   val fixtureRegions: Seq[Metrics.WhoRegion] = Seq(
     Metrics.WhoRegion("AMR", Seq("brazil")),
     Metrics.WhoRegion("EUR", Seq("france")))
 
   val fixtureDecsLabels: Map[String, String] = Map("12345" -> "Traditional Medicine")
+  val fixtureAreaLabels: Map[String, String] = Map("dim/One" -> "Dimension One")
 
   val q45 = Q.sql("q45_tmgl_metrics",
     """SELECT * FROM (VALUES
+      |  ('dimension', NULL, 'Dimension One', CAST(2020 AS BIGINT), CAST(1 AS BIGINT)),
+      |  ('dimension', 'AMR', 'Dimension One', CAST(2020 AS BIGINT), CAST(1 AS BIGINT)),
+      |  ('doctype', NULL, 'Articles', CAST(2020 AS BIGINT), CAST(2 AS BIGINT)),
+      |  ('doctype', NULL, 'Monograph', CAST(2021 AS BIGINT), CAST(1 AS BIGINT)),
+      |  ('doctype', NULL, 'Multimedia', CAST(2020 AS BIGINT), CAST(1 AS BIGINT)),
+      |  ('doctype', NULL, 'Multimedia', CAST(2021 AS BIGINT), CAST(1 AS BIGINT)),
+      |  ('doctype', 'AMR', 'Articles', CAST(2020 AS BIGINT), CAST(1 AS BIGINT)),
+      |  ('doctype', 'EUR', 'Monograph', CAST(2021 AS BIGINT), CAST(1 AS BIGINT)),
+      |  ('doctype', 'EUR', 'Multimedia', CAST(2021 AS BIGINT), CAST(1 AS BIGINT)),
+      |  ('journal', NULL, 'Revista A', CAST(2020 AS BIGINT), CAST(2 AS BIGINT)),
+      |  ('journal', 'AMR', 'Revista A', CAST(2020 AS BIGINT), CAST(1 AS BIGINT)),
       |  ('language', NULL, 'en', CAST(2020 AS BIGINT), CAST(1 AS BIGINT)),
       |  ('language', NULL, 'en', CAST(2021 AS BIGINT), CAST(1 AS BIGINT)),
       |  ('language', NULL, 'pt', CAST(2020 AS BIGINT), CAST(2 AS BIGINT)),
@@ -43,6 +59,11 @@ object MetricsOps {
       |  ('region', 'AMR', 'AMRO/Brazil', CAST(2020 AS BIGINT), CAST(1 AS BIGINT)),
       |  ('region', 'EUR', 'AMRO/Brazil', CAST(2021 AS BIGINT), CAST(1 AS BIGINT)),
       |  ('region', 'EUR', 'EURO/France', CAST(2021 AS BIGINT), CAST(1 AS BIGINT)),
+      |  ('studytype', NULL, 'Other Reviews', CAST(2020 AS BIGINT), CAST(1 AS BIGINT)),
+      |  ('studytype', NULL, 'Systematic review', CAST(2020 AS BIGINT), CAST(1 AS BIGINT)),
+      |  ('studytype', NULL, 'unknown_x', CAST(2020 AS BIGINT), CAST(1 AS BIGINT)),
+      |  ('studytype', 'AMR', 'Systematic review', CAST(2020 AS BIGINT), CAST(1 AS BIGINT)),
+      |  ('studytype', 'AMR', 'unknown_x', CAST(2020 AS BIGINT), CAST(1 AS BIGINT)),
       |  ('subject', NULL, '99', CAST(2021 AS BIGINT), CAST(1 AS BIGINT)),
       |  ('subject', NULL, 'Traditional Medicine', CAST(2020 AS BIGINT), CAST(2 AS BIGINT)),
       |  ('subject', 'AMR', 'Traditional Medicine', CAST(2020 AS BIGINT), CAST(1 AS BIGINT)),
@@ -59,7 +80,7 @@ object MetricsOps {
       |ORDER BY type, region NULLS FIRST, name, year""".stripMargin) { (s, _) =>
     import s.implicits._
     val docs = s.createDataset(fixtureDocs).toDF()
-    Metrics.allCells(s, docs, fixtureRegions, fixtureDecsLabels)
+    Metrics.allCells(s, docs, fixtureRegions, fixtureDecsLabels, fixtureAreaLabels)
       .orderBy(col("type"), col("region").asc_nulls_first, col("name"), col("year"))
   }
 
