@@ -72,6 +72,21 @@ class EngineSpec extends AnyFunSuite {
     assert(ingest.XmlSource.read(spark, file, Some("tmgl")).count() == 0)
   }
 
+  test("governance pipeline 01->04 runs end-to-end and exports parse back") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_pipe").toString
+    val layers = pipeline.Governance.runFixture(spark, out)
+    val enriched = spark.read.parquet(layers.enriched)
+    assert(enriched.count() == 8)
+    // enrichment landed: lil-839300 carries dynamic tag fields
+    val dyn = enriched.filter($"id" === "lil-839300")
+      .select($"dyn").as[Map[String, Seq[String]]].head()
+    assert(dyn.keySet.contains("tagX") && dyn.keySet.contains("instance"))
+    // the exported <add> file parses back losslessly
+    val back = ingest.XmlSource.read(spark, layers.xml)
+    assert(back.count() == 8)
+  }
+
   test("events nanosecond timestamps read and truncate to microseconds") {
     val e = Tables.events(spark, sf)
     assert(e.schema("ts").dataType.typeName == "timestamp")
