@@ -21,6 +21,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm up codegen/classloading so the first measured query isn't
+    // charged the session tax
+    spark.range(1000000).selectExpr("sum(id)").collect()
     val results = SparkEntry.allQueries.map { q =>
       val t0 = System.nanoTime()
       try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -63,6 +63,10 @@ object Metrics {
   /** WHO region → lowercase country names (J8, tmgl_regions/misc.py:4-24). */
   case class WhoRegion(who_region: String, countries: Seq[String])
 
+  /** A country with its ISO code (J11 — the reference resolves ISO as the
+    * first 2-char entry of pais_sinonimo; modeled directly). */
+  case class Country(name: String, iso: String)
+
   /** X23 — year from `dp`: first \d{4}, default 0 (BASE_PIPELINE). */
   private def yearCol: org.apache.spark.sql.Column =
     coalesce(nullif(regexp_extract(col("dp"), "\\d{4}", 0), lit("")), lit("0"))
@@ -179,6 +183,42 @@ object Metrics {
       .withColumnRenamed("key", "name").withColumnRenamed("value", "count")
       .select("type", "region", "name", "year", "count")
   }
+
+  /** F5 single-country matching (tmgl_metrics/misc.py:4-22, the
+    * tmgl_countries variant): pais ^i-contains OR cp-contains OR
+    * who_regions suffix `/<country_with_underscores>` — one extra arm vs
+    * the region variant. */
+  def docCountries(spark: SparkSession, docs: DataFrame,
+      countries: Seq[Country]): DataFrame = {
+    import spark.implicits._
+    val ct = broadcast(countries
+      .map(c => (c.name.toLowerCase, c.name.toLowerCase.replace(" ", "_"), c.iso))
+      .toDF("country", "country_us", "iso"))
+    docs.select($"id", $"pais_afiliacao", $"cp", $"who_regions")
+      .join(ct, lit(true))
+      .filter(
+        exists($"pais_afiliacao", x => lower(x).contains(concat(lit("^i"), $"country"))) ||
+        exists($"cp", x => lower(x).contains($"country")) ||
+        exists($"who_regions", x => lower(x).endsWith(concat(lit("/"), $"country_us"))))
+      .select($"id", $"country", $"iso").distinct()
+  }
+
+  /** Per-country timeline (tmgl_countries/dag_02_indicators.py, A2+A3
+    * country scope): total + fulltext counts per (country, year), with
+    * the ISO code resolved (J11). */
+  def countryTimeline(docs: DataFrame, docCountry: DataFrame): DataFrame =
+    docs.join(docCountry, "id")
+      .withColumn("year", yearCol)
+      .filter(col("year") >= 1500)
+      .groupBy("country", "iso", "year")
+      .agg(count(lit(1)).as("total"),
+        sum(when(col("fulltext") === "1", 1L).otherwise(0L)).as("with_fulltext"))
+      .select(col("country"), col("iso"),
+        explode(map(lit("total"), col("total"),
+          lit("with_fulltext"), col("with_fulltext"))),
+        col("year"))
+      .withColumnRenamed("key", "name").withColumnRenamed("value", "count")
+      .select("country", "iso", "name", "year", "count")
 
   /** All metric cells for a corpus — union of the implemented metrics. */
   def allCells(spark: SparkSession, docs: DataFrame, regions0: Seq[WhoRegion],

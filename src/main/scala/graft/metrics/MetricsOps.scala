@@ -84,5 +84,29 @@ object MetricsOps {
       .orderBy(col("type"), col("region").asc_nulls_first, col("name"), col("year"))
   }
 
-  val all: Seq[Q] = Seq(q45)
+  val fixtureCountries: Seq[Metrics.Country] = Seq(
+    Metrics.Country("brazil", "BR"), Metrics.Country("france", "FR"))
+
+  /** Per-country timeline with ISO resolution (tmgl_countries scope +
+    * J11); hand-computed: t1->brazil (pais ^i); t2->brazil AND france
+    * (who_regions suffix /Brazil + cp France — the suffix arm is the
+    * tmgl_countries extra vs the region variant); t3 year-filtered;
+    * t4 matches no fixture country. */
+  val q49 = Q.sql("q49_country_metrics",
+    """SELECT * FROM (VALUES
+      |  ('brazil', 'BR', 'total', CAST(2020 AS BIGINT), CAST(1 AS BIGINT)),
+      |  ('brazil', 'BR', 'total', CAST(2021 AS BIGINT), CAST(1 AS BIGINT)),
+      |  ('brazil', 'BR', 'with_fulltext', CAST(2020 AS BIGINT), CAST(1 AS BIGINT)),
+      |  ('brazil', 'BR', 'with_fulltext', CAST(2021 AS BIGINT), CAST(0 AS BIGINT)),
+      |  ('france', 'FR', 'total', CAST(2021 AS BIGINT), CAST(1 AS BIGINT)),
+      |  ('france', 'FR', 'with_fulltext', CAST(2021 AS BIGINT), CAST(0 AS BIGINT))
+      |) AS t(country, iso, name, year, count)
+      |ORDER BY country, name, year""".stripMargin) { (s, _) =>
+    import s.implicits._
+    val docs = s.createDataset(fixtureDocs).toDF()
+    val dc = Metrics.docCountries(s, docs, fixtureCountries)
+    Metrics.countryTimeline(docs, dc).orderBy("country", "name", "year")
+  }
+
+  val all: Seq[Q] = Seq(q45, q49)
 }

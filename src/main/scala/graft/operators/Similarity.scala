@@ -56,6 +56,28 @@ object Similarity {
       .orderBy(col("query_id"), col("sim").desc, col("neighbor_id"))
   }
 
+  /** Embedding-cosine near-dup ranking: the most-similar vector pairs
+    * (the dedup-by-embedding shape; this corpus has no pairs above ~0.5
+    * cosine, so the operator surfaces the top of the ranking rather than
+    * a thresholded set — same plan, thresholding is a filter swap). */
+  val q29 = Q.sql("q29_embedding_neardup",
+    """WITH pairs AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS sim
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+      |SELECT id_a, id_b, sim FROM pairs
+      |ORDER BY sim DESC, id_a, id_b LIMIT 20""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    val a = e.repartition(s.sparkContext.defaultParallelism)
+      .select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(Exprs.cosine_sim(col("va"), col("vb")), 4).as("sim"))
+      .orderBy(col("sim").desc, col("id_a"), col("id_b"))
+      .limit(20)
+  }
+
   private val SRP_BITS = 12
   private val DIM = 64
 
@@ -129,5 +151,5 @@ object Similarity {
       .orderBy(col("query_id"), col("sim").desc, col("neighbor_id"))
   }
 
-  val all: Seq[Q] = Seq(q30, q31, q32)
+  val all: Seq[Q] = Seq(q29, q30, q31, q32)
 }
