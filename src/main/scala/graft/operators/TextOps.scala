@@ -146,25 +146,32 @@ object TextOps {
     val bandCols = (0 until nBands).map(i => struct(
       lit(i).as("band"),
       hash(slice(col("sig"), i * LSH_ROWS + 1, LSH_ROWS), lit(i)).as("bucket")))
+    // the band join carries ONLY (band, bucket, id) — the shingle arrays
+    // never ride the candidate shuffle; verification joins them back by
+    // id afterwards (two slim hash joins instead of wide-row banding)
     val banded = docs
-      .select(col("doc_id"), col("sh"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("sh"),
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"),
         col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     // within-bucket pairing with a bucket-size cap (skew guard)
     val wCnt = Window.partitionBy("band", "bucket")
     val capped = banded
       .withColumn("bsz", count(lit(1)).over(wCnt))
       .filter(col("bsz") <= BUCKET_CAP)
-    val aSide = capped.select(col("band"), col("bucket"),
-      col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val bSide = capped.select(col("band"), col("bucket"),
-      col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    aSide.join(bSide, Seq("band", "bucket"))
+    val pairs = capped.select(col("band"), col("bucket"), col("doc_id").as("id_a"))
+      .join(capped.select(col("band"), col("bucket"), col("doc_id").as("id_b")),
+        Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b").dropDuplicates("id_a", "id_b")
+      .select("id_a", "id_b").distinct()
+    val sortedSh = docs.select(col("doc_id"),
+      array_sort(array_distinct(col("sh"))).as("ts"))
+    pairs
+      .join(sortedSh.select(col("doc_id").as("id_a"), col("ts").as("ts_a")), "id_a")
+      .join(sortedSh.select(col("doc_id").as("id_b"), col("ts").as("ts_b")), "id_b")
+      .withColumn("inter", Exprs.sorted_intersect_count(col("ts_a"), col("ts_b")))
       .withColumn("jac",
-        round(size(array_intersect(array_distinct(col("sh_a")), array_distinct(col("sh_b")))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))), 4))
+        round(col("inter").cast("double") /
+          (size(col("ts_a")) + size(col("ts_b")) - col("inter")), 4))
       .select("id_a", "id_b", "jac")
       .orderBy(col("jac").desc, col("id_a"), col("id_b"))
       .limit(1000)
