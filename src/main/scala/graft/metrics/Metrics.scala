@@ -23,7 +23,8 @@ object Metrics {
       la: Seq[String], dp: String, fulltext: String,
       pais_afiliacao: Seq[String], cp: Seq[String],
       `type`: Seq[String], type_of_study: Seq[String], ta: String,
-      tag_dimentions: Seq[String])
+      tag_dimentions: Seq[String], tag_mtc_tema3: Seq[String],
+      tag_mtc_tema2: Seq[String], traditional_medicines_cluster: Seq[String])
 
   /** X25 $switch recodes (dag_02_doc_type.py:14-29,
     * dag_02_study_type.py:14-43), default = passthrough. */
@@ -151,16 +152,41 @@ object Metrics {
         .withColumn("__ta", array(col("ta"))),
       docReg, "journal", "__ta", col("dim"))
 
-  /** Dimensions (dag_02_dimention.py + J10 area labels): unwind
-    * tag_dimentions, keep values matching `.+/.+`, label via
-    * tmgl_areas.label_en with code fallback. */
-  def dimensions(docs: DataFrame, docReg: DataFrame,
+  /** Shared shape of the area-labeled tag metrics (J10): unwind a tag
+    * column, optionally gate on `.+/.+`, label via tmgl_areas.label_en
+    * with code fallback. */
+  private def areaTagMetric(docs: DataFrame, docReg: DataFrame,
+      metricType: String, tagCol: String, regexGate: Boolean,
       areaLabels: Map[String, String]): DataFrame = {
-    val m = when(col("dim").rlike(".+/.+"), regexp_extract(col("dim"), ".+/.+", 0))
+    val m = if (regexGate)
+      when(col("dim").rlike(".+/.+"), regexp_extract(col("dim"), ".+/.+", 0))
+    else col("dim")
     val named = if (areaLabels.isEmpty) m
       else coalesce(element_at(typedlit(areaLabels), m), m)
-    dimMetric(docs, docReg, "dimension", "tag_dimentions", named)
+    dimMetric(docs, docReg, metricType, tagCol, named)
   }
+
+  /** Dimensions (dag_02_dimention.py). */
+  def dimensions(docs: DataFrame, docReg: DataFrame,
+      areaLabels: Map[String, String]): DataFrame =
+    areaTagMetric(docs, docReg, "dimension", "tag_dimentions", regexGate = true, areaLabels)
+
+  /** Therapies (dag_02_therapies.py): tag_mtc_tema3, regex gate + label. */
+  def therapies(docs: DataFrame, docReg: DataFrame,
+      areaLabels: Map[String, String]): DataFrame =
+    areaTagMetric(docs, docReg, "therapy", "tag_mtc_tema3", regexGate = true, areaLabels)
+
+  /** Complementary (dag_02_complementary.py): tag_mtc_tema2. */
+  def complementary(docs: DataFrame, docReg: DataFrame,
+      areaLabels: Map[String, String]): DataFrame =
+    areaTagMetric(docs, docReg, "complementary", "tag_mtc_tema2", regexGate = true, areaLabels)
+
+  /** Traditional-medicine clusters (dag_02_traditional.py): the raw
+    * cluster value (no regex gate) + label. */
+  def traditional(docs: DataFrame, docReg: DataFrame,
+      areaLabels: Map[String, String]): DataFrame =
+    areaTagMetric(docs, docReg, "traditional", "traditional_medicines_cluster",
+      regexGate = false, areaLabels)
 
   /** Timeline (dag_02_timeline.py, A2): per year total + fulltext=='1'
     * conditional count; emitted as two cell names. */
@@ -233,5 +259,8 @@ object Metrics {
       .unionByName(studyTypes(docs, dr))
       .unionByName(journals(docs, dr))
       .unionByName(dimensions(docs, dr, areaLabels))
+      .unionByName(therapies(docs, dr, areaLabels))
+      .unionByName(complementary(docs, dr, areaLabels))
+      .unionByName(traditional(docs, dr, areaLabels))
   }
 }

@@ -17,25 +17,30 @@ object MetricsOps {
       Seq("en", "pt"), "2020", "1",
       Seq("^iBrazil^eBrasil^pBrasil^fBrésil"), Nil,
       Seq("article"), Seq("systematic_reviews", "unknown_x"), "Revista A",
-      Seq("dim/One")),
+      Seq("dim/One"), Seq("ther/A"), Seq("comp/B"), Seq("trad1")),
     Metrics.TmglDoc("t2", Seq("AMRO/Brazil", "EURO/France"), Seq("^d99"),
       Seq("EN"), "jul. 2021", "", Nil, Seq("France"),
-      Seq("monography", "video"), Nil, "", Nil),
+      Seq("monography", "video"), Nil, "", Nil, Nil, Nil, Nil),
     Metrics.TmglDoc("t3", Seq("EURO/France"), Nil, Seq("fr"), "1400", "1",
-      Nil, Seq("france"), Seq("article"), Nil, "Journal B", Nil),
+      Nil, Seq("france"), Seq("article"), Nil, "Journal B", Nil, Nil, Nil, Nil),
     Metrics.TmglDoc("t4", Nil, Seq("^d12345"), Seq("pt"), "2020", "1",
       Seq("^iUnited States of America"), Nil,
-      Seq("article", "podcast"), Seq("review"), "Revista A", Seq("nodim")))
+      Seq("article", "podcast"), Seq("review"), "Revista A", Seq("nodim"),
+      Nil, Nil, Nil))
 
   val fixtureRegions: Seq[Metrics.WhoRegion] = Seq(
     Metrics.WhoRegion("AMR", Seq("brazil")),
     Metrics.WhoRegion("EUR", Seq("france")))
 
   val fixtureDecsLabels: Map[String, String] = Map("12345" -> "Traditional Medicine")
-  val fixtureAreaLabels: Map[String, String] = Map("dim/One" -> "Dimension One")
+  val fixtureAreaLabels: Map[String, String] = Map(
+    "dim/One" -> "Dimension One", "ther/A" -> "Therapy A",
+    "trad1" -> "Traditional One")
 
   val q45 = Q.sql("q45_tmgl_metrics",
     """SELECT * FROM (VALUES
+      |  ('complementary', NULL, 'comp/B', CAST(2020 AS BIGINT), CAST(1 AS BIGINT)),
+      |  ('complementary', 'AMR', 'comp/B', CAST(2020 AS BIGINT), CAST(1 AS BIGINT)),
       |  ('dimension', NULL, 'Dimension One', CAST(2020 AS BIGINT), CAST(1 AS BIGINT)),
       |  ('dimension', 'AMR', 'Dimension One', CAST(2020 AS BIGINT), CAST(1 AS BIGINT)),
       |  ('doctype', NULL, 'Articles', CAST(2020 AS BIGINT), CAST(2 AS BIGINT)),
@@ -68,6 +73,8 @@ object MetricsOps {
       |  ('subject', NULL, 'Traditional Medicine', CAST(2020 AS BIGINT), CAST(2 AS BIGINT)),
       |  ('subject', 'AMR', 'Traditional Medicine', CAST(2020 AS BIGINT), CAST(1 AS BIGINT)),
       |  ('subject', 'EUR', '99', CAST(2021 AS BIGINT), CAST(1 AS BIGINT)),
+      |  ('therapy', NULL, 'Therapy A', CAST(2020 AS BIGINT), CAST(1 AS BIGINT)),
+      |  ('therapy', 'AMR', 'Therapy A', CAST(2020 AS BIGINT), CAST(1 AS BIGINT)),
       |  ('timeline', NULL, 'total', CAST(2020 AS BIGINT), CAST(2 AS BIGINT)),
       |  ('timeline', NULL, 'total', CAST(2021 AS BIGINT), CAST(1 AS BIGINT)),
       |  ('timeline', NULL, 'with_fulltext', CAST(2020 AS BIGINT), CAST(2 AS BIGINT)),
@@ -75,7 +82,9 @@ object MetricsOps {
       |  ('timeline', 'AMR', 'total', CAST(2020 AS BIGINT), CAST(1 AS BIGINT)),
       |  ('timeline', 'AMR', 'with_fulltext', CAST(2020 AS BIGINT), CAST(1 AS BIGINT)),
       |  ('timeline', 'EUR', 'total', CAST(2021 AS BIGINT), CAST(1 AS BIGINT)),
-      |  ('timeline', 'EUR', 'with_fulltext', CAST(2021 AS BIGINT), CAST(0 AS BIGINT))
+      |  ('timeline', 'EUR', 'with_fulltext', CAST(2021 AS BIGINT), CAST(0 AS BIGINT)),
+      |  ('traditional', NULL, 'Traditional One', CAST(2020 AS BIGINT), CAST(1 AS BIGINT)),
+      |  ('traditional', 'AMR', 'Traditional One', CAST(2020 AS BIGINT), CAST(1 AS BIGINT))
       |) AS t(type, region, name, year, count)
       |ORDER BY type, region NULLS FIRST, name, year""".stripMargin) { (s, _) =>
     import s.implicits._

@@ -5,7 +5,7 @@ import java.time.LocalDate
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ingest.Harvest
+import graft.ingest.{Fetcher, Harvest}
 
 /** Harvest planner (S1) + incremental window (X28) + last-write-wins
   * upsert (S6). */
@@ -26,6 +26,38 @@ class HarvestSpec extends AnyFunSuite {
   test("incremental window is the 10-day code behavior, not the 5-day doc") {
     assert(Harvest.incrementalParams(LocalDate.of(2026, 7, 15)) ==
       Map("updated_time__gte" -> "2026-07-05"))
+  }
+
+  test("S2 retry: backoff on retryable statuses, dead-letter on exhaustion") {
+    // flaky transport: fails twice with 503, then succeeds
+    var calls = 0
+    val flaky: Fetcher.Transport = { _ =>
+      calls += 1
+      if (calls < 3) Left(503) else Right("BODY")
+    }
+    var delays = Vector[Long]()
+    val ok = Fetcher.fetchWithRetry(flaky, "u", sleeper = d => delays :+= d)
+    assert(ok == Right(("BODY", 3)))
+    assert(delays == Vector(100L, 200L)) // backoff x2
+    // non-retryable: fail immediately
+    assert(Fetcher.fetchWithRetry(_ => Left(404), "u") == Left((404, 1)))
+    // retryable but exhausted after 5 attempts
+    assert(Fetcher.fetchWithRetry(_ => Left(429), "u") == Left((429, 5)))
+  }
+
+  test("S1+S2+S3: distributed fetch splits successes from dead letters") {
+    val spark = SparkSession.builder().master("local[2]")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    // offsets >= 300 fail hard (e.g. upstream 500 loop)
+    val transport: Fetcher.Transport = url =>
+      if (url.contains("offset=3") || url.contains("offset=4")) Left(500)
+      else Right(s"body:$url")
+    val plan = Harvest.planDf(spark, total = 500, limit = 100, workers = 2)
+    val (fetched, dead) = Fetcher.fetchPages(spark, plan, "http://api", transport)
+    assert(fetched.count() == 3) // offsets 0,100,200
+    assert(dead.count() == 2)    // offsets 300,400
+    import spark.implicits._
+    assert(dead.select("error_type").as[String].collect().forall(_ == "SKIP"))
   }
 
   test("upsert keeps latest version per id, new batch wins ties") {
