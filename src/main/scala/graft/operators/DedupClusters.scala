@@ -25,11 +25,15 @@ object DedupClusters {
   def connectedComponents(spark: SparkSession, pairs: DataFrame,
       maxRounds: Int = 8): DataFrame = {
     import spark.implicits._
+    // materialize the (expensive) edge set once and cut its lineage —
+    // every subsequent round joins against the checkpointed edges, never
+    // the pair-generation plan
     val edges = pairs.select($"id_a".as("src"), $"id_b".as("dst"))
       .union(pairs.select($"id_b".as("src"), $"id_a".as("dst")))
-      .distinct().cache()
+      .distinct().localCheckpoint(true)
     var labels = edges.select($"src".as("id")).distinct()
       .withColumn("label", $"id")
+      .localCheckpoint(true)
     var round = 0
     var converged = false
     while (round < maxRounds && !converged) {
@@ -37,9 +41,11 @@ object DedupClusters {
         .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("label", "nlabel"), "dst")
         .groupBy($"src".as("id"))
         .agg(min($"nlabel").as("nmin"))
+      // eager localCheckpoint: truncates the per-round lineage so plan
+      // analysis cost stays constant across iterations
       val updated = labels.join(neighborMin, Seq("id"), "left")
         .select($"id", least($"label", coalesce($"nmin", $"label")).as("label"))
-        .cache()
+        .localCheckpoint(true)
       val changed = updated.join(labels.withColumnRenamed("label", "old"), "id")
         .filter($"label" =!= $"old").limit(1).count()
       labels = updated
