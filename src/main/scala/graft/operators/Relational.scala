@@ -317,6 +317,69 @@ object Relational {
       .orderBy("norm_key")
   }
 
+  /** §2.7 completeness beyond the reference: INTERSECT — nations having
+    * both customers and suppliers. */
+  val q33 = Q.sql("q33_intersect",
+    """SELECT n_nationkey FROM (
+      |  SELECT c_nationkey AS n_nationkey FROM customer
+      |  INTERSECT
+      |  SELECT s_nationkey FROM supplier) t
+      |ORDER BY n_nationkey""".stripMargin) { (s, d) =>
+    Tables.customer(s, d).select(col("c_nationkey").as("n_nationkey"))
+      .intersect(Tables.supplier(s, d).select(col("s_nationkey").as("n_nationkey")))
+      .orderBy("n_nationkey")
+  }
+
+  /** EXCEPT — part brands never shipped (via lineitem partkeys). */
+  val q34 = Q.sql("q34_except",
+    """SELECT p_brand FROM (
+      |  SELECT DISTINCT p_brand FROM part
+      |  EXCEPT
+      |  SELECT DISTINCT p.p_brand FROM part p JOIN lineitem ON p_partkey = l_partkey) t
+      |ORDER BY p_brand""".stripMargin) { (s, d) =>
+    val p = Tables.part(s, d)
+    val shipped = p.join(Tables.lineitem(s, d).select("l_partkey"),
+      col("p_partkey") === col("l_partkey"))
+      .select("p_brand").distinct()
+    p.select("p_brand").distinct()
+      .except(shipped)
+      .orderBy("p_brand")
+  }
+
+  /** ROLLUP — order counts by (status, priority) hierarchy with subtotal
+    * and grand-total rows; grouping-null markers recoded to 'ALL' so the
+    * NULL semantics are explicit on both engines. */
+  val q35 = Q.sql("q35_rollup",
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      |  coalesce(o_orderpriority, 'ALL') AS priority, count(*) AS cnt
+      |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("cnt"))
+      .orderBy("status", "priority")
+  }
+
+  /** CUBE — all grouping combinations of (returnflag, linestatus). */
+  val q36 = Q.sql("q36_cube",
+    """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+      |  coalesce(l_linestatus, 'ALL') AS ls, count(*) AS cnt
+      |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY rf, ls""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("cnt"))
+      .orderBy("rf", "ls")
+  }
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q17, q18, q19)
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q33, q34, q35, q36)
 }
