@@ -19,7 +19,8 @@ object SparkEntry {
       Seq(DedupClusters.q54) ++
       graft.gov.GovOps.all ++ graft.metrics.MetricsOps.all ++
       graft.metrics.Exports.all ++
-      graft.streaming.StreamOps.all ++ graft.multimodal.Multimodal.all
+      graft.streaming.StreamOps.all ++ graft.multimodal.Multimodal.all ++
+      graft.quality.Checks.all
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. Star join +
     * agg + top-k window — exercises scan, broadcast join, partial agg,

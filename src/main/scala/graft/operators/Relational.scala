@@ -380,6 +380,18 @@ object Relational {
       .orderBy("rf", "ls")
   }
 
+  /** Landing-zone JSON field extraction (the S1 raw-JSON shape): pull a
+    * typed value out of the props JSON document column. */
+  val q37 = Q.sql("q37_json_extract",
+    """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+      |  count(*) AS cnt
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(get_json_object(col("props"), "$.k").cast("bigint").as("k_value"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("k_value")
+  }
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q17, q18, q19, q33, q34, q35, q36)
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q33, q34, q35, q36, q37)
 }

@@ -1,0 +1,92 @@
+package graft.quality
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Q
+
+/** Data-quality checks as DataFrame programs — the "SQL for data quality
+  * checks" half of the north star. Each check reduces a table to one
+  * (check_name, metric, passed) row; the suite unions them into a
+  * quality report. The reference enforces these operationally (unique
+  * indexes, upserts, drop-and-rebuild); here they are first-class
+  * queries a scheduler can gate a pipeline on.
+  *
+  * Scale: every check is a single aggregation (or one broadcast/shuffle
+  * join for referential integrity) — no collects; a 100 TB table costs
+  * one scan per check, and checks over the same table can share the scan
+  * by unioning their aggregates.
+  */
+object Checks {
+
+  case class CheckResult(check_name: String, metric: Long, passed: Boolean)
+
+  /** Duplicate count on a key (0 = unique). */
+  def uniqueness(df: DataFrame, key: String, name: String): DataFrame =
+    df.agg((count(lit(1)) - countDistinct(col(key))).as("metric"))
+      .select(lit(name).as("check_name"), col("metric"),
+        (col("metric") === 0).as("passed"))
+
+  /** Null count on a required column (0 = complete). */
+  def completeness(df: DataFrame, column: String, name: String): DataFrame =
+    df.agg(sum(when(col(column).isNull, 1L).otherwise(0L)).as("metric"))
+      .select(lit(name).as("check_name"), col("metric"),
+        (col("metric") === 0).as("passed"))
+
+  /** Orphan count: child keys absent from the parent (left anti join). */
+  def referentialIntegrity(child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String, name: String): DataFrame =
+    child.select(col(childKey))
+      .join(parent.select(col(parentKey)),
+        col(childKey) === col(parentKey), "left_anti")
+      .agg(count(lit(1)).as("metric"))
+      .select(lit(name).as("check_name"), col("metric"),
+        (col("metric") === 0).as("passed"))
+
+  /** Out-of-range count for a predicate that should always hold. */
+  def range(df: DataFrame, valid: Column, name: String): DataFrame =
+    df.agg(sum(when(!valid, 1L).otherwise(0L)).as("metric"))
+      .select(lit(name).as("check_name"), col("metric"),
+        (col("metric") === 0).as("passed"))
+
+  /** The star-schema quality report. */
+  def report(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.customer(spark, dir)
+    val orders = Tables.orders(spark, dir)
+    val lineitem = Tables.lineitem(spark, dir)
+    val nation = Tables.nation(spark, dir)
+    Seq(
+      uniqueness(customer, "c_custkey", "customer_pk_unique"),
+      uniqueness(orders, "o_orderkey", "orders_pk_unique"),
+      completeness(orders, "o_orderdate", "orders_date_complete"),
+      referentialIntegrity(orders, "o_custkey", customer, "c_custkey",
+        "orders_customer_fk"),
+      referentialIntegrity(customer, "c_nationkey", nation, "n_nationkey",
+        "customer_nation_fk"),
+      range(lineitem, col("l_discount").between(0.0, 1.0), "lineitem_discount_range"),
+      range(lineitem, col("l_quantity") > 0, "lineitem_quantity_positive"),
+      range(orders, col("o_totalprice") > 0, "orders_price_positive")
+    ).reduce(_.unionByName(_))
+  }
+
+  val q55 = Q.sql("q55_data_quality",
+    """SELECT * FROM (
+      |  SELECT 'customer_pk_unique' AS check_name,
+      |    count(*) - count(DISTINCT c_custkey) AS metric FROM customer
+      |  UNION ALL SELECT 'orders_pk_unique', count(*) - count(DISTINCT o_orderkey) FROM orders
+      |  UNION ALL SELECT 'orders_date_complete', CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+      |  UNION ALL SELECT 'orders_customer_fk', count(*) FROM orders
+      |    WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+      |  UNION ALL SELECT 'customer_nation_fk', count(*) FROM customer
+      |    WHERE NOT EXISTS (SELECT 1 FROM nation WHERE n_nationkey = c_nationkey)
+      |  UNION ALL SELECT 'lineitem_discount_range', CAST(sum(CASE WHEN NOT (l_discount BETWEEN 0.0 AND 1.0) THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+      |  UNION ALL SELECT 'lineitem_quantity_positive', CAST(sum(CASE WHEN NOT (l_quantity > 0) THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+      |  UNION ALL SELECT 'orders_price_positive', CAST(sum(CASE WHEN NOT (o_totalprice > 0) THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+      |) t
+      |ORDER BY check_name""".stripMargin) { (s, d) =>
+    report(s, d).select("check_name", "metric").orderBy("check_name")
+  }
+
+  val all: Seq[Q] = Seq(q55)
+}
