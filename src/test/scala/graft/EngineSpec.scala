@@ -87,6 +87,22 @@ class EngineSpec extends AnyFunSuite {
     assert(back.count() == 8)
   }
 
+  test("quality checks count violations on dirty data") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dirty = Seq((1L, "a"), (1L, "b"), (2L, null))
+      .toDF("id", "v")
+    val dup = quality.Checks.uniqueness(dirty, "id", "u").collect()(0)
+    assert(dup.getLong(1) == 1 && !dup.getBoolean(2))
+    val nulls = quality.Checks.completeness(dirty, "v", "c").collect()(0)
+    assert(nulls.getLong(1) == 1 && !nulls.getBoolean(2))
+    val parent = Seq(Tuple1(1L)).toDF("pid")
+    val fk = quality.Checks.referentialIntegrity(dirty, "id", parent, "pid", "fk").collect()(0)
+    assert(fk.getLong(1) == 1 && !fk.getBoolean(2)) // id=2 orphaned
+    val rng = quality.Checks.range(dirty, col("id") < 2, "r").collect()(0)
+    assert(rng.getLong(1) == 1 && !rng.getBoolean(2))
+  }
+
   test("events nanosecond timestamps read and truncate to microseconds") {
     val e = Tables.events(spark, sf)
     assert(e.schema("ts").dataType.typeName == "timestamp")
