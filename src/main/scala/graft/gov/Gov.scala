@@ -82,7 +82,9 @@ object Gov {
 
     val kw = d.author_keyword.flatMap(_.get("text"))
     val lo = standardizeLocation(d.call_number)
-    val fo = standardizeFo(d)
+    // drop-empty contract: an all-empty fo ('c' docs without a city)
+    // is dropped like any '' value (02_create…py:998-999)
+    val fo = standardizeFo(d).filter(_.nonEmpty)
 
     // publication_country precedence: own field, else journal-country
     // fallback via title_serial (02_create…py:829-841). Key-absence

@@ -85,6 +85,10 @@ object GovOps {
       |  ('biblio-1006', NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
       |  ('biblio-1009', NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
       |  ('biblio-1010', NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
+      |  ('biblio-1011', NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
+      |  ('biblio-1013', NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
+      |  ('biblio-1014', NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
+      |  ('lil-777', NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
       |  ('lil-839300', 'LILACS-DB|lilacs', 'bvs|enfermagem|regional|regional2',
       |   'fonte1|lilacs', NULL, 'valor1|valor2', 'x', 'v1|v2', 'v3', 'p1')
       |) AS t(id, db, instance, cola, colb, proj, area, tagx, tagy, ctx1)

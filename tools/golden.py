@@ -270,6 +270,45 @@ DOCS = [
         publication_date="1980", publication_date_normalized="19800101",
         publication_country="",
         created_time="1980-01-01T00:00:00", updated_time="1981-02-02T00:00:00"),
+    # X15 project codes + conference fields + digit-leading check tag
+    doc(id=1011, status=1, treatment_level="as", literature_type="sp",
+        conference_name="Conf X", conference_city="Lima",
+        conference_country="Peru", conference_date="abr. 2018",
+        conference_normalized_date="20180401",
+        conference_sponsoring_institution="Inst C",
+        check_tags=["7500", "Human beings"],
+        publication_date="2018", publication_date_normalized="20180401",
+        publication_country="",
+        created_time="2018-01-01T00:00:00", updated_time="2018-02-02T00:00:00"),
+    # fulltext via 'internet' keyword; unknown descriptor dropped;
+    # alternate_ids filtering out self
+    doc(id=1012, LILACS_original_id="777", status=-2, treatment_level="as",
+        literature_type="s",
+        electronic_address=[{"_u": "INTERNET archive ref", "_y": "", "_q": "",
+                             "_x": "", "_z": ""}],
+        descriptors_primary=[{"text": "No Such Term"}],
+        alternate_ids=["lil-777", "biblio-1012", ""],
+        publication_date="2015", publication_date_normalized="20150101",
+        publication_country="",
+        created_time="2015-01-01T00:00:00", updated_time="2015-02-02T00:00:00"),
+    # collection with NO city: fo_c emits empty -> fo dropped entirely
+    doc(id=1013, status=1, treatment_level="c", literature_type="m",
+        title_collection=[{"text": "Sin Ciudad", "_i": "es"}],
+        publisher="Ed Z", pages_monographic="90",
+        publication_date="2010", publication_date_normalized="20100101",
+        publication_country="",
+        created_time="2010-01-01T00:00:00", updated_time="2010-02-02T00:00:00"),
+    # am with pages text (not f-l) + multiple thesis leaders + ta_fascic
+    # without volume/issue (the '; , year' suffix quirk)
+    doc(id=1014, status=1, treatment_level="am", literature_type="t",
+        individual_author_monographic=[au("Lider, Um"), au("Lider, Dois")],
+        title_monographic=[{"text": "Anexo", "_i": "pt"}],
+        pages=[{"_f": "", "_l": "", "text": "xii-20", "_e": ""}],
+        issn="0034-8910",
+        thesis_dissertation_leader=[{"text": "Prof. A"}, {"text": "Prof. B"}],
+        publication_date="2012", publication_date_normalized="20120101",
+        publication_country="",
+        created_time="2012-01-01T00:00:00", updated_time="2012-02-02T00:00:00"),
 ]
 # doc 1005: country fallback path requires publication_country key ABSENT
 for d in DOCS:
