@@ -51,6 +51,11 @@ object Harvest {
       .repartition(workers, col("worker"))
   }
 
+  /** S4 — targeted re-harvest by id list (reference 01_ids_update.py):
+    * one fetch unit per id, striped across workers like the page plan. */
+  def planIds(ids: Seq[Long], workers: Int = 3): Seq[(Int, Long)] =
+    ids.zipWithIndex.map { case (id, i) => (i % workers, id) }
+
   /** S6 — last-write-wins upsert of a new batch into the landing zone,
     * keyed on `idCol`, latest `versionCol` (e.g. updated_time) kept;
     * ties broken toward the new batch. */

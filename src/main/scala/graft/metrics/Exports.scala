@@ -37,6 +37,23 @@ object Exports {
       .filter(col("rn") <= k)
   }
 
+  /** K4 — minimal dashboard HTML from a pivoted metric table: the
+    * reference interpolates chart JS into a template on the driver
+    * (dag_03_export_html.py); engine work ends at the pivoted/top-k
+    * data, so this renders that data as a static table+JSON block. */
+  def htmlDashboard(title: String, pivot: DataFrame): String = {
+    val cols = pivot.columns
+    val rows = pivot.collect().map(r =>
+      "<tr>" + cols.map(c => s"<td>${r.getAs[Any](c)}</td>").mkString + "</tr>")
+    val json = pivot.toJSON.collect().mkString("[", ",", "]")
+    s"""<!DOCTYPE html><html><head><meta charset="utf-8"><title>$title</title></head>
+       |<body><h1>$title</h1>
+       |<table border="1"><tr>${cols.map(c => s"<th>$c</th>").mkString}</tr>
+       |${rows.mkString("\n")}</table>
+       |<script type="application/json" id="data">$json</script>
+       |</body></html>""".stripMargin
+  }
+
   private def fixtureCells(s: org.apache.spark.sql.SparkSession): DataFrame = {
     import s.implicits._
     Metrics.allCells(s, s.createDataset(MetricsOps.fixtureDocs).toDF(),

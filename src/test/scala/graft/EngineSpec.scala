@@ -77,14 +77,15 @@ class EngineSpec extends AnyFunSuite {
     val out = java.nio.file.Files.createTempDirectory("graft_pipe").toString
     val layers = pipeline.Governance.runFixture(spark, out)
     val enriched = spark.read.parquet(layers.enriched)
-    assert(enriched.count() == 8)
+    val expected = gov.Gov.gate(gov.Gov.fixtureLanding(spark)).count()
+    assert(enriched.count() == expected)
     // enrichment landed: lil-839300 carries dynamic tag fields
     val dyn = enriched.filter($"id" === "lil-839300")
       .select($"dyn").as[Map[String, Seq[String]]].head()
     assert(dyn.keySet.contains("tagX") && dyn.keySet.contains("instance"))
     // the exported <add> file parses back losslessly
     val back = ingest.XmlSource.read(spark, layers.xml)
-    assert(back.count() == 8)
+    assert(back.count() == expected)
   }
 
   test("quality checks count violations on dirty data") {
@@ -101,6 +102,19 @@ class EngineSpec extends AnyFunSuite {
     assert(fk.getLong(1) == 1 && !fk.getBoolean(2)) // id=2 orphaned
     val rng = quality.Checks.range(dirty, col("id") < 2, "r").collect()(0)
     assert(rng.getLong(1) == 1 && !rng.getBoolean(2))
+  }
+
+  test("K4 dashboard html renders the pivoted metric with embedded JSON") {
+    import spark.implicits._
+    val cells = metrics.Metrics.allCells(spark,
+      spark.createDataset(metrics.MetricsOps.fixtureDocs).toDF(),
+      metrics.MetricsOps.fixtureRegions, metrics.MetricsOps.fixtureDecsLabels,
+      metrics.MetricsOps.fixtureAreaLabels)
+    val html = metrics.Exports.htmlDashboard("Languages",
+      metrics.Exports.pivotYearByName(cells, "language", Seq("en", "pt")))
+    assert(html.contains("<th>ano</th>") && html.contains("<th>en</th>"))
+    assert(html.contains("application/json"))
+    assert(html.contains("\"ano\":2020"))
   }
 
   test("events nanosecond timestamps read and truncate to microseconds") {

@@ -60,6 +60,11 @@ class HarvestSpec extends AnyFunSuite {
     assert(dead.select("error_type").as[String].collect().forall(_ == "SKIP"))
   }
 
+  test("S4 id-list plan stripes ids across workers") {
+    val plan = Harvest.planIds(Seq(10L, 20L, 30L, 40L), workers = 3)
+    assert(plan == Seq((0, 10L), (1, 20L), (2, 30L), (0, 40L)))
+  }
+
   test("upsert keeps latest version per id, new batch wins ties") {
     val spark = SparkSession.builder().master("local[2]")
       .config("spark.ui.enabled", "false").getOrCreate()

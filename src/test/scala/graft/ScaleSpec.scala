@@ -28,12 +28,16 @@ class ScaleSpec extends AnyFunSuite {
   test("bucketed tables co-locate the join: no shuffle before the join") {
     val li = Tables.lineitem(spark, sf)
     val o = Tables.orders(spark, sf)
+    // unique names: the suite may share a session whose warehouse dir
+    // still holds a previous run's table locations
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val liT = s"li_bucketed_$tag"; val oT = s"o_bucketed_$tag"
     li.write.mode("overwrite").bucketBy(8, "l_orderkey")
-      .sortBy("l_orderkey").saveAsTable("li_bucketed")
+      .sortBy("l_orderkey").saveAsTable(liT)
     o.write.mode("overwrite").bucketBy(8, "o_orderkey")
-      .sortBy("o_orderkey").saveAsTable("o_bucketed")
-    val joined = spark.table("li_bucketed")
-      .join(spark.table("o_bucketed"),
+      .sortBy("o_orderkey").saveAsTable(oT)
+    val joined = spark.table(liT)
+      .join(spark.table(oT),
         col("l_orderkey") === col("o_orderkey"))
     val plan = joined.queryExecution.executedPlan.toString
     assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
@@ -43,6 +47,8 @@ class ScaleSpec extends AnyFunSuite {
     // and it returns the right count
     val unbucketed = li.join(o, col("l_orderkey") === col("o_orderkey")).count()
     assert(joined.count() == unbucketed)
+    spark.sql(s"DROP TABLE IF EXISTS $liT")
+    spark.sql(s"DROP TABLE IF EXISTS $oT")
   }
 
   test("salted aggregation of a skewed key equals the direct aggregate") {
