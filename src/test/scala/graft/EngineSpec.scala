@@ -117,6 +117,16 @@ class EngineSpec extends AnyFunSuite {
     assert(html.contains("\"ano\":2020"))
   }
 
+  test("prefix-filter similarity join equals the brute-force q24 result") {
+    val brute = SparkEntry.queries("q24_jaccard_pairs")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val prefix = operators.PrefixJoin
+      .jaccardPairs(spark, Tables.documents(spark, sf), 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(prefix == brute,
+      s"prefix-join diverged: only-brute=${(brute -- prefix).take(3)} only-prefix=${(prefix -- brute).take(3)}")
+  }
+
   test("events nanosecond timestamps read and truncate to microseconds") {
     val e = Tables.events(spark, sf)
     assert(e.schema("ts").dataType.typeName == "timestamp")
