@@ -62,26 +62,38 @@ object Gov {
 
     def opt(s: String): Option[String] = Option(s).filter(_.nonEmpty)
     def seqOf(s: Seq[String]): Seq[String] = if (s == null) Nil else s
+    def seqM(s: Seq[Map[String, String]]): Seq[Map[String, String]] =
+      if (s == null) Nil else s
 
+    // Key-presence contract: for the presence-sensitive fields (pages, the
+    // six author fields, title_monographic, created_time,
+    // transfer_date_to_database) a null Seq/String means the key was ABSENT
+    // in the landing JSON, while Nil/"" means present-but-empty — mirroring
+    // python's `'k' in doc` checks. Everything else treats null ≡ empty
+    // (the reference's glue is observably truthiness-equivalent there).
+
+    // 02_create:783-786 — `if 'pages' in doc` is key-presence: a PRESENT
+    // empty pages list yields pg=[] (dropped) and pages_monographic unused.
     val pg: Seq[String] =
-      if (d.pages != null && d.pages.nonEmpty) standardizePages(d.pages)
+      if (d.pages != null) standardizePages(d.pages)
       else opt(d.pages_monographic).toSeq
 
     val titleFields = standardizeMultilingualTitle(d)
-    val abstractFields = standardizeAbstract(d.abstracts)
+    val abstractFields = standardizeAbstract(seqM(d.abstracts))
     val e = standardizeEletronicAddress(d.electronic_address)
 
-    // X10 author-source precedence (02_create…py:802-814)
+    // X10 author-source precedence (02_create…py:802-814): KEY-PRESENCE
+    // elif-chain — a present-but-empty earlier field blocks later ones.
     val authorSource = Seq(
       d.individual_author, d.corporate_author,
       d.individual_author_monographic, d.corporate_author_monographic,
       d.individual_author_collection, d.corporate_author_collection)
-      .find(s => s != null && s.nonEmpty)
+      .find(_ != null)
     val authors = authorSource.map(standardizeIndividualAuthors(_, lk.country))
       .getOrElse(Authors(Nil, Nil, Nil, Nil, Nil, Nil, Nil))
 
-    val kw = d.author_keyword.flatMap(_.get("text"))
-    val lo = standardizeLocation(d.call_number)
+    val kw = seqM(d.author_keyword).flatMap(_.get("text"))
+    val lo = standardizeLocation(seqM(d.call_number))
     // drop-empty contract: an all-empty fo ('c' docs without a city)
     // is dropped like any '' value (02_create…py:998-999)
     val fo = standardizeFo(d).filter(_.nonEmpty)
@@ -101,15 +113,15 @@ object Gov {
       .flatMap(standardizePaisPublicacao(_, lk.country))
       .map(normalizeAfiliacaoString) // 02_x01 pass
 
-    val ct = d.check_tags.flatMap(getDecsMfn(_, lk.decs))
-    val ptv = d.publication_type.flatMap(getDecsMfn(_, lk.decs))
-    val mj = d.descriptors_primary.flatMap(_.get("text"))
+    val ct = seqOf(d.check_tags).flatMap(getDecsMfn(_, lk.decs))
+    val ptv = seqOf(d.publication_type).flatMap(getDecsMfn(_, lk.decs))
+    val mj = seqM(d.descriptors_primary).flatMap(_.get("text"))
       .flatMap(t => getDecsMfn(t.replace("^d", ""), lk.decs))
-    val mh = d.descriptors_secondary.flatMap(_.get("text"))
+    val mh = seqM(d.descriptors_secondary).flatMap(_.get("text"))
       .flatMap(t => getDecsMfn(t.replace("^d", ""), lk.decs))
 
     var susProg, susAlvo = Vector[String]()
-    d.community_collection_path.foreach { item =>
+    seqOf(d.community_collection_path).foreach { item =>
       if (item.contains("Programas"))
         extractSusdigitalTheme(item).foreach(susProg :+= _)
       if (item.contains("Alvo"))
@@ -122,15 +134,25 @@ object Gov {
     val taVar = standardizeTaVar(d, lk.issn, lk.shortTitle)
     val pdn = Option(d.publication_date_normalized).getOrElse("")
 
+    // book_title reads title_monographic AFTER standardize_multilingual_title
+    // has run, and the reference's `title_list += title_collection` (tl=='mc',
+    // lit in ('mc','m')) MUTATES doc['title_monographic'] in place — but only
+    // when the key is PRESENT (an absent key gets a fresh list from
+    // doc.get(..., []), so nothing is written back). Replicate both halves.
+    val tlLower = d.treatment_level.toLowerCase
+    val litLower = Option(d.literature_type).getOrElse("").toLowerCase
+    val tmEffective: Seq[Map[String, String]] =
+      if (tlLower == "mc" && (litLower == "mc" || litLower == "m") &&
+        d.title_monographic != null)
+        d.title_monographic ++ seqM(d.title_collection)
+      else seqM(d.title_monographic)
     val bookTitle: Option[String] =
-      if (d.title_monographic.nonEmpty && !(
-        Seq("T", "N").contains(d.literature_type.toUpperCase) &&
-          !d.treatment_level.toLowerCase.startsWith("a")))
-        d.title_monographic.headOption.flatMap(m => Option(m.getOrElse("text", null)))
+      if (tmEffective.nonEmpty && !(
+        Seq("T", "N").contains(litLower.toUpperCase) &&
+          !tlLower.startsWith("a")))
+        tmEffective.headOption.flatMap(m => Option(m.getOrElse("text", null)))
       else None
 
-    def seqM(s: Seq[Map[String, String]]): Seq[Map[String, String]] =
-      if (s == null) Nil else s
     val ai0 = (seqM(d.corporate_author) ++ seqM(d.corporate_author_monographic))
       .map(_.getOrElse("text", null))
     val ai = renameAi(ai0.filter(_ != null), lk.aiMap) // 02_x01 pass
@@ -140,7 +162,7 @@ object Gov {
       id_pk = d.id,
       ai = ai,
       aid = opt(d.doi_number),
-      alternate_id = d.alternate_ids.filter(a => a != null && a.nonEmpty && a != id),
+      alternate_id = seqOf(d.alternate_ids).filter(a => a != null && a.nonEmpty && a != id),
       book_title = bookTitle,
       cc = opt(d.cooperative_center_code),
       cn_co = opt(d.conference_country), cn_cy = opt(d.conference_city),
@@ -155,7 +177,10 @@ object Gov {
       dp = opt(d.publication_date),
       ec = if (d.clinical_trial_registry_name != null && d.clinical_trial_registry_name.nonEmpty) Some(1L) else None,
       ed = opt(d.edition),
-      entry_date = opt(Option(d.created_time).filter(_.nonEmpty)
+      // python doc.get('created_time', fallback): the fallback fires only
+      // when the key is ABSENT (null); a present-but-empty '' stays '' and
+      // entry_date is then dropped by the empty-value contract.
+      entry_date = opt(Option(d.created_time)
         .getOrElse(Option(d.transfer_date_to_database).getOrElse(""))
         .take(10).replace("-", "")),
       ip = opt(d.issue_number),
@@ -165,7 +190,7 @@ object Gov {
       license = opt(d.license),
       mh = mh, mj = mj,
       nivel_tratamento = opt(d.treatment_level),
-      no_indexing = if (d.descriptors_primary.isEmpty && d.descriptors_secondary.isEmpty) Some(1L) else None,
+      no_indexing = if (seqM(d.descriptors_primary).isEmpty && seqM(d.descriptors_secondary).isEmpty) Some(1L) else None,
       non_decs_region = opt(d.non_decs_region),
       ntv = opt(d.total_number_of_volumes),
       ot = dl,
@@ -183,7 +208,7 @@ object Gov {
       tag_comunidade = seqOf(d.community),
       tag_colecao = seqOf(d.community_collection_path),
       th_in = opt(d.thesis_dissertation_institution),
-      th_le = d.thesis_dissertation_leader.flatMap(_.get("text")),
+      th_le = seqM(d.thesis_dissertation_leader).flatMap(_.get("text")),
       th_ti = opt(d.thesis_dissertation_academic_title),
       tombo = opt(d.inventory_number),
       `type` = determineDocumentType(d),

@@ -88,6 +88,15 @@ object GovOps {
       |  ('biblio-1011', NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
       |  ('biblio-1013', NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
       |  ('biblio-1014', NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
+      |  ('biblio-1015', NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
+      |  ('biblio-1016', NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
+      |  ('biblio-1017', NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
+      |  ('biblio-1018', NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
+      |  ('biblio-1019', NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
+      |  ('biblio-1020', NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
+      |  ('biblio-1021', NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
+      |  ('biblio-1022', NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
+      |  ('biblio-1023', NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
       |  ('lil-777', NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
       |  ('lil-839300', 'LILACS-DB|lilacs', 'bvs|enfermagem|regional|regional2',
       |   'fonte1|lilacs', NULL, 'valor1|valor2', 'x', 'v1|v2', 'v3', 'p1')

@@ -51,37 +51,50 @@ object Fetcher {
     go(1, baseDelayMs)
   }
 
+  /** Fetch pre-built (worker, offset, url) rows through the transport;
+    * each partition is one fetch worker — the Airflow task fan-out
+    * becomes partition parallelism. */
+  private def fetchUrls(spark: SparkSession,
+      rows: org.apache.spark.sql.Dataset[(Int, Int, String)],
+      transport: Transport): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val fetched = rows.mapPartitions { it =>
+      it.map { case (w, off, url) =>
+        fetchWithRetry(transport, url) match {
+          case Right((body, n)) =>
+            (Some(Fetched(w, off, url, body, n)), Option.empty[DeadLetter])
+          case Left((status, n)) =>
+            (Option.empty[Fetched],
+              Some(DeadLetter(w, off, url, s"HTTP $status", "SKIP", n)))
+        }
+      }
+    }.cache()
+    (fetched.flatMap(_._1).toDF(), fetched.flatMap(_._2).toDF())
+  }
+
   /** Run the striped plan through the transport; returns (fetched,
-    * dead-letter). Each partition is one fetch worker — the Airflow
-    * task fan-out becomes partition parallelism. */
+    * dead-letter). */
   def fetchPages(spark: SparkSession, plan: DataFrame, baseUrl: String,
       transport: Transport): (DataFrame, DataFrame) = {
     import spark.implicits._
-    val rows = plan.select("worker", "offset", "limit")
-      .as[(Int, Int, Int)]
-      .mapPartitions { it =>
-        it.map { case (w, off, lim) =>
-          val url = s"$baseUrl?limit=$lim&offset=$off&format=json"
-          fetchWithRetry(transport, url) match {
-            case Right((body, n)) =>
-              (Some(Fetched(w, off, url, body, n)), Option.empty[DeadLetter])
-            case Left((status, n)) =>
-              (Option.empty[Fetched],
-                Some(DeadLetter(w, off, url, s"HTTP $status", "SKIP", n)))
-          }
-        }
-      }.cache()
-    (rows.flatMap(_._1).toDF(), rows.flatMap(_._2).toDF())
+    fetchUrls(spark,
+      plan.select("worker", "offset", "limit").as[(Int, Int, Int)]
+        .map { case (w, off, lim) =>
+          (w, off, s"$baseUrl?limit=$lim&offset=$off&format=json")
+        },
+      transport)
   }
 
-  /** S3 replay: re-fetch the dead-letter pages; successes merge back via
-    * Harvest.upsert at the landing layer. */
-  def replay(spark: SparkSession, deadLetter: DataFrame, baseUrl: String,
+  /** S3 replay: re-fetch each dead-letter page via its STORED url — the
+    * reference replays the exact failed params (tasks_for_01.py:137-151);
+    * rebuilding the url with a fixed page size would fetch the wrong
+    * window whenever the original plan used a different limit. Successes
+    * merge back via Harvest.upsert at the landing layer. */
+  def replay(spark: SparkSession, deadLetter: DataFrame,
       transport: Transport): (DataFrame, DataFrame) = {
-    import org.apache.spark.sql.functions._
-    fetchPages(spark,
-      deadLetter.select(col("worker"), col("offset"),
-        lit(100).as("limit")),
-      baseUrl, transport)
+    import spark.implicits._
+    fetchUrls(spark,
+      deadLetter.select("worker", "offset", "url").as[(Int, Int, String)],
+      transport)
   }
 }

@@ -58,6 +58,22 @@ class HarvestSpec extends AnyFunSuite {
     assert(dead.count() == 2)    // offsets 300,400
     import spark.implicits._
     assert(dead.select("error_type").as[String].collect().forall(_ == "SKIP"))
+
+    // S3 replay refetches the STORED urls verbatim (original limit intact,
+    // not a rebuilt limit=100 url) once the upstream recovers
+    val recovered: Fetcher.Transport = url => Right(s"ok:$url")
+    val (refetched, stillDead) = Fetcher.replay(spark, dead, recovered)
+    assert(stillDead.count() == 0)
+    val urls = refetched.select("url").as[String].collect().toSet
+    assert(urls == Set("http://api?limit=100&offset=300&format=json",
+      "http://api?limit=100&offset=400&format=json"))
+    // a plan with a non-default page size replays that same page size
+    val plan50 = Harvest.planDf(spark, total = 100, limit = 50, workers = 1)
+    val (_, dead50) = Fetcher.fetchPages(spark, plan50, "http://api", _ => Left(500))
+    val (re50, _) = Fetcher.replay(spark, dead50, recovered)
+    assert(re50.select("url").as[String].collect().toSet ==
+      Set("http://api?limit=50&offset=0&format=json",
+        "http://api?limit=50&offset=50&format=json"))
   }
 
   test("S4 id-list plan stripes ids across workers") {

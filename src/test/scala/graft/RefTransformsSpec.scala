@@ -76,6 +76,13 @@ class RefTransformsSpec extends AnyFunSuite {
     assert(R.calculateWeight(landing("s", "20260101", 1, 1), 2026) == 45)
     assert(R.calculateWeight(landing("n", "19000101", 0, 0), 2026) == 0)
     assert(R.calculateWeight(landing("t", "garbage", 0, 0), 2026) == 10)
+    // python int(pdn[:4]) semantics (ADVICE r1): short digit runs and
+    // signed values PARSE (clamped via the year term), mixed junk doesn't
+    assert(R.calculateWeight(landing("s", "19", 0, 0), 2026) == 0) // 15+20-2007
+    assert(R.calculateWeight(landing("s", "+2024", 0, 0), 2026) == 0) // int('+202')=202
+    assert(R.calculateWeight(landing("s", "2a21", 0, 0), 2026) == 15) // ValueError → no term
+    assert(R.calculateWeight(landing("s", " 999", 0, 0), 2026) == 0) // int(' 999')=999 → clamp
+    assert(R.calculateWeight(landing("s", null, 0, 0), 2026) == 15)
   }
 
   test("Enrich pairWalk pairs and handles odd tails") {

@@ -127,16 +127,13 @@ def doc(**kw):
         "id": None, "LILACS_original_id": "", "status": None,
         "treatment_level": "", "literature_type": "",
         "cooperative_center_code": "",
-        "title": [], "title_monographic": [], "title_collection": [],
+        "title": [], "title_collection": [],
         "english_translated_title": "", "english_title_monographic": "",
         "english_title_collection": "",
         "title_serial": "", "shortened_title": "", "issn": "",
         "volume_serial": "", "issue_number": "", "volume_monographic": "",
-        "pages": [], "pages_monographic": "",
+        "pages_monographic": "",
         "abstract": [], "electronic_address": [],
-        "individual_author": [], "corporate_author": [],
-        "individual_author_monographic": [], "corporate_author_monographic": [],
-        "individual_author_collection": [], "corporate_author_collection": [],
         "author_keyword": [], "check_tags": [], "publication_type": [],
         "descriptors_primary": [], "descriptors_secondary": [],
         "local_descriptors": "", "publication_country": "",
@@ -159,8 +156,13 @@ def doc(**kw):
         "project_name": "", "project_number": "",
         "project_sponsoring_institution": "",
         "license": "", "non_decs_region": "",
-        "created_time": "", "updated_time": "", "transfer_date_to_database": "",
+        "updated_time": "",
     }
+    # Presence-sensitive keys (reference checks `'k' in doc`, not truthiness):
+    # pages, title_monographic, the six author fields, created_time,
+    # transfer_date_to_database. These are ABSENT unless a fixture doc sets
+    # them — landing.jsonl then omits the key and the Scala Landing reads
+    # null (= key absent) vs ""/[] (= present-empty).
     d.update(kw)
     return d
 
@@ -309,6 +311,79 @@ DOCS = [
         publication_date="2012", publication_date_normalized="20120101",
         publication_country="",
         created_time="2012-01-01T00:00:00", updated_time="2012-02-02T00:00:00"),
+    # pages=[] PRESENT + pages_monographic set: reference emits NO pg
+    # (key-presence, ADVICE r1 item 1)
+    doc(id=1015, status=1, treatment_level="m", literature_type="m",
+        title_monographic=[{"text": "Paginas Presentes Vacias", "_i": "es"}],
+        pages=[], pages_monographic="200 p.",
+        publication_city="La Paz", publisher="Ed R",
+        publication_date="2017", publication_date_normalized="20170101",
+        publication_country="",
+        created_time="2017-01-01T00:00:00", updated_time="2017-02-02T00:00:00"),
+    # mc/mc mutation quirk (ADVICE r1 item 5): empty-but-PRESENT
+    # title_monographic += title_collection before book_title is computed
+    # -> book_title comes from the collection
+    doc(id=1016, status=1, treatment_level="mc", literature_type="mc",
+        title_monographic=[],
+        title_collection=[{"text": "Serie Andina", "_i": "es"}],
+        pages_monographic="77 p.",
+        publication_city="Cusco", publisher="Ed S",
+        publication_date="2016", publication_date_normalized="20160101",
+        publication_country="",
+        created_time="2016-01-01T00:00:00", updated_time="2016-02-02T00:00:00"),
+    # same shape but title_monographic ABSENT: the += mutates a fresh list,
+    # doc is NOT written back -> ti fields include the collection titles but
+    # book_title stays absent
+    doc(id=1017, status=1, treatment_level="mc", literature_type="m",
+        title_collection=[{"text": "Serie Oculta", "_i": "es"}],
+        pages_monographic="88 p.",
+        publication_city="Sucre", publisher="Ed T",
+        publication_date="2014", publication_date_normalized="20140101",
+        publication_country="",
+        created_time="2014-01-01T00:00:00", updated_time="2014-02-02T00:00:00"),
+    # created_time="" PRESENT + transfer_date set: python
+    # doc.get('created_time', fallback) returns '' -> entry_date dropped
+    # (ADVICE r1 item 3)
+    doc(id=1018, status=1, treatment_level="as", literature_type="s",
+        title=[{"text": "Data Vazia", "_i": "pt"}],
+        publication_date="2013", publication_date_normalized="20130101",
+        publication_country="",
+        created_time="", transfer_date_to_database="2013-05-05",
+        updated_time="2013-06-06T00:00:00"),
+    # created_time ABSENT + transfer_date set: fallback fires
+    doc(id=1019, status=1, treatment_level="as", literature_type="s",
+        title=[{"text": "Sem Created", "_i": "pt"}],
+        publication_date="2011", publication_date_normalized="20110101",
+        publication_country="",
+        transfer_date_to_database="2011-03-04",
+        updated_time="2011-06-06T00:00:00"),
+    # dirty publication_date_normalized: python int('19') parses -> huge
+    # negative year term -> weight clamped to 0 (ADVICE r1 item 4)
+    doc(id=1020, status=1, treatment_level="as", literature_type="s",
+        title=[{"text": "Ano Curto", "_i": "pt"}],
+        publication_date="19??", publication_date_normalized="19",
+        publication_country="",
+        created_time="2009-01-01T00:00:00", updated_time="2009-02-02T00:00:00"),
+    # int('+202'[:4]) parses the sign; int('2a21') raises -> no year term
+    doc(id=1021, status=1, treatment_level="as", literature_type="s",
+        title=[{"text": "Ano Com Sinal", "_i": "pt"}],
+        publication_date="+2024", publication_date_normalized="+2024",
+        publication_country="",
+        created_time="2024-01-01T00:00:00", updated_time="2024-02-02T00:00:00"),
+    doc(id=1022, status=1, treatment_level="as", literature_type="s",
+        title=[{"text": "Ano Sujo", "_i": "pt"}],
+        publication_date="2a21", publication_date_normalized="2a21",
+        publication_country="",
+        created_time="2008-01-01T00:00:00", updated_time="2008-02-02T00:00:00"),
+    # PRESENT-empty individual_author blocks the corporate_author fallback
+    # (key-presence elif-chain); ai is computed independently and survives
+    doc(id=1023, status=1, treatment_level="as", literature_type="s",
+        title=[{"text": "Autores Bloqueados", "_i": "pt"}],
+        individual_author=[],
+        corporate_author=[au("Organização Z", p="united states")],
+        publication_date="2007", publication_date_normalized="20070101",
+        publication_country="",
+        created_time="2007-01-01T00:00:00", updated_time="2007-02-02T00:00:00"),
 ]
 # doc 1005: country fallback path requires publication_country key ABSENT
 for d in DOCS:
@@ -329,21 +404,25 @@ def transform(doc):
     if tl in (None, ""):
         return None
 
+    # key-presence, not truthiness (02_create:783-786): pages=[] PRESENT
+    # means standardize_pages([]) -> [] -> pg dropped, monographic unused.
     pg_value = None
-    if "pages" in doc and doc["pages"]:
+    if "pages" in doc:
         pg_value = m02.standardize_pages(doc["pages"])
-    elif doc.get("pages_monographic"):
+    elif "pages_monographic" in doc:
         pg_value = doc.get("pages_monographic")
 
     title_fields = m02.standardize_multilingual_title(doc)
     abstract_fields = m02.standardize_abstract(doc.get("abstract", []))
     eletronic_fields = m02.standardize_eletronic_address(doc["electronic_address"]) if doc.get("electronic_address") else {}
 
+    # key-presence elif-chain (02_create:802-814): a PRESENT-but-empty
+    # earlier field blocks every later one.
     author_fields = {}
     for k in ["individual_author", "corporate_author",
               "individual_author_monographic", "corporate_author_monographic",
               "individual_author_collection", "corporate_author_collection"]:
-        if doc.get(k):
+        if k in doc:
             author_fields = m02.standardize_individual_authors(doc[k], country_map)
             break
 
