@@ -121,6 +121,64 @@ object Exprs {
       copy(left = l, right = r)
   }
 
+  /** Long-id variant of [[SortedIntersectCount]] for pre-hashed token sets. */
+  case class SortedIntersectCountLong(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = IntegerType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      TextKernels.sortedIntersectCountLong(
+        a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"$K.sortedIntersectCountLong($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedIntersectCountLong =
+      copy(left = l, right = r)
+  }
+
+  /** Token array → fixed-width bitset over a driver-built vocabulary.
+    * The vocab ships to executors as a codegen reference object (one
+    * HashMap per task, not per row). Dense fast path of the
+    * set-similarity join — see operators.SetSimJoin. */
+  case class TokenBitmap(child: Expression,
+      vocab: java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Integer],
+      words: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      TextKernels.tokenBitmap(
+        v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], vocab, words)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("vocab", vocab, "java.util.HashMap")
+      defineCodeGen(ctx, ev, c => s"$K.tokenBitmap($c, $ref, $words)")
+    }
+    override protected def withNewChildInternal(c: Expression): TokenBitmap =
+      copy(child = c)
+  }
+
+  /** popcount(a&b)/popcount(a|b) of two equal-width bitsets. */
+  case class BitmapJaccard(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      TextKernels.bitmapJaccard(
+        a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"$K.bitmapJaccard($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): BitmapJaccard =
+      copy(left = l, right = r)
+  }
+
+  /** popcount of a bitset (token-set cardinality). */
+  case class BitmapCard(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = IntegerType
+    override def nullSafeEval(v: Any): Any =
+      TextKernels.bitmapCard(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$K.bitmapCard($c)")
+    override protected def withNewChildInternal(c: Expression): BitmapCard =
+      copy(child = c)
+  }
+
   // ---- Column-API wrappers ------------------------------------------------
 
   private def c(e: Expression): Column = Shim.column(e)
@@ -136,4 +194,11 @@ object Exprs {
   def dot_f(a: Column, b: Column): Column = c(DotF(e(a), e(b)))
   def sorted_intersect_count(a: Column, b: Column): Column =
     c(SortedIntersectCount(e(a), e(b)))
+  def sorted_intersect_count_long(a: Column, b: Column): Column =
+    c(SortedIntersectCountLong(e(a), e(b)))
+  def token_bitmap(tokens: Column,
+      vocab: java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Integer],
+      words: Int): Column = c(TokenBitmap(e(tokens), vocab, words))
+  def bitmap_jaccard(a: Column, b: Column): Column = c(BitmapJaccard(e(a), e(b)))
+  def bitmap_card(a: Column): Column = c(BitmapCard(e(a)))
 }

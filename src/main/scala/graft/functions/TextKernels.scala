@@ -209,4 +209,67 @@ object TextKernels {
     }
     cnt
   }
+
+  /** Long variant of [[sortedIntersectCount]] — token sets pre-hashed to
+    * sorted 64-bit ids so the per-pair walk compares machine words, not
+    * UTF8 byte strings (~10× cheaper in the quadratic join hot path). */
+  def sortedIntersectCountLong(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var cnt = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { cnt += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    cnt
+  }
+
+  /** Encode a token array as a fixed-width bitset over a global
+    * vocabulary (the dense small-vocab fast path of the set-similarity
+    * join). Tokens missing from the vocab are ignored — callers must
+    * build the vocab from the same corpus for exact Jaccard. */
+  def tokenBitmap(tokens: ArrayData,
+      vocab: java.util.HashMap[UTF8String, Integer], words: Int): ArrayData = {
+    val out = new Array[Long](words)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val idx = vocab.get(tokens.getUTF8String(i))
+        if (idx != null) {
+          val b = idx.intValue()
+          out(b >>> 6) |= (1L << (b & 63))
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Exact Jaccard of two equal-width bitsets: popcount(and)/popcount(or).
+    * A handful of ALU ops per pair — the whole quadratic verify collapses
+    * to this when the vocabulary is dense (≤ a few thousand distinct
+    * tokens). Returns -1.0 for two empty sets (caller decides semantics).
+    */
+  def bitmapJaccard(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var inter = 0; var union = 0
+    var i = 0
+    while (i < n) {
+      val x = a.getLong(i); val y = b.getLong(i)
+      inter += java.lang.Long.bitCount(x & y)
+      union += java.lang.Long.bitCount(x | y)
+      i += 1
+    }
+    if (union == 0) -1.0 else inter.toDouble / union
+  }
+
+  /** Popcount of a bitset (|token set| for the size-band prefilter). */
+  def bitmapCard(a: ArrayData): Int = {
+    val n = a.numElements()
+    var c = 0; var i = 0
+    while (i < n) { c += java.lang.Long.bitCount(a.getLong(i)); i += 1 }
+    c
+  }
 }

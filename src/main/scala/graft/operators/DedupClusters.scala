@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.{Exprs, Text}
+import graft.functions.Text
 
 /** Dedup resolution: near-dup PAIRS → connected components → one survivor
   * per component (min id), everything else marked for drop. This is the
@@ -63,16 +63,10 @@ object DedupClusters {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
       .select($"doc_id", Text.tokenSet($"text").as("ts"))
-      .withColumn("sz", size($"ts"))
-    val a = docs.repartition(spark.sparkContext.defaultParallelism)
-      .select($"doc_id".as("id_a"), $"ts".as("ts_a"), $"sz".as("sz_a"))
-    val b = docs.select($"doc_id".as("id_b"), $"ts".as("ts_b"), $"sz".as("sz_b"))
-    val pairs = a.join(b,
-      $"id_a" < $"id_b" &&
-        $"sz_a" * (jaccard - 0.0001) <= $"sz_b" &&
-        $"sz_b" * (jaccard - 0.0001) <= $"sz_a")
-      .withColumn("inter", Exprs.sorted_intersect_count($"ts_a", $"ts_b"))
-      .filter($"inter".cast("double") / ($"sz_a" + $"sz_b" - $"inter") >= jaccard)
+    // near-dup edges via the adaptive exact-Jaccard join (bitset popcount
+    // on dense vocabs, hashed merge walk otherwise — see SetSimJoin)
+    val pairs = SetSimJoin
+      .jaccardPairs(spark, docs, jaccard, filterOnRounded = false)
       .select("id_a", "id_b")
     val comps = connectedComponents(spark, pairs)
     docs.select($"doc_id")

@@ -101,28 +101,14 @@ object TextOps {
       |FROM s a JOIN s b ON a.doc_id < b.doc_id
       |WHERE round(1.0*len(list_intersect(a.ts, b.ts)) / len(list_distinct(a.ts || b.ts)), 4) >= 0.8
       |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
-    // Physical plan: the token sets are sorted+distinct, so |a∩b| is a
-    // single codegen'd merge walk (SortedIntersectCount) and
-    // |a∪b| = |a|+|b|-|a∩b| — no per-pair hash sets. A size-ratio
-    // prefilter (J ≤ min/max) prunes pairs before any array work.
-    // 90x faster than array_intersect/array_union at sf0.1.
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), Text.tokenSet(col("text")).as("ts"))
-      .withColumn("sz", size(col("ts")))
-    // the corpus arrives as one small parquet split — spread the stream
-    // side of the nested-loop join across all cores
-    val a = docs.repartition(s.sparkContext.defaultParallelism)
-      .select(col("doc_id").as("id_a"), col("ts").as("ts_a"), col("sz").as("sz_a"))
-    val b = docs.select(col("doc_id").as("id_b"), col("ts").as("ts_b"), col("sz").as("sz_b"))
-    a.join(b,
-      col("id_a") < col("id_b") &&
-        col("sz_a") * 0.7999 <= col("sz_b") && col("sz_b") * 0.7999 <= col("sz_a"))
-      .withColumn("inter",
-        Exprs.sorted_intersect_count(col("ts_a"), col("ts_b")))
-      .withColumn("jac",
-        round(col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")), 4))
-      .filter(col("jac") >= 0.8)
-      .select("id_a", "id_b", "jac")
+    // Adaptive physical plan (SetSimJoin): dense-vocab corpora get
+    // bitset+popcount Jaccard, large vocabs get a hashed-long merge walk,
+    // and PrefixJoin covers the sparse-candidate 100 TB regime — all
+    // exact, all agreeing (asserted in ScaleSpec).
+    SetSimJoin.jaccardPairs(s,
+      Tables.documents(s, d)
+        .select(col("doc_id"), Text.tokenSet(col("text")).as("ts")),
+      threshold = 0.8)
       .orderBy("id_a", "id_b")
   }
 

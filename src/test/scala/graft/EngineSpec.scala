@@ -127,6 +127,21 @@ class EngineSpec extends AnyFunSuite {
       s"prefix-join diverged: only-brute=${(brute -- prefix).take(3)} only-prefix=${(prefix -- brute).take(3)}")
   }
 
+  test("set-similarity join: dense bitmap and hashed merge-walk paths agree") {
+    import graft.functions.Text
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), Text.tokenSet(col("text")).as("ts"))
+    def collectPairs(cap: Int) = operators.SetSimJoin
+      .jaccardPairs(spark, docs, 0.8, denseVocabCap = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val dense = collectPairs(operators.SetSimJoin.DenseVocabCap)
+    val hashed = collectPairs(0) // cap 0 forces the large-vocab path
+    assert(dense == hashed,
+      s"paths diverged: only-dense=${(dense -- hashed).take(3)} only-hashed=${(hashed -- dense).take(3)}")
+    assert(dense.nonEmpty) // the fixture corpus does contain near-dups
+  }
+
   test("events nanosecond timestamps read and truncate to microseconds") {
     val e = Tables.events(spark, sf)
     assert(e.schema("ts").dataType.typeName == "timestamp")

@@ -64,6 +64,41 @@ class KernelsSpec extends AnyFunSuite {
     assert(TextKernels.winnow(arr("a", "b"), 4, 4).numElements() == 0)
   }
 
+  test("bitmap kernels: tokenBitmap/bitmapJaccard/bitmapCard exact over a vocab") {
+    val vocab = new java.util.HashMap[UTF8String, Integer]()
+    Seq("a", "b", "c", "d", "e").zipWithIndex.foreach { case (t, i) =>
+      vocab.put(UTF8String.fromString(t), Integer.valueOf(i))
+    }
+    val x = TextKernels.tokenBitmap(arr("a", "b", "c"), vocab, 1)
+    val y = TextKernels.tokenBitmap(arr("b", "c", "d"), vocab, 1)
+    assert(TextKernels.bitmapCard(x) == 3 && TextKernels.bitmapCard(y) == 3)
+    assert(TextKernels.bitmapJaccard(x, y) == 2.0 / 4.0)
+    // identical sets -> 1.0; disjoint -> 0.0; unknown tokens ignored
+    assert(TextKernels.bitmapJaccard(x, x) == 1.0)
+    val z = TextKernels.tokenBitmap(arr("d", "e", "UNKNOWN"), vocab, 1)
+    assert(TextKernels.bitmapCard(z) == 2)
+    assert(TextKernels.bitmapJaccard(x, z) == 0.0)
+    // multi-word bitsets: bit 70 lands in the second long
+    val wide = new java.util.HashMap[UTF8String, Integer]()
+    wide.put(UTF8String.fromString("lo"), Integer.valueOf(3))
+    wide.put(UTF8String.fromString("hi"), Integer.valueOf(70))
+    val w1 = TextKernels.tokenBitmap(arr("lo", "hi"), wide, 2)
+    val w2 = TextKernels.tokenBitmap(arr("hi"), wide, 2)
+    assert(TextKernels.bitmapCard(w1) == 2)
+    assert(TextKernels.bitmapJaccard(w1, w2) == 0.5)
+    // empty vs empty is sentinel -1.0 (caller-defined semantics)
+    val e0 = TextKernels.tokenBitmap(arr(), vocab, 1)
+    assert(TextKernels.bitmapJaccard(e0, e0) == -1.0)
+  }
+
+  test("sortedIntersectCountLong merge walk equals the string variant") {
+    def larr(vs: Long*) = new GenericArrayData(vs.toArray[Any])
+    assert(TextKernels.sortedIntersectCountLong(larr(1L, 5L, 9L), larr(5L, 9L, 12L)) == 2)
+    assert(TextKernels.sortedIntersectCountLong(larr(), larr(1L)) == 0)
+    assert(TextKernels.sortedIntersectCountLong(
+      larr(Long.MinValue, 0L, Long.MaxValue), larr(Long.MinValue, Long.MaxValue)) == 2)
+  }
+
   test("cosineF/dotF in double, matching sequential fold") {
     assert(math.abs(TextKernels.cosineF(farr(1f, 0f), farr(1f, 1f)) -
       0.7071067811865475) < 1e-12)
