@@ -149,12 +149,15 @@ object TextOps {
         Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+    // verify on shingle sets pre-hashed to sorted longs — the candidate
+    // set is dense here, so the per-pair walk must compare machine words,
+    // not shingle strings (same trick as SetSimJoin's hashed path)
     val sortedSh = docs.select(col("doc_id"),
-      array_sort(array_distinct(col("sh"))).as("ts"))
+      array_sort(transform(array_distinct(col("sh")), t => xxhash64(t))).as("ts"))
     pairs
       .join(sortedSh.select(col("doc_id").as("id_a"), col("ts").as("ts_a")), "id_a")
       .join(sortedSh.select(col("doc_id").as("id_b"), col("ts").as("ts_b")), "id_b")
-      .withColumn("inter", Exprs.sorted_intersect_count(col("ts_a"), col("ts_b")))
+      .withColumn("inter", Exprs.sorted_intersect_count_long(col("ts_a"), col("ts_b")))
       .withColumn("jac",
         round(col("inter").cast("double") /
           (size(col("ts_a")) + size(col("ts_b")) - col("inter")), 4))
@@ -208,5 +211,63 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28)
+  /** TF-IDF-style distinctive terms per doc, top-3. The idf factor is the
+    * LINEAR rarity N/df, not ln(N/df): both engines then compute the score
+    * with exact-input IEEE division (a transcendental would risk 1-ulp
+    * library divergence across JVMs/libm and break the hash gate). Ranking
+    * follows the Q determinism rules: rounded score + term tie-break. */
+  val q38 = Q.sql("q38_tfidf_topterms",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |df AS (
+      |  SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.term, CAST(tf.tf AS BIGINT) AS tf, CAST(df.df AS BIGINT) AS df,
+      |    round(1.0 * tf.tf * (SELECT count(*) FROM documents) / df.df, 4) AS score
+      |  FROM tf JOIN df USING (term))
+      |SELECT doc_id, term, tf, df, score FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+      |  FROM scored) t
+      |WHERE rn <= 3
+      |ORDER BY doc_id, score DESC, term""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val n = docs.count()
+    val tf = docs
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // df is tiny (one row per distinct term) — broadcast it back
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    tf.join(broadcast(df), "term")
+      .withColumn("score",
+        round(lit(1.0) * col("tf") * lit(n) / col("df"), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"))
+      .orderBy(col("doc_id"), col("score").desc, col("term"))
+  }
+
+  /** Corpus-wide bigram frequency, top-20 (count desc, bigram tie-break) —
+    * the n-gram language-model statistics pass. */
+  val q39 = Q.sql("q39_ngram_freq",
+    """WITH t AS (
+      |  SELECT regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+      |b AS (
+      |  SELECT unnest(list_transform(range(1, len(toks)),
+      |                               i -> toks[i] || ' ' || toks[i+1])) AS bigram
+      |  FROM t)
+      |SELECT bigram, CAST(count(*) AS BIGINT) AS n
+      |FROM b GROUP BY 1
+      |ORDER BY n DESC, bigram LIMIT 20""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(explode(Text.shingles(Text.tokens(col("text")), 2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(20)
+  }
+
+  val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q38, q39)
 }
