@@ -28,19 +28,31 @@ object Governance {
     import java.nio.file.{Files, Paths}
     Files.createDirectories(Paths.get(outDir))
 
+    import org.apache.spark.sql.functions.{coalesce, col, lit, substring}
+    // Layers are partitioned by update month (p_upd=yyyymm, derived from
+    // update_date): at 100 TB a trailing-window incremental export prunes
+    // its scan to the changed partitions instead of rescanning the corpus,
+    // and the per-month files keep individual partitions executor-sized.
+    def writePartitioned(df: DataFrame, path: String): Unit =
+      df.withColumn("p_upd",
+        coalesce(substring(col("update_date"), 1, 6), lit("unknown")))
+        .write.mode("overwrite").partitionBy("p_upd").parquet(path)
+    def readLayer(path: String): DataFrame =
+      spark.read.parquet(path).drop("p_upd")
+
     // 02 (+02_x01): standardize
     val iahx = Gov.toIahx(Gov.readLanding(spark, landingJsonl), lookups, nowYear)
     val iahxPath = s"$outDir/02_iahx"
-    iahx.write.mode("overwrite").parquet(iahxPath)
+    writePartitioned(iahx.toDF(), iahxPath)
 
     // 03: enrich
-    val enriched = Enrich(spark, spark.read.parquet(iahxPath), instTab, dbInstTab, temas)
+    val enriched = Enrich(spark, readLayer(iahxPath), instTab, dbInstTab, temas)
     val enrichedPath = s"$outDir/03_enriched"
-    enriched.write.mode("overwrite").parquet(enrichedPath)
+    writePartitioned(enriched, enrichedPath)
 
     // 04: export (reads the enriched layer back through the typed encoder)
     val xmlPath = s"$outDir/04_export.xml"
-    val enrichedDs = spark.read.parquet(enrichedPath).as[IahxDoc](Gov.iahxEnc)
+    val enrichedDs = readLayer(enrichedPath).as[IahxDoc](Gov.iahxEnc)
     SolrXml.writeSingleFile(enrichedDs, xmlPath)
 
     Layers(landingJsonl, iahxPath, enrichedPath, xmlPath)

@@ -88,5 +88,55 @@ object Checks {
     report(s, d).select("check_name", "metric").orderBy("check_name")
   }
 
-  val all: Seq[Q] = Seq(q55)
+  /** The same checks over a DETERMINISTICALLY dirtied copy of the tables —
+    * duplicated keys, nulled dates, dangling FKs, negated quantities — so
+    * the oracle pins the failure path of every check, not just the
+    * all-green report (a check that can't fail is not a check). */
+  val q56 = Q.sql("q56_data_quality_dirty",
+    """WITH customer_d AS (
+      |  SELECT * FROM customer
+      |  UNION ALL SELECT * FROM customer WHERE c_custkey % 100 = 0),
+      |orders_d AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 50 = 0 THEN NULL ELSE o_orderdate END AS o_orderdate,
+      |    CASE WHEN o_orderkey % 97 = 0 THEN o_custkey + 1000000 ELSE o_custkey END AS o_custkey,
+      |    o_totalprice
+      |  FROM orders),
+      |lineitem_d AS (
+      |  SELECT l_orderkey,
+      |    CASE WHEN l_orderkey % 101 = 0 THEN -l_quantity ELSE l_quantity END AS l_quantity,
+      |    l_discount
+      |  FROM lineitem)
+      |SELECT *, metric = 0 AS passed FROM (
+      |  SELECT 'customer_pk_unique' AS check_name,
+      |    count(*) - count(DISTINCT c_custkey) AS metric FROM customer_d
+      |  UNION ALL SELECT 'orders_date_complete', CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM orders_d
+      |  UNION ALL SELECT 'orders_customer_fk', count(*) FROM orders_d
+      |    WHERE NOT EXISTS (SELECT 1 FROM customer_d WHERE c_custkey = o_custkey)
+      |  UNION ALL SELECT 'lineitem_quantity_positive', CAST(sum(CASE WHEN NOT (l_quantity > 0) THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem_d
+      |) t
+      |ORDER BY check_name""".stripMargin) { (s, d) =>
+    val customer = Tables.customer(s, d)
+    val customerD = customer.unionByName(customer.filter(col("c_custkey") % 100 === 0))
+    val ordersD = Tables.orders(s, d)
+      .withColumn("o_orderdate",
+        when(col("o_orderkey") % 50 === 0, lit(null)).otherwise(col("o_orderdate")))
+      .withColumn("o_custkey",
+        when(col("o_orderkey") % 97 === 0, col("o_custkey") + 1000000)
+          .otherwise(col("o_custkey")))
+    val lineitemD = Tables.lineitem(s, d)
+      .withColumn("l_quantity",
+        when(col("l_orderkey") % 101 === 0, -col("l_quantity"))
+          .otherwise(col("l_quantity")))
+    Seq(
+      uniqueness(customerD, "c_custkey", "customer_pk_unique"),
+      completeness(ordersD, "o_orderdate", "orders_date_complete"),
+      referentialIntegrity(ordersD, "o_custkey", customerD, "c_custkey",
+        "orders_customer_fk"),
+      range(lineitemD, col("l_quantity") > 0, "lineitem_quantity_positive")
+    ).reduce(_.unionByName(_))
+      .orderBy("check_name")
+  }
+
+  val all: Seq[Q] = Seq(q55, q56)
 }

@@ -86,6 +86,9 @@ class EngineSpec extends AnyFunSuite {
     // the exported <add> file parses back losslessly
     val back = ingest.XmlSource.read(spark, layers.xml)
     assert(back.count() == expected)
+    // layers are partitioned by update month (incremental-scan pruning)
+    assert(new java.io.File(layers.enriched).listFiles()
+      .exists(_.getName.startsWith("p_upd=")))
   }
 
   test("quality checks count violations on dirty data") {
