@@ -88,10 +88,37 @@ object Similarity {
     Seq.fill(SRP_BITS)(Seq.fill(DIM)(if (rnd.nextBoolean()) 1.0f else -1.0f))
   }
 
+  /** The same planes inlined into DuckDB SQL so the oracle reproduces the
+    * bucketing bit-for-bit: ±1 entries are exact in double, and both
+    * engines accumulate the dot product left-to-right in double, so the
+    * sign test agrees (a tie at exactly 0.0 is the only hazard and is
+    * measure-zero for real-valued embeddings). */
+  private def srpPlanesSql: String =
+    srpPlanes().zipWithIndex.map { case (p, i) =>
+      s"($i, CAST([${p.map(v => if (v > 0) "1.0" else "-1.0").mkString(", ")}] AS DOUBLE[]))"
+    }.mkString(",\n  ")
+
   /** SRP-LSH bucketed ANN: 12 sign bits → bucket; exact cosine re-rank
-    * within bucket; top-3 per query. Rows-only check (tests measure
-    * recall vs q30). */
-  val q31 = Q.rowsOnly("q31_ann_srp_lsh") { (s, d) =>
+    * within bucket; top-3 per query. Oracled: the hyperplanes are inlined
+    * into the SQL as literals. */
+  val q31 = Q.sql("q31_ann_srp_lsh",
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |planes(bit, w) AS (VALUES
+       |  $srpPlanesSql),
+       |b AS (
+       |  SELECT e.vec_id, e.emb,
+       |    CAST(sum(CASE WHEN list_inner_product(e.emb, p.w) >= 0
+       |             THEN 1 << (${SRP_BITS - 1} - p.bit) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM e CROSS JOIN planes p GROUP BY e.vec_id, e.emb),
+       |pairs AS (
+       |  SELECT a.vec_id AS query_id, bb.vec_id AS neighbor_id,
+       |    round(list_cosine_similarity(a.emb, bb.emb), 4) AS sim
+       |  FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id <> bb.vec_id)
+       |SELECT query_id, neighbor_id, sim FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+       |  FROM pairs) t
+       |WHERE rn <= 3
+       |ORDER BY query_id, sim DESC, neighbor_id""".stripMargin) { (s, d) =>
     val planes = typedlit(srpPlanes())
     val e = Tables.embeddings(s, d)
       .withColumn("bucket",
@@ -118,8 +145,31 @@ object Similarity {
   private val IVF_PROBES = 2
 
   /** IVF-style ANN: coarse quantize to the nearest of 16 deterministic
-    * centroids (first 16 vectors by id), probe the 2 nearest lists. */
-  val q32 = Q.rowsOnly("q32_ann_ivf") { (s, d) =>
+    * centroids (first 16 vectors by id), probe the 2 nearest lists.
+    * Assignment ranks on the ROUNDED similarity with cent_id tie-break
+    * (Q determinism rules) so the oracle quantizes identically. */
+  val q32 = Q.sql("q32_ann_ivf",
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |cents AS (SELECT vec_id AS cent_id, emb AS cvec FROM e ORDER BY vec_id LIMIT $IVF_LISTS),
+       |asg AS (
+       |  SELECT e.vec_id, c.cent_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY round(list_cosine_similarity(e.emb, c.cvec), 4) DESC, c.cent_id) AS crn
+       |  FROM e CROSS JOIN cents c),
+       |nlist AS (SELECT vec_id AS neighbor_id, cent_id AS lst FROM asg WHERE crn = 1),
+       |qlist AS (SELECT vec_id AS query_id, cent_id AS lst FROM asg WHERE crn <= $IVF_PROBES),
+       |scored AS (
+       |  SELECT DISTINCT q.query_id, n.neighbor_id,
+       |    round(list_cosine_similarity(qe.emb, ne.emb), 4) AS sim
+       |  FROM qlist q JOIN nlist n USING (lst)
+       |  JOIN e qe ON qe.vec_id = q.query_id
+       |  JOIN e ne ON ne.vec_id = n.neighbor_id
+       |  WHERE q.query_id <> n.neighbor_id)
+       |SELECT query_id, neighbor_id, sim FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+       |  FROM scored) t
+       |WHERE rn <= 3
+       |ORDER BY query_id, sim DESC, neighbor_id""".stripMargin) { (s, d) =>
     val e = Tables.embeddings(s, d)
     // centroid table: tiny, collected to a literal-free broadcast join
     val cents = e.orderBy("vec_id").limit(IVF_LISTS)
@@ -128,7 +178,7 @@ object Similarity {
     def assign(df: org.apache.spark.sql.DataFrame, idCol: String, vecCol: String, outCol: String) = {
       val w = Window.partitionBy(idCol).orderBy(col("csim").desc, col("cent_id"))
       df.join(broadcast(cents), lit(true))
-        .withColumn("csim", Exprs.cosine_sim(col(vecCol), col("cvec")))
+        .withColumn("csim", round(Exprs.cosine_sim(col(vecCol), col("cvec")), 4))
         .withColumn("crn", row_number().over(w))
         .filter(col("crn") <= (if (outCol == "qlist") IVF_PROBES else 1))
         .withColumnRenamed("cent_id", outCol)
