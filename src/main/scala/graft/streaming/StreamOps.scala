@@ -35,5 +35,13 @@ object StreamOps {
       .orderBy("user_id")
   }
 
-  val all: Seq[Q] = Seq(q50, q51)
+  /** Streaming first-seen dedup ≡ batch DISTINCT. */
+  val q57 = Q.sql("q57_stream_dedup",
+    """SELECT DISTINCT user_id, event_type FROM events
+      |ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+    Streams.streamDedup(s, d, qn("dedup"))
+      .orderBy("user_id", "event_type")
+  }
+
+  val all: Seq[Q] = Seq(q50, q51, q57)
 }

@@ -54,6 +54,25 @@ object Streams {
     spark.table(queryName)
   }
 
+  /** Streaming exact dedup: first-seen row per key, the shape a
+    * training-data pipeline uses to drop duplicate documents as they
+    * arrive. Unwatermarked here (state = one entry per distinct key;
+    * bounded by key cardinality); with an event-time watermark the state
+    * self-expires — `dropDuplicatesWithinWatermark` — which is the 100 TB
+    * deployment mode. */
+  def streamDedup(spark: SparkSession, dir: String, queryName: String): DataFrame = {
+    val deduped = eventStream(spark, dir)
+      .select(col("user_id"), col("event_type"))
+      .dropDuplicates("user_id", "event_type")
+    val q = deduped.writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory").queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
   /** Sessionize per user with a 30-minute inactivity gap; emit per-user
     * session and event counts. State = (last event time, session count,
     * event count); events arrive time-ordered per group after a

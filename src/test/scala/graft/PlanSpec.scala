@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions — the properties that decide whether a
+  * plan survives a 100× scale-up, pinned so a refactor can't silently
+  * regress them: filter pushdown into the parquet scan, column pruning,
+  * broadcast of dimension sides, map-side partial aggregation, and
+  * whole-stage codegen over the hot similarity kernels.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filters push down to the parquet scan (PushedFilters non-empty)") {
+    val p = plan(Tables.orders(spark, sf)
+      .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 1000.0)
+      .select("o_orderkey"))
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("EqualTo(o_orderstatus,F)"), p)
+  }
+
+  test("projection prunes the scan schema (ReadSchema only needed columns)") {
+    val p = plan(SparkEntry.queries("q21_token_count")(spark, sf))
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("doc_id") && read.contains("text"), read)
+    // none of the other document columns ride the scan
+    assert(!read.contains("lang") && !read.contains("url"), read)
+  }
+
+  test("star join broadcasts the dimension sides (no fact-side shuffle join)") {
+    val p = plan(SparkEntry.queries("q05_star_join")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("wide aggregation runs partial (map-side combine) before the shuffle") {
+    val p = plan(SparkEntry.queries("q01_pricing_summary")(spark, sf))
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p)
+  }
+
+  test("set-similarity join stays inside whole-stage codegen") {
+    val df = SparkEntry.queries("q24_jaccard_pairs")(spark, sf)
+    df.collect() // finalize the adaptive plan — codegen markers appear then
+    val p = plan(df)
+    assert(p.contains("*("), p) // whole-stage-codegen stage markers
+    // the pair loop is a broadcast nested-loop with the bitmap kernel
+    // evaluated inside the join condition — no shuffle of the pair space
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("bitmapjaccard"), p)
+  }
+}
