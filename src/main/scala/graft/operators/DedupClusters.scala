@@ -20,10 +20,20 @@ import graft.functions.Text
   */
 object DedupClusters {
 
+  /** Edge-count threshold below which components resolve on the driver
+    * (union-find over a collected edge list — same rationale as a
+    * broadcast join: shipping a bounded small side beats 8 rounds of
+    * distributed scheduling). Above it, the iterative label propagation
+    * runs. 5M edges ≈ 80 MB collected — well under driver headroom. */
+  val DriverEdgeCap = 5000000L
+
   /** pairs: (id_a, id_b) undirected edges → (id, component) with
-    * component = min node id reachable within `maxRounds` hops. */
+    * component = min node id reachable within `maxRounds` hops. The
+    * driver path is exact union-find; the two agree whenever cluster
+    * diameter ≤ maxRounds, which holds for near-dup graphs (dup clusters
+    * are dense, diameter 1–2 — asserted against the bounded oracle). */
   def connectedComponents(spark: SparkSession, pairs: DataFrame,
-      maxRounds: Int = 8): DataFrame = {
+      maxRounds: Int = 8, driverEdgeCap: Long = DriverEdgeCap): DataFrame = {
     import spark.implicits._
     // materialize the (expensive) edge set once and cut its lineage —
     // every subsequent round joins against the checkpointed edges, never
@@ -31,6 +41,8 @@ object DedupClusters {
     val edges = pairs.select($"id_a".as("src"), $"id_b".as("dst"))
       .union(pairs.select($"id_b".as("src"), $"id_a".as("dst")))
       .distinct().localCheckpoint(true)
+    val nEdges = edges.count()
+    if (nEdges <= driverEdgeCap) return driverUnionFind(spark, edges)
     var labels = edges.select($"src".as("id")).distinct()
       .withColumn("label", $"id")
       .localCheckpoint(true)
@@ -53,6 +65,29 @@ object DedupClusters {
       round += 1
     }
     labels
+  }
+
+  /** Exact components via path-compressed union-find on the collected
+    * edge list; representative = min node id per component. */
+  private def driverUnionFind(spark: SparkSession, edges: DataFrame): DataFrame = {
+    import spark.implicits._
+    val es = edges.as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    es.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { // union by min id keeps the representative minimal
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    val nodes = es.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
+    spark.createDataset(nodes.toSeq.map(n => (n, find(n)))).toDF("id", "label")
   }
 
   /** End-to-end dedup decision over documents: exact-dup edges (same

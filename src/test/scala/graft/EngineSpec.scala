@@ -130,6 +130,24 @@ class EngineSpec extends AnyFunSuite {
       s"prefix-join diverged: only-brute=${(brute -- prefix).take(3)} only-prefix=${(prefix -- brute).take(3)}")
   }
 
+  test("connected components: driver union-find and distributed propagation agree") {
+    import spark.implicits._
+    // two dense clusters, one 5-hop chain (multi-round propagation), and
+    // an isolated edge
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L),                 // triangle -> comp 1
+      (10L, 11L), (11L, 12L),                        // path -> comp 10
+      (20L, 21L), (21L, 22L), (22L, 23L), (23L, 24L), (24L, 25L), // chain -> comp 20
+      (30L, 31L)).toDF("id_a", "id_b")
+    def comps(cap: Long) = operators.DedupClusters
+      .connectedComponents(spark, pairs, driverEdgeCap = cap)
+      .as[(Long, Long)].collect().toMap
+    val viaDriver = comps(Long.MaxValue)
+    val viaLoop = comps(0L)
+    assert(viaDriver == viaLoop, s"driver=$viaDriver loop=$viaLoop")
+    assert(viaDriver(3L) == 1L && viaDriver(25L) == 20L && viaDriver(31L) == 30L)
+  }
+
   test("set-similarity join: dense bitmap and hashed merge-walk paths agree") {
     import graft.functions.Text
     import org.apache.spark.sql.functions.col
