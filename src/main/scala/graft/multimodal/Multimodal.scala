@@ -95,5 +95,52 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(q52, q53)
+  /** Overlapped windowing of the raw payload bytes — the audio
+    * frame-window shape (window 128, hop 64). The chunker REALLY slices
+    * byte arrays in batch-shaped partitions; the oracle re-derives the
+    * chunk geometry from octet_length alone, so the gate checks that the
+    * distributed slicing matches the arithmetic contract exactly. */
+  val ChunkWindow = 128
+  val ChunkHop = 64
+
+  case class Chunk(doc_id: Long, chunk_idx: Int, chunk_len: Long)
+
+  def chunkPayloads(media: Dataset[MediaRow]): Dataset[Chunk] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(BATCH_SIZE).flatMap { batch =>
+        batch.iterator.flatMap { row =>
+          val n = row.payload.length
+          Iterator.from(0).map(_ * ChunkHop).takeWhile(_ < n).zipWithIndex
+            .map { case (start, idx) =>
+              val slice = row.payload.slice(start, math.min(start + ChunkWindow, n))
+              Chunk(row.doc_id, idx, slice.length.toLong)
+            }
+        }
+      }
+    }
+  }
+
+  val q58 = Q.sql("q58_multimodal_chunks",
+    s"""WITH m AS (
+       |  SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+       |g AS (
+       |  SELECT doc_id, n,
+       |    CAST((n + $ChunkHop - 1) // $ChunkHop AS BIGINT) AS n_chunks,
+       |    list_transform(range(0, CAST((n + $ChunkHop - 1) // $ChunkHop AS BIGINT)),
+       |                   k -> least($ChunkWindow, n - k * $ChunkHop)) AS lens
+       |  FROM m)
+       |SELECT doc_id, n_chunks,
+       |  CAST(list_sum(lens) AS BIGINT) AS sum_len,
+       |  CAST(list_min(lens) AS BIGINT) AS min_len
+       |FROM g ORDER BY doc_id""".stripMargin) { (s, d) =>
+    chunkPayloads(mediaTable(s, d)).toDF()
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("chunk_len")).as("sum_len"),
+        min(col("chunk_len")).as("min_len"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(q52, q53, q58)
 }

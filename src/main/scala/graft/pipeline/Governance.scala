@@ -58,6 +58,19 @@ object Governance {
     Layers(landingJsonl, iahxPath, enrichedPath, xmlPath)
   }
 
+  /** Incremental read of a layer: only partitions with update month ≥
+    * `sinceMonth` (yyyymm) are scanned — the engine-side equivalent of
+    * the reference's trailing-window incremental export. The filter is a
+    * partition filter, so at 100 TB the scan touches only the changed
+    * months' files (asserted in PlanSpec). */
+  def readLayerSince(spark: SparkSession, path: String,
+      sinceMonth: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    spark.read.parquet(path)
+      .filter(col("p_upd") >= sinceMonth)
+      .drop("p_upd")
+  }
+
   /** End-to-end over the fixture corpus — the t1-smoke entry point. */
   def runFixture(spark: SparkSession, outDir: String): Layers = {
     // materialize the classpath fixture as a real landing JSONL first

@@ -51,6 +51,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_sum") || p.contains("partial_count"), p)
   }
 
+  test("incremental layer read prunes partitions, not just rows") {
+    val out = java.nio.file.Files.createTempDirectory("graft_inc").toString
+    val layers = pipeline.Governance.runFixture(spark, out)
+    val inc = pipeline.Governance.readLayerSince(spark, layers.enriched, "202401")
+    val p = plan(inc)
+    assert(p.contains("PartitionFilters: [") && p.contains("p_upd"), p)
+    // the window really excludes older docs (fixture spans 1991..2026)
+    val all = spark.read.parquet(layers.enriched).count()
+    val recent = inc.count()
+    assert(recent > 0 && recent < all, s"recent=$recent all=$all")
+  }
+
   test("set-similarity join stays inside whole-stage codegen") {
     val df = SparkEntry.queries("q24_jaccard_pairs")(spark, sf)
     df.collect() // finalize the adaptive plan — codegen markers appear then
