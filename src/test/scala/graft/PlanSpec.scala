@@ -12,12 +12,19 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class PlanSpec extends AnyFunSuite {
 
-  private lazy val spark = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  private lazy val spark = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    // getOrCreate may hand back a session another suite configured (e.g.
+    // ScaleSpec disables auto-broadcast to force SMJ) — re-pin the confs
+    // these plan-shape assertions depend on
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    s
+  }
 
   private val sf = "/root/testdata/sf0.001"
 
