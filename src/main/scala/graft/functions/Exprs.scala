@@ -168,6 +168,18 @@ object Exprs {
       copy(left = l, right = r)
   }
 
+  /** Word n-grams of a token array (codegen shingle generator). */
+  case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      TextKernels.wordNgrams(
+        v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$K.wordNgrams($c, $n)")
+    override protected def withNewChildInternal(c: Expression): WordNgrams =
+      copy(child = c)
+  }
+
   /** popcount of a bitset (token-set cardinality). */
   case class BitmapCard(child: Expression) extends UnaryExpression {
     override def dataType: DataType = IntegerType
@@ -201,4 +213,5 @@ object Exprs {
       words: Int): Column = c(TokenBitmap(e(tokens), vocab, words))
   def bitmap_jaccard(a: Column, b: Column): Column = c(BitmapJaccard(e(a), e(b)))
   def bitmap_card(a: Column): Column = c(BitmapCard(e(a)))
+  def word_ngrams(tokens: Column, n: Int): Column = c(WordNgrams(e(tokens), n))
 }

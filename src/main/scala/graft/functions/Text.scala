@@ -17,14 +17,11 @@ object Text {
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
   /** Word n-gram shingles: join every n consecutive tokens with a space.
-    * Empty result when fewer than n tokens.
+    * Empty result when fewer than n tokens. Codegen kernel — the HOF
+    * formulation (transform + slice + array_join) stays outside
+    * whole-stage codegen and allocates per gram.
     */
-  def shingles(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
-      transform(
-        sequence(lit(0), size(toks) - lit(n)),
-        i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
-      .otherwise(array().cast("array<string>"))
+  def shingles(toks: Column, n: Int): Column = Exprs.word_ngrams(toks, n)
 
   /** Distinct token set (order-normalized for set similarity). */
   def tokenSet(text: Column): Column = array_sort(array_distinct(tokens(text)))

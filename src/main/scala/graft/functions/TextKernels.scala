@@ -265,6 +265,26 @@ object TextKernels {
     if (union == 0) -1.0 else inter.toDouble / union
   }
 
+  /** Word n-grams: every n consecutive tokens joined with a single
+    * space. Replaces a transform+slice+array_join higher-order chain
+    * (HOFs don't participate in whole-stage codegen and allocate a
+    * slice array per gram). */
+  def wordNgrams(tokens: ArrayData, n: Int): ArrayData = {
+    val cnt = tokens.numElements() - n + 1
+    if (cnt <= 0) return new GenericArrayData(Array.empty[Any])
+    val sep = UTF8String.fromString(" ")
+    val out = new Array[Any](cnt)
+    val window = new Array[UTF8String](n)
+    var i = 0
+    while (i < cnt) {
+      var j = 0
+      while (j < n) { window(j) = tokens.getUTF8String(i + j); j += 1 }
+      out(i) = UTF8String.concatWs(sep, window: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Popcount of a bitset (|token set| for the size-band prefilter). */
   def bitmapCard(a: ArrayData): Int = {
     val n = a.numElements()

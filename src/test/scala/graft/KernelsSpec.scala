@@ -91,6 +91,17 @@ class KernelsSpec extends AnyFunSuite {
     assert(TextKernels.bitmapJaccard(e0, e0) == -1.0)
   }
 
+  test("wordNgrams matches the HOF shingle semantics") {
+    def grams(n: Int, ts: String*): Seq[String] = {
+      val r = TextKernels.wordNgrams(arr(ts: _*), n)
+      (0 until r.numElements()).map(i => r.getUTF8String(i).toString)
+    }
+    assert(grams(2, "a", "b", "c") == Seq("a b", "b c"))
+    assert(grams(3, "a", "b", "c") == Seq("a b c"))
+    assert(grams(2, "solo") == Seq.empty)
+    assert(grams(1, "x", "y") == Seq("x", "y"))
+  }
+
   test("sortedIntersectCountLong merge walk equals the string variant") {
     def larr(vs: Long*) = new GenericArrayData(vs.toArray[Any])
     assert(TextKernels.sortedIntersectCountLong(larr(1L, 5L, 9L), larr(5L, 9L, 12L)) == 2)
