@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** The library façade — the operator surface a user of the reference
+  * pipeline (bireme/data-governance) programs against, re-expressed
+  * Spark-first. Every method delegates to a gate-checked module; see
+  * README.md for the operator→gate map.
+  *
+  * {{{
+  * val spark = SparkSession.builder()...getOrCreate()
+  *
+  * // governance: landing JSONL → iAHx docs → enriched → Solr XML
+  * val layers = Graft.runGovernance(spark, "s3://…/landing.jsonl",
+  *   "s3://…/warehouse", lookups, instTab, dbInstTab, temas, 2026)
+  *
+  * // training-data ops over a (doc_id, text) corpus
+  * val pairs = Graft.nearDupPairs(spark, docs, threshold = 0.8)
+  * val keep  = Graft.dedupDecisions(spark, dir, jaccard = 0.9)
+  * }}}
+  */
+object Graft {
+
+  // ---- governance pipeline (SURVEY §3.1) ---------------------------------
+
+  /** 01→04: standardize (02+02_x01), enrich (03), export (04). Layers are
+    * update-month-partitioned parquet; see [[pipeline.Governance]]. */
+  def runGovernance(spark: SparkSession, landingJsonl: String, outDir: String,
+      lookups: gov.Lookups, instTab: Seq[gov.Enrich.InstRow],
+      dbInstTab: Seq[gov.Enrich.DbInstRow], temas: Seq[gov.Enrich.TemaRow],
+      nowYear: Int): pipeline.Governance.Layers =
+    pipeline.Governance.run(spark, landingJsonl, outDir, lookups,
+      instTab, dbInstTab, temas, nowYear)
+
+  /** Incremental layer scan: only partitions with update month ≥ yyyymm. */
+  def readLayerSince(spark: SparkSession, layerPath: String,
+      sinceMonth: String): DataFrame =
+    pipeline.Governance.readLayerSince(spark, layerPath, sinceMonth)
+
+  /** The 02-layer document transform (X1–X19 + 02_x01) as a typed map —
+    * reference-golden semantics including key-presence quirks. */
+  def standardize(ds: Dataset[gov.Landing], lookups: gov.Lookups,
+      nowYear: Int): Dataset[gov.IahxDoc] =
+    gov.Gov.toIahx(ds, lookups, nowYear)
+
+  // ---- deduplication ------------------------------------------------------
+
+  /** Exact-threshold Jaccard near-dup pairs over (doc_id, text rows).
+    * Adaptive physical plan: dense-vocab bitsets / hashed merge walk
+    * (see [[operators.SetSimJoin]]); [[operators.PrefixJoin]] for the
+    * subquadratic candidate path. */
+  def nearDupPairs(spark: SparkSession, docs: DataFrame,
+      threshold: Double): DataFrame =
+    operators.SetSimJoin.jaccardPairs(spark,
+      docs.select(col("doc_id"),
+        functions.Text.tokenSet(col("text")).as("ts")), threshold)
+
+  /** Near-dup pairs → connected components → keep/drop decision per doc
+    * (survivor = min doc_id per component). */
+  def dedupDecisions(spark: SparkSession, dir: String,
+      jaccard: Double): DataFrame =
+    operators.DedupClusters.decisions(spark, dir, jaccard)
+
+  /** Connected components over an (id_a, id_b) edge set: driver
+    * union-find when small, bounded label propagation at scale. */
+  def connectedComponents(spark: SparkSession, pairs: DataFrame): DataFrame =
+    operators.DedupClusters.connectedComponents(spark, pairs)
+
+  // ---- text analysis ------------------------------------------------------
+
+  /** Heuristic language ID column (marker-word argmax + CJK gate). */
+  def langId(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    functions.Text.langId(text)
+
+  /** Composite quality score in [0,1]. */
+  def qualityScore(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    functions.Text.qualityScore(text)
+
+  /** Sorted-distinct whitespace token set. */
+  def tokenSet(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    functions.Text.tokenSet(text)
+
+  /** Word n-gram shingles (codegen kernel). */
+  def shingles(tokens: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column =
+    functions.Text.shingles(tokens, n)
+
+  // ---- quality checks -----------------------------------------------------
+
+  /** One-row-per-check quality report over the star schema. */
+  def qualityReport(spark: SparkSession, dir: String): DataFrame =
+    quality.Checks.report(spark, dir)
+}

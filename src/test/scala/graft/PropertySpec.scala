@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextKernels
+import graft.gov.RefTransforms
+import graft.ingest.Harvest
+
+/** Property-based invariants (ScalaCheck driven from funsuite — no
+  * scalatestplus bridge in the offline cache): normalizer idempotence,
+  * kernel-path agreement on random inputs, and harvest-plan coverage.
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private def check(name: String, p: Prop, min: Int = 200): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(min), p)
+    assert(res.passed, s"$name: $res")
+  }
+
+  private def sarr(ts: Seq[String]) =
+    new GenericArrayData(ts.map(UTF8String.fromString).toArray[Any])
+
+  test("X20 removeDiacritics is idempotent on arbitrary unicode") {
+    check("nfkd-idempotent", Prop.forAll(Gen.asciiPrintableStr, Gen.listOf(
+      Gen.oneOf("café", "àé", "Ç", "ü", "中文", "á"))) { (a, extra) =>
+      val s = a + extra.mkString
+      val once = RefTransforms.removeDiacritics(s)
+      RefTransforms.removeDiacritics(once) == once
+    })
+  }
+
+  test("X21 country capitalization is idempotent") {
+    val word = Gen.oneOf("de", "DOS", "México", "new-york", "(alto)", "EL",
+      "são", "PARA", "Côte-d'Ivoire", "guinea")
+    check("caps-idempotent", Prop.forAll(Gen.nonEmptyListOf(word)) { ws =>
+      val s = ws.mkString(" ")
+      val once = RefTransforms.normalizeCountryName(s)
+      RefTransforms.normalizeCountryName(once) == once
+    })
+  }
+
+  test("bitmap Jaccard equals merge-walk Jaccard on random token sets") {
+    val vocab = (0 until 100).map(i => f"tok$i%03d")
+    val vmap = new java.util.HashMap[UTF8String, Integer]()
+    vocab.zipWithIndex.foreach { case (t, i) =>
+      vmap.put(UTF8String.fromString(t), Integer.valueOf(i))
+    }
+    val set = Gen.someOf(vocab).map(_.toSeq.sorted)
+    check("bitmap-vs-walk", Prop.forAll(set, set) { (a, b) =>
+      val inter = TextKernels.sortedIntersectCount(sarr(a), sarr(b))
+      val union = a.size + b.size - inter
+      val walk = if (union == 0) -1.0 else inter.toDouble / union
+      val bm = TextKernels.bitmapJaccard(
+        TextKernels.tokenBitmap(sarr(a), vmap, 2),
+        TextKernels.tokenBitmap(sarr(b), vmap, 2))
+      bm == walk
+    })
+  }
+
+  test("wordNgrams emits exactly max(0, n_tokens-n+1) grams of n tokens") {
+    val toks = Gen.listOf(Gen.identifier.map(_.take(5)).suchThat(_.nonEmpty))
+    val n = Gen.choose(1, 4)
+    check("ngram-count", Prop.forAll(toks, n) { (ts, k) =>
+      val r = TextKernels.wordNgrams(sarr(ts), k)
+      val expected = math.max(0, ts.size - k + 1)
+      r.numElements() == expected &&
+        (0 until r.numElements()).forall { i =>
+          r.getUTF8String(i).toString.split(" ", -1).length == k
+        }
+    })
+  }
+
+  test("harvest plan covers [0, total) exactly once for any stripe shape") {
+    val g = for {
+      total <- Gen.choose(0, 5000)
+      limit <- Gen.choose(1, 500)
+      workers <- Gen.choose(1, 8)
+    } yield (total, limit, workers)
+    check("plan-coverage", Prop.forAll(g) { case (total, limit, workers) =>
+      val pages = Harvest.planPages(total, limit, workers)
+      val offsets = pages.map(_.offset)
+      offsets.distinct.size == offsets.size &&
+        offsets.sorted == (0 until total by limit).toList
+    })
+  }
+}
