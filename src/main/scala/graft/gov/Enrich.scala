@@ -49,19 +49,20 @@ object Enrich {
       temas: Seq[TemaRow]): DataFrame = {
     import spark.implicits._
 
+    // Every branch emits slim (id, key, val) rows; ONE shuffle at the end
+    // aggregates them (map-side partial collect_set). The reference's
+    // $setUnion makes per-branch pre-aggregation redundant — the final
+    // set-merge subsumes it — so the former 8 per-branch groupBys (8
+    // extra shuffles) are gone.
+
     // ---- J4: db → instanceEcollection ----
     val instDf = broadcast(instTab.toDF("k_db", "t_instance", "t_coll_inst"))
     val j4 = docs.select($"id", explode($"db").as("db_name"))
       .join(instDf, $"db_name" === $"k_db")
-      .select($"id", $"db_name", $"t_instance",
-        explode_outer($"t_coll_inst").as("coll_inst"))
-    val j4inst = j4.groupBy("id")
-      .agg(array_distinct(flatten(collect_list($"t_instance"))).as("vals"))
-      .select($"id", lit("instance").as("key"), $"vals")
-    val j4coll = j4.filter($"coll_inst".isNotNull)
-      .groupBy($"id", $"coll_inst".as("key"))
-      .agg(collect_set($"db_name").as("vals"))
-      .select($"id", $"key", $"vals")
+    val j4inst = j4
+      .select($"id", lit("instance").as("key"), explode($"t_instance").as("v"))
+    val j4coll = j4
+      .select($"id", explode($"t_coll_inst").as("key"), $"db_name".as("v"))
 
     // ---- J5: database → DBinstanceEcollection (NFKD-normalized key) ----
     val dbInstDf = broadcast(
@@ -72,41 +73,37 @@ object Enrich {
       .join(dbInstDf, $"norm_key" === $"k_database")
     val j5db = j5base.groupBy("id")
       .agg(array_distinct(flatten(collect_list($"t_db"))).as("db_add"))
-    val j5inst = j5base.groupBy("id")
-      .agg(array_distinct(flatten(collect_list($"t_instance"))).as("vals"))
-      .select($"id", lit("instance").as("key"), $"vals")
+    val j5inst = j5base
+      .select($"id", lit("instance").as("key"), explode($"t_instance").as("v"))
     val j5coll = j5base
       .select($"id", explode($"t_coll_inst").as("kv"))
       .select($"id", split($"kv", ":").getItem(0).as("key"),
         split($"kv", ":").getItem(1).as("v"))
-      .groupBy($"id", $"key").agg(collect_set($"v").as("vals"))
 
     // ---- J6: TEMAS union view on id_iahx ----
     val temaDf = temas.toDF("id_iahx", "t_db", "t_inst", "t_coll", "t_ts", "t_t", "t_p")
     val pairUdf = udf((a: Seq[String]) => pairWalk(a))
     val j6base = docs.select($"id")
       .join(temaDf, $"id" === $"id_iahx")
-    val j6inst = j6base.groupBy("id")
-      .agg(array_distinct(flatten(collect_list($"t_inst"))).as("vals"))
-      .select($"id", lit("instance").as("key"), $"vals")
+    val j6inst = j6base
+      .select($"id", lit("instance").as("key"), explode($"t_inst").as("v"))
     val j6coll = j6base
-      .select($"id", $"t_db", explode($"t_coll").as("key"))
-      .groupBy($"id", $"key").agg(collect_set($"t_db").as("vals"))
+      .select($"id", explode($"t_coll").as("key"), $"t_db".as("v"))
     val j6tags = j6base
       .select($"id", explode(pairUdf(concat($"t_ts", $"t_t"))).as("kv"))
       .select($"id", $"kv._1".as("key"), $"kv._2".as("v"))
-      .groupBy($"id", $"key").agg(collect_list($"v").as("vals"))
     val j6ctx = j6base
       .select($"id", explode(pairUdf($"t_p")).as("kv"))
       .select($"id", $"kv._1".as("key"), $"kv._2".as("v"))
-      .groupBy($"id", $"key").agg(collect_list($"v").as("vals"))
 
-    // ---- merge deltas: (id, key, vals)* → (id, dyn_add map) ----
+    // ---- merge deltas: (id, key, val)* → (id, dyn_add map) ----
+    // collect_set drops the nulls pairWalk emits for odd tails (same as
+    // the previous collect_list + final-distinct shape)
     val dynDelta = Seq(j4inst, j4coll, j5inst, j5coll, j6inst, j6coll, j6tags, j6ctx)
       .reduce(_.unionByName(_))
-      .filter(size($"vals") > 0)
       .groupBy($"id", $"key")
-      .agg(array_distinct(flatten(collect_list($"vals"))).as("vals"))
+      .agg(collect_set($"v").as("vals"))
+      .filter(size($"vals") > 0)
       .groupBy($"id")
       .agg(map_from_entries(collect_list(struct($"key", $"vals"))).as("dyn_add"))
 
