@@ -246,7 +246,10 @@ object Metrics {
       .withColumnRenamed("key", "name").withColumnRenamed("value", "count")
       .select("country", "iso", "name", "year", "count")
 
-  /** All metric cells for a corpus — union of the implemented metrics. */
+  /** All metric cells for a corpus — union of the implemented metrics,
+    * one corpus pass per metric (the readable reference implementation;
+    * [[allCellsFused]] is the production path and a spec asserts they
+    * agree cell-for-cell). */
   def allCells(spark: SparkSession, docs: DataFrame, regions0: Seq[WhoRegion],
       decsLabels: Map[String, String],
       areaLabels: Map[String, String] = Map.empty): DataFrame = {
@@ -262,5 +265,79 @@ object Metrics {
       .unionByName(therapies(docs, dr, areaLabels))
       .unionByName(complementary(docs, dr, areaLabels))
       .unionByName(traditional(docs, dr, areaLabels))
+  }
+
+  /** The SURVEY §4 fusion: every metric's (type, name) entries are
+    * generated per doc as one array, exploded ONCE, and aggregated in a
+    * single groupBy per scope — the 11-metrics × 2-scopes = 22 corpus
+    * passes collapse to one explode + two shuffles (plus a tiny zero-fill
+    * join for the timeline's conditional-sum cells, which a pure count
+    * explode cannot produce). At 100 TB this is the difference between
+    * scanning the corpus 22× and once. */
+  def allCellsFused(spark: SparkSession, docs: DataFrame,
+      regions0: Seq[WhoRegion], decsLabels: Map[String, String],
+      areaLabels: Map[String, String] = Map.empty): DataFrame = {
+    import spark.implicits._
+    type C = org.apache.spark.sql.Column
+    val emptyE = array().cast("array<struct<t:string,n:string>>")
+    def ent(t: String, n: C): C = struct(lit(t).as("t"), n.as("n"))
+    def entries(colName: String, t: String, f: C => C): C =
+      coalesce(transform(col(colName), d => ent(t, f(d))), emptyE)
+    def regexGate(d: C): C =
+      when(d.rlike(".+/.+"), regexp_extract(d, ".+/.+", 0))
+    def area(m: C): C =
+      if (areaLabels.isEmpty) m
+      else coalesce(element_at(typedlit(areaLabels), m), m)
+    def subjectName(d: C): C = {
+      val sid = nullif(regexp_extract(d, "(\\d+)", 1), lit(""))
+      if (decsLabels.isEmpty) sid
+      else coalesce(element_at(typedlit(decsLabels), sid), sid)
+    }
+
+    val allEntries = concat(
+      entries("who_regions", "region", regexGate),
+      entries("mj", "subject", subjectName),
+      entries("la", "language", d => lower(d)),
+      entries("type", "doctype",
+        d => coalesce(element_at(typedlit(DocTypeMap), d), d)),
+      entries("type_of_study", "studytype",
+        d => coalesce(element_at(typedlit(StudyTypeMap), d), d)),
+      when(array_contains(col("type"), "article"),
+        array(ent("journal", col("ta")))).otherwise(emptyE),
+      entries("tag_dimentions", "dimension", d => area(regexGate(d))),
+      entries("tag_mtc_tema3", "therapy", d => area(regexGate(d))),
+      entries("tag_mtc_tema2", "complementary", d => area(regexGate(d))),
+      entries("traditional_medicines_cluster", "traditional", d => area(d)),
+      array(ent("timeline", lit("total"))),
+      when(col("fulltext") === "1",
+        array(ent("timeline", lit("with_fulltext")))).otherwise(emptyE))
+
+    val exploded = docs
+      .select(col("id"), yearCol.as("year"), explode(allEntries).as("e"))
+      .select(col("id"), col("year"),
+        col("e.t").as("type"), col("e.n").as("name"))
+      .filter(col("year") >= 1500 && col("name").isNotNull)
+
+    val dr = docRegions(spark, docs, regions0)
+    val global = exploded.groupBy("type", "name", "year")
+      .agg(count(lit(1)).as("count"))
+      .select(col("type"), lit(null.asInstanceOf[String]).as("region"),
+        col("name"), col("year"), col("count"))
+    val scoped = exploded.join(dr, "id")
+      .groupBy("region", "type", "name", "year")
+      .agg(count(lit(1)).as("count"))
+      .select("type", "region", "name", "year", "count")
+    val cells = global.unionByName(scoped)
+
+    // conditional-sum zero-fill: every timeline/total group must also
+    // carry a with_fulltext cell (0 when no doc in the group had one)
+    val zeros = cells
+      .filter($"type" === "timeline" && $"name" === "total")
+      .select($"type", $"region", lit("with_fulltext").as("name"),
+        $"year", lit(0L).as("count"))
+      .join(cells.filter($"name" === "with_fulltext")
+          .select($"region".as("r2"), $"year".as("y2")),
+        $"region" <=> $"r2" && $"year" === $"y2", "left_anti")
+    cells.unionByName(zeros)
   }
 }

@@ -89,7 +89,9 @@ object MetricsOps {
       |ORDER BY type, region NULLS FIRST, name, year""".stripMargin) { (s, _) =>
     import s.implicits._
     val docs = s.createDataset(fixtureDocs).toDF()
-    Metrics.allCells(s, docs, fixtureRegions, fixtureDecsLabels, fixtureAreaLabels)
+    // production path: the single-pass fusion (allCells is the per-metric
+    // reference implementation; EngineSpec asserts they agree)
+    Metrics.allCellsFused(s, docs, fixtureRegions, fixtureDecsLabels, fixtureAreaLabels)
       .orderBy(col("type"), col("region").asc_nulls_first, col("name"), col("year"))
   }
 

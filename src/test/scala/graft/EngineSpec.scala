@@ -130,6 +130,22 @@ class EngineSpec extends AnyFunSuite {
       s"prefix-join diverged: only-brute=${(brute -- prefix).take(3)} only-prefix=${(prefix -- brute).take(3)}")
   }
 
+  test("fused single-pass metrics equal the per-metric reference implementation") {
+    import spark.implicits._
+    val docs = spark.createDataset(metrics.MetricsOps.fixtureDocs).toDF()
+    def cells(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), Option(r.getString(1)), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val perMetric = cells(metrics.Metrics.allCells(spark, docs,
+      metrics.MetricsOps.fixtureRegions, metrics.MetricsOps.fixtureDecsLabels,
+      metrics.MetricsOps.fixtureAreaLabels))
+    val fused = cells(metrics.Metrics.allCellsFused(spark, docs,
+      metrics.MetricsOps.fixtureRegions, metrics.MetricsOps.fixtureDecsLabels,
+      metrics.MetricsOps.fixtureAreaLabels))
+    assert(fused == perMetric,
+      s"only-per-metric=${(perMetric -- fused).take(5)} only-fused=${(fused -- perMetric).take(5)}")
+  }
+
   test("connected components: driver union-find and distributed propagation agree") {
     import spark.implicits._
     // two dense clusters, one 5-hop chain (multi-round propagation), and
