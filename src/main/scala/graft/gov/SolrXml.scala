@@ -111,9 +111,23 @@ object SolrXml {
     sb.toString
   }
 
+  /** Distributed `<add>` export: every partition writes its own complete,
+    * well-formed `<add>` part file — the 100 TB path (no driver
+    * bottleneck; the SFTP/concat post-step or the ingest box consumes the
+    * shard directory). Round-trips through [[graft.ingest.XmlSource]]. */
+  def writeSharded(ds: Dataset[IahxDoc], dir: String): Unit = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      if (it.isEmpty) Iterator.empty
+      else Iterator("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n<add>") ++
+        it.map(docXml _) ++ Iterator("</add>")
+    }(org.apache.spark.sql.Encoders.STRING)
+      .write.mode("overwrite").text(dir)
+  }
+
   /** Single-file `<add>` export (reference writes one file then SFTPs it).
-    * Streams partitions through the driver — at 100 TB you would write
-    * per-partition part files and concatenate at the sink instead. */
+    * Streams partitions through the driver; [[writeSharded]] is the
+    * distributed variant. */
   def writeSingleFile(ds: Dataset[IahxDoc], path: String): Unit = {
     import ds.sparkSession.implicits._
     val it = ds.map(docXml _)(org.apache.spark.sql.Encoders.STRING).toLocalIterator()

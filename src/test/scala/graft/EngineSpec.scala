@@ -130,6 +130,16 @@ class EngineSpec extends AnyFunSuite {
       s"prefix-join diverged: only-brute=${(brute -- prefix).take(3)} only-prefix=${(prefix -- brute).take(3)}")
   }
 
+  test("sharded XML export round-trips: each part file is a well-formed <add>") {
+    val ds = gov.Gov.toIahx(gov.Gov.fixtureLanding(spark), gov.Fixtures.lookups, 2026)
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString + "/xml"
+    gov.SolrXml.writeSharded(ds.repartition(3), dir)
+    val parts = new java.io.File(dir).listFiles().filter(_.getName.startsWith("part-"))
+    assert(parts.count(_.length() > 0) > 1) // actually sharded
+    val back = ingest.XmlSource.read(spark, dir + "/part-*")
+    assert(back.count() == ds.count())
+  }
+
   test("fused single-pass metrics equal the per-metric reference implementation") {
     import spark.implicits._
     val docs = spark.createDataset(metrics.MetricsOps.fixtureDocs).toDF()
