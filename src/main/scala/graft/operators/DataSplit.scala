@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Text
+
+/** Dataset splitting + decontamination — the two operations that sit
+  * between a deduplicated corpus and a training run:
+  *
+  *  - deterministic content-hash splits (a doc lands in the same split
+  *    on every machine and every rerun, independent of row order — the
+  *    property random splits lack);
+  *  - cross-split n-gram decontamination (an eval doc sharing shingles
+  *    with the train split inflates eval scores; the overlap join finds
+  *    them before they poison the benchmark).
+  *
+  * Scale: the split is a stateless map over md5 (no shuffle); the
+  * decontamination join shuffles on the n-gram hash — or broadcasts the
+  * eval side, which is the common case (eval ≪ train).
+  */
+object DataSplit {
+
+  /** Content-hash split: first hex nibble of md5(text) → 16 buckets,
+    * 12/2/2 train/val/test. */
+  val q59 = Q.sql("q59_hash_split",
+    """SELECT doc_id,
+      |  CASE WHEN substr(md5(text), 1, 1) < 'c' THEN 'train'
+      |       WHEN substr(md5(text), 1, 1) < 'e' THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        when(substring(md5(col("text").cast("binary")), 1, 1) < "c", "train")
+          .when(substring(md5(col("text").cast("binary")), 1, 1) < "e", "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
+  /** Decontamination: for each test-split doc, how many of its distinct
+    * word bigrams also occur anywhere in the train split. A real
+    * pipeline drops (or flags) docs above a threshold; the count is the
+    * evidence either way. */
+  val q60 = Q.sql("q60_decontamination",
+    """WITH s AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN substr(md5(text), 1, 1) < 'c' THEN 'train'
+      |         WHEN substr(md5(text), 1, 1) < 'e' THEN 'val'
+      |         ELSE 'test' END AS split,
+      |    regexp_split_to_array(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id, split,
+      |    unnest(list_distinct(list_transform(range(1, len(toks)),
+      |                          i -> toks[i] || ' ' || toks[i+1]))) AS g
+      |  FROM s),
+      |train_g AS (SELECT DISTINCT g FROM grams WHERE split = 'train')
+      |SELECT doc_id, CAST(count(tg.g) AS BIGINT) AS n_contaminated
+      |FROM grams eg LEFT JOIN train_g tg ON eg.g = tg.g
+      |WHERE eg.split = 'test'
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val split = Tables.documents(s, d)
+      .select(col("doc_id"),
+        array_distinct(Text.shingles(Text.tokens(col("text")), 2)).as("grams"),
+        when(substring(md5(col("text").cast("binary")), 1, 1) < "c", "train")
+          .when(substring(md5(col("text").cast("binary")), 1, 1) < "e", "val")
+          .otherwise("test").as("split"))
+    val trainGrams = split.filter(col("split") === "train")
+      .select(explode(col("grams")).as("g")).distinct()
+    val evalGrams = split.filter(col("split") === "test")
+      .select(col("doc_id"), explode(col("grams")).as("g"))
+    evalGrams
+      .join(trainGrams.withColumnRenamed("g", "tg"),
+        col("g") === col("tg"), "left")
+      .groupBy("doc_id")
+      .agg(count(col("tg")).as("n_contaminated"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(q59, q60)
+}
