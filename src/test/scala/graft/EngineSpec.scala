@@ -59,6 +59,21 @@ class EngineSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("enrichment re-run is a no-op (the reference's $setUnion contract)") {
+    import org.apache.spark.sql.functions.{array_sort, col, transform_values}
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("db", array_sort(col("db")))
+      .withColumn("dyn", transform_values(col("dyn"), (_, v) => array_sort(v)))
+      .orderBy("id").collect()
+    val once = gov.Enrich(spark, gov.Gov.fixtureIahx(spark),
+      gov.Fixtures.instanceEcollection, gov.Fixtures.dbInstanceEcollection,
+      gov.Fixtures.temas)
+    val twice = gov.Enrich(spark, once,
+      gov.Fixtures.instanceEcollection, gov.Fixtures.dbInstanceEcollection,
+      gov.Fixtures.temas)
+    assert(canon(once).sameElements(canon(twice)))
+  }
+
   test("XML roundtrip preserves ids and the instance gate filters") {
     import spark.implicits._
     val ds = gov.Gov.toIahx(gov.Gov.fixtureLanding(spark), gov.Fixtures.lookups, 2026)
