@@ -1,9 +1,10 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Exprs, Text}
+import graft.functions.Exprs
 
 /** Prefix-filtered set-similarity join (PPJoin-lite, Chaudhuri et al. /
   * Xiao et al.): the scale path for EXACT threshold Jaccard when a
@@ -15,57 +16,76 @@ import graft.functions.{Exprs, Text}
   * generation becomes: explode prefixes → shuffle-join on token →
   * distinct pairs → merge-walk verify. O(index join) instead of O(n²).
   *
-  * On the synthetic corpus (30-word vocabulary, most pairs similar) the
-  * candidate set degenerates toward all pairs and the brute-force plan
-  * (q24) wins on constant factors — which is exactly why both exist:
-  * brute force for small-n or dense similarity, prefix join for the
-  * 100 TB sparse-similarity regime. The spec asserts both produce
-  * identical results.
+  * 100 TB notes: the global order is (document frequency, token) joined
+  * per-token — a plain shuffle join that AQE turns into a broadcast only
+  * when the vocabulary actually fits (no mandatory broadcast of a
+  * corpus-sized side), and no global row_number window (which would
+  * funnel the vocabulary through one partition). Each stage shuffles on
+  * a bounded key (tok, then doc_id) and carries slim rows.
+  *
+  * [[SetSimJoin.jaccardPairs]] auto-routes here when a prefix-index df
+  * probe says candidate enumeration is subquadratic; on dense-similarity
+  * corpora (most pairs near-dup) the candidate set degenerates toward
+  * all pairs and the brute-force kernels win on constant factors — the
+  * spec asserts all paths produce identical results.
   */
 object PrefixJoin {
 
-  def jaccardPairs(spark: SparkSession, docs0: DataFrame, threshold: Double): DataFrame = {
-    import spark.implicits._
-    val docs = docs0
-      .select($"doc_id", Text.tokenSet($"text").as("ts"))
-      .withColumn("sz", size($"ts"))
+  /** Candidate slack: prefixes and size bands are computed for raw
+    * Jaccard ≥ threshold − 1e-4, so pairs that only cross the threshold
+    * after 4-decimal rounding are never pruned from the candidate set. */
+  private def tEff(threshold: Double): Double = threshold - 0.0001
 
-    // global rarest-first token order by document frequency
-    val df = docs.select($"doc_id", explode($"ts").as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("tf"))
-    // rank tokens; ties broken lexically for determinism
-    val ranked = df.withColumn("rank",
-      row_number().over(org.apache.spark.sql.expressions.Window
-        .orderBy($"tf", $"tok")))
-      .select("tok", "rank")
+  /** Per-doc prefix index (doc_id, tok): each doc's ⌊(1−t)·sz⌋+1
+    * globally-rarest tokens. Input must carry (doc_id, ts, sz). */
+  def prefixTokens(docs: DataFrame, threshold: Double): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("sz"), explode(col("ts")).as("tok"))
+    val tokDf = toks.groupBy("tok").agg(count(lit(1)).as("tf"))
+    toks
+      .join(tokDf, "tok") // shuffle join; AQE broadcasts iff vocab is small
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("tf"), col("tok"))))
+      .withColumn("plen",
+        (floor(lit(1.0 - tEff(threshold)) * col("sz")) + 1).cast("int"))
+      .filter(col("pos") <= col("plen"))
+      .select(col("doc_id"), col("tok"))
+  }
 
-    // re-sort each doc's tokens by global rank and take the prefix
-    val byRank = docs.select($"doc_id", $"sz", explode($"ts").as("tok"))
-      .join(broadcast(ranked), "tok")
-      .withColumn("pos",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .partitionBy($"doc_id").orderBy($"rank")))
-      .withColumn("plen", floor((lit(1.0) - threshold) * $"sz").cast("int") + 1)
-      .filter($"pos" <= $"plen")
-      .select($"doc_id", $"tok")
-
-    // candidates: docs sharing a prefix token
-    val cand = byRank.select($"doc_id".as("id_a"), $"tok")
-      .join(byRank.select($"doc_id".as("id_b"), $"tok"), "tok")
-      .filter($"id_a" < $"id_b")
+  /** Distinct candidate pairs (id_a < id_b) sharing a prefix token. */
+  def candidates(prefix: DataFrame): DataFrame =
+    prefix.select(col("doc_id").as("id_a"), col("tok"))
+      .join(prefix.select(col("doc_id").as("id_b"), col("tok")), "tok")
+      .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
 
-    // verify with the merge-walk kernel + size prefilter
-    val slim = docs.select($"doc_id", $"ts", $"sz")
+  /** Merge-walk verification of candidate pairs with the size-band
+    * prefilter; same (rounded vs raw) threshold semantics as
+    * [[SetSimJoin.jaccardPairs]]. Input docs must carry (doc_id, ts, sz). */
+  def verify(docs: DataFrame, cand: DataFrame, threshold: Double,
+      filterOnRounded: Boolean = true): DataFrame = {
+    val slim = docs.select(col("doc_id"), col("ts"), col("sz"))
     cand
-      .join(slim.select($"doc_id".as("id_a"), $"ts".as("ts_a"), $"sz".as("sz_a")), "id_a")
-      .join(slim.select($"doc_id".as("id_b"), $"ts".as("ts_b"), $"sz".as("sz_b")), "id_b")
-      .filter($"sz_a" * (threshold - 0.0001) <= $"sz_b" &&
-        $"sz_b" * (threshold - 0.0001) <= $"sz_a")
-      .withColumn("inter", Exprs.sorted_intersect_count($"ts_a", $"ts_b"))
-      .withColumn("jac",
-        round($"inter".cast("double") / ($"sz_a" + $"sz_b" - $"inter"), 4))
-      .filter($"jac" >= threshold)
+      .join(slim.select(col("doc_id").as("id_a"),
+        col("ts").as("ts_a"), col("sz").as("sz_a")), "id_a")
+      .join(slim.select(col("doc_id").as("id_b"),
+        col("ts").as("ts_b"), col("sz").as("sz_b")), "id_b")
+      .filter(col("sz_a") * tEff(threshold) <= col("sz_b") &&
+        col("sz_b") * tEff(threshold) <= col("sz_a"))
+      .withColumn("inter", Exprs.sorted_intersect_count(col("ts_a"), col("ts_b")))
+      .withColumn("jac_raw",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .withColumn("jac", round(col("jac_raw"), 4))
+      .filter((if (filterOnRounded) col("jac") else col("jac_raw")) >= threshold)
       .select("id_a", "id_b", "jac")
+  }
+
+  /** docs (doc_id, ts sorted-distinct array<string>) → (id_a, id_b, jac)
+    * pairs at Jaccard ≥ threshold, candidates via the prefix filter. */
+  def jaccardPairs(spark: SparkSession, docs0: DataFrame, threshold: Double,
+      filterOnRounded: Boolean = true): DataFrame = {
+    val docs = docs0.select(col("doc_id"), col("ts"))
+      .withColumn("sz", size(col("ts")))
+    verify(docs, candidates(prefixTokens(docs, threshold)),
+      threshold, filterOnRounded)
   }
 }

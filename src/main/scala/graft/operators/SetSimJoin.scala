@@ -7,8 +7,7 @@ import org.apache.spark.unsafe.types.UTF8String
 import graft.functions.Exprs
 
 /** Adaptive exact-threshold Jaccard self-join over (doc_id, ts) where ts
-  * is a sorted distinct token array. Three physical paths, chosen by a
-  * cheap vocabulary probe:
+  * is a sorted distinct token array. Three physical paths, auto-routed:
   *
   *  1. DENSE (|vocab| ≤ 4096): every token set becomes a fixed-width
   *     bitset over the global vocabulary; Jaccard =
@@ -24,11 +23,19 @@ import graft.functions.Exprs
   *  3. PREFIX (see [[PrefixJoin]]): when n² pair enumeration itself is
   *     unaffordable (the 100 TB sparse-similarity regime), the
   *     prefix-filter index generates candidates subquadratically and the
-  *     same verify kernels apply. Not auto-selected here — candidate
-  *     density, not vocab size, decides, and that is a caller-level
-  *     choice (the spec asserts all paths agree).
+  *     same verify kernels apply.
   *
-  * Both in-line paths enumerate pairs with a broadcast nested-loop join
+  * Routing: n ≤ [[QuadDocCap]] → the in-line quadratic paths (pair loop
+  * is trivially affordable; vocab probe picks dense vs hashed). Above
+  * the cap, a prefix-index probe estimates the candidate-pair count
+  * Σ C(df_prefix, 2): below [[DenseCandidateFrac]] × all-pairs the
+  * corpus is similarity-sparse and [[PrefixJoin]] wins asymptotically;
+  * at or above it the candidate set degenerates toward all pairs and
+  * the brute-force constant factors win. The probe result IS the first
+  * stage of the prefix path (localCheckpointed), so choosing prefix
+  * wastes no work. All paths agree exactly (spec-asserted).
+  *
+  * The in-line paths enumerate pairs with a broadcast nested-loop join
   * (id_a < id_b plus a size-band prefilter sz_a·t ≤ sz_b ≤ sz_a/t): at
   * gate scale (thousands of docs) the pair loop is compute-bound on the
   * per-pair kernel, which is exactly what these paths minimize.
@@ -37,6 +44,22 @@ object SetSimJoin {
 
   val DenseVocabCap = 4096
 
+  /** Doc count below which the O(n²) candidate loop is cheaper than the
+    * prefix index's three shuffles (≤ ~2M pairs of ALU-cheap kernel). */
+  val QuadDocCap = 2048L
+
+  /** Prefix-candidate density at or above which brute force wins: the
+    * candidate set is no longer sparse, so subquadratic enumeration buys
+    * nothing over the vectorized pair loop. */
+  val DenseCandidateFrac = 0.25
+
+  sealed abstract class Route(val name: String)
+  object Route {
+    case object Dense extends Route("dense")
+    case object Hashed extends Route("hashed")
+    case object Prefix extends Route("prefix")
+  }
+
   /** docs: (doc_id, ts sorted-distinct array<string>) → (id_a, id_b, jac)
     * with jac rounded to 4 decimals. `filterOnRounded` picks whether the
     * threshold applies to the rounded (q24 oracle) or raw (q54 oracle)
@@ -44,17 +67,53 @@ object SetSimJoin {
     * enough that a raw value inside ±5e-5 of the threshold exists. */
   def jaccardPairs(spark: SparkSession, docs0: DataFrame,
       threshold: Double, filterOnRounded: Boolean = true,
-      denseVocabCap: Int = DenseVocabCap): DataFrame = {
+      denseVocabCap: Int = DenseVocabCap,
+      quadDocCap: Long = QuadDocCap): DataFrame =
+    routed(spark, docs0, threshold, filterOnRounded, denseVocabCap, quadDocCap)._2
+
+  /** The physical path [[jaccardPairs]] takes for this input — spec
+    * observability; runs only the probe jobs (count + candidate df). */
+  def chosenRoute(spark: SparkSession, docs0: DataFrame, threshold: Double,
+      denseVocabCap: Int = DenseVocabCap,
+      quadDocCap: Long = QuadDocCap): Route =
+    routed(spark, docs0, threshold, filterOnRounded = true,
+      denseVocabCap, quadDocCap)._1
+
+  private def routed(spark: SparkSession, docs0: DataFrame,
+      threshold: Double, filterOnRounded: Boolean,
+      denseVocabCap: Int, quadDocCap: Long): (Route, DataFrame) = {
     import spark.implicits._
     val docs = docs0.select($"doc_id", $"ts")
+    val n = docs.count()
+    if (n <= quadDocCap) return quadRouted(spark, docs, threshold,
+      filterOnRounded, denseVocabCap)
+    // prefix-index df probe: materialize the (doc_id, prefix tok) index
+    // once (it is stage 1 of the prefix path — no wasted work if chosen)
+    // and estimate candidate pairs as Σ C(df_prefix, 2).
+    val sized = docs.withColumn("sz", size($"ts"))
+    val prefix = PrefixJoin.prefixTokens(sized, threshold).localCheckpoint(true)
+    val est = prefix.groupBy("tok").agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum($"c" * ($"c" - 1)), lit(0L)).as("s"))
+      .as[Long].head() / 2.0
+    val allPairs = n.toDouble * (n - 1) / 2
+    if (est < allPairs * DenseCandidateFrac)
+      (Route.Prefix, PrefixJoin.verify(sized, PrefixJoin.candidates(prefix),
+        threshold, filterOnRounded))
+    else quadRouted(spark, docs, threshold, filterOnRounded, denseVocabCap)
+  }
+
+  private def quadRouted(spark: SparkSession, docs: DataFrame,
+      threshold: Double, filterOnRounded: Boolean,
+      denseVocabCap: Int): (Route, DataFrame) = {
+    import spark.implicits._
     // vocabulary probe: collect at most cap+1 distinct tokens (a tiny
     // aggregate — the full distinct never materializes on the driver when
     // the vocab is large)
     val probe = docs.select(explode($"ts").as("tok")).distinct()
       .limit(denseVocabCap + 1).as[String].collect()
     if (probe.length <= denseVocabCap)
-      densePairs(spark, docs, threshold, filterOnRounded, probe.sorted)
-    else hashedPairs(spark, docs, threshold, filterOnRounded)
+      (Route.Dense, densePairs(spark, docs, threshold, filterOnRounded, probe.sorted))
+    else (Route.Hashed, hashedPairs(spark, docs, threshold, filterOnRounded))
   }
 
   private def densePairs(spark: SparkSession, docs: DataFrame,

@@ -139,7 +139,9 @@ class EngineSpec extends AnyFunSuite {
     val brute = SparkEntry.queries("q24_jaccard_pairs")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val prefix = operators.PrefixJoin
-      .jaccardPairs(spark, Tables.documents(spark, sf), 0.8)
+      .jaccardPairs(spark, Tables.documents(spark, sf)
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          functions.Text.tokenSet(org.apache.spark.sql.functions.col("text")).as("ts")), 0.8)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(prefix == brute,
       s"prefix-join diverged: only-brute=${(brute -- prefix).take(3)} only-prefix=${(prefix -- brute).take(3)}")

@@ -51,6 +51,58 @@ class ScaleSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS $oT")
   }
 
+  test("SetSimJoin auto-routes: prefix on sparse corpora, quadratic on dense/small") {
+    import spark.implicits._
+    import operators.SetSimJoin
+    // sparse: 2500 docs (> QuadDocCap), near-disjoint vocab — candidate
+    // density ~0, the n² loop is the bottleneck → prefix path
+    val sparse = spark.range(2500)
+      .select($"id".as("doc_id"),
+        transform(sequence(lit(0), lit(9)),
+          j => concat(lit("t"), ($"id" * 7 + j).cast("string"))).as("ts"))
+      .withColumn("ts", array_sort(array_distinct($"ts")))
+    assert(SetSimJoin.chosenRoute(spark, sparse, 0.8) == SetSimJoin.Route.Prefix)
+    // dense: same size but a 16-token vocabulary — most pairs are
+    // candidates, brute-force constant factors win → dense bitset path
+    val dense = spark.range(2500)
+      .select($"id".as("doc_id"),
+        transform(sequence(lit(0), lit(9)),
+          j => concat(lit("t"), pmod($"id" + j, lit(16)).cast("string"))).as("ts"))
+      .withColumn("ts", array_sort(array_distinct($"ts")))
+    assert(SetSimJoin.chosenRoute(spark, dense, 0.8) == SetSimJoin.Route.Dense)
+    // small: under the doc cap, no probe — quadratic path regardless
+    assert(SetSimJoin.chosenRoute(spark, sparse.limit(100), 0.8) != SetSimJoin.Route.Prefix)
+    // and the routed result equals brute force on a corpus WITH matches:
+    // pairs of consecutive docs share 9 of 11 tokens (J = 9/11 ≈ 0.818)
+    val paired = spark.range(2500)
+      .select($"id".as("doc_id"),
+        array_sort(array_distinct(transform(sequence(lit(0), lit(9)),
+          j => concat(lit("t"), (($"id" / 2).cast("long") * 20 + j
+            + pmod($"id", lit(2))).cast("string"))))).as("ts"))
+    assert(SetSimJoin.chosenRoute(spark, paired, 0.8) == SetSimJoin.Route.Prefix)
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaRouter = pairSet(SetSimJoin.jaccardPairs(spark, paired, 0.8))
+    val viaQuad = pairSet(SetSimJoin.jaccardPairs(spark, paired, 0.8,
+      quadDocCap = Long.MaxValue))
+    assert(viaRouter == viaQuad && viaRouter.nonEmpty,
+      s"router diverged: sizes ${viaRouter.size} vs ${viaQuad.size}")
+  }
+
+  test("PrefixJoin plan has no mandatory broadcast of the token-rank side") {
+    import spark.implicits._
+    val docs = spark.range(300)
+      .select($"id".as("doc_id"),
+        array_sort(array_distinct(transform(sequence(lit(0), lit(9)),
+          j => concat(lit("t"), ($"id" * 3 + j).cast("string"))))).as("ts"))
+    val plan = operators.PrefixJoin.jaccardPairs(spark, docs, 0.8)
+      .queryExecution.executedPlan.toString
+    // session pins autoBroadcastJoinThreshold=-1; a broadcast() hint would
+    // still force BroadcastExchange — assert none survives
+    assert(!plan.contains("BroadcastExchange"),
+      s"prefix join still forces a broadcast:\n$plan")
+  }
+
   test("salted aggregation of a skewed key equals the direct aggregate") {
     import spark.implicits._
     // skew: one hot key holding most rows
