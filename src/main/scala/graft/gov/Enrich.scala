@@ -42,11 +42,27 @@ object Enrich {
       case Seq(k) => (k, null)
     }.toSeq
 
-  /** Compute and apply all three enrichment deltas. `docs` must carry
-    * `id`, `db` (array), `database` (array), `dyn` (map). */
+  /** Fixture-friendly overload: a driver-side TEMAS table. Production
+    * uses the DataFrame variant — J6 is the reference's biggest join
+    * (03_xml_enriched.py:385-453) and its input must not be capped at
+    * driver memory. */
   def apply(spark: SparkSession, docs: DataFrame,
       instTab: Seq[InstRow], dbInstTab: Seq[DbInstRow],
       temas: Seq[TemaRow]): DataFrame = {
+    import spark.implicits._
+    apply(spark, docs, instTab, dbInstTab, temas.toDF(
+      "id_iahx", "db", "instance_iahx", "collection_iahx",
+      "tema_subtema", "tema", "projeto"))
+  }
+
+  /** Compute and apply all three enrichment deltas. `docs` must carry
+    * `id`, `db` (array), `database` (array), `dyn` (map); `temas` is the
+    * TEMAS_BVS2 union view with its natural column names (id_iahx, db,
+    * instance_iahx, collection_iahx, tema_subtema, tema, projeto) — any
+    * distributed source (parquet layer, JDBC snapshot), never collected. */
+  def apply(spark: SparkSession, docs: DataFrame,
+      instTab: Seq[InstRow], dbInstTab: Seq[DbInstRow],
+      temas: DataFrame): DataFrame = {
     import spark.implicits._
 
     // Every branch emits slim (id, key, val) rows; ONE shuffle at the end
@@ -81,7 +97,9 @@ object Enrich {
         split($"kv", ":").getItem(1).as("v"))
 
     // ---- J6: TEMAS union view on id_iahx ----
-    val temaDf = temas.toDF("id_iahx", "t_db", "t_inst", "t_coll", "t_ts", "t_t", "t_p")
+    val temaDf = temas.select($"id_iahx", $"db".as("t_db"),
+      $"instance_iahx".as("t_inst"), $"collection_iahx".as("t_coll"),
+      $"tema_subtema".as("t_ts"), $"tema".as("t_t"), $"projeto".as("t_p"))
     val pairUdf = udf((a: Seq[String]) => pairWalk(a))
     val j6base = docs.select($"id")
       .join(temaDf, $"id" === $"id_iahx")

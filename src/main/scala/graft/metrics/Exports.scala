@@ -54,6 +54,42 @@ object Exports {
        |</body></html>""".stripMargin
   }
 
+  /** K4 per-country fan-out (reference dag_03_export_html.py:268-314
+    * writes one `<iso>.html` per country): render one dashboard page per
+    * country from the [[Metrics.countryCells]] table. The cell table is
+    * small (countries × names × years of COUNTS, not documents) — the
+    * distributed work ended at the fused metric pass; page templating is
+    * a driver loop over an already-aggregated result, same as the
+    * reference. Returns iso → html. */
+  def countryPages(countryCells: DataFrame): Map[String, String] = {
+    val rows = countryCells
+      .select("iso", "country", "type", "name", "year", "count")
+      .collect()
+    rows.groupBy(r => (r.getString(0), r.getString(1))).map {
+      case ((iso, country), cells) =>
+        val byType = cells.groupBy(_.getString(2)).toSeq.sortBy(_._1)
+        val sections = byType.map { case (t, cs) =>
+          val trs = cs.sortBy(r => (r.getString(3), r.getLong(4)))
+            .map(r => s"<tr><td>${r.getString(3)}</td><td>${r.getLong(4)}</td><td>${r.getLong(5)}</td></tr>")
+          s"""<h2>$t</h2><table border="1"><tr><th>name</th><th>ano</th><th>count</th></tr>
+             |${trs.mkString("\n")}</table>""".stripMargin
+        }
+        iso -> s"""<!DOCTYPE html><html><head><meta charset="utf-8"><title>$country ($iso)</title></head>
+                  |<body><h1>$country ($iso)</h1>
+                  |${sections.mkString("\n")}
+                  |</body></html>""".stripMargin
+    }
+  }
+
+  /** Write the per-country pages as `<iso>.html` under `dir`. */
+  def writeCountryPages(countryCells: DataFrame, dir: String): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    countryPages(countryCells).foreach { case (iso, html) =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/$iso.html"),
+        html.getBytes("UTF-8"))
+    }
+  }
+
   private def fixtureCells(s: org.apache.spark.sql.SparkSession): DataFrame = {
     import s.implicits._
     Metrics.allCells(s, s.createDataset(MetricsOps.fixtureDocs).toDF(),

@@ -278,6 +278,61 @@ object Metrics {
       regions0: Seq[WhoRegion], decsLabels: Map[String, String],
       areaLabels: Map[String, String] = Map.empty): DataFrame = {
     import spark.implicits._
+    val exploded = fusedEntries(docs, decsLabels, areaLabels)
+    val dr = docRegions(spark, docs, regions0)
+    val global = exploded.groupBy("type", "name", "year")
+      .agg(count(lit(1)).as("count"))
+      .select(col("type"), lit(null.asInstanceOf[String]).as("region"),
+        col("name"), col("year"), col("count"))
+    val scoped = exploded.join(dr, "id")
+      .groupBy("region", "type", "name", "year")
+      .agg(count(lit(1)).as("count"))
+      .select("type", "region", "name", "year", "count")
+    val cells = global.unionByName(scoped)
+
+    // conditional-sum zero-fill: every timeline/total group must also
+    // carry a with_fulltext cell (0 when no doc in the group had one)
+    val zeros = cells
+      .filter($"type" === "timeline" && $"name" === "total")
+      .select($"type", $"region", lit("with_fulltext").as("name"),
+        $"year", lit(0L).as("count"))
+      .join(cells.filter($"name" === "with_fulltext")
+          .select($"region".as("r2"), $"year".as("y2")),
+        $"region" <=> $"r2" && $"year" === $"y2", "left_anti")
+    cells.unionByName(zeros)
+  }
+
+  /** The tmgl_countries scope of the same fusion: every metric cell
+    * counted per matched country (reference runs the ~10 metric DAGs once
+    * per country — dags/tmgl_countries/dag_02_subjects.py:152-162 and
+    * siblings; here it is the SAME single exploded-entries pass joined to
+    * the (doc, country) match table and grouped by country). Cells:
+    * (type, country, iso, name, year, count). */
+  def countryCells(spark: SparkSession, docs: DataFrame,
+      countries: Seq[Country], decsLabels: Map[String, String],
+      areaLabels: Map[String, String] = Map.empty): DataFrame = {
+    import spark.implicits._
+    val exploded = fusedEntries(docs, decsLabels, areaLabels)
+    val dc = docCountries(spark, docs, countries)
+    val cells = exploded.join(dc, "id")
+      .groupBy("country", "iso", "type", "name", "year")
+      .agg(count(lit(1)).as("count"))
+      .select("type", "country", "iso", "name", "year", "count")
+    val zeros = cells
+      .filter($"type" === "timeline" && $"name" === "total")
+      .select($"type", $"country", $"iso", lit("with_fulltext").as("name"),
+        $"year", lit(0L).as("count"))
+      .join(cells.filter($"name" === "with_fulltext")
+          .select($"country".as("c2"), $"year".as("y2")),
+        $"country" === $"c2" && $"year" === $"y2", "left_anti")
+    cells.unionByName(zeros)
+  }
+
+  /** One corpus pass generating every metric's (type, name) entries per
+    * doc as a single exploded table (id, year, type, name) — the shared
+    * front half of [[allCellsFused]] and [[countryCells]]. */
+  private def fusedEntries(docs: DataFrame, decsLabels: Map[String, String],
+      areaLabels: Map[String, String]): DataFrame = {
     type C = org.apache.spark.sql.Column
     val emptyE = array().cast("array<struct<t:string,n:string>>")
     def ent(t: String, n: C): C = struct(lit(t).as("t"), n.as("n"))
@@ -312,32 +367,10 @@ object Metrics {
       when(col("fulltext") === "1",
         array(ent("timeline", lit("with_fulltext")))).otherwise(emptyE))
 
-    val exploded = docs
+    docs
       .select(col("id"), yearCol.as("year"), explode(allEntries).as("e"))
       .select(col("id"), col("year"),
         col("e.t").as("type"), col("e.n").as("name"))
       .filter(col("year") >= 1500 && col("name").isNotNull)
-
-    val dr = docRegions(spark, docs, regions0)
-    val global = exploded.groupBy("type", "name", "year")
-      .agg(count(lit(1)).as("count"))
-      .select(col("type"), lit(null.asInstanceOf[String]).as("region"),
-        col("name"), col("year"), col("count"))
-    val scoped = exploded.join(dr, "id")
-      .groupBy("region", "type", "name", "year")
-      .agg(count(lit(1)).as("count"))
-      .select("type", "region", "name", "year", "count")
-    val cells = global.unionByName(scoped)
-
-    // conditional-sum zero-fill: every timeline/total group must also
-    // carry a with_fulltext cell (0 when no doc in the group had one)
-    val zeros = cells
-      .filter($"type" === "timeline" && $"name" === "total")
-      .select($"type", $"region", lit("with_fulltext").as("name"),
-        $"year", lit(0L).as("count"))
-      .join(cells.filter($"name" === "with_fulltext")
-          .select($"region".as("r2"), $"year".as("y2")),
-        $"region" <=> $"r2" && $"year" === $"y2", "left_anti")
-    cells.unionByName(zeros)
   }
 }

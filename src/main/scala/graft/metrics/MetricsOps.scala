@@ -119,5 +119,52 @@ object MetricsOps {
     Metrics.countryTimeline(docs, dc).orderBy("country", "name", "year")
   }
 
-  val all: Seq[Q] = Seq(q45, q49)
+  /** ALL metric types in country scope (the tmgl_countries fan-out, A3
+    * completed): same fused entries pass as q45, joined to docCountries.
+    * Hand-computed over the 4-doc fixture: brazil sees t1 (2020) + t2
+    * (2021); france sees t2 only; t3 is year-gated (1400); t4 matches no
+    * fixture country. t2 contributes region×2, subject '99', language
+    * 'en', doctype Monograph+Multimedia, timeline total (fulltext '' →
+    * with_fulltext zero-filled). */
+  val q61 = Q.sql("q61_country_cells",
+    """SELECT * FROM (VALUES
+      |  ('complementary', 'brazil', 'BR', 'comp/B', CAST(2020 AS BIGINT), CAST(1 AS BIGINT)),
+      |  ('dimension', 'brazil', 'BR', 'Dimension One', CAST(2020 AS BIGINT), CAST(1 AS BIGINT)),
+      |  ('doctype', 'brazil', 'BR', 'Articles', CAST(2020 AS BIGINT), CAST(1 AS BIGINT)),
+      |  ('doctype', 'brazil', 'BR', 'Monograph', CAST(2021 AS BIGINT), CAST(1 AS BIGINT)),
+      |  ('doctype', 'brazil', 'BR', 'Multimedia', CAST(2021 AS BIGINT), CAST(1 AS BIGINT)),
+      |  ('doctype', 'france', 'FR', 'Monograph', CAST(2021 AS BIGINT), CAST(1 AS BIGINT)),
+      |  ('doctype', 'france', 'FR', 'Multimedia', CAST(2021 AS BIGINT), CAST(1 AS BIGINT)),
+      |  ('journal', 'brazil', 'BR', 'Revista A', CAST(2020 AS BIGINT), CAST(1 AS BIGINT)),
+      |  ('language', 'brazil', 'BR', 'en', CAST(2020 AS BIGINT), CAST(1 AS BIGINT)),
+      |  ('language', 'brazil', 'BR', 'en', CAST(2021 AS BIGINT), CAST(1 AS BIGINT)),
+      |  ('language', 'brazil', 'BR', 'pt', CAST(2020 AS BIGINT), CAST(1 AS BIGINT)),
+      |  ('language', 'france', 'FR', 'en', CAST(2021 AS BIGINT), CAST(1 AS BIGINT)),
+      |  ('region', 'brazil', 'BR', 'AMRO/Brazil', CAST(2020 AS BIGINT), CAST(1 AS BIGINT)),
+      |  ('region', 'brazil', 'BR', 'AMRO/Brazil', CAST(2021 AS BIGINT), CAST(1 AS BIGINT)),
+      |  ('region', 'brazil', 'BR', 'EURO/France', CAST(2021 AS BIGINT), CAST(1 AS BIGINT)),
+      |  ('region', 'france', 'FR', 'AMRO/Brazil', CAST(2021 AS BIGINT), CAST(1 AS BIGINT)),
+      |  ('region', 'france', 'FR', 'EURO/France', CAST(2021 AS BIGINT), CAST(1 AS BIGINT)),
+      |  ('studytype', 'brazil', 'BR', 'Systematic review', CAST(2020 AS BIGINT), CAST(1 AS BIGINT)),
+      |  ('studytype', 'brazil', 'BR', 'unknown_x', CAST(2020 AS BIGINT), CAST(1 AS BIGINT)),
+      |  ('subject', 'brazil', 'BR', '99', CAST(2021 AS BIGINT), CAST(1 AS BIGINT)),
+      |  ('subject', 'brazil', 'BR', 'Traditional Medicine', CAST(2020 AS BIGINT), CAST(1 AS BIGINT)),
+      |  ('subject', 'france', 'FR', '99', CAST(2021 AS BIGINT), CAST(1 AS BIGINT)),
+      |  ('therapy', 'brazil', 'BR', 'Therapy A', CAST(2020 AS BIGINT), CAST(1 AS BIGINT)),
+      |  ('timeline', 'brazil', 'BR', 'total', CAST(2020 AS BIGINT), CAST(1 AS BIGINT)),
+      |  ('timeline', 'brazil', 'BR', 'total', CAST(2021 AS BIGINT), CAST(1 AS BIGINT)),
+      |  ('timeline', 'brazil', 'BR', 'with_fulltext', CAST(2020 AS BIGINT), CAST(1 AS BIGINT)),
+      |  ('timeline', 'brazil', 'BR', 'with_fulltext', CAST(2021 AS BIGINT), CAST(0 AS BIGINT)),
+      |  ('timeline', 'france', 'FR', 'total', CAST(2021 AS BIGINT), CAST(1 AS BIGINT)),
+      |  ('timeline', 'france', 'FR', 'with_fulltext', CAST(2021 AS BIGINT), CAST(0 AS BIGINT)),
+      |  ('traditional', 'brazil', 'BR', 'Traditional One', CAST(2020 AS BIGINT), CAST(1 AS BIGINT))
+      |) AS t(type, country, iso, name, year, count)
+      |ORDER BY type, country, name, year""".stripMargin) { (s, _) =>
+    import s.implicits._
+    val docs = s.createDataset(fixtureDocs).toDF()
+    Metrics.countryCells(s, docs, fixtureCountries, fixtureDecsLabels, fixtureAreaLabels)
+      .orderBy("type", "country", "name", "year")
+  }
+
+  val all: Seq[Q] = Seq(q45, q49, q61)
 }

@@ -148,6 +148,70 @@ object Similarity {
     * centroids (first 16 vectors by id), probe the 2 nearest lists.
     * Assignment ranks on the ROUNDED similarity with cent_id tie-break
     * (Q determinism rules) so the oracle quantizes identically. */
+  /** Deterministic k-means refinement of the IVF coarse quantizer: init =
+    * first k vectors by id (exactly q32's centroids), then `iters` Lloyd
+    * steps with cosine assignment. Determinism: assignment ranks on the
+    * ROUNDED similarity with cent_id tie-break (Q rules) and the per-
+    * dimension means accumulate as DECIMAL (order-independent exact)
+    * before the final cast back to float — the refinement reproduces
+    * bit-for-bit run-to-run, unlike MLlib's seeded-sample init. Empty
+    * clusters drop out (the list count may shrink below k). */
+  def kmeansCentroids(e: org.apache.spark.sql.DataFrame,
+      k: Int = IVF_LISTS, iters: Int = 2): org.apache.spark.sql.DataFrame = {
+    var cents = e.orderBy("vec_id").limit(k)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+    for (_ <- 1 to iters) {
+      val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id"))
+      val assigned = e.join(broadcast(cents), lit(true))
+        .withColumn("csim", round(Exprs.cosine_sim(col("embedding"), col("cvec")), 4))
+        .withColumn("crn", row_number().over(w))
+        .filter(col("crn") === 1)
+        .select(col("cent_id"), col("embedding"))
+      cents = assigned
+        .select(col("cent_id"), posexplode(col("embedding")))
+        .groupBy("cent_id", "pos")
+        .agg((sum(col("col").cast("decimal(28,12)")) / count(lit(1))).as("v"))
+        .groupBy("cent_id")
+        .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pv"))
+        .select(col("cent_id"),
+          transform(col("pv"), x => x.getField("v").cast("float")).as("cvec"))
+    }
+    cents
+  }
+
+  /** The IVF probe pipeline over a given centroid table: assign every
+    * vector to its nearest list, probe each query's `probes` nearest
+    * lists, exact cosine re-rank, top-`topK` per query. */
+  def ivfTopK(e: org.apache.spark.sql.DataFrame,
+      cents: org.apache.spark.sql.DataFrame,
+      probes: Int = IVF_PROBES, topK: Int = 3): org.apache.spark.sql.DataFrame = {
+    def assign(df: org.apache.spark.sql.DataFrame, idCol: String,
+        vecCol: String, outCol: String, keep: Int) = {
+      val w = Window.partitionBy(idCol).orderBy(col("csim").desc, col("cent_id"))
+      df.join(broadcast(cents), lit(true))
+        .withColumn("csim", round(Exprs.cosine_sim(col(vecCol), col("cvec")), 4))
+        .withColumn("crn", row_number().over(w))
+        .filter(col("crn") <= keep)
+        .withColumnRenamed("cent_id", outCol)
+        .drop("cvec", "csim", "crn")
+    }
+    val assigned = assign(
+      e.select(col("vec_id").as("neighbor_id"), col("embedding").as("vb")),
+      "neighbor_id", "vb", "nlist", 1)
+    val qprobes = assign(
+      e.select(col("vec_id").as("query_id"), col("embedding").as("va")),
+      "query_id", "va", "qlist", probes)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    qprobes.join(assigned, col("qlist") === col("nlist"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(Exprs.cosine_sim(col("va"), col("vb")), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+      .select("query_id", "neighbor_id", "sim").dropDuplicates("query_id", "neighbor_id")
+      .orderBy(col("query_id"), col("sim").desc, col("neighbor_id"))
+  }
+
   val q32 = Q.sql("q32_ann_ivf",
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
        |cents AS (SELECT vec_id AS cent_id, emb AS cvec FROM e ORDER BY vec_id LIMIT $IVF_LISTS),
@@ -171,35 +235,21 @@ object Similarity {
        |WHERE rn <= 3
        |ORDER BY query_id, sim DESC, neighbor_id""".stripMargin) { (s, d) =>
     val e = Tables.embeddings(s, d)
-    // centroid table: tiny, collected to a literal-free broadcast join
+    // centroid table: tiny, broadcast into both assignment passes
     val cents = e.orderBy("vec_id").limit(IVF_LISTS)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
-    // assign every vector to its nearest centroid
-    def assign(df: org.apache.spark.sql.DataFrame, idCol: String, vecCol: String, outCol: String) = {
-      val w = Window.partitionBy(idCol).orderBy(col("csim").desc, col("cent_id"))
-      df.join(broadcast(cents), lit(true))
-        .withColumn("csim", round(Exprs.cosine_sim(col(vecCol), col("cvec")), 4))
-        .withColumn("crn", row_number().over(w))
-        .filter(col("crn") <= (if (outCol == "qlist") IVF_PROBES else 1))
-        .withColumnRenamed("cent_id", outCol)
-        .drop("cvec", "csim", "crn")
-    }
-    val assigned = assign(
-      e.select(col("vec_id").as("neighbor_id"), col("embedding").as("vb")),
-      "neighbor_id", "vb", "nlist")
-    val probes = assign(
-      e.select(col("vec_id").as("query_id"), col("embedding").as("va")),
-      "query_id", "va", "qlist")
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    probes.join(assigned, col("qlist") === col("nlist"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", round(Exprs.cosine_sim(col("va"), col("vb")), 4))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
-      .select("query_id", "neighbor_id", "sim").dropDuplicates("query_id", "neighbor_id")
-      .orderBy(col("query_id"), col("sim").desc, col("neighbor_id"))
+    ivfTopK(e, cents)
   }
 
-  val all: Seq[Q] = Seq(q29, q30, q31, q32)
+  /** IVF with the k-means-refined quantizer: same probe pipeline as q32
+    * over Lloyd-refined centroids. No SQL oracle (the iterative
+    * refinement is not reasonably expressible in one DuckDB query);
+    * EngineSpec measures its recall@3 against brute force and asserts it
+    * does not regress vs the raw first-k quantizer. */
+  val q62 = Q.rowsOnly("q62_ann_ivf_kmeans") { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    ivfTopK(e, kmeansCentroids(e))
+  }
+
+  val all: Seq[Q] = Seq(q29, q30, q31, q32, q62)
 }

@@ -184,10 +184,19 @@ object TextOps {
     val bandCols = (0 until 4).map(i => struct(
       lit(i).as("band"),
       shiftright(col("sh"), i * 16).bitwiseAND(lit(0xffffL)).as("bits")))
-    val banded = sigs
+    val banded0 = sigs
       .select(col("doc_id"), col("sh"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("sh"),
         col("bb.band").as("band"), col("bb.bits").as("bits"))
+    // skew guard (q25's BUCKET_CAP, same drop-the-bucket semantics): a
+    // degenerate band value — e.g. a template whose 16 bits collide
+    // corpus-wide — would make one bucket quadratic; an oversized bucket
+    // carries no discrimination signal, and the other 3 bands still
+    // cover pairs it would have found
+    val wB = org.apache.spark.sql.expressions.Window.partitionBy("band", "bits")
+    val banded = banded0
+      .withColumn("__bsz", count(lit(1)).over(wB))
+      .filter(col("__bsz") <= BUCKET_CAP).drop("__bsz")
     val a = banded.select(col("band"), col("bits"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val b = banded.select(col("band"), col("bits"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
     a.join(b, Seq("band", "bits"))
@@ -238,10 +247,12 @@ object TextOps {
     val tf = docs
       .select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    // df is tiny (one row per distinct term) — broadcast it back
+    // df is one row per distinct corpus term — unbounded at web scale, so
+    // no broadcast hint: the join shuffles on term and AQE demotes it to
+    // a broadcast only when the vocabulary actually fits
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
-    tf.join(broadcast(df), "term")
+    tf.join(df, "term")
       .withColumn("score",
         round(lit(1.0) * col("tf") * lit(n) / col("df"), 4))
       .withColumn("rn", row_number().over(w))

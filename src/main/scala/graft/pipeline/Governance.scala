@@ -58,6 +58,117 @@ object Governance {
     Layers(landingJsonl, iahxPath, enrichedPath, xmlPath)
   }
 
+  /** Month partition key (p_upd) as computed from the LANDING side:
+    * update_date is X19's `updated_time.take(10).replace("-","")`, so the
+    * yyyymm prefix is derivable before the 02 transform — which is what
+    * lets the incremental rebuild prune its landing scan. */
+  private def landingMonth: org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    substring(regexp_replace(substring(col("updated_time"), 1, 10), "-", ""), 1, 6)
+  }
+
+  /** The incremental lifecycle (reference 00_run_all_incremental.py:30-82:
+    * trailing-window harvest → landing upsert → rebuild → export), over a
+    * `deltaJsonl` batch (the harvest output):
+    *
+    *  1. last-write-wins upsert into the landing zone (S6);
+    *  2. rebuild ONLY the update-month partitions the delta touches — the
+    *     months its docs land in plus the months those ids occupied
+    *     before (so a doc that moves months leaves no stale row) — and
+    *     swap them in with dynamic partition overwrite; partitions
+    *     emptied by a move are deleted explicitly (dynamic overwrite
+    *     can't replace a partition it writes no rows to);
+    *  3. export only partitions ≥ the earliest touched month via the
+    *     partition-pruned [[readLayerSince]] scan.
+    *
+    * Equivalent to a full [[run]] over the merged landing (spec-asserted
+    * layer-for-layer) at delta cost: the 02/03 recompute and the export
+    * scan touch only changed partitions. Requires a prior full run's
+    * layers in `outDir`. */
+  def runIncremental(spark: SparkSession, landingJsonl: String,
+      deltaJsonl: String, outDir: String, lookups: Lookups,
+      instTab: Seq[Enrich.InstRow], dbInstTab: Seq[Enrich.DbInstRow],
+      temas: Seq[Enrich.TemaRow], nowYear: Int): Layers = {
+    import org.apache.spark.sql.functions._
+    val iahxPath = s"$outDir/02_iahx"
+    val enrichedPath = s"$outDir/03_enriched"
+
+    // 1 — merge the harvest batch into the landing zone
+    val existing = Gov.readLanding(spark, landingJsonl).toDF()
+    val delta = Gov.readLanding(spark, deltaJsonl).toDF()
+    val merged = graft.ingest.Harvest.upsert(existing, delta, "id", "updated_time")
+    val landingPath = s"$outDir/01_landing"
+    // back to the wire name (readLanding's schema expects `abstract`)
+    merged.withColumnRenamed("abstracts", "abstract")
+      .write.mode("overwrite").json(landingPath)
+
+    // 2 — touched months: where the delta docs land now + where their ids
+    // lived before (both sides are tiny: distinct yyyymm values)
+    import spark.implicits._
+    val deltaIds = delta.select("id").distinct()
+    val newMonths = delta.select(landingMonth.as("m")).distinct()
+      .as[String].collect()
+    // old months are keyed by the TRANSFORMED (iahx) id — derive it for
+    // every delta doc, deliberately skipping the F1 gate so an update
+    // that gates a doc OUT still cleans its old partition
+    val lkB = spark.sparkContext.broadcast(lookups)
+    val deltaIahxIds = merged.join(deltaIds, "id").as[Landing](Gov.landingEnc)
+      .map(d => Gov.transformDoc(d, lkB.value, nowYear).id)(
+        org.apache.spark.sql.Encoders.STRING)
+      .toDF("iid")
+    val oldMonths = spark.read.parquet(iahxPath)
+      .join(deltaIahxIds, col("id") === col("iid"), "left_semi")
+      .select(col("p_upd").cast("string")).distinct().as[String].collect()
+    val touched = (newMonths ++ oldMonths).toSet
+    require(touched.nonEmpty, "empty delta batch")
+
+    // rebuild the touched partitions from the merged landing, pruning the
+    // landing scan to those months before the (per-row, but corpus-wide)
+    // 02 transform runs
+    val rebuiltLanding = Gov.readLanding(spark, landingPath)
+      .filter(landingMonth.isin(touched.toSeq: _*))
+    val rebuilt02 = Gov.toIahx(rebuiltLanding, lookups, nowYear).toDF()
+      .withColumn("p_upd",
+        coalesce(substring(col("update_date"), 1, 6), lit("unknown")))
+    val rebuilt03 = Enrich(spark, rebuilt02.drop("p_upd"), instTab, dbInstTab, temas)
+      .withColumn("p_upd",
+        coalesce(substring(col("update_date"), 1, 6), lit("unknown")))
+
+    val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      rebuilt02.write.mode("overwrite").partitionBy("p_upd").parquet(iahxPath)
+      rebuilt03.write.mode("overwrite").partitionBy("p_upd").parquet(enrichedPath)
+    } finally prevMode match {
+      case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+
+    // delete touched partitions the rebuild wrote no rows to (a month all
+    // of whose docs moved away or were gated out)
+    val kept = rebuilt02.select(col("p_upd").cast("string")).distinct()
+      .as[String].collect().toSet
+    val emptied = touched -- kept
+    if (emptied.nonEmpty) {
+      Seq(iahxPath, enrichedPath).foreach { layer =>
+        emptied.foreach { m =>
+          val p = new org.apache.hadoop.fs.Path(s"$layer/p_upd=$m")
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+        }
+      }
+    }
+
+    // 3 — delta export: partition-pruned scan from the earliest touched
+    // month (the reference's trailing-window export)
+    val sinceMonth = touched.min
+    val xmlPath = s"$outDir/04_export_delta.xml"
+    val deltaDs = readLayerSince(spark, enrichedPath, sinceMonth)
+      .as[IahxDoc](Gov.iahxEnc)
+    SolrXml.writeSingleFile(deltaDs, xmlPath)
+
+    Layers(landingPath, iahxPath, enrichedPath, xmlPath)
+  }
+
   /** Incremental read of a layer: only partitions with update month ≥
     * `sinceMonth` (yyyymm) are scanned — the engine-side equivalent of
     * the reference's trailing-window incremental export. The filter is a

@@ -106,6 +106,158 @@ class EngineSpec extends AnyFunSuite {
       .exists(_.getName.startsWith("p_upd=")))
   }
 
+  test("incremental run equals a full rebuild over the merged landing") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val outInc = java.nio.file.Files.createTempDirectory("graft_inc").toString
+    val outRef = java.nio.file.Files.createTempDirectory("graft_ref").toString
+    pipeline.Governance.runFixture(spark, outInc) // seed full run
+    val landingPath = s"$outInc/01_landing.jsonl"
+
+    // delta batch: move doc 1001 (sole occupant of month 202607) to
+    // 202609 with a content change, and add a brand-new doc
+    val base = gov.Gov.fixtureLanding(spark).toDF()
+    val moved = base.filter($"id" === 1001L)
+      .withColumn("updated_time", lit("2026-09-15T12:00:00"))
+      .withColumn("english_translated_title", lit("UPDATED BY DELTA"))
+    val fresh = base.filter($"id" === 1002L)
+      .withColumn("id", lit(99999L))
+      .withColumn("updated_time", lit("2026-10-01T00:00:00"))
+    val deltaPath = s"$outInc/delta_batch"
+    moved.unionByName(fresh).withColumnRenamed("abstracts", "abstract")
+      .write.json(deltaPath)
+
+    val layers = pipeline.Governance.runIncremental(spark, landingPath,
+      deltaPath, outInc, gov.Fixtures.lookups, gov.Fixtures.instanceEcollection,
+      gov.Fixtures.dbInstanceEcollection, gov.Fixtures.temas, nowYear = 2026)
+
+    // reference: full rebuild over the merged landing zone
+    pipeline.Governance.run(spark, layers.landing, outRef,
+      gov.Fixtures.lookups, gov.Fixtures.instanceEcollection,
+      gov.Fixtures.dbInstanceEcollection, gov.Fixtures.temas, nowYear = 2026)
+
+    // layer-for-layer equality, maps compared canonically (exploded +
+    // value-sorted; exceptAll can't order map columns)
+    def flat(path: String): org.apache.spark.sql.DataFrame = {
+      val df = spark.read.parquet(path)
+      val cols = df.schema.fields
+        .filterNot(_.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+        .map(f => col(f.name).cast(
+          if (f.name == "p_upd") "string" else f.dataType.sql))
+      df.select(cols.toIndexedSeq: _*)
+    }
+    def dynRows(path: String): Set[(String, String, Seq[String])] =
+      spark.read.parquet(path).select($"id", explode_outer($"dyn"))
+        .select($"id", $"key", array_sort($"value").as("v"))
+        .as[(String, String, Seq[String])].collect().toSet
+    for (layer <- Seq("02_iahx", "03_enriched")) {
+      val a = flat(s"$outInc/$layer"); val b = flat(s"$outRef/$layer")
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        s"$layer diverged from full rebuild")
+      assert(dynRows(s"$outInc/$layer") == dynRows(s"$outRef/$layer"),
+        s"$layer dyn maps diverged")
+    }
+    // the vacated month's partition is gone (dynamic overwrite can't
+    // delete it — the runner must)
+    assert(!new java.io.File(s"$outInc/02_iahx/p_upd=202607").exists())
+    // delta export contains exactly the touched-window docs
+    val back = ingest.XmlSource.read(spark, layers.xml)
+    assert(back.count() > 0)
+  }
+
+  test("XML parse is a pull iterator: first doc reads a prefix of the stream") {
+    val sb = new StringBuilder("<add>")
+    (1 to 5000).foreach(i => sb.append(
+      s"""<doc boost="1"><field name="id">d$i</field><field name="ti">title $i</field></doc>"""))
+    sb.append("</add>")
+    val bytes = sb.toString.getBytes("UTF-8")
+    var readCount = 0L
+    val counting = new java.io.InputStream {
+      private val in = new java.io.ByteArrayInputStream(bytes)
+      override def read(): Int = { val b = in.read(); if (b >= 0) readCount += 1; b }
+      override def read(b: Array[Byte], off: Int, len: Int): Int = {
+        val n = in.read(b, off, len); if (n > 0) readCount += n; n
+      }
+    }
+    val it = ingest.XmlSource.parseStream(counting)
+    assert(it.next().id == "d1")
+    assert(readCount < bytes.length / 10,
+      s"parse buffered $readCount of ${bytes.length} bytes for the first doc")
+    assert(it.size == 4999) // and the tail still parses out
+  }
+
+  test("J6 temas joins a distributed DataFrame, equal to the Seq overload") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = gov.Gov.toIahx(gov.Gov.fixtureLanding(spark),
+      gov.Fixtures.lookups, 2026).toDF()
+    val seqOut = gov.Enrich(spark, docs, gov.Fixtures.instanceEcollection,
+      gov.Fixtures.dbInstanceEcollection, gov.Fixtures.temas)
+    val temasPath = java.nio.file.Files.createTempDirectory("graft_temas")
+      .toString + "/temas"
+    spark.createDataset(gov.Fixtures.temas).toDF().write.parquet(temasPath)
+    val dfOut = gov.Enrich(spark, docs, gov.Fixtures.instanceEcollection,
+      gov.Fixtures.dbInstanceEcollection, spark.read.parquet(temasPath))
+    // the temas side reaches the join as a parquet scan, not a collected
+    // local relation
+    assert(dfOut.queryExecution.sparkPlan.toString.contains("parquet"),
+      "temas side did not stay a distributed scan")
+    def canon(df: org.apache.spark.sql.DataFrame) = (
+      df.select($"id", array_sort($"db").as("db"))
+        .as[(String, Seq[String])].collect().toSet,
+      df.select($"id", explode_outer($"dyn"))
+        .select($"id", $"key", array_sort($"value"))
+        .as[(String, String, Seq[String])].collect().toSet)
+    assert(canon(dfOut) == canon(seqOut))
+  }
+
+  test("K4 per-country fan-out writes one page per matched ISO") {
+    import spark.implicits._
+    val docs = spark.createDataset(metrics.MetricsOps.fixtureDocs).toDF()
+    val cells = metrics.Metrics.countryCells(spark, docs,
+      metrics.MetricsOps.fixtureCountries, metrics.MetricsOps.fixtureDecsLabels,
+      metrics.MetricsOps.fixtureAreaLabels)
+    val dir = java.nio.file.Files.createTempDirectory("graft_cpages").toString
+    metrics.Exports.writeCountryPages(cells, dir)
+    val files = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(files == Set("BR.html", "FR.html"), s"got $files")
+    val br = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/BR.html")), "UTF-8")
+    assert(br.contains("<h1>brazil (BR)</h1>") && br.contains("<h2>timeline</h2>")
+      && br.contains("<td>Traditional Medicine</td>"))
+  }
+
+  test("IVF k-means quantizer does not lose recall vs the first-k init") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, sf)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact top-3 per query (same ranking rules as the IVF pipeline)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    val exact = pairs(
+      e.select(col("vec_id").as("query_id"), col("embedding").as("va"))
+        .join(broadcast(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("vb"))),
+          col("query_id") =!= col("neighbor_id"))
+        .withColumn("sim", round(functions.Exprs.cosine_sim(col("va"), col("vb")), 4))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3))
+    val firstK = e.orderBy("vec_id").limit(16)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+    val rawRecall = exact.count(pairs(operators.Similarity.ivfTopK(e, firstK))).toDouble / exact.size
+    val km = pairs(operators.Similarity.ivfTopK(e,
+      operators.Similarity.kmeansCentroids(e)))
+    val kmRecall = exact.count(km).toDouble / exact.size
+    info(f"IVF recall@3: first-k=$rawRecall%.3f k-means=$kmRecall%.3f")
+    assert(kmRecall >= rawRecall - 1e-9,
+      f"k-means refinement lost recall: $kmRecall%.3f < $rawRecall%.3f")
+    // and the refinement is deterministic: same centroids twice
+    val c1 = operators.Similarity.kmeansCentroids(e).collect().map(_.toString).sorted
+    val c2 = operators.Similarity.kmeansCentroids(e).collect().map(_.toString).sorted
+    assert(c1.sameElements(c2))
+  }
+
   test("quality checks count violations on dirty data") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

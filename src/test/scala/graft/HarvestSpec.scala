@@ -76,6 +76,19 @@ class HarvestSpec extends AnyFunSuite {
         "http://api?limit=50&offset=50&format=json"))
   }
 
+  test("S1 real transport is serializable and maps I/O failure to retryable 503") {
+    val t = ingest.HttpTransport()
+    // ships inside mapPartitions closures — java-serialization roundtrip
+    val bos = new java.io.ByteArrayOutputStream()
+    new java.io.ObjectOutputStream(bos).writeObject(t)
+    val t2 = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+      .readObject().asInstanceOf[Fetcher.Transport]
+    // connection refused (nothing listens on port 1) -> retryable 503,
+    // same contract the retry policy tests with the fake transport
+    assert(t2("http://127.0.0.1:1/x") == Left(503))
+  }
+
   test("S4 id-list plan stripes ids across workers") {
     val plan = Harvest.planIds(Seq(10L, 20L, 30L, 40L), workers = 3)
     assert(plan == Seq((0, 10L), (1, 20L), (2, 30L), (0, 40L)))
