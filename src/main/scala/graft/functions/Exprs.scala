@@ -180,6 +180,19 @@ object Exprs {
       copy(child = c)
   }
 
+  /** One-pass n-gram repetition counters `[n, distinct, max_count]` —
+    * see [[TextKernels.repetitionStats]]. */
+  case class RepetitionStats(child: Expression, n: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      TextKernels.repetitionStats(
+        v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$K.repetitionStats($c, $n)")
+    override protected def withNewChildInternal(c: Expression): RepetitionStats =
+      copy(child = c)
+  }
+
   /** popcount of a bitset (token-set cardinality). */
   case class BitmapCard(child: Expression) extends UnaryExpression {
     override def dataType: DataType = IntegerType
@@ -214,4 +227,5 @@ object Exprs {
   def bitmap_jaccard(a: Column, b: Column): Column = c(BitmapJaccard(e(a), e(b)))
   def bitmap_card(a: Column): Column = c(BitmapCard(e(a)))
   def word_ngrams(tokens: Column, n: Int): Column = c(WordNgrams(e(tokens), n))
+  def repetition_stats(tokens: Column, n: Int): Column = c(RepetitionStats(e(tokens), n))
 }

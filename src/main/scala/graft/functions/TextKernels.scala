@@ -285,6 +285,33 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** One-pass n-gram repetition statistics over a token array:
+    * `[n_grams, distinct_grams, max_gram_count]`. The Gopher-style
+    * repetition filters (duplicate-n-gram fraction, top-n-gram fraction)
+    * are ratios of these three counters. Exact grams are counted (no
+    * hashing) so the result is bit-identical to a SQL
+    * unnest-and-count oracle; one HashMap per row, O(tokens) time —
+    * a stateless map at 100 TB, no shuffle.
+    */
+  def repetitionStats(tokens: ArrayData, n: Int): ArrayData = {
+    val cnt = tokens.numElements() - n + 1
+    if (cnt <= 0) return new GenericArrayData(Array[Any](0L, 0L, 0L))
+    val sep = UTF8String.fromString(" ")
+    val counts = new java.util.HashMap[UTF8String, Int](cnt * 2)
+    val window = new Array[UTF8String](n)
+    var maxCnt = 0
+    var i = 0
+    while (i < cnt) {
+      var j = 0
+      while (j < n) { window(j) = tokens.getUTF8String(i + j); j += 1 }
+      val g = UTF8String.concatWs(sep, window: _*)
+      val c = counts.merge(g, 1, (a, b) => a + b)
+      if (c > maxCnt) maxCnt = c
+      i += 1
+    }
+    new GenericArrayData(Array[Any](cnt.toLong, counts.size.toLong, maxCnt.toLong))
+  }
+
   /** Popcount of a bitset (|token set| for the size-band prefilter). */
   def bitmapCard(a: ArrayData): Int = {
     val n = a.numElements()

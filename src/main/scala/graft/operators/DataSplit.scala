@@ -77,5 +77,33 @@ object DataSplit {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(q59, q60)
+  /** Stratified deterministic sampling: each language stratum keeps a
+    * different fraction of its documents (the data-mixing knob of a
+    * training run — upsample scarce languages, downsample the dominant
+    * one), decided by a salted content hash so membership is stable
+    * across reruns and machines, row-order-free, and disjoint from the
+    * q59 split hash (different salt). The per-stratum rate table is a
+    * broadcast join — at 100 TB the sample is one scan plus a map-side
+    * lookup; no shuffle.
+    */
+  val q67 = Q.sql("q67_stratified_sample",
+    """WITH rates AS (
+      |  SELECT * FROM (VALUES ('en', '40'), ('es', '80'), ('fr', '80'),
+      |                        ('de', 'a0'), ('zh', 'a0')) r(lang, max_hex))
+      |SELECT d.doc_id, d.lang
+      |FROM documents d JOIN rates r ON d.lang = r.lang
+      |WHERE substr(md5('sample:' || d.text), 1, 2) < r.max_hex
+      |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val rates = Seq(("en", "40"), ("es", "80"), ("fr", "80"),
+      ("de", "a0"), ("zh", "a0")).toDF("lang", "max_hex")
+    Tables.documents(s, d)
+      .join(broadcast(rates), "lang")
+      .filter(substring(md5(concat(lit("sample:"), col("text")).cast("binary")), 1, 2)
+        < col("max_hex"))
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(q59, q60, q67)
 }

@@ -280,5 +280,61 @@ object TextOps {
       .limit(20)
   }
 
-  val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q38, q39)
+  /** Gopher-style repetition filters: per-document duplicate-trigram
+    * fraction (1 - distinct/total) and top-bigram fraction
+    * (most-frequent-bigram count / total bigrams), with the boolean
+    * drop decision a training pipeline applies. All three counters come
+    * from the one-pass [[Exprs.repetition_stats]] codegen kernel — a
+    * stateless map over the corpus, no shuffle, so the filter costs one
+    * scan at 100 TB. Thresholds follow the Gopher paper's order of
+    * magnitude (dup-trigram > 0.30 or top-bigram > 0.18).
+    */
+  val q64 = Q.sql("q64_repetition_filter",
+    """WITH t AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+      |bi AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+      |                                       i -> toks[i] || ' ' || toks[i+1])) AS g
+      |  FROM t),
+      |bstat AS (
+      |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+      |         CAST(max(c) AS BIGINT) AS top_bigram_cnt
+      |  FROM (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY 1, 2) x GROUP BY 1),
+      |tri AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+      |                                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+      |  FROM t),
+      |tstat AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+      |         CAST(count(DISTINCT g) AS BIGINT) AS distinct_trigrams
+      |  FROM tri GROUP BY 1)
+      |SELECT b.doc_id, n_bigrams, top_bigram_cnt, n_trigrams, distinct_trigrams,
+      |  round(1.0 * top_bigram_cnt / n_bigrams, 4) AS top_bigram_frac,
+      |  round(1.0 - 1.0 * distinct_trigrams / n_trigrams, 4) AS dup_trigram_frac,
+      |  (round(1.0 - 1.0 * distinct_trigrams / n_trigrams, 4) > 0.30
+      |   OR round(1.0 * top_bigram_cnt / n_bigrams, 4) > 0.18) AS repetitive
+      |FROM bstat b JOIN tstat t ON b.doc_id = t.doc_id
+      |ORDER BY b.doc_id""".stripMargin) { (s, d) =>
+    val toks = Text.tokens(col("text"))
+    val withStats = Tables.documents(s, d)
+      .select(col("doc_id"),
+        Exprs.repetition_stats(toks, 2).as("b"),
+        Exprs.repetition_stats(toks, 3).as("t"))
+      .filter(element_at(col("b"), 1) > 0 && element_at(col("t"), 1) > 0)
+      .select(col("doc_id"),
+        element_at(col("b"), 1).as("n_bigrams"),
+        element_at(col("b"), 3).as("top_bigram_cnt"),
+        element_at(col("t"), 1).as("n_trigrams"),
+        element_at(col("t"), 2).as("distinct_trigrams"))
+    withStats
+      .withColumn("top_bigram_frac",
+        round(lit(1.0) * col("top_bigram_cnt") / col("n_bigrams"), 4))
+      .withColumn("dup_trigram_frac",
+        round(lit(1.0) - lit(1.0) * col("distinct_trigrams") / col("n_trigrams"), 4))
+      .withColumn("repetitive",
+        col("dup_trigram_frac") > 0.30 || col("top_bigram_frac") > 0.18)
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q38, q39, q64)
 }

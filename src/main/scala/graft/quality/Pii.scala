@@ -1,0 +1,79 @@
+package graft.quality
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Q
+
+/** PII detection + redaction — the scrub pass a training-data pipeline
+  * runs before any text leaves the ingest layer. Pure `regexp_*`
+  * expressions (codegen, no UDF), so the scrub is a stateless map: one
+  * scan at 100 TB, trivially parallel, and safe to fuse with the quality
+  * and language-ID passes that share the scan.
+  *
+  * The regexes stay inside the common Java-regex/RE2 dialect subset
+  * (character classes + bounded repetition, no lookaround) so the DuckDB
+  * oracle matches byte-for-byte.
+  */
+object Pii {
+
+  val EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val IPV4_RE = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  val PHONE_RE = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+
+  /** Count of matches of `re` in `text`. */
+  def piiCount(text: Column, re: String): Column =
+    size(regexp_extract_all(text, lit(re), lit(0))).cast("long")
+
+  /** Redact in severity order: emails, then phones, then bare IPs (phone
+    * before IP so digit runs are claimed by the more specific pattern).
+    */
+  def redact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EMAIL_RE, "<EMAIL>"),
+        PHONE_RE, "<PHONE>"),
+      IPV4_RE, "<IP>")
+
+  /** The synthetic tables carry no real PII, so the gate constructs a
+    * deterministic log line per event (address + phone + client IP
+    * derived from event columns) and then proves the scrub finds and
+    * removes exactly what was planted. Both engines build the same
+    * line, so the oracle checks regex-semantics parity, not fixture
+    * luck.
+    */
+  val q65 = Q.sql("q65_pii_scrub",
+    """WITH lines AS (
+      |  SELECT event_id,
+      |    'user' || CAST(user_id AS VARCHAR) || '@example.com did ' || event_type ||
+      |    ' from 10.0.' || CAST(user_id % 256 AS VARCHAR) || '.' || CAST(event_id % 256 AS VARCHAR) ||
+      |    ' callback +1-555-' || lpad(CAST(event_id % 10000 AS VARCHAR), 4, '0') AS line
+      |  FROM events)
+      |SELECT event_id,
+      |  CAST(len(regexp_extract_all(line, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(line, '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+      |  regexp_replace(
+      |    regexp_replace(
+      |      regexp_replace(line, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |      '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+      |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g') AS redacted
+      |FROM lines ORDER BY event_id""".stripMargin) { (s, d) =>
+    val line = concat(
+      lit("user"), col("user_id").cast("string"), lit("@example.com did "),
+      col("event_type"),
+      lit(" from 10.0."), (col("user_id") % 256).cast("string"),
+      lit("."), (col("event_id") % 256).cast("string"),
+      lit(" callback +1-555-"),
+      lpad((col("event_id") % 10000).cast("string"), 4, "0"))
+    Tables.events(s, d)
+      .select(col("event_id"), line.as("line"))
+      .select(col("event_id"),
+        piiCount(col("line"), EMAIL_RE).as("n_emails"),
+        piiCount(col("line"), PHONE_RE).as("n_phones"),
+        redact(col("line")).as("redacted"))
+      .orderBy("event_id")
+  }
+
+  val all: Seq[Q] = Seq(q65)
+}

@@ -43,5 +43,31 @@ object StreamOps {
       .orderBy("user_id", "event_type")
   }
 
-  val all: Seq[Q] = Seq(q50, q51, q57)
+  /** Native session_window sessionization ≡ batch gap/cumsum session
+    * reconstruction. Same session semantics as q51 plus the total active
+    * span per user (sum over sessions of last − first event, ms). */
+  val q63 = Q.sql("q63_session_window",
+    """WITH o AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, ts,
+      |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                     ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM o),
+      |g AS (
+      |  SELECT user_id, sid, count(*) AS n,
+      |    epoch_ms(max(ts)) - epoch_ms(min(ts)) AS dur
+      |  FROM s GROUP BY 1, 2)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+      |  CAST(sum(n) AS BIGINT) AS n_events, CAST(sum(dur) AS BIGINT) AS active_ms
+      |FROM g GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    Streams.sessionizeNative(s, d, qn("native_sessions"))
+      .orderBy("user_id")
+  }
+
+  val all: Seq[Q] = Seq(q50, q51, q57, q63)
 }

@@ -73,10 +73,48 @@ object Streams {
     spark.table(queryName)
   }
 
+  /** Native session-window sessionization — the scale path. The
+    * `session_window` aggregation keeps per-session aggregates in the
+    * state store (merged incrementally as rows arrive), so no executor
+    * ever buffers a key's raw events the way [[sessionize]]'s group
+    * iterator does; a hot key costs one state row per open session, not
+    * one per event. Emits per-user session count, event count, and total
+    * active span (sum over sessions of last-event − first-event, ms).
+    *
+    * Update mode: each batch emits the sessions it touched; with the
+    * single-batch drain used here every emitted row is final. A
+    * continuous deployment would watermark-expire sessions and consume
+    * the append stream instead.
+    */
+  def sessionizeNative(spark: SparkSession, dir: String, queryName: String,
+      gapMinutes: Int = 30): DataFrame = {
+    val gapMs = gapMinutes * 60000L
+    val sessions = eventStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes"))
+      .agg(count(lit(1)).as("n_events"))
+    val q = sessions.writeStream
+      .outputMode(OutputMode.Update())
+      .format("memory").queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+      .select(col("user_id"), col("n_events"),
+        (unix_millis(col("session_window.end"))
+          - unix_millis(col("session_window.start")) - gapMs).as("active_ms"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"),
+        sum(col("active_ms")).as("active_ms"))
+  }
+
   /** Sessionize per user with a 30-minute inactivity gap; emit per-user
     * session and event counts. State = (last event time, session count,
     * event count); events arrive time-ordered per group after a
-    * secondary sort inside the group iterator. */
+    * secondary sort inside the group iterator — fixture-scale only; the
+    * scale path is [[sessionizeNative]], which never materializes a
+    * key's events. */
   def sessionize(spark: SparkSession, dir: String, queryName: String,
       gapMinutes: Int = 30): DataFrame = {
     import spark.implicits._

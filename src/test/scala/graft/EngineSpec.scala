@@ -363,4 +363,84 @@ class EngineSpec extends AnyFunSuite {
     assert(e.schema("ts").dataType.typeName == "timestamp")
     assert(e.count() > 0)
   }
+
+  test("as-of join equals the naive theta-join + max-per-row reference") {
+    import org.apache.spark.sql.functions._
+    val events = Tables.events(spark, sf)
+    val views = events.filter(col("event_type") === "view")
+      .select("event_id", "user_id", "ts")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"), col("value").as("p_value"))
+    // O(L·R)-per-key reference: every qualifying pair, then argmax by ts
+    val naive = views
+      .join(purchases, col("user_id") === col("p_user") && col("ts") >= col("p_ts"), "left")
+      .groupBy("event_id")
+      .agg(max(struct(col("p_ts"), col("p_id"), col("p_value"))).as("m"))
+      .select(col("event_id"), col("m.p_id").as("purchase_event_id"),
+        col("m.p_value").as("purchase_value"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some((r.getLong(1), r.getDouble(2))))).toMap
+    val got = operators.AsofJoin.asof(views, purchases
+        .withColumnRenamed("p_user", "user_id").withColumnRenamed("p_ts", "ts"),
+        "user_id", "ts", "ts", Seq("p_id", "p_value"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(3)) None else Some((r.getLong(3), r.getDouble(4))))).toMap
+    assert(got == naive)
+    assert(got.nonEmpty && got.values.exists(_.isDefined))
+  }
+
+  test("session_window merges at exactly gap distance (oracle > semantics)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // events at 0s, 1800s (== 30min gap), 4000s for one user: the
+    // gap-equal event MERGES into the first session ([ts, ts+gap) ranges
+    // touch and session_window unions touching ranges), the 4000s event
+    // opens a new one — so the q63/q51 oracles encode the boundary with
+    // a strict `> 1800000`
+    val df = Seq((1L, 0L), (1L, 1800L), (1L, 4000L))
+      .toDF("user_id", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val sessions = df.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").cast("long").as("start"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sessions == Set((0L, 2L), (4000L, 1L)), s"got $sessions")
+  }
+
+  test("PII redaction removes every planted identifier and is idempotent") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.quality.Pii
+    val df = Seq(
+      "mail a.b+c@x-corp.co.uk and 192.168.0.1 plus +1-555-0100 end",
+      "no identifiers here",
+      "double x@y.org z@w.io").toDF("line")
+    val red = df.select(Pii.redact(col("line")).as("r"),
+        Pii.piiCount(col("line"), Pii.EMAIL_RE).as("ne"))
+      .collect()
+    assert(red(0).getString(0) == "mail <EMAIL> and <IP> plus <PHONE> end")
+    assert(red(1).getString(0) == "no identifiers here")
+    assert(red(2).getString(0) == "double <EMAIL> <EMAIL>" && red(2).getLong(1) == 2)
+    // idempotent: redacting redacted text changes nothing
+    val twice = df.select(Pii.redact(Pii.redact(col("line"))).as("r")).collect()
+    assert(twice.map(_.getString(0)).sameElements(red.map(_.getString(0))))
+  }
+
+  test("repetition filter flags a degenerate doc and passes varied text") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.functions.{Exprs, Text}
+    val df = Seq(
+      (1L, "spam spam spam spam spam spam spam spam"),
+      (2L, "a genuinely varied sentence with no repeated phrasing at all"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), Exprs.repetition_stats(Text.tokens(col("text")), 3).as("t"))
+      .select(col("doc_id"),
+        (lit(1.0) - element_at(col("t"), 2).cast("double")
+          / element_at(col("t"), 1)).as("dup_frac"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(df(1L) > 0.30, s"degenerate doc dup_frac=${df(1L)}")
+    assert(df(2L) == 0.0)
+  }
 }

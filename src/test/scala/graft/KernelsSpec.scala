@@ -34,6 +34,21 @@ class KernelsSpec extends AnyFunSuite {
     assert(dAB < dAC, s"near-dup hamming $dAB should be < unrelated $dAC")
   }
 
+  test("repetitionStats counts n-grams, distincts, and the mode in one pass") {
+    // "a b a b a" → bigrams: [a b, b a, a b, b a] → n=4, distinct=2, max=2
+    val s2 = TextKernels.repetitionStats(arr("a", "b", "a", "b", "a"), 2)
+    assert(s2.getLong(0) == 4 && s2.getLong(1) == 2 && s2.getLong(2) == 2)
+    // trigrams of the same: [a b a, b a b, a b a] → n=3, distinct=2, max=2
+    val s3 = TextKernels.repetitionStats(arr("a", "b", "a", "b", "a"), 3)
+    assert(s3.getLong(0) == 3 && s3.getLong(1) == 2 && s3.getLong(2) == 2)
+    // shorter than n → all-zero counters
+    val s0 = TextKernels.repetitionStats(arr("only"), 2)
+    assert(s0.getLong(0) == 0 && s0.getLong(1) == 0 && s0.getLong(2) == 0)
+    // no repetition → max = 1, distinct = n
+    val u = TextKernels.repetitionStats(arr("w", "x", "y", "z"), 2)
+    assert(u.getLong(0) == 3 && u.getLong(1) == 3 && u.getLong(2) == 1)
+  }
+
   test("minHash signature: length k, MaxValue on empty, order-insensitive") {
     val sig = TextKernels.minHash(arr("a b", "b c", "c d"), 16)
     assert(sig.numElements() == 16)
