@@ -125,6 +125,40 @@ object SolrXml {
       .write.mode("overwrite").text(dir)
   }
 
+  /** K2 hand-off contract (SFTP push is deliberately out-of-engine —
+    * SURVEY §7.5: a network side-effect belongs to the scheduler, not a
+    * Spark job; a failed push must be retryable without recomputing the
+    * export). The engine's side of the contract is this manifest:
+    *
+    *  1. [[writeSharded]] writes `part-*` shard files, each a complete
+    *     well-formed `<add>` document, plus Spark's `_SUCCESS` marker;
+    *  2. `writeHandoffManifest` then records every shard (name, bytes)
+    *     and the total byte count in `manifest.json` beside them;
+    *  3. the ops side (reference: `04_export_xml.py` SFTP step) treats
+    *     `_SUCCESS` + `manifest.json` as the ready signal, verifies the
+    *     listed sizes after transfer, and either pushes shards as-is
+    *     (Solr accepts multiple `<add>` posts) or concatenates
+    *     stripping the per-shard XML declaration/`<add>` envelope.
+    *
+    * Uses the Hadoop FileSystem API so the same code addresses local
+    * dirs here and HDFS/object stores on a cluster. */
+  def writeHandoffManifest(ds: Dataset[IahxDoc], dir: String): String = {
+    val conf = ds.sparkSession.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(conf)
+    val shards = fs.listStatus(p)
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .sortBy(_.getPath.getName)
+    val entries = shards.map(s =>
+      s"""    {"name": "${s.getPath.getName}", "bytes": ${s.getLen}}""")
+    val json = "{\n  \"shards\": [\n" + entries.mkString(",\n") +
+      s"\n  ],\n  \"total_bytes\": ${shards.map(_.getLen).sum}\n}\n"
+    val out = new org.apache.hadoop.fs.Path(p, "manifest.json")
+    val os = fs.create(out, true)
+    try os.write(json.getBytes(StandardCharsets.UTF_8)) finally os.close()
+    json
+  }
+
   /** Single-file `<add>` export (reference writes one file then SFTPs it).
     * Streams partitions through the driver; [[writeSharded]] is the
     * distributed variant. */

@@ -44,8 +44,11 @@ object StreamOps {
   }
 
   /** Native session_window sessionization ≡ batch gap/cumsum session
-    * reconstruction. Same session semantics as q51 plus the total active
-    * span per user (sum over sessions of last − first event, ms). */
+    * reconstruction, restricted to watermark-CLOSED sessions (append
+    * mode emits a session once its end passes the watermark; Spark
+    * tracks watermarks in whole milliseconds, hence the ms-floor in the
+    * closed filter). Adds the total active span per user (sum over
+    * sessions of last − first event, ms). */
   val q63 = Q.sql("q63_session_window",
     """WITH o AS (
       |  SELECT user_id, ts, event_id,
@@ -60,11 +63,15 @@ object StreamOps {
       |  FROM o),
       |g AS (
       |  SELECT user_id, sid, count(*) AS n,
-      |    epoch_ms(max(ts)) - epoch_ms(min(ts)) AS dur
-      |  FROM s GROUP BY 1, 2)
+      |    epoch_ms(max(ts)) - epoch_ms(min(ts)) AS dur,
+      |    max(ts) AS last_ts
+      |  FROM s GROUP BY 1, 2),
+      |w AS (SELECT (epoch_us(max(ts)) // 1000) * 1000 AS wm FROM events)
       |SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
       |  CAST(sum(n) AS BIGINT) AS n_events, CAST(sum(dur) AS BIGINT) AS active_ms
-      |FROM g GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      |FROM g, w
+      |WHERE epoch_us(last_ts) + 1800000000 <= wm
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
     Streams.sessionizeNative(s, d, qn("native_sessions"))
       .orderBy("user_id")
   }

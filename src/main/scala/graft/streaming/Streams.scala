@@ -81,20 +81,24 @@ object Streams {
     * one per event. Emits per-user session count, event count, and total
     * active span (sum over sessions of last-event − first-event, ms).
     *
-    * Update mode: each batch emits the sessions it touched; with the
-    * single-batch drain used here every emitted row is final. A
-    * continuous deployment would watermark-expire sessions and consume
-    * the append stream instead.
+    * Append mode (the only mode Spark supports for session-window
+    * aggregations): a session row is emitted exactly once, when the
+    * watermark passes its end — i.e. only CLOSED sessions appear, and
+    * sessions still open at the tail of the input stay in state, which
+    * is precisely the semantics a continuous deployment wants. With the
+    * 0-second watermark used here, closed means
+    * `session_end ≤ ms-floor(max event time)` (Spark tracks watermarks
+    * in milliseconds); the q63 oracle replicates that rule exactly.
     */
   def sessionizeNative(spark: SparkSession, dir: String, queryName: String,
       gapMinutes: Int = 30): DataFrame = {
     val gapMs = gapMinutes * 60000L
     val sessions = eventStream(spark, dir)
-      .withWatermark("ts", "1 hour")
+      .withWatermark("ts", "0 seconds")
       .groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes"))
       .agg(count(lit(1)).as("n_events"))
     val q = sessions.writeStream
-      .outputMode(OutputMode.Update())
+      .outputMode(OutputMode.Append())
       .format("memory").queryName(queryName)
       .start()
     q.processAllAvailable()

@@ -307,6 +307,14 @@ class EngineSpec extends AnyFunSuite {
     assert(parts.count(_.length() > 0) > 1) // actually sharded
     val back = ingest.XmlSource.read(spark, dir + "/part-*")
     assert(back.count() == ds.count())
+    // K2 hand-off: the manifest lists every shard with its on-disk size
+    val json = gov.SolrXml.writeHandoffManifest(ds, dir)
+    assert(new java.io.File(dir, "manifest.json").exists())
+    parts.foreach { p =>
+      assert(json.contains(s""""name": "${p.getName}""""), s"missing ${p.getName}")
+      assert(json.contains(s""""bytes": ${p.length()}"""))
+    }
+    assert(json.contains(s""""total_bytes": ${parts.map(_.length()).sum}"""))
   }
 
   test("fused single-pass metrics equal the per-metric reference implementation") {
