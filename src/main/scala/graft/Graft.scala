@@ -90,4 +90,29 @@ object Graft {
   /** One-row-per-check quality report over the star schema. */
   def qualityReport(spark: SparkSession, dir: String): DataFrame =
     quality.Checks.report(spark, dir)
+
+  // ---- training-data shaping ---------------------------------------------
+
+  /** One-pass n-gram repetition counters `[total, distinct, max_count]`
+    * for Gopher-style repetition filters (codegen kernel, no shuffle). */
+  def repetitionStats(tokens: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column =
+    functions.Exprs.repetition_stats(tokens, n)
+
+  /** Redact emails, phones, and IPv4s from a text column. */
+  def redactPii(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    quality.Pii.redact(text)
+
+  /** As-of join: latest right row at-or-before each left row's
+    * timestamp per key — one shuffle, no theta-join blow-up. */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, payload: Seq[String]): DataFrame =
+    operators.AsofJoin.asof(left, right, key, leftTs, rightTs, payload)
+
+  // ---- streaming ----------------------------------------------------------
+
+  /** Native session-window sessionization over an events drop-folder —
+    * per-session state, no per-key buffering; emits closed sessions. */
+  def sessionize(spark: SparkSession, dir: String, queryName: String,
+      gapMinutes: Int = 30): DataFrame =
+    streaming.Streams.sessionizeNative(spark, dir, queryName, gapMinutes)
 }

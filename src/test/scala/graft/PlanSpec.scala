@@ -80,4 +80,33 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("bitmapjaccard"), p)
   }
+
+  test("as-of join is one shuffle on the key — no join operator, no pair blow-up") {
+    val events = Tables.events(spark, sf)
+    val views = events.filter(col("event_type") === "view")
+      .select("event_id", "user_id", "ts")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("p_id"),
+        col("value").as("p_value"))
+    val df = operators.AsofJoin.asof(views, purchases, "user_id", "ts", "ts",
+      Seq("p_id", "p_value"))
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("Join"), p) // union + window, never a join node
+    assert(p.contains("Window"), p)
+    // exactly one exchange hashes on the key — count only the final
+    // adaptive plan (the plan string repeats under "== Initial Plan ==")
+    val finalPlan = p.split("== Initial Plan ==")(0)
+    val shuffles = finalPlan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles == 1, s"expected 1 key shuffle, got $shuffles\n$finalPlan")
+  }
+
+  test("repetition filter is a shuffle-free stateless map") {
+    val df = SparkEntry.queries("q64_repetition_filter")(spark, sf)
+      .limit(5) // drop the gate's global orderBy — the operator itself
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("repetitionstats") || p.contains("RepetitionStats"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
 }
