@@ -87,6 +87,15 @@ object SetSimJoin {
     val n = docs.count()
     if (n <= quadDocCap) return quadRouted(spark, docs, threshold,
       filterOnRounded, denseVocabCap)
+    // vocab short-circuit: with ≤ denseVocabCap distinct tokens the
+    // prefix filter cannot be selective (every prefix token's df is
+    // ~n/|vocab|, so Σ C(df,2) ≈ all-pairs whatever n is) — the dense
+    // bitset path is the asymptotic winner too, and skipping the prefix
+    // probe saves its index build on exactly the corpora that won't use it
+    val vocabCard = docs.select(explode($"ts").as("tok")).distinct()
+      .limit(denseVocabCap + 1).count()
+    if (vocabCard <= denseVocabCap) return quadRouted(spark, docs, threshold,
+      filterOnRounded, denseVocabCap)
     // prefix-index df probe: materialize the (doc_id, prefix tok) index
     // once (it is stage 1 of the prefix path — no wasted work if chosen)
     // and estimate candidate pairs as Σ C(df_prefix, 2).
