@@ -336,5 +336,32 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q38, q39, q64)
+  /** Exact length quantiles per language — the corpus-statistics pass a
+    * data pipeline runs before choosing chunk sizes and packing budgets
+    * (and the engine's exact-quantile surface: `percentile` aggregates
+    * with linear interpolation, matching DuckDB's `quantile_cont`).
+    * Exact quantiles sort within each group at scale; for the
+    * 100 TB approximate path use `percentile_approx` (t-digest, one
+    * pass, mergeable) — approximate sketches can't be hash-gated against
+    * another engine, so the exact variant is what the oracle checks. */
+  val q70 = Q.sql("q70_length_quantiles",
+    """SELECT lang,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  round(quantile_cont(n_toks, 0.5), 4) AS p50,
+      |  round(quantile_cont(n_toks, 0.9), 4) AS p90,
+      |  CAST(max(n_toks) AS BIGINT) AS max_toks
+      |FROM (SELECT lang, len(regexp_split_to_array(trim(text), '\s+')) AS n_toks
+      |      FROM documents) t
+      |GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("lang"), size(Text.tokens(col("text"))).as("n_toks"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        round(element_at(expr("percentile(n_toks, array(0.5D, 0.9D))"), 1), 4).as("p50"),
+        round(element_at(expr("percentile(n_toks, array(0.5D, 0.9D))"), 2), 4).as("p90"),
+        max(col("n_toks")).cast("long").as("max_toks"))
+      .orderBy("lang")
+  }
+
+  val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q38, q39, q64, q70)
 }
