@@ -74,6 +74,39 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("repetitionStats counters are consistent with wordNgrams on random input") {
+    val toks = Gen.listOf(Gen.oneOf("a", "b", "c", "dd", "ee"))
+    val n = Gen.choose(1, 3)
+    check("repstats-consistent", Prop.forAll(toks, n) { (ts, k) =>
+      val st = TextKernels.repetitionStats(sarr(ts), k)
+      val grams = (0 until math.max(0, ts.size - k + 1))
+        .map(i => ts.slice(i, i + k).mkString(" "))
+      val counts = grams.groupBy(identity).view.mapValues(_.size)
+      st.getLong(0) == grams.size &&
+        st.getLong(1) == counts.size &&
+        st.getLong(2) == (if (grams.isEmpty) 0 else counts.values.max)
+    })
+  }
+
+  test("chunk geometry covers every token at least once, stride-aligned") {
+    // mirrors q68's start rule: starts 0, stride, …; last window reaches
+    // the final token; every token belongs to ≥1 and ≤ ceil(size/stride)+1 windows
+    val g = for {
+      n <- Gen.choose(0, 500)
+      size <- Gen.choose(2, 64)
+      stride <- Gen.choose(1, 64).suchThat(_ <= 64)
+    } yield (n, size, math.min(stride, size)) // overlap requires stride ≤ size
+    check("chunk-cover", Prop.forAll(g) { case (n, size, stride) =>
+      if (n == 0) true
+      else {
+        val nChunks = 1 + (if (n > size) (n - size + stride - 1) / stride else 0)
+        val starts = (0 until nChunks).map(_ * stride)
+        val covered = starts.flatMap(s => s until math.min(s + size, n)).toSet
+        covered == (0 until n).toSet
+      }
+    })
+  }
+
   test("harvest plan covers [0, total) exactly once for any stripe shape") {
     val g = for {
       total <- Gen.choose(0, 5000)
