@@ -76,5 +76,16 @@ object StreamOps {
       .orderBy("user_id")
   }
 
-  val all: Seq[Q] = Seq(q50, q51, q57, q63)
+  /** Watermark-bounded streaming dedup (the state-expiring 100 TB mode
+    * of q57). All fixture events arrive in one batch, so every
+    * duplicate falls inside the watermark window and the result equals
+    * full DISTINCT — the equivalence this gate pins. */
+  val q71 = Q.sql("q71_stream_dedup_wm",
+    """SELECT DISTINCT user_id, event_type FROM events
+      |ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+    Streams.streamDedupWithinWatermark(s, d, qn("dedup_wm"))
+      .orderBy("user_id", "event_type")
+  }
+
+  val all: Seq[Q] = Seq(q50, q51, q57, q63, q71)
 }

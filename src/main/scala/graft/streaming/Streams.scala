@@ -113,6 +113,29 @@ object Streams {
         sum(col("active_ms")).as("active_ms"))
   }
 
+  /** Streaming dedup in its 100 TB deployment mode:
+    * `dropDuplicatesWithinWatermark` — state self-expires once the
+    * watermark passes a key's event time plus the delay, so the state
+    * store holds a bounded window of keys instead of every key ever
+    * seen (the trade: duplicates farther apart than the delay are kept;
+    * a training-data firehose dedupes within the replay window and
+    * relies on the batch dedup pass for the long tail). */
+  def streamDedupWithinWatermark(spark: SparkSession, dir: String,
+      queryName: String, delay: String = "10 days"): DataFrame = {
+    val deduped = eventStream(spark, dir)
+      .withWatermark("ts", delay)
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select("user_id", "event_type")
+    val q = deduped.writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory").queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
   /** Sessionize per user with a 30-minute inactivity gap; emit per-user
     * session and event counts. State = (last event time, session count,
     * event count); events arrive time-ordered per group after a

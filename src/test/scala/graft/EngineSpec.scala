@@ -435,6 +435,27 @@ class EngineSpec extends AnyFunSuite {
     assert(twice.map(_.getString(0)).sameElements(red.map(_.getString(0))))
   }
 
+  test("approximate sketches track exact answers (HLL distinct, t-digest quantile)") {
+    import org.apache.spark.sql.functions._
+    // HLL: distinct tokens over the corpus, default rsd 5%
+    val toks = Tables.documents(spark, sf)
+      .select(explode(graft.functions.Text.tokens(col("text"))).as("tok"))
+    val Array(exact, approx) = toks
+      .agg(countDistinct(col("tok")).cast("double"),
+        approx_count_distinct(col("tok")).cast("double"))
+      .collect()(0).toSeq.map(_.asInstanceOf[Double]).toArray
+    assert(math.abs(approx - exact) / exact < 0.10,
+      s"HLL estimate $approx vs exact $exact")
+    // t-digest: median doc length within one token of the exact median
+    val lens = Tables.documents(spark, sf)
+      .select(size(graft.functions.Text.tokens(col("text"))).as("n"))
+    val Array(exactMed, approxMed) = lens
+      .agg(expr("percentile(n, 0.5)"), expr("percentile_approx(n, 0.5)").cast("double"))
+      .collect()(0).toSeq.map(_.asInstanceOf[Double]).toArray
+    assert(math.abs(approxMed - exactMed) <= 2.0,
+      s"approx median $approxMed vs exact $exactMed")
+  }
+
   test("repetition filter flags a degenerate doc and passes varied text") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
