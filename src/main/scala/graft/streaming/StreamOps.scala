@@ -87,5 +87,21 @@ object StreamOps {
       .orderBy("user_id", "event_type")
   }
 
-  val all: Seq[Q] = Seq(q50, q51, q57, q63, q71)
+  /** Sessionization on the Spark 4 `transformWithState` API (RocksDB
+    * state store, TTL-able per-key state) ≡ the same batch lag-gap
+    * oracle as q51 — pins that the migration preserved semantics. */
+  val q72 = Q.sql("q72_sessions_tws",
+    """WITH o AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events)
+      |SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events
+      |FROM o GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    Streams.sessionizeTws(s, d, qn("sessions_tws"))
+      .orderBy("user_id")
+  }
+
+  val all: Seq[Q] = Seq(q50, q51, q57, q63, q71, q72)
 }

@@ -2,9 +2,10 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming over the events table. The reference is
   * batch-only (SURVEY §2.9 — "incremental" = scheduled re-harvest), so
@@ -26,6 +27,69 @@ object Streams {
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
   case class SessionAgg(user_id: Long, n_sessions: Long, n_events: Long)
+  case class SessState(lastTs: Long, sessions: Long, events: Long)
+
+  /** Sessionization on the Spark 4 arbitrary-state API
+    * (`transformWithState` / `StatefulProcessor`, RocksDB-backed). Same
+    * semantics as [[sessionize]]'s flatMapGroupsWithState version; what
+    * the new API buys at scale:
+    *
+    *  - state lives in RocksDB with changelog checkpointing — per-key
+    *    state is 3 longs regardless of history, and the store spills to
+    *    disk instead of owning executor heap;
+    *  - `TTLConfig` can expire idle users' state declaratively (the
+    *    NoTimeout flatMapGroups version keeps every key forever);
+    *  - timers/multiple typed state variables compose without re-keying.
+    *
+    * Within one micro-batch the key's rows are still sorted in memory —
+    * bounded by trigger size (`maxFilesPerTrigger`/`maxBytesPerTrigger`),
+    * not by stream length; cross-batch nothing is ever re-buffered.
+    */
+  private class SessionProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, Event, SessionAgg] {
+    @transient private var st: ValueState[SessState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[SessState]("sess",
+        Encoders.product[SessState], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        tv: TimerValues): Iterator[SessionAgg] = {
+      val sorted = rows.toArray.sortInPlaceBy(e => (e.ts.getTime, e.event_id))
+      var s = if (st.exists()) st.get() else SessState(Long.MinValue, 0L, 0L)
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        val newSession = s.lastTs == Long.MinValue || t - s.lastTs > gapMs
+        s = SessState(t, if (newSession) s.sessions + 1 else s.sessions, s.events + 1)
+      }
+      st.update(s)
+      Iterator.single(SessionAgg(key, s.sessions, s.events))
+    }
+  }
+
+  /** [[sessionize]] re-expressed on `transformWithState` — emits the
+    * per-user running (n_sessions, n_events) each batch; the memory-sink
+    * fold keeps the last row per user exactly like the q51 path. */
+  def sessionizeTws(spark: SparkSession, dir: String, queryName: String,
+      gapMinutes: Int = 30): DataFrame = {
+    import spark.implicits._
+    // transformWithState requires the RocksDB state store provider
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val events = eventStream(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value").as[Event]
+    val q = events.groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapMinutes * 60000L),
+        TimeMode.None(), OutputMode.Update())
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val t = spark.table(queryName)
+    t.groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("n_sessions"))).as("s"))
+      .select(col("user_id"), col("s.n_sessions").as("n_sessions"),
+        col("s.n_events").as("n_events"))
+  }
 
   private def eventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
