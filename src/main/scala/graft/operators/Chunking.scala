@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.{DataFrame, Encoders}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -86,5 +87,65 @@ object Chunking {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(q68, q69)
+  case class DocTok(doc_id: Long, lang: String, n_tokens: Long)
+  case class Packed(doc_id: Long, lang: String, n_tokens: Long,
+      bin_id: Long, bin_offset: Long)
+
+  /** Best-fit-decreasing bin packing within each stratum: docs sorted by
+    * (n_tokens desc, doc_id), each placed in the open bin with the least
+    * remaining capacity that still fits (ties → lowest bin id); no fit →
+    * new bin; a doc at/over the budget gets a bin of its own. O(n log n)
+    * per stratum via a (remaining, bin) ordered set — the classic 11/9·OPT
+    * bound, strictly tighter than [[q69]]'s arrival-order greedy fill.
+    *
+    * Scale shape: one `flatMapGroups` per stratum. Packing a shard
+    * inherently needs that shard's doc lengths in one place, so the
+    * stratum IS the parallelism unit — in deployment the key is
+    * (lang, training-shard), bounding each group at shard size; lengths
+    * only (16 B/doc) are shuffled, never text. */
+  /** The per-stratum BFD loop, pure so PropertySpec can drive it on
+    * random length multisets without a session. */
+  def bfdStratum(lang: String, docs: Iterator[DocTok], budget: Long): Iterator[Packed] = {
+    val arr = docs.toArray.sortInPlaceBy(d => (-d.n_tokens, d.doc_id))
+    var nBins = 0
+    val open = scala.collection.mutable.TreeSet.empty[(Long, Long)]
+    arr.iterator.map { d =>
+      if (d.n_tokens >= budget) {
+        val id = nBins.toLong; nBins += 1
+        Packed(d.doc_id, lang, d.n_tokens, id, 0L)
+      } else open.minAfter((d.n_tokens, Long.MinValue)) match {
+        case Some(slot @ (rem, id)) =>
+          open.remove(slot)
+          if (rem > d.n_tokens) open.add((rem - d.n_tokens, id))
+          Packed(d.doc_id, lang, d.n_tokens, id, budget - rem)
+        case None =>
+          val id = nBins.toLong; nBins += 1
+          open.add((budget - d.n_tokens, id))
+          Packed(d.doc_id, lang, d.n_tokens, id, 0L)
+      }
+    }
+  }
+
+  def packBestFitDecreasing(docs: DataFrame, budget: Long): DataFrame = {
+    docs.as[DocTok](Encoders.product[DocTok])
+      .groupByKey(_.lang)(Encoders.STRING)
+      .flatMapGroups { (lang: String, it: Iterator[DocTok]) =>
+        bfdStratum(lang, it, budget)
+      }(Encoders.product[Packed]).toDF()
+  }
+
+  /** BFD packing gate at the q69 budget. No SQL oracle (best-fit needs
+    * an ordered mutable bin set — not expressible as one DuckDB query);
+    * PropertySpec pins the invariants instead: partition of the corpus,
+    * capacity respected, bin count ≤ greedy, deterministic. */
+  val q73 = Q.rowsOnly("q73_packing_bfd") { (s, d) =>
+    packBestFitDecreasing(
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(Text.tokens(col("text"))).cast("long").as("n_tokens")),
+      budget = 2048)
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(q68, q69, q73)
 }

@@ -82,10 +82,13 @@ object Similarity {
   private val DIM = 64
 
   /** Deterministic Rademacher (±1) hyperplanes, seed fixed — generated
-    * on the driver, broadcast as a literal (KBs). */
-  private def srpPlanes(): Seq[Seq[Float]] = {
+    * on the driver, broadcast as a literal (KBs). The first 12 planes of
+    * a longer request equal `srpPlanes(12)` (one sequential boolean
+    * stream), so q31's inlined oracle is stable as other callers ask for
+    * more bits. */
+  private[operators] def srpPlanes(n: Int = SRP_BITS): Seq[Seq[Float]] = {
     val rnd = new scala.util.Random(42)
-    Seq.fill(SRP_BITS)(Seq.fill(DIM)(if (rnd.nextBoolean()) 1.0f else -1.0f))
+    Seq.fill(n)(Seq.fill(DIM)(if (rnd.nextBoolean()) 1.0f else -1.0f))
   }
 
   /** The same planes inlined into DuckDB SQL so the oracle reproduces the
@@ -93,8 +96,8 @@ object Similarity {
     * engines accumulate the dot product left-to-right in double, so the
     * sign test agrees (a tie at exactly 0.0 is the only hazard and is
     * measure-zero for real-valued embeddings). */
-  private def srpPlanesSql: String =
-    srpPlanes().zipWithIndex.map { case (p, i) =>
+  private def srpPlanesSql(n: Int = SRP_BITS): String =
+    srpPlanes(n).zipWithIndex.map { case (p, i) =>
       s"($i, CAST([${p.map(v => if (v > 0) "1.0" else "-1.0").mkString(", ")}] AS DOUBLE[]))"
     }.mkString(",\n  ")
 
@@ -104,7 +107,7 @@ object Similarity {
   val q31 = Q.sql("q31_ann_srp_lsh",
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
        |planes(bit, w) AS (VALUES
-       |  $srpPlanesSql),
+       |  ${srpPlanesSql()}),
        |b AS (
        |  SELECT e.vec_id, e.emb,
        |    CAST(sum(CASE WHEN list_inner_product(e.emb, p.w) >= 0
@@ -251,5 +254,93 @@ object Similarity {
     ivfTopK(e, kmeansCentroids(e))
   }
 
-  val all: Seq[Q] = Seq(q29, q30, q31, q32, q62)
+  private val SEM_BITS = 24
+  private val SEM_BAND_BITS = 3 // 8 bands × 3 bits
+
+  /** Banded-SRP candidate generation for semantic dedup: 24 sign bits
+    * split into 8 bands of 3; vectors sharing any band's bucket are
+    * candidates (MinHash-LSH banding applied to SRP signatures). The
+    * banded frame carries (vec_id, band, bucket) ONLY — embeddings are
+    * joined back just for the exact-threshold rerank, so the bucket
+    * shuffle moves 24 bytes per (vector, band), never the vectors.
+    *
+    * Production sizing: bits-per-band grows with log₂(n) (≈16 at 10⁹
+    * vectors, keeping per-bucket occupancy O(1)) and band count sets
+    * recall (4 bands × 16 bits ≈ 0.86 recall at 0.9 cosine). The 3-bit
+    * bands here match the 500-vector fixture; the shape — band explode,
+    * bucket join, distinct, rerank — is the 100 TB plan. */
+  def semanticDedupDecisions(spark: org.apache.spark.sql.SparkSession,
+      e: org.apache.spark.sql.DataFrame, threshold: Double): org.apache.spark.sql.DataFrame = {
+    val nBands = SEM_BITS / SEM_BAND_BITS
+    val planes = typedlit(srpPlanes(SEM_BITS))
+    val banded = e
+      .withColumn("bits", transform(sequence(lit(0), lit(SEM_BITS - 1)),
+        i => when(Exprs.dot_f(col("embedding"), element_at(planes, i + lit(1))) >= 0, 1L)
+          .otherwise(0L)))
+      .select(col("vec_id"), explode(sequence(lit(0), lit(nBands - 1))).as("band"),
+        col("bits"))
+      .withColumn("bucket",
+        aggregate(sequence(lit(0), lit(SEM_BAND_BITS - 1)), lit(0L),
+          (acc, j) => acc * 2 + element_at(col("bits"), col("band") * SEM_BAND_BITS + j + lit(1))))
+      .select("vec_id", "band", "bucket")
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
+          && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    val ea = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val eb = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val pairs = cand.join(ea, "id_a").join(eb, "id_b")
+      .filter(round(Exprs.cosine_sim(col("va"), col("vb")), 4) >= threshold)
+      .select("id_a", "id_b")
+    val comps = DedupClusters.connectedComponents(spark, pairs)
+    e.select(col("vec_id"))
+      .join(comps.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
+      .withColumn("component", coalesce(col("label"), col("vec_id")))
+      .withColumn("keep", col("component") === col("vec_id"))
+      .select("vec_id", "component", "keep")
+  }
+
+  /** Semantic (embedding-space) dedup decisions at cosine ≥ 0.4: banded
+    * SRP candidates → exact rounded-cosine threshold → connected
+    * components → keep = min vec_id per component. Oracle replicates the
+    * banding (planes inlined) and the components (bounded recursive
+    * label propagation, q54 pattern). */
+  val q74 = Q.sql("q74_semantic_dedup",
+    s"""WITH RECURSIVE
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |planes(bit, w) AS (VALUES
+       |  ${srpPlanesSql(SEM_BITS)}),
+       |b AS (
+       |  SELECT e.vec_id, p.bit // $SEM_BAND_BITS AS band,
+       |    CAST(sum(CASE WHEN list_inner_product(e.emb, p.w) >= 0
+       |             THEN 1 << (${SEM_BAND_BITS - 1} - (p.bit % $SEM_BAND_BITS)) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM e CROSS JOIN planes p GROUP BY e.vec_id, p.bit // $SEM_BAND_BITS),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, bb.vec_id AS id_b
+       |  FROM b a JOIN b bb ON a.band = bb.band AND a.bucket = bb.bucket
+       |                    AND a.vec_id < bb.vec_id),
+       |pairs AS (
+       |  SELECT id_a, id_b FROM cand
+       |  JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b
+       |  WHERE round(list_cosine_similarity(ea.emb, eb.emb), 4) >= 0.4),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs),
+       |lp(id, label, r) AS (
+       |  SELECT vec_id, vec_id, 0 FROM e
+       |  UNION ALL
+       |  SELECT lp.id, least(lp.label, min(l2.label)), lp.r + 1
+       |  FROM lp JOIN edges ON lp.id = edges.src
+       |          JOIN lp l2 ON l2.id = edges.dst AND l2.r = lp.r
+       |  WHERE lp.r < 8
+       |  GROUP BY lp.id, lp.label, lp.r),
+       |final AS (SELECT id, min(label) AS component FROM lp GROUP BY id)
+       |SELECT e.vec_id, coalesce(f.component, e.vec_id) AS component,
+       |  coalesce(f.component, e.vec_id) = e.vec_id AS keep
+       |FROM e LEFT JOIN final f ON e.vec_id = f.id
+       |ORDER BY e.vec_id""".stripMargin) { (s, d) =>
+    semanticDedupDecisions(s, Tables.embeddings(s, d), 0.4).orderBy("vec_id")
+  }
+
+  val all: Seq[Q] = Seq(q29, q30, q31, q32, q62, q74)
 }

@@ -107,6 +107,25 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("BFD packing: partition, capacity, half-full bound, deterministic") {
+    import graft.operators.Chunking
+    import graft.operators.Chunking.DocTok
+    val budget = 100L
+    val lens = Gen.listOf(Gen.choose(1L, 130L))
+    check("bfd-invariants", Prop.forAll(lens) { ls =>
+      val docs = ls.zipWithIndex.map { case (n, i) => DocTok(i.toLong, "xx", n) }
+      val packed = Chunking.bfdStratum("xx", docs.iterator, budget).toVector
+      val again = Chunking.bfdStratum("xx", docs.iterator, budget).toVector
+      val loads = packed.groupBy(_.bin_id).view.mapValues(_.map(_.n_tokens).sum)
+      val singleton = packed.groupBy(_.bin_id).view.mapValues(_.size == 1)
+      packed.map(_.doc_id).sorted == docs.indices.map(_.toLong) &&      // partition
+        loads.forall { case (b, l) => l <= budget || singleton(b) } &&  // capacity
+        // any-fit guarantee: ≤1 bin at most half full (else they'd merge)
+        loads.values.count(_ * 2 <= budget) <= 1 &&
+        packed == again                                                 // deterministic
+    })
+  }
+
   test("harvest plan covers [0, total) exactly once for any stripe shape") {
     val g = for {
       total <- Gen.choose(0, 5000)
