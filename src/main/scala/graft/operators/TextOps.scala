@@ -363,5 +363,74 @@ object TextOps {
       .orderBy("lang")
   }
 
-  val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q38, q39, q64, q70)
+  /** Line-level (boilerplate) dedup — the C4/RefinedWeb rule applied
+    * within this corpus: segment every doc into consecutive 3-token
+    * "lines", drop any segment whose exact text occurs in ≥ 3 distinct
+    * docs (cross-doc boilerplate), and reassemble the survivors in
+    * order. Distinct from doc-level dedup: no doc is dropped, repeated
+    * CONTENT is.
+    *
+    * Scale shape: one groupBy on the segment text (map-side partial
+    * count-distinct; at web scale, group on a 16-byte hash of the
+    * segment) to build the boilerplate set — which is small and
+    * broadcasts into a left-anti join — then one groupBy doc_id to
+    * reassemble. The doc text is shuffled once, as segments; the
+    * reassembly collect_list is per-doc bounded. Tail tokens beyond the
+    * last full segment are outside the rule on both sides. */
+  val q75 = Q.sql("q75_line_dedup",
+    """WITH t AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+      |seg AS (
+      |  SELECT doc_id, g AS seg_id,
+      |    array_to_string(list_slice(toks, g*3+1, g*3+3), ' ') AS seg
+      |  FROM t, LATERAL unnest(range(0, len(toks) // 3)) AS u(g)),
+      |boiler AS (
+      |  SELECT seg FROM seg GROUP BY seg HAVING count(DISTINCT doc_id) >= 3),
+      |kept AS (
+      |  SELECT doc_id, count(*) AS n_kept,
+      |    string_agg(seg, ' ' ORDER BY seg_id) AS clean_text
+      |  FROM seg WHERE seg NOT IN (SELECT seg FROM boiler)
+      |  GROUP BY doc_id),
+      |segs_per_doc AS (SELECT doc_id, count(*) AS n_segs FROM seg GROUP BY doc_id)
+      |SELECT t.doc_id,
+      |  CAST(coalesce(s.n_segs, 0) AS BIGINT) AS n_segs,
+      |  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+      |  coalesce(k.clean_text, '') AS clean_text
+      |FROM t LEFT JOIN segs_per_doc s ON t.doc_id = s.doc_id
+      |       LEFT JOIN kept k ON t.doc_id = k.doc_id
+      |ORDER BY t.doc_id""".stripMargin) { (s, d) =>
+    val W = 3
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+    // guard: Spark sequence(0, n-1) DESCENDS when n == 0 — emit an empty
+    // array for docs shorter than one segment (DuckDB range() is empty)
+    val nSegs = floor(size(col("toks")) / W).cast("int")
+    val segs = docs
+      .select(col("doc_id"),
+        posexplode(when(nSegs > 0,
+          transform(sequence(lit(0), nSegs - 1),
+            g => array_join(slice(col("toks"), g * W + 1, lit(W)), " ")))
+          .otherwise(array().cast("array<string>"))))
+      .withColumnRenamed("pos", "seg_id").withColumnRenamed("col", "seg")
+    val boiler = segs.groupBy("seg")
+      .agg(count_distinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 3)
+      .select("seg")
+    val kept = segs.join(boiler, Seq("seg"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("seg_id"), col("seg")))),
+          x => x.getField("seg")), " ").as("clean_text"))
+    val perDoc = segs.groupBy("doc_id").agg(count(lit(1)).as("n_segs"))
+    docs.select("doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_segs"), lit(0L)).cast("long").as("n_segs"),
+        coalesce(col("n_kept"), lit(0L)).cast("long").as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q38, q39, q64, q70, q75)
 }
