@@ -103,5 +103,16 @@ object StreamOps {
       .orderBy("user_id")
   }
 
-  val all: Seq[Q] = Seq(q50, q51, q57, q63, q71, q72)
+  /** Stream-static dimension enrichment ≡ batch join + group-by. */
+  val q76 = Q.sql("q76_stream_enrich",
+    """SELECT n.n_name AS nation, count(*) AS cnt
+      |FROM events e
+      |JOIN customer c ON c.c_custkey = e.user_id + 1
+      |JOIN nation n ON n.n_nationkey = c.c_nationkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    Streams.streamStaticEnrich(s, d, qn("stream_enrich"))
+      .orderBy("nation")
+  }
+
+  val all: Seq[Q] = Seq(q50, q51, q57, q63, q71, q72, q76)
 }

@@ -200,6 +200,31 @@ object Streams {
     spark.table(queryName)
   }
 
+  /** Stream-static enrichment: the events stream joined against the
+    * static customer→nation dimensions, then aggregated per nation.
+    * The static sides are plain DataFrames — Spark broadcasts them into
+    * every micro-batch (no stream-side shuffle for the join; state
+    * exists only for the final aggregation), which is exactly the 100 TB
+    * deployment shape for dimension enrichment of a firehose. */
+  def streamStaticEnrich(spark: SparkSession, dir: String, queryName: String): DataFrame = {
+    val customer = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val nation = spark.read.parquet(s"$dir/nation.parquet")
+      .select(col("n_nationkey"), col("n_name"))
+    val agg = eventStream(spark, dir)
+      .join(customer, customer("c_custkey") === col("user_id") + 1)
+      .join(nation, nation("n_nationkey") === customer("c_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(count(lit(1)).as("cnt"))
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory").queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
   /** Sessionize per user with a 30-minute inactivity gap; emit per-user
     * session and event counts. State = (last event time, session count,
     * event count); events arrive time-ordered per group after a

@@ -109,4 +109,24 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("repetitionstats") || p.contains("RepetitionStats"), p)
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
+
+  test("shaping passes (quality+langid+pii+repetition) fuse into ONE scan, no shuffle") {
+    import graft.functions.{Exprs, Text}
+    // all four training-data shaping passes chained over one read: the
+    // whole pipeline must collapse to a single parquet scan and zero
+    // exchanges — the "one corpus pass" claim in the README, pinned
+    val toks = Text.tokens(col("text"))
+    val df = Tables.documents(spark, sf)
+      .withColumn("quality", Text.qualityScore(col("text")))
+      .withColumn("lang_id", Text.langId(col("text")))
+      .withColumn("clean", graft.quality.Pii.redact(col("text")))
+      .withColumn("rep", Exprs.repetition_stats(toks, 3))
+      .select("doc_id", "quality", "lang_id", "clean", "rep")
+    df.collect()
+    val p = plan(df)
+    val scans = p.linesIterator.count(l =>
+      l.contains("FileScan") || l.contains("BatchScan"))
+    assert(scans == 1, s"expected 1 scan, got $scans\n$p")
+    assert(!p.contains("Exchange"), p)
+  }
 }
