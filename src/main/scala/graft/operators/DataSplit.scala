@@ -105,5 +105,31 @@ object DataSplit {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(q59, q60, q67)
+  /** Per-source document caps — the domain-mix rebalancing knob (cap
+    * every domain/dump at K docs so no single source dominates the mix).
+    * Which K survive is decided by rank over a salted content hash with
+    * doc_id tie-break: deterministic, order-free, and uncorrelated with
+    * the q59/q67 hashes (different salt). One window pass partitioned by
+    * source; a heavy-hitter source at 100 TB becomes one hot partition —
+    * the fix is the standard two-phase top-K (pre-cap within salted
+    * sub-buckets, exact re-rank over K·buckets survivors), same rule,
+    * same result. */
+  val q77 = Q.sql("q77_source_cap",
+    """SELECT doc_id, source, CAST(rk AS BIGINT) AS rk FROM (
+      |  SELECT doc_id, source,
+      |    row_number() OVER (PARTITION BY source
+      |                       ORDER BY md5('cap:' || text), doc_id) AS rk
+      |  FROM documents) t
+      |WHERE rk <= 10 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source")
+      .orderBy(md5(concat(lit("cap:"), col("text")).cast("binary")), col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 10)
+      .select("doc_id", "source", "rk")
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(q59, q60, q67, q77)
 }
