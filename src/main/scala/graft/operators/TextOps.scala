@@ -432,5 +432,43 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q38, q39, q64, q70, q75)
+  /** LM-based quality proxy: out-of-vocabulary fraction against the
+    * corpus bigram LM table (top-200 bigrams by frequency, gram-lexical
+    * tie-break). The KenLM-perplexity-filter shape without
+    * transcendentals: per-doc gram explode → broadcast join against the
+    * (small, capped) LM table → per-doc refold. One shuffle to build the
+    * table, one to refold; the LM side stays bounded by construction. */
+  val q78 = Q.sql("q78_lm_oov",
+    """WITH t AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+      |bi AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+      |                                       i -> toks[i] || ' ' || toks[i+1])) AS g
+      |  FROM t),
+      |lm AS (
+      |  SELECT g FROM (SELECT g, count(*) AS c FROM bi GROUP BY 1
+      |                 ORDER BY c DESC, g LIMIT 200)),
+      |st AS (
+      |  SELECT doc_id, count(*) AS n_bigrams,
+      |    sum(CASE WHEN g IN (SELECT g FROM lm) THEN 1 ELSE 0 END) AS n_inlm
+      |  FROM bi GROUP BY 1)
+      |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+      |  CAST(n_inlm AS BIGINT) AS n_inlm,
+      |  round(1.0 - 1.0 * n_inlm / n_bigrams, 4) AS oov_frac
+      |FROM st ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(Text.shingles(Text.tokens(col("text")), 2)).as("g"))
+    val lm = grams.groupBy("g").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("g")).limit(200)
+      .select(col("g"), lit(1L).as("inlm"))
+    grams.join(broadcast(lm), Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(coalesce(col("inlm"), lit(0L))).as("n_inlm"))
+      .withColumn("oov_frac", round(lit(1.0) - col("n_inlm") / col("n_bigrams"), 4))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q38, q39, q64, q70, q75, q78)
 }
