@@ -83,9 +83,28 @@ object Multimodal {
   }
 
   /** Frame-sample pipeline (stubbed decode): per-doc frame counts +
-    * mean brightness. Rows-only (no SQL-expressible oracle for the
-    * fake decoder). */
-  val q53 = Q.rowsOnly("q53_multimodal_frames") { (s, d) =>
+    * mean brightness. Oracled: the fixture payloads are the docs' UTF-8
+    * bytes and the corpus is pure ASCII (byte == code point), so DuckDB
+    * can replay the fake decoder's byte math — frame geometry from
+    * octet_length, per-frame brightness = mean `ascii()` over the slice. */
+  val q53 = Q.sql("q53_multimodal_frames",
+    """WITH t AS (
+      |  SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+      |f AS (
+      |  SELECT doc_id, text, n,
+      |    unnest(range(0, greatest(n // 256, 1), 2)) AS i FROM t),
+      |br AS (
+      |  SELECT doc_id, n, i,
+      |    list_aggregate(list_transform(
+      |      range((i * 256) % greatest(n, 1) + 1,
+      |            least((i * 256) % greatest(n, 1) + 256, n) + 1),
+      |      p -> ascii(substr(text, p, 1))), 'avg') AS bright
+      |  FROM f)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+      |  round(avg(bright), 2) AS mean_brightness,
+      |  CAST(max(64 + n % 64) AS INTEGER) AS width,
+      |  CAST(max(64 + n % 48) AS INTEGER) AS height
+      |FROM br GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
     import s.implicits._
     sampleFrames(mediaTable(s, d), everyN = 2).toDF()
       .groupBy("doc_id")
