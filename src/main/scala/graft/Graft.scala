@@ -108,6 +108,19 @@ object Graft {
       leftTs: String, rightTs: String, payload: Seq[String]): DataFrame =
     operators.AsofJoin.asof(left, right, key, leftTs, rightTs, payload)
 
+  /** Semantic (embedding-space) dedup decisions: banded-SRP candidates →
+    * exact rounded-cosine ≥ threshold → components → keep = min vec_id.
+    * `e` needs (vec_id, embedding: array<float>). */
+  def semanticDedup(spark: SparkSession, e: DataFrame,
+      threshold: Double): DataFrame =
+    operators.Similarity.semanticDedupDecisions(spark, e, threshold)
+
+  /** Line-level boilerplate removal and sequence packing live on the
+    * gate modules: [[operators.TextOps.q75]] (segment rule) and
+    * [[operators.Chunking.packBestFitDecreasing]]. */
+  def packBfd(docs: DataFrame, budget: Long): DataFrame =
+    operators.Chunking.packBestFitDecreasing(docs, budget)
+
   // ---- streaming ----------------------------------------------------------
 
   /** Native session-window sessionization over an events drop-folder —

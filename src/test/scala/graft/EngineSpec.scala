@@ -333,6 +333,31 @@ class EngineSpec extends AnyFunSuite {
       s"only-per-metric=${(perMetric -- fused).take(5)} only-fused=${(fused -- perMetric).take(5)}")
   }
 
+  test("semantic dedup: planted duplicate embeddings land in one component") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // identical vectors share EVERY band bucket, so banding can never
+    // lose them — recall is 1.0 by construction for exact duplicates,
+    // and the survivor is the min vec_id
+    val baseRows = Tables.embeddings(spark, sf).orderBy("vec_id").limit(5)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val e = (baseRows ++ baseRows.map { case (id, v) => (id + 1000, v) })
+      .toSeq.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    // rows: (vec_id, component, keep)
+    val rows = operators.Similarity.semanticDedupDecisions(spark, e, 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    rows.foreach { case (id, comp, keep) =>
+      if (id >= 1000) {
+        assert(comp == id - 1000, s"dupe $id not clustered with original: comp=$comp")
+        assert(!keep, s"dupe $id kept")
+      } else {
+        assert(comp == id && keep, s"original $id lost: comp=$comp keep=$keep")
+      }
+    }
+  }
+
   test("connected components: driver union-find and distributed propagation agree") {
     import spark.implicits._
     // two dense clusters, one 5-hop chain (multi-round propagation), and
