@@ -131,5 +131,29 @@ object DataSplit {
       .orderBy("doc_id")
   }
 
+  /** The heavy-hitter-safe form of [[q77]]: pre-cap inside salted
+    * sub-buckets (a source's rows spread over `buckets` partitions, each
+    * keeping its local top-K by the same hash rank), then exact re-rank
+    * over the ≤ K·buckets survivors per source. Identical output to the
+    * single-window rule — the pre-cap can never evict a global top-K row
+    * because a row's global rank is ≥ its rank within its own bucket —
+    * while the hot partition shrinks from |source| to |source|/buckets.
+    * ScaleSpec pins the equality. */
+  def sourceCapTwoPhase(docs: org.apache.spark.sql.DataFrame, k: Int,
+      buckets: Int = 16): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rankKey = md5(concat(lit("cap:"), col("text")).cast("binary"))
+    val pre = Window.partitionBy(col("source"), pmod(hash(col("doc_id")), lit(buckets)))
+      .orderBy(rankKey, col("doc_id"))
+    val exact = Window.partitionBy("source").orderBy(col("rank_key"), col("doc_id"))
+    docs
+      .withColumn("rank_key", rankKey)
+      .withColumn("prk", row_number().over(pre))
+      .filter(col("prk") <= k)
+      .withColumn("rk", row_number().over(exact).cast("long"))
+      .filter(col("rk") <= k)
+      .select("doc_id", "source", "rk")
+  }
+
   val all: Seq[Q] = Seq(q59, q60, q67, q77)
 }

@@ -139,4 +139,18 @@ class ScaleSpec extends AnyFunSuite {
       .orderBy("key").as[(String, Double)].collect().toSeq
     assert(salted == direct)
   }
+
+  test("two-phase source cap equals the single-window rule") {
+    val docs = Tables.documents(spark, sf)
+    val single = SparkEntry.queries("q77_source_cap")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val twoPhase = operators.DataSplit.sourceCapTwoPhase(docs, k = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(twoPhase == single,
+      s"only-single=${(single -- twoPhase).take(5)} only-2p=${(twoPhase -- single).take(5)}")
+    // degenerate bucketing (1 bucket) must also agree
+    val oneBucket = operators.DataSplit.sourceCapTwoPhase(docs, k = 10, buckets = 1)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(oneBucket == single)
+  }
 }
