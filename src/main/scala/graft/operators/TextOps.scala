@@ -415,16 +415,21 @@ object TextOps {
     val boiler = segs.groupBy("seg")
       .agg(count_distinct(col("doc_id")).as("df"))
       .filter(col("df") >= 3)
-      .select("seg")
-    val kept = segs.join(boiler, Seq("seg"), "left_anti")
+      .select(col("seg"), lit(true).as("is_boiler"))
+    // one pass over the marked segments yields total count, kept count,
+    // and the ordered rebuild together (collect_list drops the nulls the
+    // `when` leaves on boilerplate rows) — the corpus is segmented twice
+    // (boiler build + apply), never a third time
+    val perDoc = segs.join(boiler, Seq("seg"), "left")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_kept"),
-        array_join(transform(array_sort(collect_list(struct(col("seg_id"), col("seg")))),
+      .agg(count(lit(1)).as("n_segs"),
+        count(when(col("is_boiler").isNull, 1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("is_boiler").isNull,
+            struct(col("seg_id"), col("seg"))))),
           x => x.getField("seg")), " ").as("clean_text"))
-    val perDoc = segs.groupBy("doc_id").agg(count(lit(1)).as("n_segs"))
     docs.select("doc_id")
       .join(perDoc, Seq("doc_id"), "left")
-      .join(kept, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_segs"), lit(0L)).cast("long").as("n_segs"),
         coalesce(col("n_kept"), lit(0L)).cast("long").as("n_kept"),
