@@ -115,11 +115,20 @@ object Graft {
       threshold: Double): DataFrame =
     operators.Similarity.semanticDedupDecisions(spark, e, threshold)
 
-  /** Line-level boilerplate removal and sequence packing live on the
-    * gate modules: [[operators.TextOps.q75]] (segment rule) and
-    * [[operators.Chunking.packBestFitDecreasing]]. */
+  /** Line-level boilerplate removal (C4/RefinedWeb rule): drop
+    * `width`-token segments occurring in ≥ `minDf` docs, reassemble. */
+  def lineDedup(docs: DataFrame, width: Int = 3, minDf: Long = 3): DataFrame =
+    operators.TextOps.lineDedup(docs, width, minDf)
+
+  /** Best-fit-decreasing sequence packing per language stratum. */
   def packBfd(docs: DataFrame, budget: Long): DataFrame =
     operators.Chunking.packBestFitDecreasing(docs, budget)
+
+  /** Domain-mix rebalancing: keep the top-`k` docs per source by
+    * salted-hash rank (two-phase variant for heavy-hitter sources on
+    * [[operators.DataSplit.sourceCapTwoPhase]]). */
+  def sourceCap(docs: DataFrame, k: Int): DataFrame =
+    operators.DataSplit.sourceCap(docs, k)
 
   // ---- streaming ----------------------------------------------------------
 

@@ -121,14 +121,20 @@ object DataSplit {
       |                       ORDER BY md5('cap:' || text), doc_id) AS rk
       |  FROM documents) t
       |WHERE rk <= 10 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    sourceCap(Tables.documents(s, d), k = 10).orderBy("doc_id")
+  }
+
+  /** The q77 rule as a reusable operator: keep the top-`k` docs per
+    * source by salted-hash rank. Single window; see
+    * [[sourceCapTwoPhase]] for the heavy-hitter-safe equivalent. */
+  def sourceCap(docs: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("source")
       .orderBy(md5(concat(lit("cap:"), col("text")).cast("binary")), col("doc_id"))
-    Tables.documents(s, d)
+    docs
       .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= 10)
+      .filter(col("rk") <= k)
       .select("doc_id", "source", "rk")
-      .orderBy("doc_id")
   }
 
   /** The heavy-hitter-safe form of [[q77]]: pre-cap inside salted

@@ -399,22 +399,28 @@ object TextOps {
       |FROM t LEFT JOIN segs_per_doc s ON t.doc_id = s.doc_id
       |       LEFT JOIN kept k ON t.doc_id = k.doc_id
       |ORDER BY t.doc_id""".stripMargin) { (s, d) =>
-    val W = 3
-    val docs = Tables.documents(s, d)
+    lineDedup(Tables.documents(s, d), width = 3, minDf = 3).orderBy("doc_id")
+  }
+
+  /** The q75 rule as a reusable operator over any (doc_id, text) frame:
+    * segment into `width`-token lines, drop lines occurring in ≥ `minDf`
+    * distinct docs, reassemble in order. */
+  def lineDedup(documents: DataFrame, width: Int, minDf: Long): DataFrame = {
+    val docs = documents
       .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
     // guard: Spark sequence(0, n-1) DESCENDS when n == 0 — emit an empty
     // array for docs shorter than one segment (DuckDB range() is empty)
-    val nSegs = floor(size(col("toks")) / W).cast("int")
+    val nSegs = floor(size(col("toks")) / width).cast("int")
     val segs = docs
       .select(col("doc_id"),
         posexplode(when(nSegs > 0,
           transform(sequence(lit(0), nSegs - 1),
-            g => array_join(slice(col("toks"), g * W + 1, lit(W)), " ")))
+            g => array_join(slice(col("toks"), g * width + 1, lit(width)), " ")))
           .otherwise(array().cast("array<string>"))))
       .withColumnRenamed("pos", "seg_id").withColumnRenamed("col", "seg")
     val boiler = segs.groupBy("seg")
       .agg(count_distinct(col("doc_id")).as("df"))
-      .filter(col("df") >= 3)
+      .filter(col("df") >= minDf)
       .select(col("seg"), lit(true).as("is_boiler"))
     // one pass over the marked segments yields total count, kept count,
     // and the ordered rebuild together (collect_list drops the nulls the
@@ -434,7 +440,6 @@ object TextOps {
         coalesce(col("n_segs"), lit(0L)).cast("long").as("n_segs"),
         coalesce(col("n_kept"), lit(0L)).cast("long").as("n_kept"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
-      .orderBy("doc_id")
   }
 
   /** LM-based quality proxy: out-of-vocabulary fraction against the
