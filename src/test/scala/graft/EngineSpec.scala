@@ -333,6 +333,23 @@ class EngineSpec extends AnyFunSuite {
       s"only-per-metric=${(perMetric -- fused).take(5)} only-fused=${(fused -- perMetric).take(5)}")
   }
 
+  test("line dedup: planted boilerplate is removed from every doc, order kept") {
+    import spark.implicits._
+    // 4 docs share the same 2-token footer; unique bodies survive in order
+    val docs = Seq(
+      (1L, "alpha beta gamma delta COOKIE NOTICE"),
+      (2L, "one two three four COOKIE NOTICE"),
+      (3L, "red green blue cyan COOKIE NOTICE"),
+      (4L, "COOKIE NOTICE north south east west")).toDF("doc_id", "text")
+    val out = operators.TextOps.lineDedup(docs, width = 2, minDf = 3)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out(0) == ((1L, 3L, 2L, "alpha beta gamma delta")))
+    assert(out(1) == ((2L, 3L, 2L, "one two three four")))
+    assert(out(2) == ((3L, 3L, 2L, "red green blue cyan")))
+    assert(out(3) == ((4L, 3L, 2L, "north south east west")))
+  }
+
   test("semantic dedup: planted duplicate embeddings land in one component") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
