@@ -225,6 +225,21 @@ object Streams {
     spark.table(queryName)
   }
 
+  /** Idempotent micro-batch parquet writer for `foreachBatch` — the
+    * exactly-once sink contract: each batch lands in its own
+    * `batch_id=N` partition via dynamic partition overwrite, so a
+    * redelivered batch (restart between sink write and offset commit —
+    * Structured Streaming's at-least-once window) REPLACES its partition
+    * instead of appending duplicates. Downstream reads see each record
+    * once; the layer stays partition-prunable by batch. */
+  def idempotentBatchWriter(outDir: String): (DataFrame, Long) => Unit =
+    (df, batchId) => df
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(outDir)
+
   /** Sessionize per user with a 30-minute inactivity gap; emit per-user
     * session and event counts. State = (last event time, session count,
     * event count); events arrive time-ordered per group after a

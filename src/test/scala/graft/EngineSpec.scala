@@ -333,6 +333,20 @@ class EngineSpec extends AnyFunSuite {
       s"only-per-metric=${(perMetric -- fused).take(5)} only-fused=${(fused -- perMetric).take(5)}")
   }
 
+  test("idempotent batch writer: redelivered micro-batch replaces, never appends") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val write = streaming.Streams.idempotentBatchWriter(out)
+    write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), 0L)
+    write(Seq((3L, "c")).toDF("id", "v"), 1L)
+    // batch 1 redelivered (restart between sink write and offset commit)
+    write(Seq((3L, "c")).toDF("id", "v"), 1L)
+    val rows = spark.read.parquet(out)
+      .select("id", "v", "batch_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(rows == Set((1L, "a", 0), (2L, "b", 0), (3L, "c", 1)), rows)
+  }
+
   test("line dedup: planted boilerplate is removed from every doc, order kept") {
     import spark.implicits._
     // 4 docs share the same 2-token footer; unique bodies survive in order
