@@ -69,6 +69,49 @@ object Multimodal {
     }
   }
 
+  case class Resized(doc_id: Long, orig_bytes: Long, resized_bytes: Long,
+      resized_sha: String, width: Int, height: Int)
+
+  /** STUB resize — half-scale stand-in: keep every 2nd payload byte
+    * (stride decimation), halve the fake frame geometry. Replace with a
+    * real scaler; the batch-shaped mapPartitions plumbing stays. */
+  private def fakeResize(row: MediaRow): Resized = {
+    val n = row.payload.length
+    val dec = Array.tabulate((n + 1) / 2)(i => row.payload(i * 2))
+    val md = MessageDigest.getInstance("MD5")
+    val sha = md.digest(dec).map("%02x".format(_)).mkString
+    Resized(row.doc_id, n.toLong, dec.length.toLong, sha,
+      math.max(1, (64 + n % 64) / 2), math.max(1, (64 + n % 48) / 2))
+  }
+
+  /** Resize through the same batch-shaped partitions as [[sampleFrames]]. */
+  def resizeAll(media: Dataset[MediaRow]): Dataset[Resized] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(BATCH_SIZE).flatMap(_.iterator.map(fakeResize))
+    }
+  }
+
+  /** Resize gate — oracled like q53: the ASCII fixture payloads let
+    * DuckDB rebuild the decimated byte stream with substr() stepping and
+    * hash it, so the distributed slicing is checked byte-for-byte. */
+  val q79 = Q.sql("q79_multimodal_resize",
+    """WITH t AS (
+      |  SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+      |r AS (
+      |  SELECT doc_id, n,
+      |    array_to_string(list_transform(range(1, n + 1, 2),
+      |                                   p -> substr(text, p, 1)), '') AS dec
+      |  FROM t)
+      |SELECT doc_id, CAST(n AS BIGINT) AS orig_bytes,
+      |  CAST(octet_length(encode(dec)) AS BIGINT) AS resized_bytes,
+      |  md5(dec) AS resized_sha,
+      |  CAST(greatest(1, (64 + n % 64) // 2) AS INTEGER) AS width,
+      |  CAST(greatest(1, (64 + n % 48) // 2) AS INTEGER) AS height
+      |FROM r ORDER BY doc_id""".stripMargin) { (s, d) =>
+    resizeAll(mediaTable(s, d)).toDF().orderBy("doc_id")
+  }
+
   /** Metadata extraction gate — the binary/meta schema end-to-end,
     * checked against DuckDB computing the same digest over the bytes. */
   val q52 = Q.sql("q52_multimodal_meta",
@@ -161,5 +204,5 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(q52, q53, q58)
+  val all: Seq[Q] = Seq(q52, q53, q58, q79)
 }
