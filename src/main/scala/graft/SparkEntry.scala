@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AsofJoin, Chunking, DataSplit, DedupClusters, Q, Relational, Similarity, TextOps}
+import graft.operators.{AsofJoin, Chunking, DataSplit, DedupClusters, Q, Relational, Similarity, TextOps, TrainingPipeline}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -17,7 +17,7 @@ object SparkEntry {
   def allQueries: Seq[Q] =
     Relational.all ++ TextOps.all ++ Similarity.all ++
       Seq(DedupClusters.q54) ++ DataSplit.all ++ AsofJoin.all ++
-      Chunking.all ++ graft.quality.Pii.all ++
+      Chunking.all ++ TrainingPipeline.all ++ graft.quality.Pii.all ++
       graft.gov.GovOps.all ++ graft.metrics.MetricsOps.all ++
       graft.metrics.Exports.all ++
       graft.streaming.StreamOps.all ++ graft.multimodal.Multimodal.all ++

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Text
+
+/** The flagship composition gate: the whole training-data shaping
+  * pipeline as ONE dataflow, each stage the already-gated rule —
+  *
+  *  1. line-level boilerplate removal (q75 rule: 3-token segments,
+  *     drop df ≥ 3, reassemble) and keep docs with ≥ 1 surviving segment;
+  *  2. exact dedup on the CLEANED text (q20 rule: min doc_id survives) —
+  *     boilerplate stripping can make near-identical docs exactly equal,
+  *     which is why this stage runs second;
+  *  3. quality gate: ≥ 20 clean tokens;
+  *  4. deterministic 50% sample by salted content hash (q67 rule,
+  *     distinct salt);
+  *  5. context-window chunking of the survivors (q68 rule: 32-token
+  *     windows, stride 24).
+  *
+  * The oracle replays the same five stages as one CTE chain, so the gate
+  * checks the COMPOSITION — stage ordering, column handoff, and the
+  * dedup-after-cleaning interaction — not just each piece. Plan shape:
+  * stages 2–5 add one groupBy (16-byte digest shuffle) and stateless
+  * maps on top of q75's two segment passes; nothing quadratic, nothing
+  * collected.
+  */
+object TrainingPipeline {
+
+  val q80 = Q.sql("q80_training_pipeline",
+    """WITH t AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+      |seg AS (
+      |  SELECT doc_id, g AS seg_id,
+      |    array_to_string(list_slice(toks, g*3+1, g*3+3), ' ') AS seg
+      |  FROM t, LATERAL unnest(range(0, len(toks) // 3)) AS u(g)),
+      |boiler AS (
+      |  SELECT seg FROM seg GROUP BY seg HAVING count(DISTINCT doc_id) >= 3),
+      |cleaned AS (
+      |  SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_id) AS clean_text
+      |  FROM seg WHERE seg NOT IN (SELECT seg FROM boiler)
+      |  GROUP BY doc_id),
+      |deduped AS (
+      |  SELECT min(doc_id) AS doc_id, clean_text
+      |  FROM cleaned GROUP BY clean_text),
+      |gated AS (
+      |  SELECT doc_id, clean_text,
+      |    regexp_split_to_array(trim(clean_text), '\s+') AS ctoks
+      |  FROM deduped
+      |  WHERE len(regexp_split_to_array(trim(clean_text), '\s+')) >= 20),
+      |sampled AS (
+      |  SELECT doc_id, ctoks FROM gated
+      |  WHERE substr(md5('pipe:' || clean_text), 1, 2) < '80'),
+      |chunks AS (
+      |  SELECT doc_id,
+      |    unnest(range(0, 1 + (CASE WHEN len(ctoks) > 32 THEN (len(ctoks) - 32 + 23) // 24 ELSE 0 END))) AS chunk_id,
+      |    ctoks
+      |  FROM sampled)
+      |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+      |  CAST(len(list_slice(ctoks, chunk_id * 24 + 1, chunk_id * 24 + 32)) AS BIGINT) AS n_tokens,
+      |  array_to_string(list_slice(ctoks, chunk_id * 24 + 1, chunk_id * 24 + 32), ' ') AS chunk
+      |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
+    val winSize = 32
+    val stride = 24
+    val cleaned = TextOps.lineDedup(Tables.documents(s, d), width = 3, minDf = 3)
+      .filter(col("n_kept") > 0)
+      .select(col("doc_id"), col("clean_text"))
+    val deduped = cleaned
+      .groupBy("clean_text").agg(min(col("doc_id")).as("doc_id"))
+    val gated = deduped
+      .withColumn("ctoks", Text.tokens(col("clean_text")))
+      .filter(size(col("ctoks")) >= 20)
+    val sampled = gated
+      .filter(substring(md5(concat(lit("pipe:"), col("clean_text")).cast("binary")), 1, 2)
+        < lit("80"))
+      .select(col("doc_id"), col("ctoks"), size(col("ctoks")).as("n_toks"))
+    sampled
+      .select(col("doc_id"), col("ctoks"),
+        explode(sequence(lit(0),
+          when(col("n_toks") > winSize,
+            floor((col("n_toks") - winSize + (stride - 1)) / stride)).otherwise(0)
+            .cast("int"))).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        slice(col("ctoks"), col("chunk_id") * stride + 1, lit(winSize)).as("cts"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("cts")).cast("long").as("n_tokens"),
+        array_join(col("cts"), " ").as("chunk"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  val all: Seq[Q] = Seq(q80)
+}
