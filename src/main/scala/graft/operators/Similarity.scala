@@ -283,6 +283,11 @@ object Similarity {
         aggregate(sequence(lit(0), lit(SEM_BAND_BITS - 1)), lit(0L),
           (acc, j) => acc * 2 + element_at(col("bits"), col("band") * SEM_BAND_BITS + j + lit(1))))
       .select("vec_id", "band", "bucket")
+      // materialize the signature table once — the self-join below would
+      // otherwise recompute every vector's 24 dot products on BOTH sides;
+      // the table is 24 bytes per (vector, band), far smaller than the
+      // embeddings it replaces
+      .localCheckpoint(true)
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
