@@ -392,6 +392,32 @@ object Relational {
       .orderBy("k_value")
   }
 
+  /** Cohort retention over the events stream: users grouped by
+    * first-seen day, counted on each later active day as an offset from
+    * the cohort day — the classic retention-triangle query. Two
+    * aggregations (first-seen per user, distinct active days) sharing
+    * the user_id shuffle key, then a per-user join that AQE broadcasts
+    * when the user dimension is small; integer output, no rounding. */
+  val q81 = Q.sql("q81_retention_cohorts",
+    """WITH f AS (
+      |  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+      |  FROM events GROUP BY 1),
+      |a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+      |SELECT cohort_day, date_diff('day', cohort_day, day) AS day_offset,
+      |  count(*) AS n_users
+      |FROM a JOIN f USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val firstSeen = ev.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    ev.distinct()
+      .join(firstSeen, "user_id")
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q17, q18, q19, q33, q34, q35, q36, q37)
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q33, q34, q35, q36, q37, q81)
 }
