@@ -108,6 +108,12 @@ object Graft {
       leftTs: String, rightTs: String, payload: Seq[String]): DataFrame =
     operators.AsofJoin.asof(left, right, key, leftTs, rightTs, payload)
 
+  /** Cosine top-k neighbors, auto-routed: exact brute force for small
+    * vector tables, IVF probes over deterministic k-means lists at
+    * scale (threshold on [[operators.Similarity.BruteForceCap]]). */
+  def cosineTopK(spark: SparkSession, embeddings: DataFrame, topK: Int): DataFrame =
+    operators.Similarity.cosineTopK(spark, embeddings, topK)
+
   /** Semantic (embedding-space) dedup decisions: banded-SRP candidates →
     * exact rounded-cosine ≥ threshold → components → keep = min vec_id.
     * `e` needs (vec_id, embedding: array<float>). */

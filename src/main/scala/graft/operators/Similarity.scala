@@ -347,5 +347,35 @@ object Similarity {
     semanticDedupDecisions(s, Tables.embeddings(s, d), 0.4).orderBy("vec_id")
   }
 
+  /** Vector-count threshold below which exact brute-force top-k (one
+    * broadcast of the neighbor side) beats building an IVF index; above
+    * it the routed path quantizes with the deterministic k-means
+    * refinement and probes 2 lists. 64-dim floats: 100k vectors ≈ 26 MB
+    * broadcast — the default keeps the broadcast comfortably inside
+    * executor budgets. */
+  val BruteForceCap = 100000L
+
+  /** Auto-routed cosine top-k: exact brute force under [[BruteForceCap]]
+    * vectors, IVF probes above (the same routing idea as
+    * SetSimJoin.jaccardPairs — the caller states WHAT, the router picks
+    * the physical plan that survives the data size). */
+  def cosineTopK(spark: org.apache.spark.sql.SparkSession,
+      e: org.apache.spark.sql.DataFrame, topK: Int,
+      bruteForceCap: Long = BruteForceCap): org.apache.spark.sql.DataFrame = {
+    val n = e.count()
+    if (n <= bruteForceCap) {
+      val a = e.repartition(spark.sparkContext.defaultParallelism)
+        .select(col("vec_id").as("query_id"), col("embedding").as("va"))
+      val b = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("vb"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("sim").desc, col("neighbor_id"))
+      a.join(broadcast(b), col("query_id") =!= col("neighbor_id"))
+        .withColumn("sim", round(Exprs.cosine_sim(col("va"), col("vb")), 4))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= topK)
+        .select("query_id", "neighbor_id", "sim")
+    } else ivfTopK(e, kmeansCentroids(e), topK = topK)
+  }
+
   val all: Seq[Q] = Seq(q29, q30, q31, q32, q62, q74)
 }

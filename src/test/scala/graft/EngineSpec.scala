@@ -364,6 +364,24 @@ class EngineSpec extends AnyFunSuite {
     assert(out(3) == ((4L, 3L, 2L, "north south east west")))
   }
 
+  test("cosineTopK routes: brute-force result exact below cap, IVF plan above") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, sf)
+    // below cap: must equal the q30 exact ranking (same rule, topK=5)
+    val routed = operators.Similarity.cosineTopK(spark, e, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = SparkEntry.queries("q30_cosine_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(routed == exact)
+    // above cap (forced): routed output = the IVF probe pipeline's
+    val ivf = operators.Similarity.cosineTopK(spark, e, topK = 5, bruteForceCap = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = operators.Similarity
+      .ivfTopK(e, operators.Similarity.kmeansCentroids(e), topK = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf == direct && ivf.nonEmpty)
+  }
+
   test("semantic dedup: planted duplicate embeddings land in one component") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
