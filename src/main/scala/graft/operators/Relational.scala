@@ -418,6 +418,40 @@ object Relational {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** Funnel conversion: view → click → purchase, strictly ordered per
+    * user (each step's first occurrence must be AFTER the previous
+    * step's). Three aggregations chained by per-user timestamps — every
+    * shuffle keys on user_id, so a pre-partitioned events table pays the
+    * exchange once; no window over the full event history is needed. */
+  val q82 = Q.sql("q82_funnel",
+    """WITH s1 AS (
+      |  SELECT user_id, min(ts) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (
+      |  SELECT e.user_id, min(e.ts) AS t2
+      |  FROM events e JOIN s1 USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+      |s3 AS (
+      |  SELECT e.user_id, min(e.ts) AS t3
+      |  FROM events e JOIN s2 USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+      |SELECT (SELECT count(*) FROM s1) AS n_view,
+      |  (SELECT count(*) FROM s2) AS n_view_click,
+      |  (SELECT count(*) FROM s3) AS n_view_click_purchase""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d).select("user_id", "event_type", "ts")
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t1"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, "user_id").filter(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min(col("ts")).as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, "user_id").filter(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min(col("ts")).as("t3"))
+    s1.agg(count(lit(1)).as("n_view"))
+      .crossJoin(s2.agg(count(lit(1)).as("n_view_click")))
+      .crossJoin(s3.agg(count(lit(1)).as("n_view_click_purchase")))
+  }
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q17, q18, q19, q33, q34, q35, q36, q37, q81)
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q33, q34, q35, q36, q37, q81, q82)
 }
