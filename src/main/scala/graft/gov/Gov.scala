@@ -22,7 +22,7 @@ object Gov {
   /** JSON read schema: the encoder schema with the `abstracts` field
     * renamed back to the wire name `abstract` (a reserved Java identifier
     * the encoder can't carry). */
-  private val readSchema = org.apache.spark.sql.types.StructType(
+  private[graft] val readSchema = org.apache.spark.sql.types.StructType(
     landingEnc.schema.fields.map(f =>
       if (f.name == "abstracts") f.copy(name = "abstract") else f))
 

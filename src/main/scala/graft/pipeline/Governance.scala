@@ -88,15 +88,29 @@ object Governance {
   def runIncremental(spark: SparkSession, landingJsonl: String,
       deltaJsonl: String, outDir: String, lookups: Lookups,
       instTab: Seq[Enrich.InstRow], dbInstTab: Seq[Enrich.DbInstRow],
+      temas: Seq[Enrich.TemaRow], nowYear: Int): Layers =
+    runIncrementalDf(spark, landingJsonl,
+      Gov.readLanding(spark, deltaJsonl).toDF(), outDir, lookups,
+      instTab, dbInstTab, temas, nowYear)
+
+  /** [[runIncremental]] with the delta batch as a DataFrame (landing
+    * schema, `abstracts` side) — the form a streaming `foreachBatch`
+    * hands over. */
+  def runIncrementalDf(spark: SparkSession, landingJsonl: String,
+      delta: DataFrame, outDir: String, lookups: Lookups,
+      instTab: Seq[Enrich.InstRow], dbInstTab: Seq[Enrich.DbInstRow],
       temas: Seq[Enrich.TemaRow], nowYear: Int): Layers = {
     import org.apache.spark.sql.functions._
     val iahxPath = s"$outDir/02_iahx"
     val enrichedPath = s"$outDir/03_enriched"
 
-    // 1 — merge the harvest batch into the landing zone
+    // 1 — merge the harvest batch into the landing zone. The merge is
+    // materialized (lineage cut) BEFORE the landing write so the updated
+    // zone may overwrite the very path `existing` was read from — which
+    // is exactly what happens from the second streaming batch on.
     val existing = Gov.readLanding(spark, landingJsonl).toDF()
-    val delta = Gov.readLanding(spark, deltaJsonl).toDF()
     val merged = graft.ingest.Harvest.upsert(existing, delta, "id", "updated_time")
+      .localCheckpoint(true)
     val landingPath = s"$outDir/01_landing"
     // back to the wire name (readLanding's schema expects `abstract`)
     merged.withColumnRenamed("abstracts", "abstract")
@@ -167,6 +181,46 @@ object Governance {
     SolrXml.writeSingleFile(deltaDs, xmlPath)
 
     Layers(landingPath, iahxPath, enrichedPath, xmlPath)
+  }
+
+  /** Continuous governance ingestion: the landing drop-folder consumed
+    * as a file stream, each micro-batch applied through the incremental
+    * lifecycle ([[runIncrementalDf]]: upsert → partition-scoped rebuild
+    * → pruned delta export). The reference's weekly batch becomes a
+    * standing query; Trigger.AvailableNow here drains what's present and
+    * stops, which is also the backfill mode on a cluster. Batches must
+    * apply in order (each rebuild reads the previous merge), so
+    * foreachBatch — which Structured Streaming serializes — is the
+    * correct hook; the landing zone itself is the recovery state: a
+    * replayed batch re-upserts the same docs idempotently
+    * (last-write-wins on updated_time). Requires a prior full [[run]]'s
+    * layers in `outDir`. */
+  def runStreamingIngest(spark: SparkSession, dropDir: String,
+      initialLandingJsonl: String, outDir: String, lookups: Lookups,
+      instTab: Seq[Enrich.InstRow], dbInstTab: Seq[Enrich.DbInstRow],
+      temas: Seq[Enrich.TemaRow], nowYear: Int,
+      maxFilesPerTrigger: Int = 1): Unit = {
+    val mergedLanding = s"$outDir/01_landing"
+    def currentLanding(): String =
+      if (new java.io.File(mergedLanding).exists()) mergedLanding
+      else initialLandingJsonl
+    val stream = spark.readStream
+      .schema(Gov.readSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(dropDir)
+      .withColumnRenamed("abstract", "abstracts")
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          runIncrementalDf(spark, currentLanding(), batch, outDir,
+            lookups, instTab, dbInstTab, temas, nowYear)
+          ()
+        }
+      }
+      .option("checkpointLocation", s"$outDir/_ingest_checkpoint")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
   }
 
   /** Incremental read of a layer: only partitions with update month ≥

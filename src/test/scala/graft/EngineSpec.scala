@@ -106,6 +106,43 @@ class EngineSpec extends AnyFunSuite {
       .exists(_.getName.startsWith("p_upd=")))
   }
 
+  test("streaming governance ingestion applies drop-folder batches incrementally") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("graft_stream_gov").toString
+    val drop = java.nio.file.Files.createTempDirectory("graft_drop").toString
+    pipeline.Governance.runFixture(spark, out) // seed full run
+    val seedCount = spark.read.parquet(s"$out/02_iahx").count()
+
+    def dropFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_delta").toString
+      df.withColumnRenamed("abstracts", "abstract").coalesce(1).write.mode("overwrite").json(tmp)
+      val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".json")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(drop, name))
+    }
+    val base = gov.Gov.fixtureLanding(spark).toDF()
+    dropFile(base.filter($"id" === 1001L)
+      .withColumn("updated_time", lit("2026-09-20T10:00:00")), "d1.json")
+    dropFile(base.filter($"id" === 1001L)
+      .withColumn("updated_time", lit("2026-09-21T10:00:00"))
+      .unionByName(base.filter($"id" === 1002L)
+        .withColumn("id", lit(88888L))
+        .withColumn("updated_time", lit("2026-10-02T00:00:00"))), "d2.json")
+
+    pipeline.Governance.runStreamingIngest(spark, drop, s"$out/01_landing.jsonl",
+      out, gov.Fixtures.lookups, gov.Fixtures.instanceEcollection,
+      gov.Fixtures.dbInstanceEcollection, gov.Fixtures.temas, nowYear = 2026)
+
+    // landing zone carries the LAST update for the doc both batches touched
+    val landed = gov.Gov.readLanding(spark, s"$out/01_landing").toDF()
+    assert(landed.filter($"id" === 1001L).select("updated_time")
+      .as[String].head() == "2026-09-21T10:00:00")
+    // the new doc flowed through to the 02 layer in its own month partition
+    assert(spark.read.parquet(s"$out/02_iahx").count() == seedCount + 1)
+    assert(new java.io.File(s"$out/02_iahx/p_upd=202610").exists())
+  }
+
   test("incremental run equals a full rebuild over the merged landing") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
