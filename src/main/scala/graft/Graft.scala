@@ -143,4 +143,20 @@ object Graft {
   def sessionize(spark: SparkSession, dir: String, queryName: String,
       gapMinutes: Int = 30): DataFrame =
     streaming.Streams.sessionizeNative(spark, dir, queryName, gapMinutes)
+
+  /** Exactly-once `foreachBatch` parquet sink: each micro-batch lands in
+    * its own partition via dynamic overwrite, so redelivery replaces
+    * instead of appending. */
+  def idempotentBatchWriter(outDir: String): (DataFrame, Long) => Unit =
+    streaming.Streams.idempotentBatchWriter(outDir)
+
+  /** Continuous governance ingestion: drain a landing drop-folder
+    * through the incremental lifecycle (upsert → partition-scoped
+    * rebuild → pruned export), one micro-batch at a time. */
+  def runStreamingIngest(spark: SparkSession, dropDir: String,
+      initialLandingJsonl: String, outDir: String, lookups: gov.Lookups,
+      instTab: Seq[gov.Enrich.InstRow], dbInstTab: Seq[gov.Enrich.DbInstRow],
+      temas: Seq[gov.Enrich.TemaRow], nowYear: Int): Unit =
+    pipeline.Governance.runStreamingIngest(spark, dropDir,
+      initialLandingJsonl, outDir, lookups, instTab, dbInstTab, temas, nowYear)
 }
