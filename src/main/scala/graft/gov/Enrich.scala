@@ -1,6 +1,6 @@
 package graft.gov
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Layer 03 — enrichment joins (reference 03_xml_enriched.py):
@@ -14,13 +14,18 @@ import org.apache.spark.sql.functions._
   *    collection sets and pair-walked `tema_subtema`/`tema`/`projeto`
   *    arrays into dynamic `{tag: [values]}` fields (`:385-500`)
   *
-  * Spark shape: each join computes a per-id delta DataFrame
-  * `(id, db_add, dyn_add: map<string,array<string>>)` from the ORIGINAL doc
-  * state (matching the reference's task order, where J4 runs before J5's
-  * db additions land), the three deltas union + merge, and ONE shuffle
-  * join on `id` applies them via array_union / map merge. The reference's
-  * $setUnion semantics (set, unspecified order) are normalized to sorted
-  * arrays at the sinks.
+  * Spark shape: all deltas are computed from the ORIGINAL doc state
+  * (matching the reference's task order, where J4 runs before J5's db
+  * additions land) as slim `(id, key, val)` rows, in exactly TWO scans of
+  * the corpus — J4+J5 fused into one explode against a unified broadcast
+  * lookup `(src, key)`, J6's four emissions fused into one explode after
+  * the TEMAS join — then one two-level aggregation builds a single
+  * `(id, db_add, dyn_add)` delta table and ONE shuffle join on `id`
+  * applies it via array_union / map merge. (A third corpus scan happens
+  * at the apply join; in the production pipeline `docs` is a parquet
+  * layer, so each scan is a pruned columnar read, not a transform
+  * re-run.) The reference's $setUnion semantics (set, unspecified order)
+  * are normalized to sorted arrays at the sinks.
   */
 object Enrich {
 
@@ -65,70 +70,91 @@ object Enrich {
       temas: DataFrame): DataFrame = {
     import spark.implicits._
 
-    // Every branch emits slim (id, key, val) rows; ONE shuffle at the end
-    // aggregates them (map-side partial collect_set). The reference's
-    // $setUnion makes per-branch pre-aggregation redundant — the final
-    // set-merge subsumes it — so the former 8 per-branch groupBys (8
-    // extra shuffles) are gone.
+    val emptyS = array().cast("array<string>")
+    // pairUdf output is array<struct<_1,_2>>; rename to the shared
+    // (key, v) element type so all emission arms concat
+    val pairUdf = udf((a: Seq[String]) => pairWalk(a))
+    def pairKv(c: Column): Column =
+      transform(c, p => struct(p("_1").as("key"), p("_2").as("v")))
 
-    // ---- J4: db → instanceEcollection ----
-    val instDf = broadcast(instTab.toDF("k_db", "t_instance", "t_coll_inst"))
-    val j4 = docs.select($"id", explode($"db").as("db_name"))
-      .join(instDf, $"db_name" === $"k_db")
-    val j4inst = j4
-      .select($"id", lit("instance").as("key"), explode($"t_instance").as("v"))
-    val j4coll = j4
-      .select($"id", explode($"t_coll_inst").as("key"), $"db_name".as("v"))
+    // ---- J4 + J5 in ONE corpus scan ----
+    // Unified broadcast lookup keyed by (src, k): instanceEcollection
+    // rows join the raw `db` names, DBinstanceEcollection rows join the
+    // NFKD-lower-trim `database` names. Each table row pre-computes its
+    // static (key, v) emissions (`kvs`); only the J4 collection tags need
+    // the doc-side name, carried as `coll_keys`. DbKey (NUL-prefixed) rows
+    // fold the J5 db-additions into the same stream — a null-valued
+    // marker is always present so a J5 match with an empty t_db still
+    // set-normalizes `db`, exactly like the old per-branch j5db delta.
+    val lookupRows =
+      instTab.map(r => ("db", r.db,
+        r.instance.map(("instance", _)),
+        r.collection_instance)) ++
+      dbInstTab.map { r =>
+        val collKv = r.collection_instance.map { kv =>
+          val parts = kv.split(":", -1)
+          (parts(0), if (parts.length > 1) parts(1) else null)
+        }
+        ("database", r.database_campo4,
+          r.instance.map(("instance", _)) ++ collKv ++
+            ((DbKey, null: String) +: r.db.map((DbKey, _))),
+          Seq.empty[String])
+      }
+    val lookupDf = broadcast(lookupRows.toDF("src", "k", "kvs", "coll_keys"))
 
-    // ---- J5: database → DBinstanceEcollection (NFKD-normalized key) ----
-    val dbInstDf = broadcast(
-      dbInstTab.toDF("k_database", "t_db", "t_instance", "t_coll_inst"))
-    val j5base = docs.select($"id", explode($"database").as("database_name"))
-      .withColumn("norm_key",
-        lower(trim(graft.functions.Exprs.strip_accents_nfkd($"database_name"))))
-      .join(dbInstDf, $"norm_key" === $"k_database")
-    val j5db = j5base.groupBy("id")
-      .agg(array_distinct(flatten(collect_list($"t_db"))).as("db_add"))
-    val j5inst = j5base
-      .select($"id", lit("instance").as("key"), explode($"t_instance").as("v"))
-    val j5coll = j5base
-      .select($"id", explode($"t_coll_inst").as("kv"))
-      .select($"id", split($"kv", ":").getItem(0).as("key"),
-        split($"kv", ":").getItem(1).as("v"))
+    val names = docs.select($"id", explode(concat(
+        transform(coalesce($"db", emptyS),
+          x => struct(lit("db").as("src"), x.as("name"))),
+        transform(coalesce($"database", emptyS),
+          x => struct(lit("database").as("src"), x.as("name")))
+      )).as("e"))
+      .select($"id", $"e.src".as("src"), $"e.name".as("name"))
+      .withColumn("k", when($"src" === "database",
+        lower(trim(graft.functions.Exprs.strip_accents_nfkd($"name"))))
+        .otherwise($"name"))
+    val j45kv = names.join(lookupDf, Seq("src", "k"))
+      .select($"id", explode(concat(
+        pairKv($"kvs"),
+        transform($"coll_keys", kk => struct(kk.as("key"), $"name".as("v")))
+      )).as("kv"))
 
-    // ---- J6: TEMAS union view on id_iahx ----
+    // ---- J6: TEMAS union view on id_iahx, four emissions in one explode ----
     val temaDf = temas.select($"id_iahx", $"db".as("t_db"),
       $"instance_iahx".as("t_inst"), $"collection_iahx".as("t_coll"),
       $"tema_subtema".as("t_ts"), $"tema".as("t_t"), $"projeto".as("t_p"))
-    val pairUdf = udf((a: Seq[String]) => pairWalk(a))
-    val j6base = docs.select($"id")
+    val j6kv = docs.select($"id")
       .join(temaDf, $"id" === $"id_iahx")
-    val j6inst = j6base
-      .select($"id", lit("instance").as("key"), explode($"t_inst").as("v"))
-    val j6coll = j6base
-      .select($"id", explode($"t_coll").as("key"), $"t_db".as("v"))
-    val j6tags = j6base
-      .select($"id", explode(pairUdf(concat($"t_ts", $"t_t"))).as("kv"))
-      .select($"id", $"kv._1".as("key"), $"kv._2".as("v"))
-    val j6ctx = j6base
-      .select($"id", explode(pairUdf($"t_p")).as("kv"))
-      .select($"id", $"kv._1".as("key"), $"kv._2".as("v"))
+      .select($"id", explode(concat(
+        transform(coalesce($"t_inst", emptyS),
+          v => struct(lit("instance").as("key"), v.as("v"))),
+        transform(coalesce($"t_coll", emptyS),
+          kk => struct(kk.as("key"), $"t_db".as("v"))),
+        pairKv(pairUdf(concat(coalesce($"t_ts", emptyS), coalesce($"t_t", emptyS)))),
+        pairKv(pairUdf(coalesce($"t_p", emptyS)))
+      )).as("kv"))
 
-    // ---- merge deltas: (id, key, val)* → (id, dyn_add map) ----
-    // collect_set drops the nulls pairWalk emits for odd tails (same as
-    // the previous collect_list + final-distinct shape)
-    val dynDelta = Seq(j4inst, j4coll, j5inst, j5coll, j6inst, j6coll, j6tags, j6ctx)
-      .reduce(_.unionByName(_))
+    // ---- merge deltas: (id, key, val)* → (id, db_add, dyn_add) ----
+    // Two-level agg, both map-side partial: collect_set drops the nulls
+    // pairWalk emits for odd tails (and the J5 db marker), then the
+    // per-id level splits the DbKey stream out of the dynamic-tag map.
+    val delta = j45kv.unionByName(j6kv)
+      .select($"id", $"kv.key".as("key"), $"kv.v".as("v"))
       .groupBy($"id", $"key")
       .agg(collect_set($"v").as("vals"))
-      .filter(size($"vals") > 0)
       .groupBy($"id")
-      .agg(map_from_entries(collect_list(struct($"key", $"vals"))).as("dyn_add"))
+      .agg(
+        collect_list(when($"key" =!= DbKey && size($"vals") > 0,
+          struct($"key", $"vals"))).as("dyn_entries"),
+        max($"key" === DbKey).as("db_touched"),
+        flatten(collect_list(when($"key" === DbKey, $"vals"))).as("db_raw"))
+      .select($"id",
+        when(size($"dyn_entries") > 0, map_from_entries($"dyn_entries"))
+          .as("dyn_add"),
+        when($"db_touched", array_distinct($"db_raw")).as("db_add"))
 
     // ---- apply: one shuffle join on id ----
     docs
-      .join(j5db.withColumnRenamed("id", "j5_id"), $"id" === $"j5_id", "left")
-      .join(dynDelta.withColumnRenamed("id", "dd_id"), $"id" === $"dd_id", "left")
+      .join(delta.withColumnRenamed("id", "d_id"), $"id" === $"d_id", "left")
       .withColumn("db",
         when($"db_add".isNotNull, array_distinct(concat($"db", $"db_add")))
           .otherwise($"db"))
@@ -138,6 +164,10 @@ object Enrich {
             (_, v1, v2) => array_distinct(concat(
               coalesce(v1, array().cast("array<string>")),
               coalesce(v2, array().cast("array<string>")))))))
-      .drop("j5_id", "db_add", "dd_id", "dyn_add")
+      .drop("d_id", "db_add", "dyn_add")
   }
+
+  /** Reserved key routing J5's db-additions through the (id, key, val)
+    * delta stream; NUL-prefixed so no real dynamic tag can collide. */
+  private val DbKey = "\u0000db"
 }
