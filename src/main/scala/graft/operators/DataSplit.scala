@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -161,5 +162,67 @@ object DataSplit {
       .select("doc_id", "source", "rk")
   }
 
-  val all: Seq[Q] = Seq(q59, q60, q67, q77)
+  /** q60 through a broadcast Bloom prefilter — the 100 TB shape. q60's
+    * direct plan distinct-shuffles EVERY train n-gram before the overlap
+    * join; at web scale that is a full-corpus shuffle to answer a
+    * question about a tiny eval set. Here the eval grams (the small
+    * side) become a driver-built Bloom filter (`df.stat.bloomFilter`,
+    * aggregated tree-wise, ~1.2 MB at 10⁶ grams / 1% fpp), broadcast to
+    * the train scan, and only the surviving ~fpp fraction of train grams
+    * reaches the distinct + join. No false negatives means no lost
+    * contamination; false positives are killed by the exact join — the
+    * result is bit-identical to q60 (same oracle SQL, spec-pinned), only
+    * the physical plan changes: full-corpus shuffle → broadcast probe +
+    * sliver shuffle. */
+  def decontaminateBloom(spark: SparkSession, docs: DataFrame,
+      fpp: Double = 0.01): DataFrame = {
+    val split = docs
+      .select(col("doc_id"),
+        array_distinct(Text.shingles(Text.tokens(col("text")), 2)).as("grams"),
+        when(substring(md5(col("text").cast("binary")), 1, 1) < "c", "train")
+          .when(substring(md5(col("text").cast("binary")), 1, 1) < "e", "val")
+          .otherwise("test").as("split"))
+    val evalGrams = split.filter(col("split") === "test")
+      .select(col("doc_id"), explode(col("grams")).as("g"))
+    // upper bound on distinct eval grams (over-sizing only lowers fpp)
+    val expected = math.max(evalGrams.count(), 1L)
+    val bf = evalGrams.stat.bloomFilter("g", expected, fpp)
+    val bfB = spark.sparkContext.broadcast(bf)
+    val mightContain =
+      udf((g: String) => g != null && bfB.value.mightContainString(g))
+    val trainSurvivors = split.filter(col("split") === "train")
+      .select(explode(col("grams")).as("tg"))
+      .filter(mightContain(col("tg")))
+      .distinct()
+    evalGrams
+      .join(trainSurvivors, col("g") === col("tg"), "left")
+      .groupBy("doc_id")
+      .agg(count(col("tg")).as("n_contaminated"))
+      .orderBy("doc_id")
+  }
+
+  /** Gate for [[decontaminateBloom]] — the oracle is q60's exact SQL:
+    * the Bloom prefilter must be invisible in the result. */
+  val q83 = Q.sql("q83_decontam_bloom",
+    """WITH s AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN substr(md5(text), 1, 1) < 'c' THEN 'train'
+      |         WHEN substr(md5(text), 1, 1) < 'e' THEN 'val'
+      |         ELSE 'test' END AS split,
+      |    regexp_split_to_array(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id, split,
+      |    unnest(list_distinct(list_transform(range(1, len(toks)),
+      |                          i -> toks[i] || ' ' || toks[i+1]))) AS g
+      |  FROM s),
+      |train_g AS (SELECT DISTINCT g FROM grams WHERE split = 'train')
+      |SELECT doc_id, CAST(count(tg.g) AS BIGINT) AS n_contaminated
+      |FROM grams eg LEFT JOIN train_g tg ON eg.g = tg.g
+      |WHERE eg.split = 'test'
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    decontaminateBloom(s, Tables.documents(s, d))
+  }
+
+  val all: Seq[Q] = Seq(q59, q60, q67, q77, q83)
 }

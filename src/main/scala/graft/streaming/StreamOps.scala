@@ -114,5 +114,23 @@ object StreamOps {
       .orderBy("nation")
   }
 
-  val all: Seq[Q] = Seq(q50, q51, q57, q63, q71, q72, q76)
+  /** Watermarked stream-stream interval join (view→purchase attribution
+    * within 1h) ≡ batch self-join with the same time bounds; the raw
+    * matched pairs from the append-mode sink are rolled up per user for
+    * a compact deterministic compare. */
+  val q84 = Q.sql("q84_stream_stream_join",
+    """SELECT v.user_id, CAST(count(*) AS BIGINT) AS n_pairs
+      |FROM events v JOIN events p
+      |  ON v.user_id = p.user_id
+      | AND v.event_type = 'view' AND p.event_type = 'purchase'
+      | AND epoch_us(p.ts) > epoch_us(v.ts)
+      | AND epoch_us(p.ts) <= epoch_us(v.ts) + 3600000000
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    Streams.streamStreamJoin(s, d, qn("ss_join"))
+      .groupBy(col("v_user").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("user_id")
+  }
+
+  val all: Seq[Q] = Seq(q50, q51, q57, q63, q71, q72, q76, q84)
 }

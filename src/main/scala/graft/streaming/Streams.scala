@@ -225,6 +225,40 @@ object Streams {
     spark.table(queryName)
   }
 
+  /** Stream-stream interval join: view events joined to the same user's
+    * purchase events landing within the following hour — the attribution
+    * shape (impression→conversion). Both sides carry a watermark and the
+    * join condition bounds event-time distance, so Spark derives a state
+    * eviction bound for BOTH sides: a view's state lives until the
+    * purchase watermark passes view_ts + 1h, a purchase's until the view
+    * watermark passes purchase_ts — nothing accumulates forever, which
+    * is what makes the operator deployable against an unbounded
+    * firehose. Inner join → append mode: each matched pair is emitted
+    * exactly once, when it forms. Timestamps compare at micro precision
+    * on both engine and oracle (the parquet source is nanos). */
+  def streamStreamJoin(spark: SparkSession, dir: String,
+      queryName: String): DataFrame = {
+    val views = eventStream(spark, dir)
+      .filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", "2 hours")
+    val purchases = eventStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    val pairs = views.join(purchases,
+      expr("""v_user = p_user AND
+             |p_ts > v_ts AND
+             |p_ts <= v_ts + interval 1 hour""".stripMargin))
+    val q = pairs.writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory").queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
   /** Idempotent micro-batch parquet writer for `foreachBatch` — the
     * exactly-once sink contract: each batch lands in its own
     * `batch_id=N` partition via dynamic partition overwrite, so a

@@ -546,6 +546,14 @@ class EngineSpec extends AnyFunSuite {
     assert(twice.map(_.getString(0)).sameElements(red.map(_.getString(0))))
   }
 
+  test("bloom-prefiltered decontamination equals the exact overlap join") {
+    val exact = SparkEntry.queries("q60_decontamination")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val bloom = SparkEntry.queries("q83_decontam_bloom")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(bloom == exact)
+  }
+
   test("approximate sketches track exact answers (HLL distinct, t-digest quantile)") {
     import org.apache.spark.sql.functions._
     // HLL: distinct tokens over the corpus, default rsd 5%
