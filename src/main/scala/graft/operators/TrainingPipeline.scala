@@ -89,5 +89,62 @@ object TrainingPipeline {
       .orderBy("doc_id", "chunk_id")
   }
 
-  val all: Seq[Q] = Seq(q80)
+  /** Deterministic shard shuffle — the last step before a training run:
+    * every doc gets a content-hash shard (16 here) and a stable
+    * pseudo-random position inside it, so the "shuffled" dataset is
+    * byte-reproducible across reruns and machines and uncorrelated with
+    * the split/sample/cap hashes (distinct salts). The gate materializes
+    * the explicit per-shard rank for the oracle compare; a production
+    * writer skips the global row_number — `repartition(shard)` +
+    * `sortWithinPartitions(pos_key)` gives each output file the same
+    * order with no rank computed, and shard count scales with the
+    * cluster (16 is gate-sized, 100 TB wants thousands — the hash nibble
+    * count is the only knob). */
+  val q85 = Q.sql("q85_shard_shuffle",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    strpos('0123456789abcdef', substr(md5('shard:' || text), 1, 1)) - 1 AS shard,
+      |    md5('pos:' || text) AS pos_key
+      |  FROM documents)
+      |SELECT CAST(shard AS BIGINT) AS shard, doc_id,
+      |  CAST(row_number() OVER (PARTITION BY shard ORDER BY pos_key, doc_id)
+      |       AS BIGINT) AS pos
+      |FROM t ORDER BY shard, pos""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val shard = conv(substring(
+      md5(concat(lit("shard:"), col("text")).cast("binary")), 1, 1), 16, 10)
+      .cast("long")
+    val posKey = md5(concat(lit("pos:"), col("text")).cast("binary"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), shard.as("shard"), posKey.as("pos_key"))
+      .withColumn("pos", row_number()
+        .over(Window.partitionBy("shard").orderBy("pos_key", "doc_id"))
+        .cast("long"))
+      .select("shard", "doc_id", "pos")
+      .orderBy("shard", "pos")
+  }
+
+  /** Epoch mixing — the data-mixing knob expressed as repetition: each
+    * language stratum is repeated `n` times (scarce languages upsampled,
+    * the dominant one seen once), each copy tagged with its epoch index
+    * so downstream shuffling can interleave epochs. One broadcast join +
+    * a stateless `explode(sequence(...))` — no shuffle at any scale; the
+    * output is a lazy row multiplier, never a materialized copy. */
+  val q86 = Q.sql("q86_epoch_mix",
+    """WITH m AS (SELECT * FROM (VALUES ('en', 1), ('es', 2), ('fr', 3),
+      |                                 ('de', 2), ('zh', 1)) m(lang, n))
+      |SELECT d.doc_id, d.lang, CAST(unnest(range(m.n)) AS BIGINT) AS epoch
+      |FROM documents d JOIN m ON d.lang = m.lang
+      |ORDER BY doc_id, epoch""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val mix = Seq(("en", 1), ("es", 2), ("fr", 3), ("de", 2), ("zh", 1))
+      .toDF("lang", "n")
+    Tables.documents(s, d)
+      .join(broadcast(mix), "lang")
+      .select(col("doc_id"), col("lang"),
+        explode(sequence(lit(0L), col("n").cast("long") - 1)).as("epoch"))
+      .orderBy("doc_id", "epoch")
+  }
+
+  val all: Seq[Q] = Seq(q80, q85, q86)
 }
