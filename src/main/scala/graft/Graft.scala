@@ -136,6 +136,26 @@ object Graft {
   def sourceCap(docs: DataFrame, k: Int): DataFrame =
     operators.DataSplit.sourceCap(docs, k)
 
+  /** Deterministic pre-training shuffle: content-hash shard plus a
+    * stable pseudo-random in-shard position — byte-reproducible across
+    * reruns, salts disjoint from split/sample/cap hashes. */
+  def shardShuffle(docs: DataFrame): DataFrame =
+    operators.TrainingPipeline.shardShuffle(docs)
+
+  /** Epoch mixing: repeat each language stratum `n` times (per the
+    * (lang, n) `mix` table), each copy epoch-tagged — broadcast join +
+    * lazy explode, no shuffle. */
+  def epochMix(docs: DataFrame, mix: DataFrame): DataFrame =
+    operators.TrainingPipeline.epochMix(docs, mix)
+
+  /** Eval-set decontamination through a broadcast Bloom prefilter: the
+    * train side is probed map-side, only the surviving sliver is
+    * distinct-shuffled into the exact confirm join — bit-identical to
+    * the direct overlap join. */
+  def decontaminate(spark: SparkSession, docs: DataFrame,
+      fpp: Double = 0.01): DataFrame =
+    operators.DataSplit.decontaminateBloom(spark, docs, fpp)
+
   // ---- streaming ----------------------------------------------------------
 
   /** Native session-window sessionization over an events drop-folder —
@@ -149,6 +169,13 @@ object Graft {
     * instead of appending. */
   def idempotentBatchWriter(outDir: String): (DataFrame, Long) => Unit =
     streaming.Streams.idempotentBatchWriter(outDir)
+
+  /** Watermarked stream-stream interval join (impression→conversion
+    * attribution): same-user pairs within the event-time bound, join
+    * state evicted on both sides by the watermarks. */
+  def streamAttribution(spark: SparkSession, dir: String,
+      queryName: String): DataFrame =
+    streaming.Streams.streamStreamJoin(spark, dir, queryName)
 
   /** Continuous governance ingestion: drain a landing drop-folder
     * through the incremental lifecycle (upsert → partition-scoped

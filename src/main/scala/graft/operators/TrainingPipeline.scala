@@ -110,18 +110,23 @@ object TrainingPipeline {
       |  CAST(row_number() OVER (PARTITION BY shard ORDER BY pos_key, doc_id)
       |       AS BIGINT) AS pos
       |FROM t ORDER BY shard, pos""".stripMargin) { (s, d) =>
+    shardShuffle(Tables.documents(s, d)).orderBy("shard", "pos")
+  }
+
+  /** The q85 rule as a reusable operator: content-hash shard + explicit
+    * stable in-shard rank. */
+  def shardShuffle(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val shard = conv(substring(
       md5(concat(lit("shard:"), col("text")).cast("binary")), 1, 1), 16, 10)
       .cast("long")
     val posKey = md5(concat(lit("pos:"), col("text")).cast("binary"))
-    Tables.documents(s, d)
+    docs
       .select(col("doc_id"), shard.as("shard"), posKey.as("pos_key"))
       .withColumn("pos", row_number()
         .over(Window.partitionBy("shard").orderBy("pos_key", "doc_id"))
         .cast("long"))
       .select("shard", "doc_id", "pos")
-      .orderBy("shard", "pos")
   }
 
   /** Epoch mixing — the data-mixing knob expressed as repetition: each
@@ -139,12 +144,17 @@ object TrainingPipeline {
     import s.implicits._
     val mix = Seq(("en", 1), ("es", 2), ("fr", 3), ("de", 2), ("zh", 1))
       .toDF("lang", "n")
-    Tables.documents(s, d)
+    epochMix(Tables.documents(s, d), mix).orderBy("doc_id", "epoch")
+  }
+
+  /** The q86 rule as a reusable operator: `mix` is a (lang, n) repeat
+    * table; docs gain one epoch-tagged copy per repeat. */
+  def epochMix(docs: org.apache.spark.sql.DataFrame,
+      mix: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
       .join(broadcast(mix), "lang")
       .select(col("doc_id"), col("lang"),
         explode(sequence(lit(0L), col("n").cast("long") - 1)).as("epoch"))
-      .orderBy("doc_id", "epoch")
-  }
 
   val all: Seq[Q] = Seq(q80, q85, q86)
 }
