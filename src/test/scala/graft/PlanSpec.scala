@@ -110,6 +110,38 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
 
+  test("epoch mixing is broadcast + lazy explode — zero shuffle") {
+    import spark.implicits._
+    val mix = Seq(("en", 1), ("fr", 3)).toDF("lang", "n")
+    val df = operators.TrainingPipeline.epochMix(Tables.documents(spark, sf), mix)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("Generate explode"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("shard shuffle is one exchange on the shard key") {
+    val df = operators.TrainingPipeline.shardShuffle(Tables.documents(spark, sf))
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==")(0)
+    val shuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles == 1, s"expected 1 shard shuffle, got $shuffles\n$p")
+  }
+
+  test("bloom decontamination probes train grams BELOW the distinct exchange") {
+    val df = operators.DataSplit.decontaminateBloom(spark,
+      Tables.documents(spark, sf))
+    df.collect()
+    val p = plan(df)
+    // the UDF bloom probe must sit under the distinct's exchange: every
+    // Exchange line appears only after a Filter containing the UDF in
+    // the train branch — cheap structural proxy: a Filter with a scala
+    // UDF exists, and it feeds a partial aggregate (distinct's map side)
+    assert(p.linesIterator.exists(l => l.contains("Filter") && l.contains("UDF")), p)
+    assert(p.contains("partial_"), p)
+  }
+
   test("shaping passes (quality+langid+pii+repetition) fuse into ONE scan, no shuffle") {
     import graft.functions.{Exprs, Text}
     // all four training-data shaping passes chained over one read: the
