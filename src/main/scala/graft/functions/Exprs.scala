@@ -154,6 +154,29 @@ object Exprs {
       copy(child = c)
   }
 
+  /** Bloom-filter membership probe against a broadcast filter — the
+    * codegen form of the decontamination prefilter. The expression
+    * carries the Broadcast HANDLE (bytes, not the filter), so the task
+    * binary stays small and the filter itself arrives torrent-style
+    * once per executor; the probe is one byte-hash per row inside
+    * whole-stage codegen. */
+  case class BloomMightContain(child: Expression,
+      bloom: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter])
+      extends UnaryExpression {
+    override def dataType: DataType = BooleanType
+    override def nullSafeEval(v: Any): Any =
+      bloom.value.mightContainBinary(
+        v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("bloomBc", bloom,
+        "org.apache.spark.broadcast.Broadcast")
+      defineCodeGen(ctx, ev, c =>
+        s"((org.apache.spark.util.sketch.BloomFilter)$ref.value()).mightContainBinary($c.getBytes())")
+    }
+    override protected def withNewChildInternal(c: Expression): BloomMightContain =
+      copy(child = c)
+  }
+
   /** popcount(a&b)/popcount(a|b) of two equal-width bitsets. */
   case class BitmapJaccard(left: Expression, right: Expression)
       extends BinaryExpression {
@@ -211,6 +234,9 @@ object Exprs {
 
   def strip_accents(col: Column): Column = c(StripAccents(e(col)))
   def strip_accents_nfkd(col: Column): Column = c(StripAccentsNfkd(e(col)))
+  def bloom_might_contain(col: Column,
+      bloom: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]): Column =
+    c(BloomMightContain(e(col), bloom))
   def simhash64(tokens: Column): Column = c(SimHash64(e(tokens)))
   def minhash_sig(shingles: Column, k: Int): Column = c(MinHashSig(e(shingles), k))
   def winnow_fingerprints(tokens: Column, k: Int, w: Int): Column =

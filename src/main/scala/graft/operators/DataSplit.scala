@@ -188,11 +188,9 @@ object DataSplit {
     val expected = math.max(evalGrams.count(), 1L)
     val bf = evalGrams.stat.bloomFilter("g", expected, fpp)
     val bfB = spark.sparkContext.broadcast(bf)
-    val mightContain =
-      udf((g: String) => g != null && bfB.value.mightContainString(g))
     val trainSurvivors = split.filter(col("split") === "train")
       .select(explode(col("grams")).as("tg"))
-      .filter(mightContain(col("tg")))
+      .filter(graft.functions.Exprs.bloom_might_contain(col("tg"), bfB))
       .distinct()
     evalGrams
       .join(trainSurvivors, col("g") === col("tg"), "left")

@@ -134,12 +134,14 @@ class PlanSpec extends AnyFunSuite {
       Tables.documents(spark, sf))
     df.collect()
     val p = plan(df)
-    // the UDF bloom probe must sit under the distinct's exchange: every
-    // Exchange line appears only after a Filter containing the UDF in
-    // the train branch — cheap structural proxy: a Filter with a scala
-    // UDF exists, and it feeds a partial aggregate (distinct's map side)
-    assert(p.linesIterator.exists(l => l.contains("Filter") && l.contains("UDF")), p)
+    // the bloom probe must sit under the distinct's exchange as a
+    // codegen expression (not a UDF): a Filter carrying the
+    // bloommightcontain kernel exists, and it feeds a partial aggregate
+    // (the distinct's map side)
+    assert(p.linesIterator.exists(l =>
+      l.contains("Filter") && l.contains("bloommightcontain")), p)
     assert(p.contains("partial_"), p)
+    assert(!p.contains("UDF"), p)
   }
 
   test("shaping passes (quality+langid+pii+repetition) fuse into ONE scan, no shuffle") {
