@@ -546,6 +546,35 @@ class EngineSpec extends AnyFunSuite {
     assert(twice.map(_.getString(0)).sameElements(red.map(_.getString(0))))
   }
 
+  test("SQL kernel surface: installed functions evaluate and match the Column API") {
+    import org.apache.spark.sql.functions._
+    GraftExtensions.install(spark)
+    val viaSql = spark.sql(
+      """SELECT graft_strip_accents_nfkd('café') AS sa,
+        |  graft_simhash64(array('a','b','c')) AS sh,
+        |  graft_word_ngrams(array('a','b','c'), 2) AS ng,
+        |  graft_cosine(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |               array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS cos
+        |""".stripMargin).head()
+    val viaCol = spark.range(1).select(
+      functions.Exprs.strip_accents_nfkd(lit("café")).as("sa"),
+      functions.Exprs.simhash64(array(lit("a"), lit("b"), lit("c"))).as("sh"),
+      functions.Exprs.word_ngrams(array(lit("a"), lit("b"), lit("c")), 2).as("ng"),
+      functions.Exprs.cosine_sim(
+        array(lit(1.0f), lit(0.0f)), array(lit(1.0f), lit(0.0f))).as("cos")).head()
+    assert(viaSql.getString(0) == viaCol.getString(0))
+    assert(viaSql.getLong(1) == viaCol.getLong(1))
+    assert(viaSql.getSeq[String](2) == viaCol.getSeq[String](2))
+    assert(viaSql.getDouble(3) == viaCol.getDouble(3))
+    // non-literal kernel params are rejected at plan time
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_word_ngrams(array('a'), CAST(rand()*2 AS INT))").head()
+    }
+    assert(err.getMessage.contains("literal"), err.getMessage)
+    // the construction-time extensions path wires without error
+    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+  }
+
   test("bloom-prefiltered decontamination equals the exact overlap join") {
     val exact = SparkEntry.queries("q60_decontamination")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
