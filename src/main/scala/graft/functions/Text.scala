@@ -26,6 +26,22 @@ object Text {
   /** Distinct token set (order-normalized for set similarity). */
   def tokenSet(text: Column): Column = array_sort(array_distinct(tokens(text)))
 
+  /** Plain-text extraction from raw HTML (the WET-extraction shape):
+    * script/style blocks go first (content and all), then every
+    * remaining tag becomes a space, the four ubiquitous entities decode,
+    * and whitespace collapses. Pure `regexp_replace` chain — codegen,
+    * stateless, fusable with the other shaping passes; patterns use the
+    * RE2-compatible subset ((?s), non-greedy) so the DuckDB oracle runs
+    * them verbatim. */
+  def stripHtml(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?s)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?s)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "<[^>]+>", " ")
+    val decoded = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      noTags, "&amp;", "&"), "&lt;", "<"), "&gt;", ">"), "&nbsp;", " ")
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   // Small per-language marker-word lists for the n-gram/stopword heuristic
   // language ID. Mirrored literally in the oracle SQL.
   val EN: Seq[String] = Seq("the", "and", "of", "to", "in", "is", "a")

@@ -480,5 +480,40 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q38, q39, q64, q70, q75, q78)
+  /** HTML-to-text extraction (the WET step of a web-crawl pipeline):
+    * each doc is wrapped into a deterministic page — script and style
+    * blocks, tags, entities — and [[Text.stripHtml]] must recover the
+    * readable text. The raw form is synthesized from the table (same
+    * approach as the PII gate) since the corpus ships as plain text;
+    * both engines build and strip the page with the same RE2-compatible
+    * patterns. Stateless regexp chain — one scan, no shuffle, fusable
+    * with the other shaping passes. */
+  val q87 = Q.sql("q87_html_strip",
+    """WITH pages AS (
+      |  SELECT doc_id,
+      |    '<html><head><script type="text/javascript">var t = 1 &lt; 2;</script>' ||
+      |    '<style>p { color: red; }</style></head><body><h1>' || lang ||
+      |    '</h1><p>' || text || ' &amp; more &nbsp;</p></body></html>' AS page
+      |  FROM documents)
+      |SELECT doc_id,
+      |  trim(regexp_replace(
+      |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |      regexp_replace(regexp_replace(regexp_replace(page,
+      |        '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+      |        '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+      |        '<[^>]+>', ' ', 'g'),
+      |        '&amp;', '&', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'),
+      |        '&nbsp;', ' ', 'g'),
+      |    '\s+', ' ', 'g')) AS clean
+      |FROM pages ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val page = concat(
+      lit("""<html><head><script type="text/javascript">var t = 1 &lt; 2;</script>"""),
+      lit("<style>p { color: red; }</style></head><body><h1>"), col("lang"),
+      lit("</h1><p>"), col("text"), lit(" &amp; more &nbsp;</p></body></html>"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), Text.stripHtml(page).as("clean"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q38, q39, q64, q70, q75, q78, q87)
 }
