@@ -26,6 +26,27 @@ object Text {
   /** Distinct token set (order-normalized for set similarity). */
   def tokenSet(text: Column): Column = array_sort(array_distinct(tokens(text)))
 
+  /** The classic UTF-8-read-as-Latin-1 mojibake sequences and their
+    * repairs — the high-frequency subset an ftfy-style pass fixes,
+    * each bad form computed as utf8(good) re-read as cp1252 (with the
+    * unprintable 0x80–0x9F gaps dropped, which is why the close-quote
+    * survives only as the bare "â€"). Literal string replaces (exact,
+    * no regex), mirrored verbatim by the oracle; longer sequences run
+    * first so shared prefixes can't half-match. */
+  val MojibakeFixes: Seq[(String, String)] = Seq(
+    "â€™" -> "’", "â€œ" -> "“", "â€“" -> "–", "â€”" -> "—", "â€¦" -> "…",
+    "â€" -> "”", "Ã©" -> "é", "Ã¨" -> "è", "Ã¡" -> "á", "Ã³" -> "ó",
+    "Ãº" -> "ú", "Ã±" -> "ñ", "Ã§" -> "ç", "Ã¼" -> "ü", "Ã¶" -> "ö",
+    "Ã¤" -> "ä", "Ãª" -> "ê", "Ã´" -> "ô", "Ã«" -> "ë", "Ã‰" -> "É")
+
+  /** Repair double-encoded text by applying [[MojibakeFixes]] in order.
+    * Stateless chain of literal replaces — codegen, no shuffle, fuses
+    * with the other shaping passes. */
+  def fixMojibake(text: Column): Column =
+    MojibakeFixes.foldLeft(text) { case (c, (bad, good)) =>
+      replace(c, lit(bad), lit(good))
+    }
+
   /** Plain-text extraction from raw HTML (the WET-extraction shape):
     * script/style blocks go first (content and all), then every
     * remaining tag becomes a space, the four ubiquitous entities decode,

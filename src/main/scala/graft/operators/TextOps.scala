@@ -515,5 +515,40 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q38, q39, q64, q70, q75, q78, q87)
+  // good char → its mojibake form, from the single table the repair
+  // chain runs; the gate corrupts and repairs from the same source so
+  // the two sides cannot drift
+  private val Moji: Map[String, String] =
+    Text.MojibakeFixes.map { case (bad, good) => good -> bad }.toMap
+  private val MojiSuffix =
+    s" ${Moji("“")}quoted${Moji("”")} ${Moji("—")} y${Moji("é")}s${Moji("…")}"
+  private val MojiFixChainSql: String =
+    Text.MojibakeFixes.foldLeft("t") { case (acc, (bad, good)) =>
+      s"replace($acc, '$bad', '$good')"
+    }
+
+  /** Encoding repair (the ftfy step of a web-crawl pipeline): classic
+    * UTF-8-read-as-cp1252 mojibake sequences restored by an ordered
+    * literal-replace chain ([[Text.MojibakeFixes]]). The corrupted form
+    * is synthesized from the corpus with the same table that drives the
+    * repair, on both engines — corruption, suffix, and the 20-step fix
+    * chain all interpolate from one Seq. Stateless map, no shuffle. */
+  val q88 = Q.sql("q88_fix_mojibake",
+    s"""WITH c AS (
+       |  SELECT doc_id,
+       |    replace(replace(text, 'e', '${Moji("é")}'), 'a', '${Moji("á")}') ||
+       |    '$MojiSuffix' AS t
+       |  FROM documents)
+       |SELECT doc_id, $MojiFixChainSql AS fixed
+       |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val corrupted = concat(
+      replace(replace(col("text"), lit("e"), lit(Moji("é"))),
+        lit("a"), lit(Moji("á"))),
+      lit(MojiSuffix))
+    Tables.documents(s, d)
+      .select(col("doc_id"), Text.fixMojibake(corrupted).as("fixed"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q38, q39, q64, q70, q75, q78, q87, q88)
 }
