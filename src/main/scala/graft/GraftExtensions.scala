@@ -59,6 +59,7 @@ object GraftExtensions {
   private[graft] val functions: Seq[(String, Int, Seq[Expression] => Expression)] = Seq(
     ("graft_strip_accents", 1, args => Exprs.StripAccents(args(0))),
     ("graft_strip_accents_nfkd", 1, args => Exprs.StripAccentsNfkd(args(0))),
+    ("graft_fix_mojibake", 1, args => Exprs.FixMojibake(args(0))),
     ("graft_simhash64", 1, args => Exprs.SimHash64(args(0))),
     ("graft_minhash", 2, args => Exprs.MinHashSig(args(0),
       intLit(args(1), "graft_minhash", "k"))),

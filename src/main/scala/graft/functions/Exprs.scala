@@ -154,6 +154,19 @@ object Exprs {
       copy(child = c)
   }
 
+  /** Single-pass longest-match mojibake repair (see
+    * [[TextKernels.fixMojibake]] for why a replace chain is unsound). */
+  case class FixMojibake(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def nullSafeEval(v: Any): Any =
+      TextKernels.fixMojibake(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$K.fixMojibake($c)")
+    override protected def withNewChildInternal(c: Expression): FixMojibake =
+      copy(c)
+  }
+
   /** Bloom-filter membership probe against a broadcast filter — the
     * codegen form of the decontamination prefilter. The expression
     * carries the Broadcast HANDLE (bytes, not the filter), so the task
@@ -234,6 +247,7 @@ object Exprs {
 
   def strip_accents(col: Column): Column = c(StripAccents(e(col)))
   def strip_accents_nfkd(col: Column): Column = c(StripAccentsNfkd(e(col)))
+  def fix_mojibake(col: Column): Column = c(FixMojibake(e(col)))
   def bloom_might_contain(col: Column,
       bloom: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]): Column =
     c(BloomMightContain(e(col), bloom))

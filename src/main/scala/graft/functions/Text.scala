@@ -39,13 +39,12 @@ object Text {
     "Ãº" -> "ú", "Ã±" -> "ñ", "Ã§" -> "ç", "Ã¼" -> "ü", "Ã¶" -> "ö",
     "Ã¤" -> "ä", "Ãª" -> "ê", "Ã´" -> "ô", "Ã«" -> "ë", "Ã‰" -> "É")
 
-  /** Repair double-encoded text by applying [[MojibakeFixes]] in order.
-    * Stateless chain of literal replaces — codegen, no shuffle, fuses
-    * with the other shaping passes. */
-  def fixMojibake(text: Column): Column =
-    MojibakeFixes.foldLeft(text) { case (c, (bad, good)) =>
-      replace(c, lit(bad), lit(good))
-    }
+  /** Repair double-encoded text — single-pass longest-match codegen
+    * kernel ([[TextKernels.fixMojibake]]); a chain of replaces is
+    * unsound when repairs are adjacent (the chain's own output can
+    * complete a later pattern). Stateless, no shuffle, fuses with the
+    * other shaping passes. */
+  def fixMojibake(text: Column): Column = Exprs.fix_mojibake(text)
 
   /** Plain-text extraction from raw HTML (the WET-extraction shape):
     * script/style blocks go first (content and all), then every

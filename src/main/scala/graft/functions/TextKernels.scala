@@ -319,4 +319,34 @@ object TextKernels {
     while (i < n) { c += java.lang.Long.bitCount(a.getLong(i)); i += 1 }
     c
   }
+
+  private lazy val mojiBads: Array[String] = Text.MojibakeFixes.map(_._1).toArray
+  private lazy val mojiGoods: Array[String] = Text.MojibakeFixes.map(_._2).toArray
+
+  /** Single-pass left-to-right longest-match mojibake repair. A replace
+    * CHAIN over [[Text.MojibakeFixes]] cascades on adjacent sequences —
+    * repairing "â€œ" directly after a lossy bare "â€" manufactures a
+    * fresh "â€“" for a later link to mangle — so the kernel scans once,
+    * trying the table longest-first at each position. Over the
+    * UTF-8-as-cp1252 code set this greedy decode is exact: no code is a
+    * proper prefix of another except the bare close-quote, whose
+    * follower can never complete a longer code (PropertySpec pins the
+    * round-trip). */
+  def fixMojibake(s: UTF8String): UTF8String = {
+    val str = s.toString
+    val n = str.length
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      var m = -1
+      var j = 0
+      while (m < 0 && j < mojiBads.length) {
+        if (str.startsWith(mojiBads(j), i)) m = j
+        j += 1
+      }
+      if (m >= 0) { sb.append(mojiGoods(m)); i += mojiBads(m).length }
+      else { sb.append(str.charAt(i)); i += 1 }
+    }
+    UTF8String.fromString(sb.toString)
+  }
 }

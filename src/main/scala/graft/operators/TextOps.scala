@@ -528,11 +528,16 @@ object TextOps {
     }
 
   /** Encoding repair (the ftfy step of a web-crawl pipeline): classic
-    * UTF-8-read-as-cp1252 mojibake sequences restored by an ordered
-    * literal-replace chain ([[Text.MojibakeFixes]]). The corrupted form
-    * is synthesized from the corpus with the same table that drives the
-    * repair, on both engines — corruption, suffix, and the 20-step fix
-    * chain all interpolate from one Seq. Stateless map, no shuffle. */
+    * UTF-8-read-as-cp1252 mojibake sequences restored by the
+    * single-pass longest-match kernel over [[Text.MojibakeFixes]]. The
+    * corrupted form is synthesized from the corpus with the same table
+    * that drives the repair — corruption, suffix, and the oracle's
+    * replace chain all interpolate from one Seq. The oracle CAN be a
+    * chain here (DuckDB has no scanner): chain ≡ scanner whenever no
+    * lossy bare close-quote directly abuts another sequence, and the
+    * synthesized corruption keeps ASCII between all sequences; the
+    * adjacent-sequence case the chain gets wrong is PropertySpec's job.
+    * Stateless map, no shuffle. */
   val q88 = Q.sql("q88_fix_mojibake",
     s"""WITH c AS (
        |  SELECT doc_id,

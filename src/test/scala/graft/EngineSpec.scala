@@ -575,6 +575,19 @@ class EngineSpec extends AnyFunSuite {
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
   }
 
+  test("shard shuffle: 16 shards, contiguous 1..n positions, full coverage") {
+    val rows = SparkEntry.queries("q85_shard_shuffle")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val total = Tables.documents(spark, sf).count()
+    assert(rows.length == total)
+    assert(rows.map(_._2).distinct.length == total) // every doc exactly once
+    assert(rows.forall(r => r._1 >= 0 && r._1 < 16))
+    rows.groupBy(_._1).foreach { case (shard, rs) =>
+      val ps = rs.map(_._3).sorted
+      assert(ps.toSeq == (1L to rs.length).toSeq, s"shard $shard positions")
+    }
+  }
+
   test("bloom-prefiltered decontamination equals the exact overlap join") {
     val exact = SparkEntry.queries("q60_decontamination")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq

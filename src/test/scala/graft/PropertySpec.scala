@@ -126,6 +126,25 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("mojibake repair round-trips one-pass cp1252 corruption of clean text") {
+    import graft.functions.{Text, TextKernels}
+    val toBad = Text.MojibakeFixes.map { case (b, g) => g -> b }.toMap
+    def corrupt(s: String): String =
+      s.flatMap(ch => toBad.getOrElse(ch.toString, ch.toString))
+    def repair(s: String): String =
+      TextKernels.fixMojibake(UTF8String.fromString(s)).toString
+    val goods = Text.MojibakeFixes.map(_._2)
+    // adjacent sequences included on purpose: "”“" breaks a naive
+    // replace chain (its repair of â€œ manufactures a fresh â€“) — the
+    // single-pass longest-match kernel must decode it exactly
+    val alphabet = Gen.oneOf(
+      Gen.alphaNumChar.map(_.toString), Gen.const(" "), Gen.oneOf(goods))
+    val clean = Gen.listOf(alphabet).map(_.mkString)
+    check("moji-roundtrip", Prop.forAll(clean) { s =>
+      repair(corrupt(s)) == s
+    })
+  }
+
   test("harvest plan covers [0, total) exactly once for any stripe shape") {
     val g = for {
       total <- Gen.choose(0, 5000)
