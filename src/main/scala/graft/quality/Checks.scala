@@ -138,5 +138,33 @@ object Checks {
       .orderBy("check_name")
   }
 
-  val all: Seq[Q] = Seq(q55, q56)
+  /** Length-tail trimming — the distributional fence a training
+    * pipeline applies per language stratum: docs outside the exact
+    * [p05, p95] length band are flagged (truncated garbage at the low
+    * end, concatenation accidents at the high end). Quantiles are exact
+    * interpolated percentiles over integer lengths, computed identically
+    * by both engines (`percentile` ≡ `quantile_cont`, pos = p·(n−1));
+    * the per-stratum fence table is tiny and broadcast — one scan plus
+    * a map-side filter at any scale. */
+  val q89 = Q.sql("q89_length_tails",
+    """WITH q AS (
+      |  SELECT lang,
+      |    quantile_cont(n_chars, 0.05) AS p05,
+      |    quantile_cont(n_chars, 0.95) AS p95
+      |  FROM documents GROUP BY lang)
+      |SELECT d.doc_id, d.lang, d.n_chars
+      |FROM documents d JOIN q ON d.lang = q.lang
+      |WHERE d.n_chars > q.p95 OR d.n_chars < q.p05
+      |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    val docs = graft.Tables.documents(s, d)
+    val fences = docs.groupBy("lang").agg(
+      element_at(expr("percentile(n_chars, array(0.05D, 0.95D))"), 1).as("p05"),
+      element_at(expr("percentile(n_chars, array(0.05D, 0.95D))"), 2).as("p95"))
+    docs.join(broadcast(fences), "lang")
+      .filter(col("n_chars") > col("p95") || col("n_chars") < col("p05"))
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(q55, q56, q89)
 }
