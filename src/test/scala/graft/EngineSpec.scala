@@ -223,6 +223,24 @@ class EngineSpec extends AnyFunSuite {
     assert(it.size == 4999) // and the tail still parses out
   }
 
+  test("J5 match with empty db-additions still set-normalizes the doc's db") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the bdenf lookup row carries db=Nil: a doc matching ONLY it gets
+    // no db values added, but the reference's $setUnion still turns the
+    // db field into a set — duplicates must vanish on the match and
+    // survive on the non-match
+    val docs = Seq(
+      ("d1", Seq("x", "x", "y"), Seq("bdenf"), Map.empty[String, Seq[String]]),
+      ("d2", Seq("x", "x", "y"), Seq.empty[String], Map.empty[String, Seq[String]])
+    ).toDF("id", "db", "database", "dyn")
+    val out = gov.Enrich(spark, docs, gov.Fixtures.instanceEcollection,
+      gov.Fixtures.dbInstanceEcollection, gov.Fixtures.temas)
+      .select($"id", $"db").as[(String, Seq[String])].collect().toMap
+    assert(out("d1").sorted == Seq("x", "y"), s"matched doc: ${out("d1")}")
+    assert(out("d2").sorted == Seq("x", "x", "y"), s"unmatched doc: ${out("d2")}")
+  }
+
   test("J6 temas joins a distributed DataFrame, equal to the Seq overload") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
