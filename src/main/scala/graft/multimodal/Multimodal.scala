@@ -204,5 +204,46 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(q52, q53, q58, q79)
+  /** Inference batch formation: items bucket by decoded dimensions (a
+    * model server pads within a batch, so same-shape batches waste no
+    * FLOPs) and each bucket packs into fixed-size batches in stable
+    * doc_id order. One shuffle on (width, height); a heavy-hitter shape
+    * at 100 TB takes the same two-phase pre-rank as the source caps
+    * (rank within salted sub-buckets first) — batch ids just need an
+    * extra sub-bucket prefix. */
+  def inferenceBatches(media: Dataset[MediaRow], batchSize: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dims = media.toDF()
+      .select(col("doc_id"),
+        (lit(64) + col("meta.n_bytes") % 64).cast("int").as("width"),
+        (lit(64) + col("meta.n_bytes") % 48).cast("int").as("height"))
+    val rk = row_number()
+      .over(Window.partitionBy("width", "height").orderBy("doc_id")) - 1
+    dims
+      .withColumn("rk", rk)
+      .select(col("doc_id"), col("width"), col("height"),
+        (col("rk") / batchSize).cast("long").as("batch_id"),
+        (col("rk") % batchSize).cast("long").as("batch_pos"))
+  }
+
+  /** Gate for [[inferenceBatches]] — geometry replayed from
+    * octet_length, batch packing from the same rank arithmetic. */
+  val q90 = Q.sql("q90_multimodal_batches",
+    """WITH t AS (
+      |  SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+      |b AS (
+      |  SELECT doc_id,
+      |    CAST(64 + n % 64 AS INTEGER) AS width,
+      |    CAST(64 + n % 48 AS INTEGER) AS height,
+      |    row_number() OVER (PARTITION BY 64 + n % 64, 64 + n % 48
+      |                       ORDER BY doc_id) - 1 AS rk
+      |  FROM t)
+      |SELECT doc_id, width, height,
+      |  CAST(rk // 8 AS BIGINT) AS batch_id,
+      |  CAST(rk % 8 AS BIGINT) AS batch_pos
+      |FROM b ORDER BY doc_id""".stripMargin) { (s, d) =>
+    inferenceBatches(mediaTable(s, d), batchSize = 8).orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(q52, q53, q58, q79, q90)
 }
