@@ -25,15 +25,19 @@ import graft.functions.Exprs
   *     prefix-filter index generates candidates subquadratically and the
   *     same verify kernels apply.
   *
-  * Routing: n ≤ [[QuadDocCap]] → the in-line quadratic paths (pair loop
-  * is trivially affordable; vocab probe picks dense vs hashed). Above
-  * the cap, a prefix-index probe estimates the candidate-pair count
-  * Σ C(df_prefix, 2): below [[DenseCandidateFrac]] × all-pairs the
-  * corpus is similarity-sparse and [[PrefixJoin]] wins asymptotically;
-  * at or above it the candidate set degenerates toward all pairs and
-  * the brute-force constant factors win. The probe result IS the first
-  * stage of the prefix path (localCheckpointed), so choosing prefix
-  * wastes no work. All paths agree exactly (spec-asserted).
+  * Routing: one capped vocabulary probe decides first — ≤
+  * [[DenseVocabCap]] distinct tokens routes dense at ANY n (a small
+  * vocab makes the prefix filter unselective, and the probe's collected
+  * tokens double as the bitmap vocabulary, so the decision job is never
+  * wasted). Otherwise n ≤ [[QuadDocCap]] → the in-line hashed pair loop
+  * (trivially affordable); above it, a prefix-index probe estimates the
+  * candidate-pair count Σ C(df_prefix, 2): below [[DenseCandidateFrac]]
+  * × all-pairs the corpus is similarity-sparse and [[PrefixJoin]] wins
+  * asymptotically; at or above it the candidate set degenerates toward
+  * all pairs and the brute-force constant factors win. The prefix probe
+  * result IS the first stage of the prefix path (localCheckpointed), so
+  * choosing prefix wastes no work. All paths agree exactly
+  * (spec-asserted).
   *
   * The in-line paths enumerate pairs with a broadcast nested-loop join
   * (id_a < id_b plus a size-band prefilter sz_a·t ≤ sz_b ≤ sz_a/t): at
@@ -85,17 +89,22 @@ object SetSimJoin {
     import spark.implicits._
     val docs = docs0.select($"doc_id", $"ts")
     val n = docs.count()
-    if (n <= quadDocCap) return quadRouted(spark, docs, threshold,
-      filterOnRounded, denseVocabCap)
-    // vocab short-circuit: with ≤ denseVocabCap distinct tokens the
-    // prefix filter cannot be selective (every prefix token's df is
-    // ~n/|vocab|, so Σ C(df,2) ≈ all-pairs whatever n is) — the dense
-    // bitset path is the asymptotic winner too, and skipping the prefix
-    // probe saves its index build on exactly the corpora that won't use it
-    val vocabCard = docs.select(explode($"ts").as("tok")).distinct()
-      .limit(denseVocabCap + 1).count()
-    if (vocabCard <= denseVocabCap) return quadRouted(spark, docs, threshold,
-      filterOnRounded, denseVocabCap)
+    // vocabulary probe — collect at most cap+1 distinct tokens (a tiny
+    // aggregate; the full distinct never materializes on the driver when
+    // the vocab is large). ONE job serves both the dense/hashed decision
+    // and, if dense wins, the bitmap vocabulary itself.
+    val probe = docs.select(explode($"ts").as("tok")).distinct()
+      .limit(denseVocabCap + 1).as[String].collect()
+    if (probe.length <= denseVocabCap)
+      // dense short-circuit, any n: with ≤ denseVocabCap distinct tokens
+      // the prefix filter cannot be selective (every prefix token's df is
+      // ~n/|vocab|, so Σ C(df,2) ≈ all-pairs whatever n is) — the bitset
+      // path is the asymptotic winner too, and skipping the prefix probe
+      // saves its index build on exactly the corpora that won't use it
+      return (Route.Dense,
+        densePairs(spark, docs, threshold, filterOnRounded, probe.sorted))
+    if (n <= quadDocCap)
+      return (Route.Hashed, hashedPairs(spark, docs, threshold, filterOnRounded))
     // prefix-index df probe: materialize the (doc_id, prefix tok) index
     // once (it is stage 1 of the prefix path — no wasted work if chosen)
     // and estimate candidate pairs as Σ C(df_prefix, 2).
@@ -108,20 +117,6 @@ object SetSimJoin {
     if (est < allPairs * DenseCandidateFrac)
       (Route.Prefix, PrefixJoin.verify(sized, PrefixJoin.candidates(prefix),
         threshold, filterOnRounded))
-    else quadRouted(spark, docs, threshold, filterOnRounded, denseVocabCap)
-  }
-
-  private def quadRouted(spark: SparkSession, docs: DataFrame,
-      threshold: Double, filterOnRounded: Boolean,
-      denseVocabCap: Int): (Route, DataFrame) = {
-    import spark.implicits._
-    // vocabulary probe: collect at most cap+1 distinct tokens (a tiny
-    // aggregate — the full distinct never materializes on the driver when
-    // the vocab is large)
-    val probe = docs.select(explode($"ts").as("tok")).distinct()
-      .limit(denseVocabCap + 1).as[String].collect()
-    if (probe.length <= denseVocabCap)
-      (Route.Dense, densePairs(spark, docs, threshold, filterOnRounded, probe.sorted))
     else (Route.Hashed, hashedPairs(spark, docs, threshold, filterOnRounded))
   }
 
