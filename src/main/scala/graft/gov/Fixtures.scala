@@ -1,13 +1,11 @@
 package graft.gov
 
-import RefTransforms.removeDiacritics
-
 /** Reference-table fixtures — MUST stay in sync with tools/golden.py
   * (TABPAIS/DECS/TITLE/AI_MAP_ROWS there), which runs the reference's
   * loaders over the same data to produce the golden oracle.
   *
-  * In production these load from Parquet via [[Fixtures.lookupsFrom]]-style
-  * builders; the maps are small (KB–MB) and broadcast to executors.
+  * In production these load from Parquet via [[Lookups.fromTables]];
+  * the maps are small (KB–MB) and broadcast to executors.
   */
 object Fixtures {
 
@@ -25,10 +23,6 @@ object Fixtures {
     ("036666", Seq("Systematic Review", "Revisão Sistemática",
       "Revisión Sistemática")))
 
-  case class TitleRow(issn: String, title: String, shortenedTitle: String,
-      medlineShortenedTitle: String, parallelTitles: Seq[String],
-      shortenedParallelTitles: Seq[String], otherTitles: Seq[String],
-      country: Seq[String])
   val titleRows: Seq[TitleRow] = Seq(
     TitleRow("0034-8910", "Revista de Saúde Pública^nota", "Rev. Saúde Pública",
       "Rev Saude Publica", Seq("Journal of Public Health^x"), Nil, Nil,
@@ -47,41 +41,8 @@ object Fixtures {
       Seq("tagX", "v1", "tagX", "v2"), Seq("tagY", "v3"), Seq("ctx1", "p1")),
     Enrich.TemaRow("biblio-1002", "fonte2", Nil, Seq("colB"), Nil, Nil, Nil))
 
-  /** Build the key-normalized lookup maps exactly like the reference
-    * loaders (misc.py load_tabpais/load_decs_descriptors/load_title_current,
-    * 02_x01 _carregar_mapa_ai). */
-  def lookups: Lookups = {
-    val country: Map[String, CountryRow] = tabpais.flatMap { row =>
-      val keys = Seq(row.pt, row.en, row.es, row.fr, row.pais2)
-        .filter(_.nonEmpty).map(_.toLowerCase.trim) ++
-        row.sinonimo.filter(_.nonEmpty).map(_.toLowerCase.trim)
-      keys.map(_ -> row)
-    }.toMap
-
-    val decs: Map[String, String] = decsRows.flatMap { case (mfn, terms) =>
-      val formatted = mfn.dropWhile(_ == '0')
-      terms.filter(_.nonEmpty)
-        .map(t => removeDiacritics(t.trim.toLowerCase) -> formatted)
-    }.toMap
-
-    def titleValues(t: TitleRow): Seq[String] = {
-      val b = Seq.newBuilder[String]
-      if (t.title.nonEmpty) b += t.title.split("\\^")(0)
-      if (t.shortenedTitle.nonEmpty) b += t.shortenedTitle.split("\\^")(0)
-      if (t.medlineShortenedTitle.nonEmpty) b += t.medlineShortenedTitle.split("\\^")(0)
-      t.parallelTitles.foreach(x => b += x.split("\\^")(0))
-      t.shortenedParallelTitles.foreach(x => b += x.split("\\^")(0))
-      t.otherTitles.foreach(x => b += x.split("\\^")(0))
-      b.result()
-    }
-    val issn = titleRows.filter(_.issn.nonEmpty)
-      .map(t => t.issn.toLowerCase.trim -> titleValues(t)).toMap
-    val shortTitle = titleRows.filter(_.shortenedTitle.nonEmpty)
-      .map(t => t.shortenedTitle.toLowerCase.trim -> titleValues(t)).toMap
-    val titleCountry = titleRows.filter(_.shortenedTitle.nonEmpty)
-      .map(t => t.shortenedTitle.toLowerCase.trim -> t.country).toMap
-
-    Lookups(country, decs, issn, shortTitle, titleCountry,
-      aiRows.map { case (k, v) => k.trim -> v }.toMap)
-  }
+  /** The fixture tables through the production normalization
+    * ([[Lookups.build]] — the same code path [[Lookups.fromTables]]
+    * feeds from parquet/CSV/JDBC). */
+  def lookups: Lookups = Lookups.build(tabpais, decsRows, titleRows, aiRows)
 }

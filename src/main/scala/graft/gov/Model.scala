@@ -175,6 +175,14 @@ case class IahxDoc(
 case class CountryRow(pt: String, en: String, es: String, fr: String,
     pais2: String, sinonimo: Seq[String])
 
+/** A journal row of TITLE.title_current (reference `misc.py:129-176`);
+  * `^`-subfielded title strings keep their raw form, the loader strips
+  * at build time. */
+case class TitleRow(issn: String, title: String, shortenedTitle: String,
+    medlineShortenedTitle: String, parallelTitles: Seq[String],
+    shortenedParallelTitles: Seq[String], otherTitles: Seq[String],
+    country: Seq[String])
+
 /** Broadcastable lookup bundle replacing the reference's driver-side dict
   * loads (S10): key-normalized maps for tabpais (J1), DeCS (J2), journal
   * title authority (J3), and the ai1→ai2 corporate-author rename (J7).
@@ -187,3 +195,88 @@ case class Lookups(
     shortTitle: Map[String, Seq[String]],
     titleCountry: Map[String, Seq[String]],
     aiMap: Map[String, String])
+
+object Lookups {
+  import RefTransforms.removeDiacritics
+
+  /** Build the key-normalized lookup maps exactly like the reference
+    * loaders (misc.py load_tabpais/load_decs_descriptors/
+    * load_title_current, 02_x01 _carregar_mapa_ai). */
+  def build(tabpais: Seq[CountryRow], decsRows: Seq[(String, Seq[String])],
+      titleRows: Seq[TitleRow], aiRows: Seq[(String, String)]): Lookups = {
+    val country: Map[String, CountryRow] = tabpais.flatMap { row =>
+      val keys = Seq(row.pt, row.en, row.es, row.fr, row.pais2)
+        .filter(_.nonEmpty).map(_.toLowerCase.trim) ++
+        row.sinonimo.filter(_.nonEmpty).map(_.toLowerCase.trim)
+      keys.map(_ -> row)
+    }.toMap
+
+    val decs: Map[String, String] = decsRows.flatMap { case (mfn, terms) =>
+      val formatted = mfn.dropWhile(_ == '0')
+      terms.filter(_.nonEmpty)
+        .map(t => removeDiacritics(t.trim.toLowerCase) -> formatted)
+    }.toMap
+
+    def titleValues(t: TitleRow): Seq[String] = {
+      val b = Seq.newBuilder[String]
+      if (t.title.nonEmpty) b += t.title.split("\\^")(0)
+      if (t.shortenedTitle.nonEmpty) b += t.shortenedTitle.split("\\^")(0)
+      if (t.medlineShortenedTitle.nonEmpty) b += t.medlineShortenedTitle.split("\\^")(0)
+      t.parallelTitles.foreach(x => b += x.split("\\^")(0))
+      t.shortenedParallelTitles.foreach(x => b += x.split("\\^")(0))
+      t.otherTitles.foreach(x => b += x.split("\\^")(0))
+      b.result()
+    }
+    val issn = titleRows.filter(_.issn.nonEmpty)
+      .map(t => t.issn.toLowerCase.trim -> titleValues(t)).toMap
+    val shortTitle = titleRows.filter(_.shortenedTitle.nonEmpty)
+      .map(t => t.shortenedTitle.toLowerCase.trim -> titleValues(t)).toMap
+    val titleCountry = titleRows.filter(_.shortenedTitle.nonEmpty)
+      .map(t => t.shortenedTitle.toLowerCase.trim -> t.country).toMap
+
+    Lookups(country, decs, issn, shortTitle, titleCountry,
+      aiRows.map { case (k, v) => k.trim -> v }.toMap)
+  }
+
+  /** Production loader: the four reference tables as DataFrames (parquet,
+    * CSV, JDBC snapshot — anything) funneled through the SAME
+    * normalization as the fixtures. Schemas:
+    *
+    *  - `tabpais(pt, en, es, fr, pais2, sinonimo: array<string>)`
+    *  - `decs(mfn: string, terms: array<string>)`
+    *  - `title(issn, title, shortened_title, medline_shortened_title,
+    *    parallel_titles, shortened_parallel_titles, other_titles,
+    *    country — last five array<string>)`
+    *  - `ai(ai1, ai2)`
+    *
+    * The collects are the point, not a smell: these are the reference's
+    * driver-dict tables (S10), KB–MB scale, broadcast to executors once. */
+  def fromTables(spark: org.apache.spark.sql.SparkSession,
+      tabpais: org.apache.spark.sql.DataFrame,
+      decs: org.apache.spark.sql.DataFrame,
+      title: org.apache.spark.sql.DataFrame,
+      ai: org.apache.spark.sql.DataFrame): Lookups = {
+    import spark.implicits._
+    def s(v: String): String = Option(v).getOrElse("")
+    def a(v: Seq[String]): Seq[String] = Option(v).getOrElse(Nil)
+    val tp = tabpais
+      .select($"pt", $"en", $"es", $"fr", $"pais2", $"sinonimo")
+      .as[(String, String, String, String, String, Seq[String])]
+      .collect().toSeq
+      .map(r => CountryRow(s(r._1), s(r._2), s(r._3), s(r._4), s(r._5), a(r._6)))
+    val dc = decs.select($"mfn", $"terms").as[(String, Seq[String])]
+      .collect().toSeq.map(r => (s(r._1), a(r._2)))
+    val tt = title
+      .select($"issn", $"title", $"shortened_title", $"medline_shortened_title",
+        $"parallel_titles", $"shortened_parallel_titles", $"other_titles",
+        $"country")
+      .as[(String, String, String, String, Seq[String], Seq[String],
+        Seq[String], Seq[String])]
+      .collect().toSeq
+      .map(r => TitleRow(s(r._1), s(r._2), s(r._3), s(r._4), a(r._5), a(r._6),
+        a(r._7), a(r._8)))
+    val am = ai.select($"ai1", $"ai2").as[(String, String)]
+      .collect().toSeq.map(r => (s(r._1), s(r._2)))
+    build(tp, dc, tt, am)
+  }
+}

@@ -223,6 +223,27 @@ class EngineSpec extends AnyFunSuite {
     assert(it.size == 4999) // and the tail still parses out
   }
 
+  test("S10: lookups load from distributed tables equal to the fixture build") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_lookups").toString
+    gov.Fixtures.tabpais
+      .map(r => (r.pt, r.en, r.es, r.fr, r.pais2, r.sinonimo))
+      .toDF("pt", "en", "es", "fr", "pais2", "sinonimo")
+      .write.parquet(s"$dir/tabpais")
+    gov.Fixtures.decsRows.toDF("mfn", "terms").write.parquet(s"$dir/decs")
+    gov.Fixtures.titleRows
+      .map(t => (t.issn, t.title, t.shortenedTitle, t.medlineShortenedTitle,
+        t.parallelTitles, t.shortenedParallelTitles, t.otherTitles, t.country))
+      .toDF("issn", "title", "shortened_title", "medline_shortened_title",
+        "parallel_titles", "shortened_parallel_titles", "other_titles", "country")
+      .write.parquet(s"$dir/title")
+    gov.Fixtures.aiRows.toDF("ai1", "ai2").write.parquet(s"$dir/ai")
+    val loaded = gov.Lookups.fromTables(spark,
+      spark.read.parquet(s"$dir/tabpais"), spark.read.parquet(s"$dir/decs"),
+      spark.read.parquet(s"$dir/title"), spark.read.parquet(s"$dir/ai"))
+    assert(loaded == gov.Fixtures.lookups)
+  }
+
   test("J5 match with empty db-additions still set-normalizes the doc's db") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
