@@ -85,6 +85,14 @@ object Graft {
   def shingles(tokens: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column =
     functions.Text.shingles(tokens, n)
 
+  /** HTML→text extraction (WET step): script/style/tag/entity strip. */
+  def stripHtml(html: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    functions.Text.stripHtml(html)
+
+  /** ftfy-style encoding repair (single-pass longest-match kernel). */
+  def fixMojibake(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    functions.Text.fixMojibake(text)
+
   // ---- quality checks -----------------------------------------------------
 
   /** One-row-per-check quality report over the star schema. */
@@ -155,6 +163,12 @@ object Graft {
   def decontaminate(spark: SparkSession, docs: DataFrame,
       fpp: Double = 0.01): DataFrame =
     operators.DataSplit.decontaminateBloom(spark, docs, fpp)
+
+  /** Multimodal inference batch formation: bucket by decoded shape,
+    * pack fixed-size batches in stable id order. */
+  def inferenceBatches(media: Dataset[multimodal.Multimodal.MediaRow],
+      batchSize: Int): DataFrame =
+    multimodal.Multimodal.inferenceBatches(media, batchSize)
 
   // ---- streaming ----------------------------------------------------------
 

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Mergeable sketch aggregates. Spark ships HLL++ (`approx_count_distinct`)
+  * and t-digest-style percentiles (`approx_percentile`) natively — those
+  * are spec-checked elsewhere — but has no heavy-hitters sketch, so this
+  * module adds SpaceSaving (Metwally et al., ICDT'05) as a typed
+  * `Aggregator`: the 100 TB primitive for "which keys are hot" (skew
+  * detection before salting, hot-domain discovery, top-K dashboards)
+  * without an exact full-cardinality groupBy.
+  *
+  * Guarantees, preserved under Spark's partial-aggregate merge tree
+  * (Agarwal et al.'s mergeable-summaries argument): with capacity k over
+  * N rows, every estimate satisfies true ≤ est ≤ true + N/k, and any
+  * item with true frequency > N/k is present in the sketch. Merge order
+  * across partitions may reorder ties — the guarantee, not the exact
+  * counter values, is the contract (EngineSpec pins it).
+  */
+object Sketches {
+
+  /** One sketch counter: estimated count and its max overestimate. */
+  case class Heavy(item: Long, count: Long, err: Long)
+
+  /** SpaceSaving over Long keys with capacity `k`. The buffer is a plain
+    * Map encoded with the product encoder — at k ≤ a few thousand the
+    * shuffled partial state is KBs. */
+  class SpaceSaving(k: Int)
+      extends Aggregator[Long, Map[Long, (Long, Long)], Seq[Heavy]] {
+
+    override def zero: Map[Long, (Long, Long)] = Map.empty
+
+    override def reduce(b: Map[Long, (Long, Long)], item: Long): Map[Long, (Long, Long)] =
+      b.get(item) match {
+        case Some((c, e)) => b.updated(item, (c + 1, e))
+        case None if b.size < k => b.updated(item, (1L, 0L))
+        case None =>
+          // evict the min counter; the newcomer inherits its count as
+          // overestimate (the SpaceSaving step)
+          val (minItem, (minC, _)) = b.minBy { case (i, (c, _)) => (c, i) }
+          (b - minItem).updated(item, (minC + 1, minC))
+      }
+
+    override def merge(a: Map[Long, (Long, Long)], b: Map[Long, (Long, Long)]): Map[Long, (Long, Long)] = {
+      if (a.isEmpty) return b
+      if (b.isEmpty) return a
+      // mergeable-summaries merge: an item absent from a full sketch has
+      // a count bounded by that sketch's min counter — add it as slack
+      val minA = if (a.size < k) 0L else a.values.map(_._1).min
+      val minB = if (b.size < k) 0L else b.values.map(_._1).min
+      val merged = (a.keySet ++ b.keySet).iterator.map { i =>
+        val (ca, ea) = a.getOrElse(i, (minA, minA))
+        val (cb, eb) = b.getOrElse(i, (minB, minB))
+        i -> (ca + cb, ea + eb)
+      }.toMap
+      if (merged.size <= k) merged
+      else merged.toSeq
+        .sortBy { case (i, (c, _)) => (-c, i) }
+        .take(k).toMap
+    }
+
+    override def finish(b: Map[Long, (Long, Long)]): Seq[Heavy] =
+      b.toSeq.map { case (i, (c, e)) => Heavy(i, c, e) }
+        .sortBy(h => (-h.count, h.item))
+
+    override def bufferEncoder: Encoder[Map[Long, (Long, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[Long, (Long, Long)]]()
+
+    override def outputEncoder: Encoder[Seq[Heavy]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Heavy]]()
+  }
+
+  /** Top heavy hitters of a Long column: one distributed pass, partial
+    * sketches merged map-side like any aggregate, final top-`top` rows. */
+  def heavyHitters(spark: SparkSession, items: DataFrame, col0: String,
+      k: Int, top: Int): DataFrame = {
+    import spark.implicits._
+    val agg = new SpaceSaving(k).toColumn
+    val sk = items.select(col(col0).cast("long").as("v")).as[Long]
+      .select(agg.name("sk")).as[Seq[Heavy]].head()
+    spark.createDataset(sk.take(top)).toDF("item", "count", "err")
+  }
+
+  /** Heavy-hitters gate (rows-only: counter values depend on merge
+    * order; the ε-N guarantee is EngineSpec's job): top-10 user_ids of
+    * the events stream by a k=64 sketch. */
+  val q91 = Q.rowsOnly("q91_heavy_hitters") { (s, d) =>
+    heavyHitters(s, Tables.events(s, d), "user_id", k = 64, top = 10)
+  }
+
+  val all: Seq[Q] = Seq(q91)
+}

@@ -635,6 +635,30 @@ class EngineSpec extends AnyFunSuite {
     assert(bloom == exact)
   }
 
+  test("SpaceSaving heavy hitters: e-N guarantee on a skewed stream") {
+    import spark.implicits._
+    // Zipf-ish: item i appears floor(6000/(i+1)) times, i in [0, 200)
+    val rows = (0L until 200L).flatMap(i => Seq.fill((6000 / (i + 1)).toInt)(i))
+    val n = rows.length.toLong
+    val k = 32
+    val df = spark.createDataset(rows).toDF("user_id").repartition(7)
+    val sketch = operators.Sketches
+      .heavyHitters(spark, df, "user_id", k = k, top = k)
+      .as[(Long, Long, Long)].collect()
+    val exact = rows.groupBy(identity).map { case (i, xs) => i -> xs.length.toLong }
+    val bound = n / k
+    // every item with true frequency > N/k must be present
+    val mustHave = exact.filter(_._2 > bound).keySet
+    val present = sketch.map(_._1).toSet
+    assert(mustHave.subsetOf(present),
+      s"missing heavy items: ${mustHave -- present} (bound=$bound)")
+    // every estimate overestimates by at most N/k
+    sketch.foreach { case (item, est, _) =>
+      val t = exact.getOrElse(item, 0L)
+      assert(est >= t && est <= t + bound, s"item $item est=$est true=$t bound=$bound")
+    }
+  }
+
   test("approximate sketches track exact answers (HLL distinct, t-digest quantile)") {
     import org.apache.spark.sql.functions._
     // HLL: distinct tokens over the corpus, default rsd 5%
