@@ -99,6 +99,12 @@ object Graft {
   def qualityReport(spark: SparkSession, dir: String): DataFrame =
     quality.Checks.report(spark, dir)
 
+  /** SpaceSaving heavy hitters of a Long column: one distributed pass,
+    * est ≤ true + N/k, any item above N/k guaranteed present. */
+  def heavyHitters(spark: SparkSession, items: DataFrame, column: String,
+      k: Int, top: Int): DataFrame =
+    operators.Sketches.heavyHitters(spark, items, column, k, top)
+
   // ---- training-data shaping ---------------------------------------------
 
   /** One-pass n-gram repetition counters `[total, distinct, max_count]`
