@@ -32,5 +32,34 @@ object IngestOps {
       .orderBy("worker", "page_offset")
   }
 
-  val all: Seq[Q] = Seq(q92)
+  /** S6 — last-write-wins upsert, both decision paths in one gate: an
+    * incoming batch touches every doc_id % 3 == 0 row, with a HIGHER
+    * version on even ids (newer wins) and an EQUAL version on odd ids
+    * (tie breaks toward the incoming batch — the reference's
+    * UpdateOne(upsert=True) overwrite semantics). */
+  val q93 = Q.sql("q93_upsert",
+    """WITH cur AS (
+      |  SELECT doc_id, lang, CAST(0 AS BIGINT) AS version FROM documents),
+      |inc AS (
+      |  SELECT doc_id, 'xx' AS lang,
+      |    CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT) AS version
+      |  FROM documents WHERE doc_id % 3 = 0)
+      |SELECT doc_id, lang, version FROM (
+      |  SELECT u.doc_id, u.lang, u.version,
+      |    row_number() OVER (PARTITION BY doc_id
+      |                       ORDER BY version DESC, src DESC) AS rn
+      |  FROM (SELECT doc_id, lang, version, 0 AS src FROM cur
+      |        UNION ALL SELECT doc_id, lang, version, 1 AS src FROM inc) u) t
+      |WHERE rn = 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = graft.Tables.documents(s, d)
+    val existing = docs.select(col("doc_id"), col("lang"),
+      lit(0L).as("version"))
+    val incoming = docs.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), lit("xx").as("lang"),
+        when(col("doc_id") % 2 === 0, 1L).otherwise(0L).as("version"))
+    Harvest.upsert(existing, incoming, "doc_id", "version")
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(q92, q93)
 }
