@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AsofJoin, Chunking, DataSplit, DedupClusters, Q, Relational, Similarity, TextOps, TrainingPipeline}
+import graft.operators.{AsofJoin, Chunking, DataSplit, DedupClusters, Q, Relational, Resample, Similarity, TextOps, TrainingPipeline}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,7 +16,7 @@ object SparkEntry {
 
   def allQueries: Seq[Q] =
     Relational.all ++ TextOps.all ++ Similarity.all ++
-      Seq(DedupClusters.q54) ++ DataSplit.all ++ AsofJoin.all ++
+      Seq(DedupClusters.q54) ++ DataSplit.all ++ AsofJoin.all ++ Resample.all ++
       graft.operators.Sketches.all ++ graft.ingest.IngestOps.all ++
       Chunking.all ++ TrainingPipeline.all ++ graft.quality.Pii.all ++
       graft.gov.GovOps.all ++ graft.metrics.MetricsOps.all ++

@@ -61,5 +61,22 @@ object IngestOps {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(q92, q93)
+  /** S4 — targeted re-harvest plan: one fetch unit per id, round-robin
+    * striped (a re-fetch id list is small by nature — the collect IS the
+    * reference's shape, 01_ids_update.py reads the id file on the
+    * driver). */
+  val q94 = Q.sql("q94_harvest_ids",
+    """SELECT CAST((row_number() OVER (ORDER BY doc_id) - 1) % 4 AS BIGINT)
+      |    AS worker, doc_id
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val ids = graft.Tables.documents(s, d)
+      .select(col("doc_id")).orderBy("doc_id").as[Long].collect().toSeq
+    Harvest.planIds(ids, workers = 4)
+      .toDF("worker", "doc_id")
+      .select(col("worker").cast("long").as("worker"), col("doc_id"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(q92, q93, q94)
 }
