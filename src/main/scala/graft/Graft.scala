@@ -116,6 +116,11 @@ object Graft {
   def redactPii(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     quality.Pii.redact(text)
 
+  /** LOCF resample: irregular (user_id, ts, event_id, value) events to
+    * a regular per-key grid, last observation carried forward. */
+  def resampleLocf(events: DataFrame, bucketMicros: Long): DataFrame =
+    operators.Resample.locf(events, bucketMicros)
+
   /** As-of join: latest right row at-or-before each left row's
     * timestamp per key — one shuffle, no theta-join blow-up. */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,

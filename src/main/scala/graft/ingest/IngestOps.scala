@@ -78,5 +78,49 @@ object IngestOps {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(q92, q93, q94)
+  /** Deterministic flaky transport for the S2/S3 gate: pages at
+    * offset % 89 == 0 are permanently down (503 forever → dead-letter
+    * after the 5-attempt budget), offset % 3 == 0 pages return 503 twice
+    * then succeed (lands with attempts=3), everything else succeeds
+    * first try. Per-instance call counts live in the task's own copy —
+    * retries for one url run sequentially inside one task, which is
+    * exactly the deployment shape. */
+  private final class FlakyTransport
+      extends (String => Either[Int, String]) with Serializable {
+    private val calls = new java.util.HashMap[String, Integer]()
+    override def apply(url: String): Either[Int, String] = {
+      val off = url.split("offset=")(1).split("&")(0).toInt
+      if (off % 89 == 0) Left(503)
+      else if (off % 3 == 0) {
+        val n = calls.merge(url, 1, (a, b) => a + b)
+        if (n < 3) Left(503) else Right(s"""{"offset":$off}""")
+      } else Right(s"""{"offset":$off}""")
+    }
+  }
+
+  /** S2/S3 — the retry policy and dead-letter split, distributed and
+    * oracled: the real `Fetcher.fetchPages` runs the striped plan
+    * through [[FlakyTransport]] in mapPartitions, and DuckDB replays
+    * which pages must land (and after how many attempts) from the
+    * offset arithmetic alone. */
+  val q96 = Q.sql("q96_fetch_deadletter",
+    """WITH t AS (SELECT CAST(count(*) AS INTEGER) AS total FROM documents)
+      |SELECT CAST(o AS BIGINT) AS page_offset,
+      |  CASE WHEN o % 89 = 0 THEN 'dead' ELSE 'ok' END AS status,
+      |  CAST(CASE WHEN o % 89 = 0 THEN 5
+      |            WHEN o % 3 = 0 THEN 3 ELSE 1 END AS BIGINT) AS attempts
+      |FROM t, LATERAL unnest(range(0, total, 37)) u(o)
+      |ORDER BY page_offset""".stripMargin) { (s, d) =>
+    val total = graft.Tables.documents(s, d).count().toInt
+    val plan = Harvest.planDf(s, total, limit = 37, workers = 5)
+    val (fetched, dead) =
+      Fetcher.fetchPages(s, plan, "https://api.example.org/biblio", new FlakyTransport)
+    fetched.select(col("offset").cast("long").as("page_offset"),
+        lit("ok").as("status"), col("attempts").cast("long").as("attempts"))
+      .unionByName(dead.select(col("offset").cast("long").as("page_offset"),
+        lit("dead").as("status"), col("attempts").cast("long").as("attempts")))
+      .orderBy("page_offset")
+  }
+
+  val all: Seq[Q] = Seq(q92, q93, q94, q96)
 }
