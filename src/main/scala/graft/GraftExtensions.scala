@@ -27,11 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo(classOf[GraftExtensions].getName, name),
-        (args: Seq[Expression]) => {
-          require(args.length == arity,
-            s"$name expects $arity arguments, got ${args.length}")
-          builder(args)
-        }))
+        GraftExtensions.checked(name, arity, builder)))
     }
 }
 
@@ -42,11 +38,17 @@ object GraftExtensions {
   def install(spark: org.apache.spark.sql.SparkSession): Unit =
     functions.foreach { case (name, arity, builder) =>
       org.apache.spark.sql.graftshim.Shim.registerFunction(spark, name,
-        args => {
-          require(args.length == arity,
-            s"$name expects $arity arguments, got ${args.length}")
-          builder(args)
-        })
+        checked(name, arity, builder))
+    }
+
+  /** Arity-validated builder — the one wrapper both registration paths
+    * share. */
+  private[graft] def checked(name: String, arity: Int,
+      builder: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    args => {
+      require(args.length == arity,
+        s"$name expects $arity arguments, got ${args.length}")
+      builder(args)
     }
 
   private def intLit(e: Expression, fn: String, what: String): Int = e match {

@@ -57,8 +57,11 @@ object Text {
     val noScript = regexp_replace(html, "(?s)<script[^>]*>.*?</script>", " ")
     val noStyle = regexp_replace(noScript, "(?s)<style[^>]*>.*?</style>", " ")
     val noTags = regexp_replace(noStyle, "<[^>]+>", " ")
+    // &amp; decodes LAST: an author writing &amp;lt; escaped the
+    // ampersand precisely so &lt; renders literally — decoding &amp;
+    // first would double-decode it into a real '<'
     val decoded = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-      noTags, "&amp;", "&"), "&lt;", "<"), "&gt;", ">"), "&nbsp;", " ")
+      noTags, "&lt;", "<"), "&gt;", ">"), "&nbsp;", " "), "&amp;", "&")
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 

@@ -182,8 +182,13 @@ object DataSplit {
         when(substring(md5(col("text").cast("binary")), 1, 1) < "c", "train")
           .when(substring(md5(col("text").cast("binary")), 1, 1) < "e", "val")
           .otherwise("test").as("split"))
+    // the eval side is read three times (sizing count, filter build,
+    // confirm join) — materialize the slim (doc_id, gram) projection
+    // once instead of re-running scan+tokenize+shingle per use; it is
+    // the SMALL side by definition (eval ≪ train)
     val evalGrams = split.filter(col("split") === "test")
       .select(col("doc_id"), explode(col("grams")).as("g"))
+      .localCheckpoint(true)
     // upper bound on distinct eval grams (over-sizing only lowers fpp)
     val expected = math.max(evalGrams.count(), 1L)
     val bf = evalGrams.stat.bloomFilter("g", expected, fpp)

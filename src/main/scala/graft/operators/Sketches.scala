@@ -80,7 +80,9 @@ object Sketches {
       k: Int, top: Int): DataFrame = {
     import spark.implicits._
     val agg = new SpaceSaving(k).toColumn
-    val sk = items.select(col(col0).cast("long").as("v")).as[Long]
+    val sk = items.select(col(col0).cast("long").as("v"))
+      .filter(col("v").isNotNull) // nulls (or uncastable keys) would kill
+      .as[Long]                   // the primitive-Long encoder at runtime
       .select(agg.name("sk")).as[Seq[Heavy]].head()
     spark.createDataset(sk.take(top)).toDF("item", "count", "err")
   }

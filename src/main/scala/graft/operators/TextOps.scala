@@ -502,8 +502,8 @@ object TextOps {
       |        '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
       |        '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
       |        '<[^>]+>', ' ', 'g'),
-      |        '&amp;', '&', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'),
-      |        '&nbsp;', ' ', 'g'),
+      |        '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&nbsp;', ' ', 'g'),
+      |        '&amp;', '&', 'g'),
       |    '\s+', ' ', 'g')) AS clean
       |FROM pages ORDER BY doc_id""".stripMargin) { (s, d) =>
     val page = concat(

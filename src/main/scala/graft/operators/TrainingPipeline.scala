@@ -148,11 +148,14 @@ object TrainingPipeline {
   }
 
   /** The q86 rule as a reusable operator: `mix` is a (lang, n) repeat
-    * table; docs gain one epoch-tagged copy per repeat. */
+    * table; docs gain one epoch-tagged copy per repeat. Rows with
+    * n ≤ 0 mean "exclude the stratum" and are filtered BEFORE the
+    * sequence — Spark's `sequence(0, -1)` would otherwise step
+    * backwards and emit two phantom epochs. */
   def epochMix(docs: org.apache.spark.sql.DataFrame,
       mix: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     docs
-      .join(broadcast(mix), "lang")
+      .join(broadcast(mix.filter(col("n") >= 1)), "lang")
       .select(col("doc_id"), col("lang"),
         explode(sequence(lit(0L), col("n").cast("long") - 1)).as("epoch"))
 

@@ -614,6 +614,27 @@ class EngineSpec extends AnyFunSuite {
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
   }
 
+  test("epoch mix: n=0 excludes the stratum (no phantom backwards sequence)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val mix = Seq(("en", 0), ("fr", 2)).toDF("lang", "n")
+    val out = operators.TrainingPipeline
+      .epochMix(Tables.documents(spark, sf), mix)
+      .groupBy("lang").agg(count(lit(1)).as("c"), min("epoch"), max("epoch"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(!out.contains("en"), s"n=0 stratum leaked: $out")
+    assert(out("fr")._2 == 0L && out("fr")._3 == 1L)
+  }
+
+  test("stripHtml decodes escaped entity references singly (&amp;lt; -> &lt;)") {
+    import org.apache.spark.sql.functions._
+    val got = spark.range(1).select(functions.Text.stripHtml(
+      lit("<p>Use &amp;lt;b&amp;gt; for bold &amp; more</p>")).as("t"))
+      .head().getString(0)
+    assert(got == "Use &lt;b&gt; for bold & more", got)
+  }
+
   test("shard shuffle: 16 shards, contiguous 1..n positions, full coverage") {
     val rows = SparkEntry.queries("q85_shard_shuffle")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
