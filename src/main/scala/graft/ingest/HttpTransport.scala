@@ -45,7 +45,13 @@ object HttpTransport {
         else Left(resp.statusCode())
       } catch {
         case _: java.io.IOException => Left(503)
-        case _: InterruptedException => Left(503)
+        case _: InterruptedException =>
+          // task cancellation, not upstream flakiness: restore the
+          // interrupt flag and return a NON-retryable status so the
+          // retry loop exits instead of re-issuing requests through the
+          // whole backoff schedule on a thread Spark is trying to kill
+          Thread.currentThread().interrupt()
+          Left(499)
       }
   }
 }

@@ -33,7 +33,18 @@ object XmlSource {
       private var nextDoc: XmlDoc = null
       private var closed = false
 
-      private def advance(): Unit = {
+      private def advance(): Unit = try {
+        advance0()
+      } catch {
+        // malformed XML mid-stream: release the reader and the file
+        // handle before surfacing the parse error (without this the
+        // stream leaks for the task's lifetime)
+        case e: Throwable =>
+          if (!closed) { closed = true; r.close(); in.close() }
+          throw e
+      }
+
+      private def advance0(): Unit = {
         var fields: scala.collection.mutable.LinkedHashMap[String, Vector[String]] = null
         var boost = ""
         while (nextDoc == null && r.hasNext) {

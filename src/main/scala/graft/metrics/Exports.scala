@@ -61,6 +61,12 @@ object Exports {
     * distributed work ended at the fused metric pass; page templating is
     * a driver loop over an already-aggregated result, same as the
     * reference. Returns iso → html. */
+  /** Minimal HTML escape for corpus-derived values (journal titles,
+    * descriptor labels — anything with &, <, > would otherwise land raw
+    * in the markup). */
+  private def esc(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
   def countryPages(countryCells: DataFrame): Map[String, String] = {
     val rows = countryCells
       .select("iso", "country", "type", "name", "year", "count")
@@ -70,12 +76,12 @@ object Exports {
         val byType = cells.groupBy(_.getString(2)).toSeq.sortBy(_._1)
         val sections = byType.map { case (t, cs) =>
           val trs = cs.sortBy(r => (r.getString(3), r.getLong(4)))
-            .map(r => s"<tr><td>${r.getString(3)}</td><td>${r.getLong(4)}</td><td>${r.getLong(5)}</td></tr>")
-          s"""<h2>$t</h2><table border="1"><tr><th>name</th><th>ano</th><th>count</th></tr>
+            .map(r => s"<tr><td>${esc(r.getString(3))}</td><td>${r.getLong(4)}</td><td>${r.getLong(5)}</td></tr>")
+          s"""<h2>${esc(t)}</h2><table border="1"><tr><th>name</th><th>ano</th><th>count</th></tr>
              |${trs.mkString("\n")}</table>""".stripMargin
         }
-        iso -> s"""<!DOCTYPE html><html><head><meta charset="utf-8"><title>$country ($iso)</title></head>
-                  |<body><h1>$country ($iso)</h1>
+        iso -> s"""<!DOCTYPE html><html><head><meta charset="utf-8"><title>${esc(country)} ($iso)</title></head>
+                  |<body><h1>${esc(country)} ($iso)</h1>
                   |${sections.mkString("\n")}
                   |</body></html>""".stripMargin
     }

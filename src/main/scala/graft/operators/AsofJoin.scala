@@ -34,7 +34,10 @@ object AsofJoin {
       leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
     val pStruct = struct(payload.map(right(_)): _*)
-    val r = right.select(
+    // a null right timestamp must never match (ASOF's l.ts >= r.ts is
+    // null-rejecting); unfiltered it would sort FIRST in the ascending
+    // window and get carried forward as a fabricated payload
+    val r = right.filter(right(rightTs).isNotNull).select(
       Seq(right(key).as(key), right(rightTs).cast("timestamp").as("__ts"),
         lit(0).as("__side"), pStruct.as("__p")) ++
         leftCols.filterNot(_ == key).map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)

@@ -114,7 +114,15 @@ object TextOps {
 
   private val MINHASH_K = 64
   private val LSH_ROWS = 2 // rows per band → 32 bands
-  private val BUCKET_CAP = 64 // skew guard: drop pathological buckets
+  // Skew guard: an oversized LSH bucket is SAMPLED to its first
+  // BUCKET_CAP members (by doc_id), not dropped — identical-signature
+  // mega-clusters (template/exact-dup corpora) fill EVERY band's bucket,
+  // so drop-the-bucket semantics would zero out recall exactly where a
+  // near-dup detector matters most. Sampling bounds the pair loop at
+  // C(cap,2) per bucket while keeping the cluster detectable; exact-dup
+  // removal (q20) stays the pre-pass that shrinks such clusters before
+  // LSH in the composed pipeline.
+  private val BUCKET_CAP = 64
 
   /** MinHash + LSH near-dup candidates: shingle → 64-hash signature →
     * 32 bands of 2 → band-hash bucket join → within-bucket pairs →
@@ -139,10 +147,10 @@ object TextOps {
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"),
         col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    // within-bucket pairing with a bucket-size cap (skew guard)
-    val wCnt = Window.partitionBy("band", "bucket")
+    // within-bucket pairing, oversized buckets sampled to the cap
+    val wRank = Window.partitionBy("band", "bucket").orderBy("doc_id")
     val capped = banded
-      .withColumn("bsz", count(lit(1)).over(wCnt))
+      .withColumn("bsz", row_number().over(wRank))
       .filter(col("bsz") <= BUCKET_CAP)
     val pairs = capped.select(col("band"), col("bucket"), col("doc_id").as("id_a"))
       .join(capped.select(col("band"), col("bucket"), col("doc_id").as("id_b")),
@@ -188,14 +196,16 @@ object TextOps {
       .select(col("doc_id"), col("sh"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("sh"),
         col("bb.band").as("band"), col("bb.bits").as("bits"))
-    // skew guard (q25's BUCKET_CAP, same drop-the-bucket semantics): a
+    // skew guard (q25's BUCKET_CAP, same sample-the-bucket semantics): a
     // degenerate band value — e.g. a template whose 16 bits collide
-    // corpus-wide — would make one bucket quadratic; an oversized bucket
-    // carries no discrimination signal, and the other 3 bands still
-    // cover pairs it would have found
-    val wB = org.apache.spark.sql.expressions.Window.partitionBy("band", "bits")
+    // corpus-wide — would make one bucket quadratic; identical
+    // signatures collide in ALL four bands, so dropping oversized
+    // buckets would miss such clusters entirely — sampling keeps them
+    // detectable at bounded cost
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy("band", "bits").orderBy("doc_id")
     val banded = banded0
-      .withColumn("__bsz", count(lit(1)).over(wB))
+      .withColumn("__bsz", row_number().over(wB))
       .filter(col("__bsz") <= BUCKET_CAP).drop("__bsz")
     val a = banded.select(col("band"), col("bits"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val b = banded.select(col("band"), col("bits"), col("doc_id").as("id_b"), col("sh").as("sh_b"))

@@ -64,7 +64,13 @@ object Governance {
     * lets the incremental rebuild prune its landing scan. */
   private def landingMonth: org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
-    substring(regexp_replace(substring(col("updated_time"), 1, 10), "-", ""), 1, 6)
+    // null/absent updated_time maps to the same 'unknown' bucket the 02
+    // write uses for p_upd — without the coalesce a null-dated delta doc
+    // lands in the zone but never matches the isin() rebuild filter (and
+    // touched.min NPEs on the null month)
+    coalesce(
+      substring(regexp_replace(substring(col("updated_time"), 1, 10), "-", ""), 1, 6),
+      lit("unknown"))
   }
 
   /** The incremental lifecycle (reference 00_run_all_incremental.py:30-82:
@@ -141,9 +147,15 @@ object Governance {
     // 02 transform runs
     val rebuiltLanding = Gov.readLanding(spark, landingPath)
       .filter(landingMonth.isin(touched.toSeq: _*))
+    // materialized once: the rebuilt slice feeds the 02 write, the 03
+    // enrichment (which scans its docs side three times), and the
+    // emptied-partition check — without the checkpoint the per-doc
+    // transform re-runs for each. Bounded by the touched months, not
+    // the corpus.
     val rebuilt02 = Gov.toIahx(rebuiltLanding, lookups, nowYear).toDF()
       .withColumn("p_upd",
         coalesce(substring(col("update_date"), 1, 6), lit("unknown")))
+      .localCheckpoint(true)
     val rebuilt03 = Enrich(spark, rebuilt02.drop("p_upd"), instTab, dbInstTab, temas)
       .withColumn("p_upd",
         coalesce(substring(col("update_date"), 1, 6), lit("unknown")))
@@ -201,9 +213,15 @@ object Governance {
       temas: Seq[Enrich.TemaRow], nowYear: Int,
       maxFilesPerTrigger: Int = 1): Unit = {
     val mergedLanding = s"$outDir/01_landing"
-    def currentLanding(): String =
-      if (new java.io.File(mergedLanding).exists()) mergedLanding
+    // Hadoop FS, not java.io.File: outDir may be HDFS/S3, where a local
+    // File.exists is always false and every batch would re-read the seed
+    // landing, discarding all prior batches' upserts
+    def currentLanding(): String = {
+      val p = new org.apache.hadoop.fs.Path(mergedLanding)
+      if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+        mergedLanding
       else initialLandingJsonl
+    }
     val stream = spark.readStream
       .schema(Gov.readSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)

@@ -71,24 +71,34 @@ object Streams {
   def sessionizeTws(spark: SparkSession, dir: String, queryName: String,
       gapMinutes: Int = 30): DataFrame = {
     import spark.implicits._
-    // transformWithState requires the RocksDB state store provider
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+    // transformWithState requires the RocksDB state store provider —
+    // set it for THIS query only and restore after, so a later streaming
+    // query resuming a checkpoint written under the default provider
+    // doesn't silently start against the wrong state store
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val events = eventStream(spark, dir)
-      .select("event_id", "ts", "user_id", "event_type", "value").as[Event]
-    val q = events.groupByKey(_.user_id)
-      .transformWithState(new SessionProcessor(gapMinutes * 60000L),
-        TimeMode.None(), OutputMode.Update())
-      .writeStream.outputMode(OutputMode.Update())
-      .format("memory").queryName(queryName)
-      .start()
-    q.processAllAvailable()
-    q.stop()
-    val t = spark.table(queryName)
-    t.groupBy("user_id")
-      .agg(max(struct(col("n_events"), col("n_sessions"))).as("s"))
-      .select(col("user_id"), col("s.n_sessions").as("n_sessions"),
-        col("s.n_events").as("n_events"))
+    try {
+      val events = eventStream(spark, dir)
+        .select("event_id", "ts", "user_id", "event_type", "value").as[Event]
+      val q = events.groupByKey(_.user_id)
+        .transformWithState(new SessionProcessor(gapMinutes * 60000L),
+          TimeMode.None(), OutputMode.Update())
+        .writeStream.outputMode(OutputMode.Update())
+        .format("memory").queryName(queryName)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      val t = spark.table(queryName)
+      t.groupBy("user_id")
+        .agg(max(struct(col("n_events"), col("n_sessions"))).as("s"))
+        .select(col("user_id"), col("s.n_sessions").as("n_sessions"),
+          col("s.n_events").as("n_events"))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   private def eventStream(spark: SparkSession, dir: String): DataFrame = {

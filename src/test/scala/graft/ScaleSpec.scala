@@ -103,20 +103,22 @@ class ScaleSpec extends AnyFunSuite {
       s"prefix join still forces a broadcast:\n$plan")
   }
 
-  test("simhash banding survives a degenerate all-same-band corpus (bucket cap)") {
+  test("simhash banding survives a degenerate all-same-band corpus (bucket sampling)") {
     import spark.implicits._
     // 2000 identical docs: every 16-bit band bucket holds the whole
-    // corpus — uncapped this is ~2M pairs per band; with q25's
-    // drop-the-bucket cap the candidate set is empty and the query
-    // returns fast
+    // corpus — uncapped this is ~2M pairs per band. The cap SAMPLES each
+    // bucket to 64 members, so the cluster is still detected (pairs
+    // among the sample, all hamming 0) at bounded cost; drop-the-bucket
+    // semantics would return zero pairs for exactly this corpus.
     val dir = java.nio.file.Files.createTempDirectory("graft_simhash").toString
     spark.range(2000)
       .select($"id".as("doc_id"), lit("the same exact template text body").as("text"))
       .write.parquet(s"$dir/documents.parquet")
     val t0 = System.nanoTime()
-    val n = operators.TextOps.q27.fn(spark, dir).count()
+    val rows = operators.TextOps.q27.fn(spark, dir).collect()
     val secs = (System.nanoTime() - t0) / 1e9
-    assert(n == 0, s"degenerate buckets should be dropped, got $n pairs")
+    assert(rows.nonEmpty, "degenerate cluster went undetected")
+    assert(rows.forall(_.getInt(2) == 0), "identical docs must pair at hamming 0")
     assert(secs < 30, s"degenerate corpus took ${secs}s")
   }
 
