@@ -122,5 +122,18 @@ object IngestOps {
       .orderBy("page_offset")
   }
 
-  val all: Seq[Q] = Seq(q92, q93, q94, q96)
+  /** X28 — the incremental harvest window (trailing 10 days; the
+    * reference's docstring says 5, its code says 10 — code wins,
+    * tasks_for_01.py:117-119). Both engines compute the cutoff from the
+    * same fixed anchor date with their own date arithmetic. */
+  val q97 = Q.sql("q97_incremental_window",
+    """SELECT 'updated_time__gte' AS param,
+      |  strftime(DATE '2026-08-13' - INTERVAL 10 DAY, '%Y-%m-%d') AS cutoff""".stripMargin) {
+    (s, _) =>
+      import s.implicits._
+      Harvest.incrementalParams(java.time.LocalDate.of(2026, 8, 13)).toSeq
+        .toDF("param", "cutoff")
+  }
+
+  val all: Seq[Q] = Seq(q92, q93, q94, q96, q97)
 }
