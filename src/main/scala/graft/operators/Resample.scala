@@ -11,9 +11,11 @@ import graft.Tables
   * key per bucket between that key's first and last event) carrying the
   * last observation forward across empty buckets.
   *
-  * Scale shape: one shuffle partitioning by key serves the per-bucket
-  * last-event rank, the bounds, and the LOCF window; the grid explode is
-  * lazy (sequence per key, never a driver loop), and the fill is a
+  * Scale shape (verified on the executed plan): exactly two slim hash
+  * exchanges — one on (key, bucket) for the per-bucket last-event rank,
+  * one on key that the bounds aggregate and the LOCF window both reuse;
+  * the per-bucket table broadcasts into the grid join. The grid explode
+  * is lazy (sequence per key, never a driver loop), and the fill is a
   * single running `last(ignoreNulls)` window — cost linear in grid
   * rows, independent of how many events a bucket holds.
   */
