@@ -110,6 +110,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
 
+  test("resample locf: two slim exchanges, key partitioning reused for bounds+fill") {
+    val df = operators.Resample.locf(
+      Tables.events(spark, sf).filter(col("user_id") < 50), 3600000000L)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==")(0)
+    val shuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles == 2, s"expected 2 exchanges ((key,bucket) rank + key fill), got $shuffles\n$p")
+    assert(p.contains("BroadcastExchange"), p) // per-bucket table into the grid join
+  }
+
   test("epoch mixing is broadcast + lazy explode — zero shuffle") {
     import spark.implicits._
     val mix = Seq(("en", 1), ("fr", 3)).toDF("lang", "n")
