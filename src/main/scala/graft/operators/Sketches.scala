@@ -14,12 +14,17 @@ import graft.Tables
   * detection before salting, hot-domain discovery, top-K dashboards)
   * without an exact full-cardinality groupBy.
   *
-  * Guarantees, preserved under Spark's partial-aggregate merge tree
-  * (Agarwal et al.'s mergeable-summaries argument): with capacity k over
-  * N rows, every estimate satisfies true ≤ est ≤ true + N/k, and any
-  * item with true frequency > N/k is present in the sketch. Merge order
-  * across partitions may reorder ties — the guarantee, not the exact
-  * counter values, is the contract (EngineSpec pins it).
+  * Guarantees: the error envelope true ≤ est ≤ true + N/k holds
+  * inductively under Spark's partial-aggregate merge tree (each merge
+  * substitutes the absent side's min counter, which both upper-bounds
+  * the untracked true count and is itself ≤ N_side/k — Agarwal et al.'s
+  * mergeable-summaries argument). Presence of every item above N/k is
+  * exact for a single-stream sketch; under merging the adversarial
+  * presence threshold loosens toward 2N/k, so deployments size k a few
+  * × above the target rank. Merge order across partitions may reorder
+  * ties — the envelope, not exact counter values, is the contract
+  * (EngineSpec pins envelope AND presence at N/k on a skewed
+  * multi-partition stream).
   */
 object Sketches {
 
