@@ -189,9 +189,14 @@ object DataSplit {
     val evalGrams = split.filter(col("split") === "test")
       .select(col("doc_id"), explode(col("grams")).as("g"))
       .localCheckpoint(true)
-    // upper bound on distinct eval grams (over-sizing only lowers fpp)
-    val expected = math.max(evalGrams.count(), 1L)
-    val bf = evalGrams.stat.bloomFilter("g", expected, fpp)
+    // upper bound on distinct eval grams (over-sizing only lowers fpp).
+    // An empty eval split is a legitimate state (a slice with no test
+    // docs) — short-circuit it: Spark's stat.bloomFilter NPEs on empty
+    // input, and the answer is simply "no rows" anyway.
+    val nEval = evalGrams.count()
+    if (nEval == 0)
+      return evalGrams.select(col("doc_id"), lit(0L).as("n_contaminated"))
+    val bf = evalGrams.stat.bloomFilter("g", nEval, fpp)
     val bfB = spark.sparkContext.broadcast(bf)
     val trainSurvivors = split.filter(col("split") === "train")
       .select(explode(col("grams")).as("tg"))

@@ -656,6 +656,23 @@ class EngineSpec extends AnyFunSuite {
     assert(bloom == exact)
   }
 
+  test("operators accept empty inputs without crashing (empty partition reality)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val emptyTs = emptyDocs.select($"doc_id", functions.Text.tokenSet($"text").as("ts"))
+    assert(operators.SetSimJoin.jaccardPairs(spark, emptyTs, 0.8).count() == 0)
+    val emptyLong = Seq.empty[Long].toDF("user_id")
+    assert(operators.Sketches.heavyHitters(spark, emptyLong, "user_id", 8, 5).count() == 0)
+    val emptyLang = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "lang")
+    assert(operators.DataSplit.decontaminateBloom(spark, emptyLang).count() == 0)
+    assert(operators.TrainingPipeline.epochMix(emptyLang,
+      Seq(("en", 2)).toDF("lang", "n")).count() == 0)
+    val emptyEv = Seq.empty[(Long, java.sql.Timestamp, Long, Double)]
+      .toDF("event_id", "ts", "user_id", "value")
+    assert(operators.Resample.locf(emptyEv, 3600000000L).count() == 0)
+  }
+
   test("SpaceSaving heavy hitters: e-N guarantee on a skewed stream") {
     import spark.implicits._
     // Zipf-ish: item i appears floor(6000/(i+1)) times, i in [0, 200)
