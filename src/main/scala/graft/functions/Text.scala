@@ -88,7 +88,11 @@ object Text {
     val de = markerCount(toks, DE)
     val pt = markerCount(toks, PT)
     val top = greatest(en, es, fr, de, pt)
-    when(text.rlike("[\\x{4e00}-\\x{9fff}]"), "zh")
+    // explicit null-in-null-out: with a null text every when-condition
+    // evaluates null (≡ false) and the otherwise would label the doc
+    // 'pt' — a null document must not be classified at all
+    when(text.isNull, lit(null).cast("string"))
+      .when(text.rlike("[\\x{4e00}-\\x{9fff}]"), "zh")
       .when(top === 0, "und")
       .when(en === top, "en")
       .when(es === top, "es")
@@ -115,9 +119,12 @@ object Text {
     val lenScore = least(len / lit(500.0), lit(1.0))
     val punctRatio = punctCount(text).cast("double") / greatest(len, lit(1.0))
     val stopRatio = stopwordCount(text).cast("double") / greatest(nTok, lit(1.0))
-    round(
+    // null text must score null, not 0.7: least/greatest IGNORE nulls in
+    // Spark, so without the guard a null doc collects the full length
+    // and stopword credits and sails through quality gates
+    when(text.isNotNull, round(
       lit(0.4) * lenScore + lit(0.3) * (lit(1.0) - least(punctRatio * 5, lit(1.0))) +
         lit(0.3) * least(stopRatio * 4, lit(1.0)),
-      4)
+      4))
   }
 }

@@ -656,6 +656,25 @@ class EngineSpec extends AnyFunSuite {
     assert(bloom == exact)
   }
 
+  test("null text is null-scored, never classified or credited") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq((1L, "the quick brown fox and the lazy dog"), (2L, null))
+      .toDF("doc_id", "text")
+    val r = docs.select($"doc_id",
+      functions.Text.qualityScore($"text").as("q"),
+      functions.Text.langId($"text").as("l"),
+      functions.Text.stripHtml($"text").as("h"),
+      functions.Text.fixMojibake($"text").as("m"))
+      .orderBy("doc_id").collect()
+    assert(!r(0).isNullAt(1) && r(0).getString(2) == "en")
+    // the null doc: least/greatest ignore nulls, so unguarded scoring
+    // awarded it 0.7 and the langId otherwise-arm labeled it 'pt'
+    assert(r(1).isNullAt(1), s"null text scored ${r(1).get(1)}")
+    assert(r(1).isNullAt(2), s"null text classified ${r(1).get(2)}")
+    assert(r(1).isNullAt(3) && r(1).isNullAt(4))
+  }
+
   test("operators accept empty inputs without crashing (empty partition reality)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
