@@ -656,6 +656,23 @@ class EngineSpec extends AnyFunSuite {
     assert(bloom == exact)
   }
 
+  test("minimal landing doc (every optional key absent) survives transform+enrich+xml") {
+    // the key-presence contract: absent keys are null — a real harvest
+    // can deliver a doc with nothing beyond the gate-passing minimum
+    val dir = java.nio.file.Files.createTempDirectory("graft_nulldoc")
+    val f = dir.resolve("landing.jsonl")
+    java.nio.file.Files.write(f,
+      """{"id": 999, "status": 1, "treatment_level": "as"}""".getBytes("UTF-8"))
+    val ds = gov.Gov.toIahx(gov.Gov.gate(gov.Gov.readLanding(spark, f.toString)),
+      gov.Fixtures.lookups, 2026)
+    val rows = ds.collect()
+    assert(rows.length == 1 && rows.head.id == "biblio-999")
+    val enriched = gov.Enrich(spark, ds.toDF(), gov.Fixtures.instanceEcollection,
+      gov.Fixtures.dbInstanceEcollection, gov.Fixtures.temas)
+    assert(enriched.count() == 1)
+    assert(gov.SolrXml.docXml(rows.head).nonEmpty)
+  }
+
   test("null text is null-scored, never classified or credited") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
