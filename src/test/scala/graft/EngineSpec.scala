@@ -605,6 +605,18 @@ class EngineSpec extends AnyFunSuite {
     assert(viaSql.getLong(1) == viaCol.getLong(1))
     assert(viaSql.getSeq[String](2) == viaCol.getSeq[String](2))
     assert(viaSql.getDouble(3) == viaCol.getDouble(3))
+    val more = spark.sql(
+      """SELECT graft_fix_mojibake('cafÃ©') AS fixed,
+        |  size(graft_minhash(array('a b','b c'), 16)) AS k,
+        |  graft_repetition_stats(array('x','y','x','y'), 2) AS reps,
+        |  size(graft_winnow(array('a','b','c','d','e','f'), 2, 3)) AS nw,
+        |  graft_dot(array(CAST(2.0 AS FLOAT)), array(CAST(3.0 AS FLOAT))) AS dot
+        |""".stripMargin).head()
+    assert(more.getString(0) == "café", more.getString(0))
+    assert(more.getInt(1) == 16)
+    assert(more.getSeq[Long](2) == Seq(3L, 2L, 2L)) // 3 bigrams, 2 distinct, max 2
+    assert(more.getInt(3) > 0)
+    assert(more.getDouble(4) == 6.0)
     // non-literal kernel params are rejected at plan time
     val err = intercept[Exception] {
       spark.sql("SELECT graft_word_ngrams(array('a'), CAST(rand()*2 AS INT))").head()
