@@ -96,13 +96,21 @@ object DedupClusters {
     * per component; singletons keep themselves. */
   def decisions(spark: SparkSession, dir: String, jaccard: Double): DataFrame = {
     import spark.implicits._
+    // tokenize once: the router's probes (count, vocab, prefix df), the
+    // pair join, and the final keep-list join all reuse this
+    // materialization instead of re-reading + re-tokenizing the corpus
     val docs = Tables.documents(spark, dir)
       .select($"doc_id", Text.tokenSet($"text").as("ts"))
+      .localCheckpoint(true)
     // near-dup edges via the adaptive exact-Jaccard join (bitset popcount
-    // on dense vocabs, hashed merge walk otherwise — see SetSimJoin)
+    // on dense vocabs, hashed merge walk otherwise — see SetSimJoin).
+    // Materialized ONCE before handing to connectedComponents — the edge
+    // symmetrization unions two projections of this frame, and without the
+    // checkpoint the whole probe+verify plan executes under each branch.
     val pairs = SetSimJoin
       .jaccardPairs(spark, docs, jaccard, filterOnRounded = false)
       .select("id_a", "id_b")
+      .localCheckpoint(true)
     val comps = connectedComponents(spark, pairs)
     docs.select($"doc_id")
       .join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
