@@ -56,7 +56,10 @@ object Text {
   def stripHtml(html: Column): Column = {
     val noScript = regexp_replace(html, "(?s)<script[^>]*>.*?</script>", " ")
     val noStyle = regexp_replace(noScript, "(?s)<style[^>]*>.*?</style>", " ")
-    val noTags = regexp_replace(noStyle, "<[^>]+>", " ")
+    // comments go whole BEFORE the generic tag pass: '<[^>]+>' consumes a
+    // comment only up to its first '>', leaking the rest of the body
+    val noComments = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComments, "<[^>]+>", " ")
     // &amp; decodes LAST: an author writing &amp;lt; escaped the
     // ampersand precisely so &lt; renders literally — decoding &amp;
     // first would double-decode it into a real '<'

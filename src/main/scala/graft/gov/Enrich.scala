@@ -153,14 +153,20 @@ object Enrich {
         when($"db_touched", array_distinct($"db_raw")).as("db_add"))
 
     // ---- apply: one shuffle join on id ----
+    // coalesce the doc side first: Gov.toIahx always materializes empty
+    // arrays/maps, but Enrich.apply is a public entry point and a null
+    // `db`/`dyn` would null out the concat and silently drop the
+    // additions for that doc
     docs
       .join(delta.withColumnRenamed("id", "d_id"), $"id" === $"d_id", "left")
       .withColumn("db",
-        when($"db_add".isNotNull, array_distinct(concat($"db", $"db_add")))
+        when($"db_add".isNotNull, array_distinct(concat(
+          coalesce($"db", array().cast("array<string>")), $"db_add")))
           .otherwise($"db"))
       .withColumn("dyn",
         when($"dyn_add".isNull, $"dyn").otherwise(
-          map_zip_with($"dyn", $"dyn_add",
+          map_zip_with(
+            coalesce($"dyn", map().cast("map<string,array<string>>")), $"dyn_add",
             (_, v1, v2) => array_distinct(concat(
               coalesce(v1, array().cast("array<string>")),
               coalesce(v2, array().cast("array<string>")))))))

@@ -22,6 +22,13 @@ object Fetcher {
     * serializable — it ships inside the fetch task closure. */
   type Transport = String => Either[Int, String]
 
+  /** (url, attempt) → response: a transport that also sees the 1-based
+    * attempt number. Real transports ignore it; test doubles use it to
+    * stay STATELESS — a per-instance call counter resets when a Spark
+    * task retry deserializes a fresh closure copy, so a fail-twice page
+    * could succeed on the wrong attempt under speculation. */
+  type AttemptTransport = (String, Int) => Either[Int, String]
+
   case class Fetched(worker: Int, offset: Int, url: String, body: String,
       attempts: Int)
   /** Dead-letter row (reference: {error, url, params, error_type:"SKIP"}). */
@@ -38,10 +45,20 @@ object Fetcher {
       maxRetries: Int = MaxRetries,
       retryOn: Set[Int] = RetryStatuses,
       baseDelayMs: Long = 100L,
+      sleeper: Long => Unit = _ => ()): Either[(Int, Int), (String, Int)] =
+    fetchWithRetryAware((u, _) => transport(u), url, maxRetries, retryOn,
+      baseDelayMs, sleeper)
+
+  /** Attempt-aware variant of [[fetchWithRetry]]: the transport receives
+    * the 1-based attempt number alongside the url. */
+  def fetchWithRetryAware(transport: AttemptTransport, url: String,
+      maxRetries: Int = MaxRetries,
+      retryOn: Set[Int] = RetryStatuses,
+      baseDelayMs: Long = 100L,
       sleeper: Long => Unit = _ => ()): Either[(Int, Int), (String, Int)] = {
     @tailrec
     def go(attempt: Int, delay: Long): Either[(Int, Int), (String, Int)] =
-      transport(url) match {
+      transport(url, attempt) match {
         case Right(body) => Right((body, attempt))
         case Left(status) if retryOn(status) && attempt < maxRetries =>
           sleeper(delay)
@@ -56,11 +73,11 @@ object Fetcher {
     * becomes partition parallelism. */
   private def fetchUrls(spark: SparkSession,
       rows: org.apache.spark.sql.Dataset[(Int, Int, String)],
-      transport: Transport): (DataFrame, DataFrame) = {
+      transport: AttemptTransport): (DataFrame, DataFrame) = {
     import spark.implicits._
     val fetched = rows.mapPartitions { it =>
       it.map { case (w, off, url) =>
-        fetchWithRetry(transport, url) match {
+        fetchWithRetryAware(transport, url) match {
           case Right((body, n)) =>
             (Some(Fetched(w, off, url, body, n)), Option.empty[DeadLetter])
           case Left((status, n)) =>
@@ -75,7 +92,12 @@ object Fetcher {
   /** Run the striped plan through the transport; returns (fetched,
     * dead-letter). */
   def fetchPages(spark: SparkSession, plan: DataFrame, baseUrl: String,
-      transport: Transport): (DataFrame, DataFrame) = {
+      transport: Transport): (DataFrame, DataFrame) =
+    fetchPagesAware(spark, plan, baseUrl, (u, _) => transport(u))
+
+  /** [[fetchPages]] with an attempt-aware transport. */
+  def fetchPagesAware(spark: SparkSession, plan: DataFrame, baseUrl: String,
+      transport: AttemptTransport): (DataFrame, DataFrame) = {
     import spark.implicits._
     fetchUrls(spark,
       plan.select("worker", "offset", "limit").as[(Int, Int, Int)]
@@ -95,6 +117,6 @@ object Fetcher {
     import spark.implicits._
     fetchUrls(spark,
       deadLetter.select("worker", "offset", "url").as[(Int, Int, String)],
-      transport)
+      (u, _) => transport(u))
   }
 }

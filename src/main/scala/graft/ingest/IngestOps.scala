@@ -82,19 +82,17 @@ object IngestOps {
     * offset % 89 == 0 are permanently down (503 forever → dead-letter
     * after the 5-attempt budget), offset % 3 == 0 pages return 503 twice
     * then succeed (lands with attempts=3), everything else succeeds
-    * first try. Per-instance call counts live in the task's own copy —
-    * retries for one url run sequentially inside one task, which is
-    * exactly the deployment shape. */
+    * first try. STATELESS — success is a pure function of (offset,
+    * attempt), so a Spark task retry or speculative attempt replays the
+    * identical outcome (a per-instance call counter would reset with the
+    * re-deserialized closure and land off%3 pages at attempts=2). */
   private final class FlakyTransport
-      extends (String => Either[Int, String]) with Serializable {
-    private val calls = new java.util.HashMap[String, Integer]()
-    override def apply(url: String): Either[Int, String] = {
+      extends ((String, Int) => Either[Int, String]) with Serializable {
+    override def apply(url: String, attempt: Int): Either[Int, String] = {
       val off = url.split("offset=")(1).split("&")(0).toInt
       if (off % 89 == 0) Left(503)
-      else if (off % 3 == 0) {
-        val n = calls.merge(url, 1, (a, b) => a + b)
-        if (n < 3) Left(503) else Right(s"""{"offset":$off}""")
-      } else Right(s"""{"offset":$off}""")
+      else if (off % 3 == 0 && attempt < 3) Left(503)
+      else Right(s"""{"offset":$off}""")
     }
   }
 
@@ -114,7 +112,7 @@ object IngestOps {
     val total = graft.Tables.documents(s, d).count().toInt
     val plan = Harvest.planDf(s, total, limit = 37, workers = 5)
     val (fetched, dead) =
-      Fetcher.fetchPages(s, plan, "https://api.example.org/biblio", new FlakyTransport)
+      Fetcher.fetchPagesAware(s, plan, "https://api.example.org/biblio", new FlakyTransport)
     fetched.select(col("offset").cast("long").as("page_offset"),
         lit("ok").as("status"), col("attempts").cast("long").as("attempts"))
       .unionByName(dead.select(col("offset").cast("long").as("page_offset"),

@@ -25,11 +25,16 @@ object Resample {
     * `bucketUs`-microsecond buckets. Within a bucket the LAST event wins
     * (max micros, event_id tie-break); empty buckets inherit the
     * previous value. Values round to 4 decimals for the cross-engine
-    * compare. */
+    * compare. Bucketing uses FLOOR division (pmod-based, exact in long
+    * arithmetic) so pre-1970 timestamps land in the bucket below zero —
+    * Spark's `div` truncates toward zero and would merge the two buckets
+    * adjacent to the epoch; DuckDB's `//` (the oracle) already floors. */
   def locf(ev: DataFrame, bucketUs: Long): DataFrame = {
     val e = ev.select(col("user_id"),
       expr("unix_micros(ts)").as("us"),
-      expr(s"unix_micros(ts) div $bucketUs").as("h"),
+      // floorDiv(us, b) = (us - pmod(us, b)) / b — the numerator is an
+      // exact multiple of b, so integer div is exact floor for any sign
+      expr(s"(unix_micros(ts) - pmod(unix_micros(ts), $bucketUs)) div $bucketUs").as("h"),
       col("event_id"), col("value"))
     val lastPerBucket = Window.partitionBy("user_id", "h")
       .orderBy(col("us").desc, col("event_id").desc)

@@ -502,15 +502,17 @@ object TextOps {
     """WITH pages AS (
       |  SELECT doc_id,
       |    '<html><head><script type="text/javascript">var t = 1 &lt; 2;</script>' ||
-      |    '<style>p { color: red; }</style></head><body><h1>' || lang ||
+      |    '<style>p { color: red; }</style></head>' ||
+      |    '<!-- nav: <div class="menu"> hidden --><body><h1>' || lang ||
       |    '</h1><p>' || text || ' &amp; more &nbsp;</p></body></html>' AS page
       |  FROM documents)
       |SELECT doc_id,
       |  trim(regexp_replace(
       |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-      |      regexp_replace(regexp_replace(regexp_replace(page,
+      |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(page,
       |        '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
       |        '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+      |        '(?s)<!--.*?-->', ' ', 'g'),
       |        '<[^>]+>', ' ', 'g'),
       |        '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&nbsp;', ' ', 'g'),
       |        '&amp;', '&', 'g'),
@@ -518,7 +520,8 @@ object TextOps {
       |FROM pages ORDER BY doc_id""".stripMargin) { (s, d) =>
     val page = concat(
       lit("""<html><head><script type="text/javascript">var t = 1 &lt; 2;</script>"""),
-      lit("<style>p { color: red; }</style></head><body><h1>"), col("lang"),
+      lit("<style>p { color: red; }</style></head>"),
+      lit("""<!-- nav: <div class="menu"> hidden --><body><h1>"""), col("lang"),
       lit("</h1><p>"), col("text"), lit(" &amp; more &nbsp;</p></body></html>"))
     Tables.documents(s, d)
       .select(col("doc_id"), Text.stripHtml(page).as("clean"))
