@@ -24,7 +24,11 @@ object Bench {
     // warm up codegen/classloading so the first measured query isn't
     // charged the session tax
     spark.range(1000000).selectExpr("sum(id)").collect()
-    val results = SparkEntry.allQueries.map { q =>
+    // optional args = subset of query names (dev loop); no args = full suite
+    val picked =
+      if (args.isEmpty) SparkEntry.allQueries
+      else SparkEntry.allQueries.filter(q => args.contains(q.name))
+    val results = picked.map { q =>
       val t0 = System.nanoTime()
       try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch {
@@ -36,7 +40,14 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // stdout tails get truncated by log capture (BENCH_r04 lost its
+    // total line) — the file is the durable artifact, stdout the contract
+    val out = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
+    java.nio.file.Files.write(out, json.getBytes("UTF-8"))
+    println(json)
     spark.stop()
   }
 }

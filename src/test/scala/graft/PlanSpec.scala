@@ -173,4 +173,22 @@ class PlanSpec extends AnyFunSuite {
     assert(scans == 1, s"expected 1 scan, got $scans\n$p")
     assert(!p.contains("Exchange"), p)
   }
+
+  test("dedup decisions materialize the pair join once (q54 regression pin)") {
+    // Round-4 regression: the edge symmetrization unioned two projections
+    // of the UNCACHED SetSimJoin output, so the whole probe+verify plan
+    // executed under each branch (4.6 s → 29 s at sf0.1). decisions()
+    // now localCheckpoints the tokenized docs and the pair set, so the
+    // final plan must reference materialized RDDs — no pair-join operator
+    // (the dense path's broadcast nested loop) and no parquet re-scan of
+    // the corpus may survive into the downstream plan.
+    val p = plan(operators.DedupClusters.decisions(spark, sf, 0.9))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"pair join re-inlined downstream of the checkpoint:\n$p")
+    val scans = p.linesIterator.count(l =>
+      l.contains("FileScan") || l.contains("BatchScan"))
+    assert(scans == 0, s"corpus re-scanned after tokenize checkpoint:\n$p")
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      s"expected checkpointed inputs in the plan:\n$p")
+  }
 }

@@ -80,6 +80,13 @@ class ScaleSpec extends AnyFunSuite {
           j => concat(lit("t"), (($"id" / 2).cast("long") * 20 + j
             + pmod($"id", lit(2))).cast("string"))))).as("ts"))
     assert(SetSimJoin.chosenRoute(spark, paired, 0.8) == SetSimJoin.Route.Prefix)
+    // bench pin: the driver's documents corpus is a 31-token vocabulary at
+    // every SF (probed at sf0.01 and sf0.1) — q24/q54 must take the dense
+    // bitset path there; a router edit that flips them to hashed/prefix
+    // is a silent multi-× bench regression this assert turns loud
+    val benchDocs = Tables.documents(spark, sf)
+      .select($"doc_id", functions.Text.tokenSet($"text").as("ts"))
+    assert(SetSimJoin.chosenRoute(spark, benchDocs, 0.9) == SetSimJoin.Route.Dense)
     def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val viaRouter = pairSet(SetSimJoin.jaccardPairs(spark, paired, 0.8))
