@@ -92,11 +92,20 @@ object Sketches {
     spark.createDataset(sk.take(top)).toDF("item", "count", "err")
   }
 
-  /** Heavy-hitters gate (rows-only: counter values depend on merge
-    * order; the ε-N guarantee is EngineSpec's job): top-10 user_ids of
-    * the events stream by a k=64 sketch. */
-  val q91 = Q.rowsOnly("q91_heavy_hitters") { (s, d) =>
-    heavyHitters(s, Tables.events(s, d), "user_id", k = 64, top = 10)
+  /** Heavy-hitters gate. Sized EXACT on purpose: with k ≥ the distinct
+    * key count (events has 1500 user_ids at sf0.1, k = 2048) no counter
+    * is ever evicted, every partial sketch is an exact per-partition
+    * count map, merges are exact sums with zero slack — so the sketch
+    * provably equals GROUP BY count and DuckDB oracles it. The
+    * approximate regime (k ≪ distinct, merge-order-dependent counters)
+    * is EngineSpec's ε-N envelope spec, which this gate deliberately
+    * does not re-test. */
+  val q91 = Q.sql("q91_heavy_hitters",
+    """SELECT user_id AS item, count(*) AS count, CAST(0 AS BIGINT) AS err
+      |FROM events GROUP BY 1
+      |ORDER BY count DESC, item LIMIT 10""".stripMargin) { (s, d) =>
+    heavyHitters(s, Tables.events(s, d), "user_id", k = 2048, top = 10)
+      .orderBy(col("count").desc, col("item"))
   }
 
   val all: Seq[Q] = Seq(q91)

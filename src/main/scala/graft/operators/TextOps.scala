@@ -124,17 +124,70 @@ object TextOps {
   // LSH in the composed pipeline.
   private val BUCKET_CAP = 64
 
-  /** MinHash + LSH near-dup candidates: shingle → 64-hash signature →
+  /** The brute-force 2-shingle-set Jaccard pair set — the DuckDB oracle
+    * both sketch-candidate gates (q25 MinHash-LSH, q27 SimHash bands)
+    * verify against. The gate contract is therefore recall = 1.0 at gate
+    * scale: every brute pair ≥ the threshold must surface through the
+    * candidate machinery (the band math makes a miss ~1e-10 at J ≥ 0.8),
+    * and every surfaced pair must carry the exact verified score. */
+  private val ShinglePairsOracle =
+    """WITH tok AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(t)),
+      |      i -> t[i] || ' ' || t[i+1])) AS sh
+      |  FROM tok WHERE len(t) >= 2)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  round(1.0*len(list_intersect(a.sh, b.sh)) /
+      |        len(list_distinct(a.sh || b.sh)), 4) AS jac
+      |FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |WHERE round(1.0*len(list_intersect(a.sh, b.sh)) /
+      |            len(list_distinct(a.sh || b.sh)), 4) >= 0.8
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** (doc_id, ts): distinct 2-shingles pre-hashed to sorted longs — the
+    * exact-verify side both sketch gates join candidates back onto
+    * (machine-word merge walk, same trick as SetSimJoin's hashed path). */
+  private def hashedShingleSets(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        Text.shingles(Text.tokens(col("text")), 2).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"),
+        array_sort(transform(array_distinct(col("sh")), t => xxhash64(t))).as("ts"))
+
+  /** Exact-verify stage shared by q25/q27: candidate (id_a, id_b) pairs
+    * → (id_a, id_b, jac) with jac ≥ `threshold` on the rounded value. */
+  private def verifyShinglePairs(docs: DataFrame, pairs: DataFrame,
+      threshold: Double): DataFrame = {
+    val sets = hashedShingleSets(docs)
+    pairs
+      .join(sets.select(col("doc_id").as("id_a"), col("ts").as("ts_a")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("ts").as("ts_b")), "id_b")
+      .withColumn("inter", Exprs.sorted_intersect_count_long(col("ts_a"), col("ts_b")))
+      .withColumn("jac",
+        round(col("inter").cast("double") /
+          (size(col("ts_a")) + size(col("ts_b")) - col("inter")), 4))
+      .filter(col("jac") >= threshold)
+      .select("id_a", "id_b", "jac")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** MinHash + LSH near-dup detection: shingle → 64-hash signature →
     * 32 bands of 2 → band-hash bucket join → within-bucket pairs →
-    * exact Jaccard verify on the candidate set only. No oracle (not
-    * SQL-expressible); ScalaTest asserts agreement with exact Jaccard.
+    * exact Jaccard verify on the candidate set only. Oracled against the
+    * brute-force pair set: at J ≥ 0.8 a true pair escapes all 32 bands
+    * with probability (1-s²)³² ≤ 6e-15, so the gate pins recall = 1.0
+    * at gate scale (misses would hash-mismatch the oracle).
     */
-  val q25 = Q.rowsOnly("q25_minhash_lsh") { (s, d) =>
+  val q25 = Q.sql("q25_minhash_lsh", ShinglePairsOracle) { (s, d) =>
     val nBands = MINHASH_K / LSH_ROWS
     val docs = Tables.documents(s, d)
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"),
         Text.shingles(Text.tokens(col("text")), 2).as("sh"))
+      .filter(size(col("sh")) > 0)
       .select(col("doc_id"), col("sh"),
         Exprs.minhash_sig(col("sh"), MINHASH_K).as("sig"))
     val bandCols = (0 until nBands).map(i => struct(
@@ -157,21 +210,7 @@ object TextOps {
         Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    // verify on shingle sets pre-hashed to sorted longs — the candidate
-    // set is dense here, so the per-pair walk must compare machine words,
-    // not shingle strings (same trick as SetSimJoin's hashed path)
-    val sortedSh = docs.select(col("doc_id"),
-      array_sort(transform(array_distinct(col("sh")), t => xxhash64(t))).as("ts"))
-    pairs
-      .join(sortedSh.select(col("doc_id").as("id_a"), col("ts").as("ts_a")), "id_a")
-      .join(sortedSh.select(col("doc_id").as("id_b"), col("ts").as("ts_b")), "id_b")
-      .withColumn("inter", Exprs.sorted_intersect_count_long(col("ts_a"), col("ts_b")))
-      .withColumn("jac",
-        round(col("inter").cast("double") /
-          (size(col("ts_a")) + size(col("ts_b")) - col("inter")), 4))
-      .select("id_a", "id_b", "jac")
-      .orderBy(col("jac").desc, col("id_a"), col("id_b"))
-      .limit(1000)
+    verifyShinglePairs(Tables.documents(s, d), pairs, 0.8)
   }
 
   /** SimHash signatures per document (64-bit, hex) + Hamming near-dup
@@ -184,14 +223,32 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  val q27 = Q.rowsOnly("q27_simhash_neardup") { (s, d) =>
+  /** SimHash band-bucket skew guard. Wider than q25's: 8-bit band values
+    * concentrate hard (simhash bits are majority votes, so template-y
+    * corpora share whole bytes — the sf0.01 corpus peaks at 237 docs in
+    * one bucket), and a cap below the peak would sample true pairs away
+    * and break the recall the oracle pins. 512 clears the gate-scale
+    * peak with headroom while still bounding the degenerate
+    * all-identical-signature corpus at C(512,2) pairs per bucket. */
+  private val SIMHASH_BUCKET_CAP = 512
+
+  /** SimHash-banded near-dup detection: 64-bit signature → 8 bands of 8
+    * bits → band-collision candidates → exact shingle-Jaccard verify.
+    * Same oracle as q25 — two independent sketch front-ends pinned to one
+    * brute-force reference set. Any pair at hamming ≤ 7 shares a band by
+    * pigeonhole (8 bands, ≤ 7 dirty bits); the corpus's J ≥ 0.8 pairs
+    * sit at hamming ≤ 6, so recall is structurally 1.0 and a sketch or
+    * banding drift hash-mismatches the oracle loudly. (4×16 bands only
+    * guarantee hamming ≤ 3 — that layout missed two hamming-5/6 true
+    * pairs.) */
+  val q27 = Q.sql("q27_simhash_neardup", ShinglePairsOracle) { (s, d) =>
     val sigs = Tables.documents(s, d)
       .select(col("doc_id"),
         Exprs.simhash64(Text.tokens(lower(col("text")))).as("sh"))
-    // 4 bands of 16 bits: docs sharing any band are candidates
-    val bandCols = (0 until 4).map(i => struct(
+    // 8 bands of 8 bits: docs sharing any band are candidates
+    val bandCols = (0 until 8).map(i => struct(
       lit(i).as("band"),
-      shiftright(col("sh"), i * 16).bitwiseAND(lit(0xffffL)).as("bits")))
+      shiftright(col("sh"), i * 8).bitwiseAND(lit(0xffL)).as("bits")))
     val banded0 = sigs
       .select(col("doc_id"), col("sh"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("sh"),
@@ -206,17 +263,13 @@ object TextOps {
       .partitionBy("band", "bits").orderBy("doc_id")
     val banded = banded0
       .withColumn("__bsz", row_number().over(wB))
-      .filter(col("__bsz") <= BUCKET_CAP).drop("__bsz")
-    val a = banded.select(col("band"), col("bits"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("bits"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band", "bits"))
+      .filter(col("__bsz") <= SIMHASH_BUCKET_CAP).drop("__bsz")
+    val a = banded.select(col("band"), col("bits"), col("doc_id").as("id_a"))
+    val b = banded.select(col("band"), col("bits"), col("doc_id").as("id_b"))
+    val pairs = a.join(b, Seq("band", "bits"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b").dropDuplicates("id_a", "id_b")
-      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
-      .filter(col("hamming") <= 16)
-      .select("id_a", "id_b", "hamming")
-      .orderBy("hamming", "id_a", "id_b")
-      .limit(1000)
+      .select("id_a", "id_b").distinct()
+    verifyShinglePairs(Tables.documents(s, d), pairs, 0.8)
   }
 
   /** Winnowing fingerprints (document sketch for plagiarism-style

@@ -30,10 +30,11 @@ class EngineSpec extends AnyFunSuite {
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val cand = SparkEntry.queries("q25_minhash_lsh")(spark, sf)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    // q25 returns top-1000 candidates by shingle-jaccard; exact q24 uses
-    // token sets — demand the LSH stage surfaces a non-trivial share of
-    // the exact near-dups rather than none (banding on 2-gram shingles
-    // vs token-set jaccard are different similarity spaces)
+    // q25 returns verified shingle-jaccard >= 0.8 pairs (oracled against
+    // brute force); exact q24 uses token sets — demand the LSH stage
+    // surfaces a non-trivial share of the exact near-dups rather than
+    // none (2-gram shingles vs token-set jaccard are different
+    // similarity spaces, so full overlap isn't expected)
     if (exact.nonEmpty) {
       val recall = exact.count(cand).toDouble / exact.size
       assert(recall > 0.0, s"LSH found none of ${exact.size} exact pairs")

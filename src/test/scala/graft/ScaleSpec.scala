@@ -125,7 +125,7 @@ class ScaleSpec extends AnyFunSuite {
     val rows = operators.TextOps.q27.fn(spark, dir).collect()
     val secs = (System.nanoTime() - t0) / 1e9
     assert(rows.nonEmpty, "degenerate cluster went undetected")
-    assert(rows.forall(_.getInt(2) == 0), "identical docs must pair at hamming 0")
+    assert(rows.forall(_.getDouble(2) == 1.0), "identical docs must verify at jac 1.0")
     assert(secs < 30, s"degenerate corpus took ${secs}s")
   }
 
