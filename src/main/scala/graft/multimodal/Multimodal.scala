@@ -11,21 +11,26 @@ import graft.operators.Q
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, processed in batch-shaped partitions.
   *
-  * The decode kernels are STUBS — this container has no image/audio
-  * libraries — but everything Spark-side is real and load-bearing:
-  * the (payload: binary, meta: struct) schema, the batched
-  * mapPartitions shape (exactly what a Pandas-UDF/mapInPandas port
-  * would see: fixed-size record batches per worker), partitioning, and
-  * the explode of per-item frames. Swap [[fakeDecode]] for a real
-  * decoder and nothing else changes. Payloads here are the documents'
-  * UTF-8 bytes standing in for media bytes.
+  * Two payload families:
+  *  - OPAQUE bytes (q52 meta, q58 chunking, q90 batch formation): the
+  *    codec-agnostic plumbing — (payload: binary, meta: struct) schema,
+  *    batched mapPartitions (the record-batch contract a
+  *    Pandas-UDF/mapInPandas port would see), overlapped windowing,
+  *    shape-bucketed batch packing.
+  *  - REAL images (q53 frame sampling, q79 resize): binary PPM (P6)
+  *    payloads synthesized per document and decoded by [[Ppm.decode]],
+  *    a real pure-JVM parser — header tokenizer with comment support,
+  *    raster extraction — feeding a real nearest-neighbor resize.
+  *    Compressed codecs (JPEG/H.264/FLAC) need external libraries this
+  *    container doesn't ship; they'd slot behind the same batch contract
+  *    via mapInPandas, with PPM proving the plumbing end-to-end.
   */
 object Multimodal {
 
   case class MediaMeta(mime: String, n_bytes: Long, sha: String)
   case class MediaRow(doc_id: Long, payload: Array[Byte], meta: MediaMeta)
   case class Frame(doc_id: Long, frame_idx: Int, width: Int, height: Int,
-      brightness: Double)
+      bright_sum: Long, band_bytes: Long, brightness: Double)
 
   val BATCH_SIZE = 64 // records per decode batch (the mapInPandas shape)
 
@@ -40,76 +45,105 @@ object Multimodal {
       }
   }
 
-  /** STUB decode — deterministic fake standing in for an image/video
-    * decoder (??? in spirit): derives frame count and dimensions from
-    * the byte stream, "brightness" = mean byte value of the frame's
-    * slice. Replace with a real codec; the batching/plumbing stays. */
-  private def fakeDecode(row: MediaRow, everyN: Int): Seq[Frame] = {
-    val n = row.payload.length
-    val frameCount = math.max(1, n / 256)
-    (0 until frameCount by everyN).map { i =>
-      val start = i * 256 % math.max(n, 1)
-      val end = math.min(start + 256, n)
-      val slice = row.payload.slice(start, end)
-      val bright = if (slice.isEmpty) 0.0
-        else slice.map(b => (b & 0xff).toDouble).sum / slice.length
-      Frame(row.doc_id, i, 64 + (n % 64), 64 + (n % 48), bright)
-    }
+  /** PPM fixture images, one per document: width/height derive from the
+    * text's byte length (same geometry the opaque gates use), raster
+    * byte j = (doc_id*7 + j*31) mod 256 — a deterministic pattern the
+    * DuckDB oracle replays arithmetically, so every decoded value the
+    * gates emit is independently predicted without DuckDB parsing PPM.
+    * The payload is a REAL P6 file; [[Ppm.decode]] must parse the header
+    * and land the raster offsets exactly or the gates hash-mismatch. */
+  def ppmTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select("doc_id", "text").as[(Long, String)]
+      .map { case (id, text) =>
+        val n = text.getBytes("UTF-8").length
+        val w = 64 + n % 64
+        val h = 64 + n % 48
+        val raster = Array.tabulate(w * h * 3)(j => ((id * 7 + j.toLong * 31) % 256).toByte)
+        val bytes = Ppm.encode(Ppm.Image(w, h, raster))
+        val md = MessageDigest.getInstance("MD5")
+        val sha = md.digest(bytes).map("%02x".format(_)).mkString
+        MediaRow(id, bytes, MediaMeta("image/x-portable-pixmap", bytes.length.toLong, sha))
+      }
   }
+
+  /** Rows per frame band: a "video" stand-in samples the image in
+    * 16-row horizontal bands (deterministic, resolution-coupled). */
+  val BAND_ROWS = 16
 
   /** Frame sampling through batch-shaped partitions: the iterator is
     * consumed in BATCH_SIZE groups so a vectorized decoder (or a Python
-    * worker via mapInPandas) sees the same record-batch contract. */
+    * worker via mapInPandas) sees the same record-batch contract. Each
+    * payload is REALLY decoded ([[Ppm.decode]]); frame i is the band of
+    * rows [i*16, min((i+1)*16, h)) and brightness_sum is the exact
+    * integer sum of its raster bytes (exact → hash-stable oracle). */
   def sampleFrames(media: Dataset[MediaRow], everyN: Int): Dataset[Frame] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.grouped(BATCH_SIZE).flatMap { batch =>
-        batch.iterator.flatMap(fakeDecode(_, everyN))
+        batch.iterator.flatMap { row =>
+          val img = Ppm.decode(row.payload)
+          val nBands = (img.height + BAND_ROWS - 1) / BAND_ROWS
+          (0 until nBands by everyN).iterator.map { i =>
+            val from = i * BAND_ROWS * img.width * 3
+            val until = math.min((i + 1) * BAND_ROWS, img.height) * img.width * 3
+            var s = 0L
+            var j = from
+            while (j < until) { s += img.raster(j) & 0xff; j += 1 }
+            Frame(row.doc_id, i, img.width, img.height,
+              s, (until - from).toLong, s.toDouble / (until - from))
+          }
+        }
       }
     }
   }
 
-  case class Resized(doc_id: Long, orig_bytes: Long, resized_bytes: Long,
-      resized_sha: String, width: Int, height: Int)
+  case class Resized(doc_id: Long, width: Int, height: Int,
+      r_width: Int, r_height: Int, resized_bytes: Long, sum_bytes: Long)
 
-  /** STUB resize — half-scale stand-in: keep every 2nd payload byte
-    * (stride decimation), halve the fake frame geometry. Replace with a
-    * real scaler; the batch-shaped mapPartitions plumbing stays. */
-  private def fakeResize(row: MediaRow): Resized = {
-    val n = row.payload.length
-    val dec = Array.tabulate((n + 1) / 2)(i => row.payload(i * 2))
-    val md = MessageDigest.getInstance("MD5")
-    val sha = md.digest(dec).map("%02x".format(_)).mkString
-    Resized(row.doc_id, n.toLong, dec.length.toLong, sha,
-      math.max(1, (64 + n % 64) / 2), math.max(1, (64 + n % 48) / 2))
-  }
-
-  /** Resize through the same batch-shaped partitions as [[sampleFrames]]. */
+  /** Real decode → real nearest-neighbor 2× downscale through the same
+    * batch-shaped partitions as [[sampleFrames]]; emits the resized
+    * geometry and the exact byte sum of the resized raster. */
   def resizeAll(media: Dataset[MediaRow]): Dataset[Resized] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      it.grouped(BATCH_SIZE).flatMap(_.iterator.map(fakeResize))
+      it.grouped(BATCH_SIZE).flatMap(_.iterator.map { row =>
+        val img = Ppm.decode(row.payload)
+        val small = Ppm.resizeNearest(img, 2)
+        var s = 0L
+        var j = 0
+        while (j < small.raster.length) { s += small.raster(j) & 0xff; j += 1 }
+        Resized(row.doc_id, img.width, img.height, small.width, small.height,
+          small.raster.length.toLong, s)
+      })
     }
   }
 
-  /** Resize gate — oracled like q53: the ASCII fixture payloads let
-    * DuckDB rebuild the decimated byte stream with substr() stepping and
-    * hash it, so the distributed slicing is checked byte-for-byte. */
+  /** Resize gate: the oracle replays the generator arithmetic through
+    * the nearest-neighbor sampling grid — output pixel (x,y,c) must be
+    * raster byte ((2y*w + 2x)*3 + c) of the original, so a decoder
+    * offset error or a resize stride bug lands on the wrong bytes and
+    * the exact sum mismatches. */
   val q79 = Q.sql("q79_multimodal_resize",
     """WITH t AS (
-      |  SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+      |  SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    CAST(64 + n % 64 AS INTEGER) AS w, CAST(64 + n % 48 AS INTEGER) AS h
+      |  FROM t),
       |r AS (
-      |  SELECT doc_id, n,
-      |    array_to_string(list_transform(range(1, n + 1, 2),
-      |                                   p -> substr(text, p, 1)), '') AS dec
-      |  FROM t)
-      |SELECT doc_id, CAST(n AS BIGINT) AS orig_bytes,
-      |  CAST(octet_length(encode(dec)) AS BIGINT) AS resized_bytes,
-      |  md5(dec) AS resized_sha,
-      |  CAST(greatest(1, (64 + n % 64) // 2) AS INTEGER) AS width,
-      |  CAST(greatest(1, (64 + n % 48) // 2) AS INTEGER) AS height
+      |  SELECT doc_id, w, h, w // 2 AS w2, h // 2 AS h2,
+      |    list_sum(list_transform(range(0, (h // 2)), y ->
+      |      list_sum(list_transform(range(0, (w // 2) * 3), k ->
+      |        (doc_id * 7 + ((2*y*w + 2*(k // 3)) * 3 + (k % 3)) * 31) % 256
+      |      )))) AS s
+      |  FROM g)
+      |SELECT doc_id, w AS width, h AS height,
+      |  CAST(w2 AS INTEGER) AS r_width, CAST(h2 AS INTEGER) AS r_height,
+      |  CAST(w2 * h2 * 3 AS BIGINT) AS resized_bytes,
+      |  CAST(s AS BIGINT) AS sum_bytes
       |FROM r ORDER BY doc_id""".stripMargin) { (s, d) =>
-    resizeAll(mediaTable(s, d)).toDF().orderBy("doc_id")
+    resizeAll(ppmTable(s, d)).toDF().orderBy("doc_id")
   }
 
   /** Metadata extraction gate — the binary/meta schema end-to-end,
@@ -125,34 +159,36 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  /** Frame-sample pipeline (stubbed decode): per-doc frame counts +
-    * mean brightness. Oracled: the fixture payloads are the docs' UTF-8
-    * bytes and the corpus is pure ASCII (byte == code point), so DuckDB
-    * can replay the fake decoder's byte math — frame geometry from
-    * octet_length, per-frame brightness = mean `ascii()` over the slice. */
+  /** Frame-sample pipeline over REAL decoded images: every 2nd 16-row
+    * band of each PPM, per-doc band count + exact brightness byte sum +
+    * decoded geometry. The oracle replays the fixture generator's
+    * arithmetic over the same band index ranges — a header misparse or
+    * off-by-one in the raster offsets shifts every sum and the gate
+    * hash-mismatches. */
   val q53 = Q.sql("q53_multimodal_frames",
     """WITH t AS (
-      |  SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+      |  SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    CAST(64 + n % 64 AS INTEGER) AS w, CAST(64 + n % 48 AS INTEGER) AS h
+      |  FROM t),
       |f AS (
-      |  SELECT doc_id, text, n,
-      |    unnest(range(0, greatest(n // 256, 1), 2)) AS i FROM t),
-      |br AS (
-      |  SELECT doc_id, n, i,
-      |    list_aggregate(list_transform(
-      |      range((i * 256) % greatest(n, 1) + 1,
-      |            least((i * 256) % greatest(n, 1) + 256, n) + 1),
-      |      p -> ascii(substr(text, p, 1))), 'avg') AS bright
+      |  SELECT doc_id, w, h,
+      |    unnest(range(0, (h + 15) // 16, 2)) AS i FROM g),
+      |b AS (
+      |  SELECT doc_id, w, h, i,
+      |    list_sum(list_transform(
+      |      range(i * 16 * w * 3, least((i + 1) * 16, h) * w * 3),
+      |      j -> (doc_id * 7 + j * 31) % 256)) AS bsum
       |  FROM f)
       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
-      |  round(avg(bright), 2) AS mean_brightness,
-      |  CAST(max(64 + n % 64) AS INTEGER) AS width,
-      |  CAST(max(64 + n % 48) AS INTEGER) AS height
-      |FROM br GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
-    import s.implicits._
-    sampleFrames(mediaTable(s, d), everyN = 2).toDF()
+      |  CAST(sum(bsum) AS BIGINT) AS bright_sum,
+      |  max(w) AS width, max(h) AS height
+      |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    sampleFrames(ppmTable(s, d), everyN = 2).toDF()
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_frames"),
-        round(avg(col("brightness")), 2).as("mean_brightness"),
+        sum(col("bright_sum")).as("bright_sum"),
         max(col("width")).as("width"), max(col("height")).as("height"))
       .orderBy("doc_id")
   }
