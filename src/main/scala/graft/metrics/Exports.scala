@@ -96,6 +96,193 @@ object Exports {
     }
   }
 
+  // ---------------------------------------------------------------- K4
+  // Structural reproduction of the reference dashboard page
+  // (tmgl_regions/dag_03_export_html.py:23-369): the 5 nav tabs, the
+  // WHO-region <select> + year slider filter bar, the 12 chart sections
+  // grouped into the same tab panes, per-metric embedded data blocks
+  // ({metric}_year_json global + {metric}_region_year_json scoped, the
+  // shapes tasks_for_export/*.py interpolate), slider bounds from
+  // YEAR_FROM and the A8 max-year aggregate, and the About pane's
+  // last-update stamp. Vendored Highcharts assets stay out (SURVEY
+  // §7.5) — the template references them by name exactly as the
+  // reference template does; chart construction is browser-side.
+
+  /** (metric type key, container div id, JSON var prefix) in the
+    * reference's page order. The engine key "dimension" renders into the
+    * reference's container/var spelling ("dimention"). */
+  val ChartSections: Seq[(String, String, String)] = Seq(
+    ("timeline", "indicator_container", "indicators"),
+    ("language", "lang_container", "lang"),
+    ("timeline", "timeline_container", "timeline"),
+    ("journal", "journals_container", "journal"),
+    ("doctype", "doctype_container", "doctype"),
+    ("studytype", "studytype_container", "studytype"),
+    ("subject", "subject_container", "subject"),
+    ("region", "region_container", "region"),
+    ("dimension", "dimention_container", "dimention"),
+    ("therapy", "therapy_container", "therapy"),
+    ("complementary", "complementary_container", "complementary"),
+    ("traditional", "traditional_container", "traditional"))
+
+  /** The reference's slider floor (dag_03_export_html.py YEAR_FROM). */
+  val YearFrom = 1950
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  /** `[{"ano": year, name: count, …}, …]` — the per-year pivot rows each
+    * tasks_for_export module embeds (names sorted for determinism). */
+  private def pivotRowsJson(cells: Seq[(String, Long, Long)]): String =
+    cells.groupBy(_._2).toSeq.sortBy(_._1).map { case (ano, rs) =>
+      (s""""ano":$ano""" +: rs.sortBy(_._1).map { case (n, _, c) =>
+        s"${jsonStr(n)}:$c"
+      }).mkString("{", ",", "}")
+    }.mkString("[", ",", "]")
+
+  /** Render the dashboard page skeleton from a metric-cell table
+    * (`type, region, name, year, count`). Driver-side templating over an
+    * already-aggregated result — same boundary as the reference, where
+    * the page is formatted from XCom-passed aggregates. */
+  def dashboardPage(cells: DataFrame, yearFrom: Int = YearFrom,
+      today: String = java.time.LocalDate.now().toString): String = {
+    val rows = cells.select("type", "region", "name", "year", "count").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    val regions = rows.flatMap(_._2).distinct.sorted
+    val maxYear = if (rows.isEmpty) yearFrom else rows.map(_._4).max
+    val regionOptions = regions
+      .map(r => s"""<option value="${esc(r)}">${esc(r)}</option>""").mkString("\n")
+
+    def metricRows(t: String, reg: Option[String]) = rows.collect {
+      case (`t`, `reg`, n, y, c) => (n, y, c)
+    }.toSeq
+    val dataBlocks = ChartSections.map { case (t, container, pfx) =>
+      val global = pivotRowsJson(metricRows(t, None))
+      val byRegion = regions.map { r =>
+        s"${jsonStr(r)}: ${pivotRowsJson(metricRows(t, Some(r)))}"
+      }.mkString("{", ",", "}")
+      s"""    const ${pfx}_year_json = $global;
+         |    const ${pfx}_region_year_json = $byRegion;
+         |    function update${pfx.capitalize}Chart() {
+         |      // year-range + region filter → rollup → redraw #$container
+         |      // (browser-side; the engine ships the filtered pivots above)
+         |    }
+         |    slider.noUiSlider.on("update", debounce(update${pfx.capitalize}Chart, 100));
+         |    regionSelect.addEventListener("change", debounce(update${pfx.capitalize}Chart, 100));""".stripMargin
+    }.mkString("\n\n")
+
+    val assetRefs = Seq("highcharts.js", "no-data-to-display.js", "wordcloud.js",
+      "drilldown.js", "treemap.js", "highcharts-more.js", "dumbbell.js",
+      "lollipop.js", "accessibility.js", "exporting.js", "export-data.js")
+      .map(a => s"""  <script src="./$a"></script>""").mkString("\n")
+
+    s"""<!DOCTYPE html>
+       |<html lang="pt-br">
+       |<head>
+       |  <meta charset="UTF-8" />
+       |  <title>TM Research Analytics</title>
+       |$assetRefs
+       |</head>
+       |<body>
+       |  <h2>TM Research Analytics</h2>
+       |  <ul class="nav nav-pills nav-justified custom-nav my-3" id="pills-tab" role="tablist">
+       |    <li class="nav-item"><button class="nav-link active" id="pills-output-tab" data-bs-target="#output-tab-pane">Global Scientific Output</button></li>
+       |    <li class="nav-item"><button class="nav-link" id="pills-study-type-tab" data-bs-target="#study-type-tab-pane">Study Type and Sources</button></li>
+       |    <li class="nav-item"><button class="nav-link" id="pills-topics-countries-tab" data-bs-target="#topics-countries-tab-pane">Topics &amp; Countries</button></li>
+       |    <li class="nav-item"><button class="nav-link" id="pills-tcim-areas-tab" data-bs-target="#tcim-areas-tab-pane">TCIM areas</button></li>
+       |    <li class="nav-item"><button class="nav-link" id="pills-about-tab" data-bs-target="#about-tab-pane">About</button></li>
+       |  </ul>
+       |  <div class="d-flex justify-content-center" id="filters">
+       |    <div class="slider-control form-floating">
+       |      <select id="regionSelect" class="form-select">
+       |        <option value="Todas">All</option>
+       |$regionOptions
+       |      </select>
+       |      <label for="regionSelect">WHO Region</label>
+       |    </div>
+       |    <div class="slider-control pt-1 ms-2"><div id="yearRangeSlider"></div></div>
+       |  </div>
+       |  <div class="tab-content">
+       |    <div class="tab-pane fade show active" id="output-tab-pane">
+       |      <h3 class="h4">Total Publications and Full-Text Availability</h3>
+       |      <div id="indicator_container" class="py-5">
+       |        <span id="indicator_total_documents"></span>
+       |        <span id="indicator_total_fulltext"></span>
+       |      </div>
+       |      <h3 class="h4">Publications by Language</h3>
+       |      <div id="lang_container"></div>
+       |      <h3 class="h4">Total Publications and Full-Text Availability over time</h3>
+       |      <div id="timeline_container"></div>
+       |    </div>
+       |    <div class="tab-pane fade" id="study-type-tab-pane">
+       |      <h3 class="h4">Top 10 Journals</h3>
+       |      <div id="journals_container"></div>
+       |      <h3 class="h4 mt-3">Publications by Document Type</h3>
+       |      <div id="doctype_container"></div>
+       |      <h3 class="h4">Publications by Study Type</h3>
+       |      <div id="studytype_container"></div>
+       |    </div>
+       |    <div class="tab-pane fade" id="topics-countries-tab-pane">
+       |      <h3 class="h4">Most Frequent Subjects</h3>
+       |      <div id="subject_container"></div>
+       |      <h3 class="h4 mt-3">TCIM Publications by WHO region with country as topic</h3>
+       |      <div id="region_container"></div>
+       |      <h3 class="h4">Publications by Traditional Medicine Dimension</h3>
+       |      <div id="dimention_container"></div>
+       |    </div>
+       |    <div class="tab-pane fade" id="tcim-areas-tab-pane">
+       |      <h3 class="h4">Therapeutic Methods and Therapies distribution</h3>
+       |      <div id="therapy_container"></div>
+       |      <h3 class="h4 mt-3">Complementary Medicines Distribution</h3>
+       |      <div id="complementary_container"></div>
+       |      <h3 class="h4">Traditional Medicines</h3>
+       |      <div id="traditional_container"></div>
+       |    </div>
+       |    <div class="tab-pane fade" id="about-tab-pane">
+       |      <h3 class="h4">About</h3>
+       |      <p>Last data update: $today</p>
+       |    </div>
+       |  </div>
+       |  <script>
+       |    function debounce(fn, delay) {
+       |      let timer = null;
+       |      return function(...args) {
+       |        clearTimeout(timer);
+       |        timer = setTimeout(() => fn.apply(this, args), delay);
+       |      };
+       |    }
+       |    const slider = document.getElementById("yearRangeSlider");
+       |    const regionSelect = document.getElementById("regionSelect");
+       |    noUiSlider.create(slider, {
+       |      start: [$yearFrom, $maxYear],
+       |      connect: true,
+       |      range: { min: $yearFrom, max: $maxYear },
+       |      step: 1,
+       |      tooltips: true,
+       |    });
+       |
+       |$dataBlocks
+       |  </script>
+       |</body>
+       |</html>""".stripMargin
+  }
+
+  /** Write the dashboard as `index.html` under `dir` (the reference's
+    * output_file shape). */
+  def writeDashboard(cells: DataFrame, dir: String,
+      yearFrom: Int = YearFrom,
+      today: String = java.time.LocalDate.now().toString): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/index.html"),
+      dashboardPage(cells, yearFrom, today).getBytes("UTF-8"))
+  }
+
   private def fixtureCells(s: org.apache.spark.sql.SparkSession): DataFrame = {
     import s.implicits._
     Metrics.allCells(s, s.createDataset(MetricsOps.fixtureDocs).toDF(),
