@@ -267,4 +267,59 @@ object Governance {
       Fixtures.instanceEcollection, Fixtures.dbInstanceEcollection,
       Fixtures.temas, nowYear = 2026)
   }
+
+  /** S8/streaming gate: the continuous drop-folder lifecycle end-to-end
+    * — seed full run, two drop batches (doc 1001 updated twice across
+    * batches, one brand-new doc) drained via [[runStreamingIngest]] —
+    * then the layer state pinned as (metric, value) rows: landing
+    * row/upsert outcomes, 02/03 rebuild counts, the new doc's month
+    * partition, and the partition-pruned delta export. Oracle is
+    * hand-computed from the 21-doc fixture (like q45/q47): 21 gated docs
+    * + 1 new copy of 1002 = 22; the delta export covers months ≥ 202609
+    * = {1001, 88888}. Fixture-driven, so the sf dir is unused. */
+  val q98 = graft.operators.Q.sql("q98_streaming_ingest",
+    """SELECT * FROM (VALUES
+      |  ('delta_export_docs', '2'),
+      |  ('enriched_rows', '22'),
+      |  ('iahx_rows', '22'),
+      |  ('landing_1001_updated_time', '2026-09-21T10:00:00'),
+      |  ('new_doc_month_rows', '1')
+      |) AS t(metric, value) ORDER BY metric""".stripMargin) { (s, _) =>
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_q98").toString
+    val drop = java.nio.file.Files.createTempDirectory("graft_q98_drop").toString
+    runFixture(s, out) // seed full run
+    def dropFile(df: DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q98_d").toString
+      df.withColumnRenamed("abstracts", "abstract")
+        .coalesce(1).write.mode("overwrite").json(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".json")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(drop, name))
+    }
+    val base = Gov.fixtureLanding(s).toDF()
+    dropFile(base.filter($"id" === 1001L)
+      .withColumn("updated_time", lit("2026-09-20T10:00:00")), "d1.json")
+    dropFile(base.filter($"id" === 1001L)
+      .withColumn("updated_time", lit("2026-09-21T10:00:00"))
+      .unionByName(base.filter($"id" === 1002L)
+        .withColumn("id", lit(88888L))
+        .withColumn("updated_time", lit("2026-10-02T00:00:00"))), "d2.json")
+    runStreamingIngest(s, drop, s"$out/01_landing.jsonl", out,
+      Fixtures.lookups, Fixtures.instanceEcollection,
+      Fixtures.dbInstanceEcollection, Fixtures.temas, nowYear = 2026)
+    val landed = Gov.readLanding(s, s"$out/01_landing").toDF()
+    val rows = Seq(
+      "delta_export_docs" ->
+        graft.ingest.XmlSource.read(s, s"$out/04_export_delta.xml").count().toString,
+      "enriched_rows" -> s.read.parquet(s"$out/03_enriched").count().toString,
+      "iahx_rows" -> s.read.parquet(s"$out/02_iahx").count().toString,
+      "landing_1001_updated_time" ->
+        landed.filter($"id" === 1001L).select("updated_time").as[String].head(),
+      "new_doc_month_rows" ->
+        s.read.parquet(s"$out/02_iahx").filter($"p_upd" === "202610").count().toString)
+    rows.toDF("metric", "value").orderBy("metric")
+  }
 }
