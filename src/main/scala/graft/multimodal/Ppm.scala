@@ -53,10 +53,13 @@ object Ppm {
     // a raster byte may itself look like whitespace, so no greedy skip)
     require(pos < bytes.length && isWs(bytes(pos)), "missing raster separator")
     pos += 1
-    val need = w * h * 3
-    require(bytes.length - pos >= need,
+    // long arithmetic: a hostile header like "2000000000 2000000000"
+    // overflows w*h*3 in Int and could alias a tiny (even negative)
+    // raster size past the truncation check
+    val need = w.toLong * h * 3
+    require(need <= bytes.length.toLong - pos,
       s"raster truncated: need $need, have ${bytes.length - pos}")
-    Image(w, h, java.util.Arrays.copyOfRange(bytes, pos, pos + need))
+    Image(w, h, java.util.Arrays.copyOfRange(bytes, pos, pos + need.toInt))
   }
 
   /** Nearest-neighbor integer downscale by `factor`: output pixel (x,y)

@@ -53,5 +53,9 @@ class PpmSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Ppm.decode("P5\n2 2\n255\n".getBytes ++ ok.drop(11)))
     intercept[IllegalArgumentException](Ppm.decode(ok.dropRight(1)))
     intercept[IllegalArgumentException](Ppm.decode("P6\n2 2\n65535\n".getBytes ++ ok.drop(11)))
+    // hostile dimensions whose w*h*3 overflows Int must not alias a
+    // tiny raster size past the truncation check
+    intercept[IllegalArgumentException](
+      Ppm.decode("P6\n2000000000 2000000000\n255\n".getBytes ++ ok.drop(11)))
   }
 }
