@@ -42,12 +42,20 @@ object Bench {
     val total = results.map(_._2).sum
     val json =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // stdout tails get truncated by log capture (BENCH_r04 lost its
-    // total line) — the file is the durable artifact, stdout the contract
-    val out = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
-    java.nio.file.Files.write(out, json.getBytes("UTF-8"))
+    // stdout FIRST: a bad SPARK_GRAFT_BENCH_OUT path must not discard a
+    // finished run's timings. Then the file — stdout tails get truncated
+    // by log capture (BENCH_r04 lost its total line), so the file is the
+    // durable artifact.
     println(json)
+    try {
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
+      Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(out, json.getBytes("UTF-8"))
+    } catch {
+      case e: java.io.IOException =>
+        System.err.println(s"[bench] result file write failed: $e")
+    }
     spark.stop()
   }
 }

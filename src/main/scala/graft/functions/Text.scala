@@ -54,12 +54,16 @@ object Text {
     * RE2-compatible subset ((?s), non-greedy) so the DuckDB oracle runs
     * them verbatim. */
   def stripHtml(html: Column): Column = {
-    val noScript = regexp_replace(html, "(?s)<script[^>]*>.*?</script>", " ")
+    // comments strip FIRST: a commented-out '<script>' would otherwise
+    // make the script pass consume real body text up to the next real
+    // '</script>' (and legacy '<script><!-- code //--></script>' still
+    // works — the comment empties the element, the script pass removes
+    // the shell). They also must go whole before the generic tag pass,
+    // which consumes a comment only up to its first '>'.
+    val noComments = regexp_replace(html, "(?s)<!--.*?-->", " ")
+    val noScript = regexp_replace(noComments, "(?s)<script[^>]*>.*?</script>", " ")
     val noStyle = regexp_replace(noScript, "(?s)<style[^>]*>.*?</style>", " ")
-    // comments go whole BEFORE the generic tag pass: '<[^>]+>' consumes a
-    // comment only up to its first '>', leaking the rest of the body
-    val noComments = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
-    val noTags = regexp_replace(noComments, "<[^>]+>", " ")
+    val noTags = regexp_replace(noStyle, "<[^>]+>", " ")
     // &amp; decodes LAST: an author writing &amp;lt; escaped the
     // ampersand precisely so &lt; renders literally — decoding &amp;
     // first would double-decode it into a real '<'

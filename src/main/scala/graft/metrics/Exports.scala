@@ -62,10 +62,12 @@ object Exports {
     * a driver loop over an already-aggregated result, same as the
     * reference. Returns iso → html. */
   /** Minimal HTML escape for corpus-derived values (journal titles,
-    * descriptor labels — anything with &, <, > would otherwise land raw
-    * in the markup). */
+    * descriptor labels, region names). Quotes too: these values land
+    * inside quoted attributes (option value="…"), where a bare '"'
+    * breaks out of the attribute. */
   private def esc(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      .replace("\"", "&quot;")
 
   def countryPages(countryCells: DataFrame): Map[String, String] = {
     val rows = countryCells
@@ -132,6 +134,9 @@ object Exports {
     "\"" + s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
+      // '<' escapes so a corpus-derived name containing "</script>"
+      // can't terminate the inline data block mid-JSON
+      case '<' => "\\u003c"
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
@@ -155,7 +160,11 @@ object Exports {
       .map(r => (r.getString(0), Option(r.getString(1)), r.getString(2),
         r.getLong(3), r.getLong(4)))
     val regions = rows.flatMap(_._2).distinct.sorted
-    val maxYear = if (rows.isEmpty) yearFrom else rows.map(_._4).max
+    // floor at yearFrom+1: noUiSlider rejects min == max at runtime, and
+    // an empty/degenerate cell table must yield an empty dashboard, not
+    // a dead page whose inline script threw before wiring anything
+    val maxYear = math.max(yearFrom + 1,
+      if (rows.isEmpty) yearFrom else rows.map(_._4).max)
     val regionOptions = regions
       .map(r => s"""<option value="${esc(r)}">${esc(r)}</option>""").mkString("\n")
 

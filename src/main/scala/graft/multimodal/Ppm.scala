@@ -7,6 +7,12 @@ package graft.multimodal
   * tokens, `#` comments ending at newline, exactly one whitespace byte
   * after maxval before the raster) so it reads files other tools write,
   * not just its own. Raster is w*h*3 bytes, row-major RGB.
+  *
+  * Known grammar ambiguity, inherent to P6 itself: a comment placed
+  * AFTER the maxval token (`255 #x\n<raster>`) cannot be distinguished
+  * from a raster whose first byte is '#' (0x23 is a legal pixel value),
+  * so such malformed-but-plausible files decode with the comment bytes
+  * as pixels. Spec-conforming writers never emit a comment there.
   */
 object Ppm {
 

@@ -147,21 +147,24 @@ object TextOps {
       |            len(list_distinct(a.sh || b.sh)), 4) >= 0.8
       |ORDER BY id_a, id_b""".stripMargin
 
-  /** (doc_id, ts): distinct 2-shingles pre-hashed to sorted longs — the
-    * exact-verify side both sketch gates join candidates back onto
-    * (machine-word merge walk, same trick as SetSimJoin's hashed path). */
-  private def hashedShingleSets(docs: DataFrame): DataFrame =
+  /** (doc_id, sh): the 2-shingle arrays both sketch gates band AND
+    * verify over — built once per gate so candidate generation and the
+    * exact verify derive from the same frame instead of re-scanning +
+    * re-shingling the corpus per stage. */
+  private def shingled(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
         Text.shingles(Text.tokens(col("text")), 2).as("sh"))
       .filter(size(col("sh")) > 0)
-      .select(col("doc_id"),
-        array_sort(transform(array_distinct(col("sh")), t => xxhash64(t))).as("ts"))
 
   /** Exact-verify stage shared by q25/q27: candidate (id_a, id_b) pairs
-    * → (id_a, id_b, jac) with jac ≥ `threshold` on the rounded value. */
+    * joined back onto the distinct shingle sets pre-hashed to sorted
+    * longs (machine-word merge walk, same trick as SetSimJoin's hashed
+    * path) → (id_a, id_b, jac) with jac ≥ `threshold` on the rounded
+    * value. `docs` is the [[shingled]] frame. */
   private def verifyShinglePairs(docs: DataFrame, pairs: DataFrame,
       threshold: Double): DataFrame = {
-    val sets = hashedShingleSets(docs)
+    val sets = docs.select(col("doc_id"),
+      array_sort(transform(array_distinct(col("sh")), t => xxhash64(t))).as("ts"))
     pairs
       .join(sets.select(col("doc_id").as("id_a"), col("ts").as("ts_a")), "id_a")
       .join(sets.select(col("doc_id").as("id_b"), col("ts").as("ts_b")), "id_b")
@@ -183,13 +186,15 @@ object TextOps {
     */
   val q25 = Q.sql("q25_minhash_lsh", ShinglePairsOracle) { (s, d) =>
     val nBands = MINHASH_K / LSH_ROWS
-    val docs = Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
-      .select(col("doc_id"),
-        Text.shingles(Text.tokens(col("text")), 2).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), col("sh"),
-        Exprs.minhash_sig(col("sh"), MINHASH_K).as("sig"))
+    // materialize the shingle arrays once (q54's pattern): banding,
+    // within-bucket pairing, and the exact verify all reference this
+    // frame, and without the checkpoint each branch re-scans the corpus
+    // and re-runs the shingle kernel
+    val sh = shingled(Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism))
+      .localCheckpoint(true)
+    val docs = sh.select(col("doc_id"), col("sh"),
+      Exprs.minhash_sig(col("sh"), MINHASH_K).as("sig"))
     val bandCols = (0 until nBands).map(i => struct(
       lit(i).as("band"),
       hash(slice(col("sig"), i * LSH_ROWS + 1, LSH_ROWS), lit(i)).as("bucket")))
@@ -210,7 +215,7 @@ object TextOps {
         Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    verifyShinglePairs(Tables.documents(s, d), pairs, 0.8)
+    verifyShinglePairs(sh, pairs, 0.8)
   }
 
   /** SimHash signatures per document (64-bit, hex) + Hamming near-dup
@@ -242,23 +247,29 @@ object TextOps {
     * guarantee hamming ≤ 3 — that layout missed two hamming-5/6 true
     * pairs.) */
   val q27 = Q.sql("q27_simhash_neardup", ShinglePairsOracle) { (s, d) =>
-    val sigs = Tables.documents(s, d)
+    // one corpus scan computes BOTH kernels (simhash for banding,
+    // shingles for the verify), materialized once — without the
+    // checkpoint the candidate and verify branches each re-scan and
+    // re-run their kernel
+    val base = Tables.documents(s, d)
       .select(col("doc_id"),
-        Exprs.simhash64(Text.tokens(lower(col("text")))).as("sh"))
+        Exprs.simhash64(Text.tokens(lower(col("text")))).as("sig64"),
+        Text.shingles(Text.tokens(col("text")), 2).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .localCheckpoint(true)
     // 8 bands of 8 bits: docs sharing any band are candidates
     val bandCols = (0 until 8).map(i => struct(
       lit(i).as("band"),
-      shiftright(col("sh"), i * 8).bitwiseAND(lit(0xffL)).as("bits")))
-    val banded0 = sigs
-      .select(col("doc_id"), col("sh"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("sh"),
+      shiftright(col("sig64"), i * 8).bitwiseAND(lit(0xffL)).as("bits")))
+    val banded0 = base
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"),
         col("bb.band").as("band"), col("bb.bits").as("bits"))
-    // skew guard (q25's BUCKET_CAP, same sample-the-bucket semantics): a
-    // degenerate band value — e.g. a template whose 16 bits collide
-    // corpus-wide — would make one bucket quadratic; identical
-    // signatures collide in ALL four bands, so dropping oversized
-    // buckets would miss such clusters entirely — sampling keeps them
-    // detectable at bounded cost
+    // skew guard (q25's sample-the-bucket semantics, wider cap — see
+    // SIMHASH_BUCKET_CAP): a degenerate band value would make one
+    // bucket quadratic; identical signatures collide in ALL bands, so
+    // dropping oversized buckets would miss such clusters entirely —
+    // sampling keeps them detectable at bounded cost
     val wB = org.apache.spark.sql.expressions.Window
       .partitionBy("band", "bits").orderBy("doc_id")
     val banded = banded0
@@ -269,7 +280,7 @@ object TextOps {
     val pairs = a.join(b, Seq("band", "bits"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    verifyShinglePairs(Tables.documents(s, d), pairs, 0.8)
+    verifyShinglePairs(base.select(col("doc_id"), col("sh")), pairs, 0.8)
   }
 
   /** Winnowing fingerprints (document sketch for plagiarism-style
@@ -556,16 +567,17 @@ object TextOps {
       |  SELECT doc_id,
       |    '<html><head><script type="text/javascript">var t = 1 &lt; 2;</script>' ||
       |    '<style>p { color: red; }</style></head>' ||
-      |    '<!-- nav: <div class="menu"> hidden --><body><h1>' || lang ||
+      |    '<!-- nav: <div class="menu"> hidden -->' ||
+      |    '<!-- <script>dead()</script> --><body><h1>' || lang ||
       |    '</h1><p>' || text || ' &amp; more &nbsp;</p></body></html>' AS page
       |  FROM documents)
       |SELECT doc_id,
       |  trim(regexp_replace(
       |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
       |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(page,
+      |        '(?s)<!--.*?-->', ' ', 'g'),
       |        '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
       |        '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
-      |        '(?s)<!--.*?-->', ' ', 'g'),
       |        '<[^>]+>', ' ', 'g'),
       |        '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&nbsp;', ' ', 'g'),
       |        '&amp;', '&', 'g'),
@@ -574,7 +586,8 @@ object TextOps {
     val page = concat(
       lit("""<html><head><script type="text/javascript">var t = 1 &lt; 2;</script>"""),
       lit("<style>p { color: red; }</style></head>"),
-      lit("""<!-- nav: <div class="menu"> hidden --><body><h1>"""), col("lang"),
+      lit("""<!-- nav: <div class="menu"> hidden -->"""),
+      lit("""<!-- <script>dead()</script> --><body><h1>"""), col("lang"),
       lit("</h1><p>"), col("text"), lit(" &amp; more &nbsp;</p></body></html>"))
     Tables.documents(s, d)
       .select(col("doc_id"), Text.stripHtml(page).as("clean"))

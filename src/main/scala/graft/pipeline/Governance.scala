@@ -289,9 +289,11 @@ object Governance {
     import s.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft_q98").toString
     val drop = java.nio.file.Files.createTempDirectory("graft_q98_drop").toString
+    val staged = scala.collection.mutable.ArrayBuffer(out, drop)
     runFixture(s, out) // seed full run
     def dropFile(df: DataFrame, name: String): Unit = {
       val tmp = java.nio.file.Files.createTempDirectory("graft_q98_d").toString
+      staged += tmp
       df.withColumnRenamed("abstracts", "abstract")
         .coalesce(1).write.mode("overwrite").json(tmp)
       val part = new java.io.File(tmp).listFiles()
@@ -320,6 +322,18 @@ object Governance {
         landed.filter($"id" === 1001L).select("updated_time").as[String].head(),
       "new_doc_month_rows" ->
         s.read.parquet(s"$out/02_iahx").filter($"p_upd" === "202610").count().toString)
+    // all pinned values are materialized strings now — drop the staged
+    // temp trees (a full layer set per invocation would otherwise
+    // accumulate across every verify/bench run)
+    staged.foreach { dir =>
+      val root = java.nio.file.Paths.get(dir)
+      if (java.nio.file.Files.exists(root)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
     rows.toDF("metric", "value").orderBy("metric")
   }
 }

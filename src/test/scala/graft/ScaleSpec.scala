@@ -112,11 +112,12 @@ class ScaleSpec extends AnyFunSuite {
 
   test("simhash banding survives a degenerate all-same-band corpus (bucket sampling)") {
     import spark.implicits._
-    // 2000 identical docs: every 16-bit band bucket holds the whole
+    // 2000 identical docs: every 8-bit band bucket holds the whole
     // corpus — uncapped this is ~2M pairs per band. The cap SAMPLES each
-    // bucket to 64 members, so the cluster is still detected (pairs
-    // among the sample, all hamming 0) at bounded cost; drop-the-bucket
-    // semantics would return zero pairs for exactly this corpus.
+    // bucket to SIMHASH_BUCKET_CAP (512) members, so the cluster is
+    // still detected (pairs among the sample, all verifying at jac 1.0)
+    // at bounded cost; drop-the-bucket semantics would return zero pairs
+    // for exactly this corpus.
     val dir = java.nio.file.Files.createTempDirectory("graft_simhash").toString
     spark.range(2000)
       .select($"id".as("doc_id"), lit("the same exact template text body").as("text"))
