@@ -113,29 +113,65 @@ object TextKernels {
     new GenericArrayData(sig)
   }
 
+  /** 2^61 - 1, the Mersenne prime modulus of the winnowing polynomial
+    * hash. Chosen over xxhash64 so the DuckDB oracle can replay the hash
+    * exactly (HUGEINT `(a*B + b) % M` in a list_reduce); 61 bits of
+    * fingerprint keep cross-document collisions at the ~1e-18-per-pair
+    * level, ample for a document sketch. */
+  val WinnowMod: Long = 2305843009213693951L
+
+  /** a * b mod [[WinnowMod]] for small constant b, via Russian-peasant
+    * doubling — every intermediate stays under 2^62, no 128-bit math. */
+  private def mulSmallMod(a: Long, b: Int): Long = {
+    var r = 0L; var x = a; var n = b
+    while (n > 0) {
+      if ((n & 1) == 1) { r += x; if (r >= WinnowMod) r -= WinnowMod }
+      x <<= 1; if (x >= WinnowMod) x -= WinnowMod
+      n >>= 1
+    }
+    r
+  }
+
+  /** Polynomial hash of a token's code points: h = (h*131 + cp) mod M.
+    * Code points (not UTF-8 bytes) so DuckDB's per-character ascii()
+    * replays it for any input, not just ASCII. */
+  private def polyTokenHash(t: UTF8String): Long = {
+    val s = t.toString
+    var h = 0L; var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = mulSmallMod(h, 131) + cp
+      if (h >= WinnowMod) h -= WinnowMod
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
   /** Winnowing fingerprints (Schleimer et al., SIGMOD'03): hash every
     * k-token shingle, slide a window of w hashes, keep the min of each
     * window (rightmost on ties), dedup. Returns the selected hashes sorted
-    * — a compact, position-independent document sketch.
+    * — a compact, position-independent document sketch. Hashes are the
+    * oracle-replayable polynomial family above: token h = poly(131) over
+    * code points, gram g = poly(137) over the k token hashes.
     */
   def winnow(tokens: ArrayData, k: Int, w: Int): ArrayData = {
     val n = tokens.numElements()
     val nGrams = n - k + 1
     if (nGrams <= 0) return new GenericArrayData(Array.emptyLongArray)
-    // hash each k-gram: xxhash64 chained over token hashes
     val gh = new Array[Long](nGrams)
     val th = new Array[Long](n)
     var i = 0
     while (i < n) {
-      th(i) = if (tokens.isNullAt(i)) 0L else hashToken(tokens.getUTF8String(i), 0L)
+      th(i) = if (tokens.isNullAt(i)) 0L else polyTokenHash(tokens.getUTF8String(i))
       i += 1
     }
     i = 0
     while (i < nGrams) {
-      var h = -7046029254386353131L // xxhash64 prime as chain seed
+      var h = 0L
       var j = 0
       while (j < k) {
-        h = XXH64.hashLong(th(i + j), h)
+        h = mulSmallMod(h, 137) + th(i + j)
+        if (h >= WinnowMod) h -= WinnowMod
         j += 1
       }
       gh(i) = h

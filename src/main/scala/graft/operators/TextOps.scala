@@ -284,13 +284,51 @@ object TextOps {
   }
 
   /** Winnowing fingerprints (document sketch for plagiarism-style
-    * near-dup): k=4-token shingles, window w=4, per-doc sketch size. */
-  val q28 = Q.rowsOnly("q28_fingerprints") { (s, d) =>
+    * near-dup): k=4-token shingles, window w=4. Oracled end-to-end: the
+    * kernel's polynomial hash family (token poly-131 over code points,
+    * gram poly-137 over token hashes, mod 2^61-1) is replayed verbatim
+    * by DuckDB list_reduce/HUGEINT arithmetic, and the window-min +
+    * dedup selection by slice minima — so sketch size AND the extreme
+    * fingerprint values hash-compare exactly. */
+  val q28 = Q.sql("q28_fingerprints",
+    """WITH tok AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      |  FROM documents),
+      |th AS (
+      |  SELECT doc_id, len(t) AS n,
+      |    list_transform(t, tk -> CAST(list_reduce(
+      |      list_prepend(CAST(0 AS HUGEINT),
+      |        list_transform(range(1, length(tk) + 1),
+      |                       i -> CAST(ascii(substr(tk, i, 1)) AS HUGEINT))),
+      |      (a, b) -> (a * 131 + b) % 2305843009213693951) AS BIGINT)) AS hs
+      |  FROM tok),
+      |gh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN n >= 4 THEN
+      |      list_transform(range(1, n - 4 + 2), i -> CAST(list_reduce(
+      |        list_prepend(CAST(0 AS HUGEINT), hs[i : i + 3]),
+      |        (a, b) -> (a * 137 + b) % 2305843009213693951) AS BIGINT))
+      |    ELSE CAST([] AS BIGINT[]) END AS g
+      |  FROM th),
+      |fp AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(g) = 0 THEN CAST([] AS BIGINT[])
+      |         WHEN len(g) <= 4 THEN [list_min(g)]
+      |         ELSE list_distinct(list_transform(range(1, len(g) - 4 + 2),
+      |                                           j -> list_min(g[j : j + 3])))
+      |    END AS fps
+      |  FROM gh)
+      |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fingerprints,
+      |  list_min(fps) AS min_fp, list_max(fps) AS max_fp
+      |FROM fp ORDER BY doc_id""".stripMargin) { (s, d) =>
     Tables.documents(s, d)
       .select(col("doc_id"),
         Exprs.winnow_fingerprints(Text.tokens(lower(col("text"))), 4, 4).as("fps"))
       .select(col("doc_id"), size(col("fps")).cast("bigint").as("n_fingerprints"),
-        format_string("%016x", element_at(col("fps"), 1)).as("first_fp"))
+        // kernel output is sorted ascending: extremes are the ends
+        when(size(col("fps")) > 0, element_at(col("fps"), 1)).as("min_fp"),
+        when(size(col("fps")) > 0, element_at(col("fps"), size(col("fps"))))
+          .as("max_fp"))
       .orderBy("doc_id")
   }
 
