@@ -218,8 +218,13 @@ object TextOps {
     verifyShinglePairs(sh, pairs, 0.8)
   }
 
-  /** SimHash signatures per document (64-bit, hex) + Hamming near-dup
-    * pairs via 4×16-bit band join. */
+  /** SimHash signatures per document (64-bit, hex). Rows-only BY CHOICE:
+    * simhash's detection quality rides on per-bit mixing of the token
+    * hash, so it keeps xxhash64 (which SQL cannot replay) rather than
+    * trading hash quality for an oracle the way the winnowing sketch
+    * could (q28's 61-bit polynomial is ample for a fingerprint, not for
+    * 64 independent vote bits). The DETECTOR built on these signatures
+    * is fully oracled end-to-end in q27. */
   val q26 = Q.rowsOnly("q26_simhash") { (s, d) =>
     Tables.documents(s, d)
       .select(col("doc_id"),
