@@ -69,23 +69,125 @@ object Exports {
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
       .replace("\"", "&quot;")
 
-  def countryPages(countryCells: DataFrame): Map[String, String] = {
+  /** The countries page's chart sections (tmgl_countries/
+    * dag_03_export_html.py:77-135): 9 containers across 3 data tabs —
+    * the regions page minus language/timeline/journals, same container
+    * ids and reference "dimention" spelling. */
+  val CountryChartSections: Seq[(String, String, String)] = Seq(
+    ("timeline", "indicator_container", "indicators"),
+    ("doctype", "doctype_container", "doctype"),
+    ("studytype", "studytype_container", "studytype"),
+    ("subject", "subject_container", "subject"),
+    ("region", "region_container", "region"),
+    ("dimension", "dimention_container", "dimention"),
+    ("therapy", "therapy_container", "therapy"),
+    ("complementary", "complementary_container", "complementary"),
+    ("traditional", "traditional_container", "traditional"))
+
+  /** One country's page skeleton, mirroring the reference countries
+    * template: 4 nav tabs (no region select — the slider is the only
+    * filter), the 9 chart sections in the reference's tab grouping,
+    * per-metric embedded pivot data, slider bounds from YEAR_FROM and
+    * the country's own max year. */
+  def countryPage(country: String, cells: Seq[(String, String, Long, Long)],
+      yearFrom: Int = YearFrom,
+      today: String = java.time.LocalDate.now().toString): String = {
+    val maxYear = math.max(yearFrom + 1,
+      if (cells.isEmpty) yearFrom else cells.map(_._3).max)
+    val dataBlocks = CountryChartSections.map { case (t, container, pfx) =>
+      val rows = cells.collect { case (`t`, n, y, c) => (n, y, c) }
+      s"""    const ${pfx}_year_json = ${pivotRowsJson(rows)};
+         |    function update${pfx.capitalize}Chart() {
+         |      // year-range filter → rollup → redraw #$container
+         |    }
+         |    slider.noUiSlider.on("update", debounce(update${pfx.capitalize}Chart, 100));""".stripMargin
+    }.mkString("\n\n")
+    s"""<!DOCTYPE html>
+       |<html lang="pt-br">
+       |<head>
+       |  <meta charset="UTF-8" />
+       |  <title>TM Research Analytics</title>
+       |</head>
+       |<body>
+       |  <h2>TM Research Analytics — ${esc(country)}</h2>
+       |  <ul class="nav nav-pills nav-justified custom-nav my-3" id="pills-tab" role="tablist">
+       |    <li class="nav-item"><button class="nav-link active" id="pills-output-tab" data-bs-target="#output-tab-pane">Scientific Country Production</button></li>
+       |    <li class="nav-item"><button class="nav-link" id="pills-topics-countries-tab" data-bs-target="#topics-countries-tab-pane">Topics</button></li>
+       |    <li class="nav-item"><button class="nav-link" id="pills-tcim-areas-tab" data-bs-target="#tcim-areas-tab-pane">Main subjects and TCIM areas</button></li>
+       |    <li class="nav-item"><button class="nav-link" id="pills-about-tab" data-bs-target="#about-tab-pane">About</button></li>
+       |  </ul>
+       |  <div class="d-flex justify-content-center" id="filters">
+       |    <div class="slider-control pt-1 ms-2"><div id="yearRangeSlider"></div></div>
+       |  </div>
+       |  <div class="tab-content">
+       |    <div class="tab-pane fade show active" id="output-tab-pane">
+       |      <h3 class="h4">Scientific Output</h3>
+       |      <div id="indicator_container" class="py-5">
+       |        <span id="indicator_total_documents"></span>
+       |        <span id="indicator_total_fulltext"></span>
+       |      </div>
+       |      <h3 class="h4 mt-3">Publications by Document Type</h3>
+       |      <div id="doctype_container"></div>
+       |      <h3 class="h4">Publications by Study Type</h3>
+       |      <div id="studytype_container"></div>
+       |    </div>
+       |    <div class="tab-pane fade" id="topics-countries-tab-pane">
+       |      <h3 class="h4">Most Frequent Subjects</h3>
+       |      <div id="subject_container"></div>
+       |      <h3 class="h4 mt-3">TCIM Publications by WHO region with country as topic</h3>
+       |      <div id="region_container"></div>
+       |      <h3 class="h4">Publications by Traditional Medicine Dimension</h3>
+       |      <div id="dimention_container"></div>
+       |    </div>
+       |    <div class="tab-pane fade" id="tcim-areas-tab-pane">
+       |      <h3 class="h4">Therapeutic Methods and Therapies distribution</h3>
+       |      <div id="therapy_container"></div>
+       |      <h3 class="h4 mt-3">Complementary Medicines Distribution</h3>
+       |      <div id="complementary_container"></div>
+       |      <h3 class="h4">Traditional Medicines</h3>
+       |      <div id="traditional_container"></div>
+       |    </div>
+       |    <div class="tab-pane fade" id="about-tab-pane">
+       |      <h3 class="h4">About</h3>
+       |      <p>Last data update: $today</p>
+       |    </div>
+       |  </div>
+       |  <script>
+       |    function debounce(fn, delay) {
+       |      let timer = null;
+       |      return function(...args) {
+       |        clearTimeout(timer);
+       |        timer = setTimeout(() => fn.apply(this, args), delay);
+       |      };
+       |    }
+       |    const slider = document.getElementById("yearRangeSlider");
+       |    noUiSlider.create(slider, {
+       |      start: [$yearFrom, $maxYear],
+       |      connect: true,
+       |      range: { min: $yearFrom, max: $maxYear },
+       |      step: 1,
+       |      tooltips: true,
+       |    });
+       |
+       |$dataBlocks
+       |  </script>
+       |</body>
+       |</html>""".stripMargin
+  }
+
+  def countryPages(countryCells: DataFrame,
+      yearFrom: Int = YearFrom,
+      today: String = java.time.LocalDate.now().toString): Map[String, String] = {
     val rows = countryCells
       .select("iso", "country", "type", "name", "year", "count")
       .collect()
     rows.groupBy(r => (r.getString(0), r.getString(1))).map {
       case ((iso, country), cells) =>
-        val byType = cells.groupBy(_.getString(2)).toSeq.sortBy(_._1)
-        val sections = byType.map { case (t, cs) =>
-          val trs = cs.sortBy(r => (r.getString(3), r.getLong(4)))
-            .map(r => s"<tr><td>${esc(r.getString(3))}</td><td>${r.getLong(4)}</td><td>${r.getLong(5)}</td></tr>")
-          s"""<h2>${esc(t)}</h2><table border="1"><tr><th>name</th><th>ano</th><th>count</th></tr>
-             |${trs.mkString("\n")}</table>""".stripMargin
-        }
-        iso -> s"""<!DOCTYPE html><html><head><meta charset="utf-8"><title>${esc(country)} ($iso)</title></head>
-                  |<body><h1>${esc(country)} ($iso)</h1>
-                  |${sections.mkString("\n")}
-                  |</body></html>""".stripMargin
+        // reference writes lowercase `<iso>.html`
+        iso.toLowerCase -> countryPage(country,
+          cells.toSeq.map(r =>
+            (r.getString(2), r.getString(3), r.getLong(4), r.getLong(5))),
+          yearFrom, today)
     }
   }
 

@@ -296,12 +296,20 @@ class EngineSpec extends AnyFunSuite {
       metrics.MetricsOps.fixtureAreaLabels)
     val dir = java.nio.file.Files.createTempDirectory("graft_cpages").toString
     metrics.Exports.writeCountryPages(cells, dir)
+    // reference writes lowercase `<iso>.html` (dag_03_export_html.py:272)
     val files = new java.io.File(dir).listFiles().map(_.getName).toSet
-    assert(files == Set("BR.html", "FR.html"), s"got $files")
+    assert(files == Set("br.html", "fr.html"), s"got $files")
     val br = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(s"$dir/BR.html")), "UTF-8")
-    assert(br.contains("<h1>brazil (BR)</h1>") && br.contains("<h2>timeline</h2>")
-      && br.contains("<td>Traditional Medicine</td>"))
+      java.nio.file.Paths.get(s"$dir/br.html")), "UTF-8")
+    // structural skeleton: every country chart container present, in order
+    val ids = metrics.Exports.CountryChartSections.map(_._2).distinct
+    val pos = ids.map(id => id -> br.indexOf(s"""id="$id""""))
+    pos.foreach { case (id, p) => assert(p >= 0, s"container $id missing") }
+    assert(pos.map(_._2) == pos.map(_._2).sorted, s"out of order: $pos")
+    // per-metric data blocks ride the page; no region select on country pages
+    assert(br.contains("const subject_year_json = ")
+      && br.contains(""""Traditional Medicine""""))
+    assert(!br.contains("regionSelect"))
   }
 
   test("IVF k-means quantizer does not lose recall vs the first-k init") {

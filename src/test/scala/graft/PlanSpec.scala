@@ -174,6 +174,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("sketch gates materialize their corpus pass once (q25/q27 scan pin)") {
+    // same regression class as q54: banding, bucket pairing, and the
+    // exact verify all branch off one checkpointed frame — a dropped
+    // checkpoint re-scans the corpus and re-runs the shingle/simhash
+    // kernels once per branch
+    for (name <- Seq("q25_minhash_lsh", "q27_simhash_neardup")) {
+      val p = plan(SparkEntry.queries(name)(spark, sf))
+      val scans = p.linesIterator.count(l =>
+        l.contains("FileScan") || l.contains("BatchScan"))
+      assert(scans == 0, s"$name re-scans the corpus downstream of the checkpoint:\n$p")
+      assert(p.contains("ExistingRDD"), s"$name lost its checkpointed input:\n$p")
+    }
+  }
+
   test("dedup decisions materialize the pair join once (q54 regression pin)") {
     // Round-4 regression: the edge symmetrization unioned two projections
     // of the UNCACHED SetSimJoin output, so the whole probe+verify plan
