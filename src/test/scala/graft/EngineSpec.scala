@@ -730,6 +730,20 @@ class EngineSpec extends AnyFunSuite {
     assert(operators.Resample.locf(emptyEv, 3600000000L).count() == 0)
   }
 
+  test("locf buckets floor across the epoch (pre-1970 timestamps)") {
+    import spark.implicits._
+    // one event 30min BEFORE epoch, one 30min after: truncating division
+    // merged both into bucket 0; floor division puts the first in -1 and
+    // fills the grid between them
+    val ev = Seq(
+      (1L, java.sql.Timestamp.from(java.time.Instant.parse("1969-12-31T23:30:00Z")), 7L, 1.0),
+      (2L, java.sql.Timestamp.from(java.time.Instant.parse("1970-01-01T00:30:00Z")), 7L, 2.0))
+      .toDF("event_id", "ts", "user_id", "value")
+    val got = operators.Resample.locf(ev, 3600000000L)
+      .orderBy("h").as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((7L, -1L, 1.0), (7L, 0L, 2.0)), got.toString)
+  }
+
   test("SpaceSaving heavy hitters: e-N guarantee on a skewed stream") {
     import spark.implicits._
     // Zipf-ish: item i appears floor(6000/(i+1)) times, i in [0, 200)

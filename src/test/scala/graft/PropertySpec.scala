@@ -24,6 +24,30 @@ class PropertySpec extends AnyFunSuite {
   private def sarr(ts: Seq[String]) =
     new GenericArrayData(ts.map(UTF8String.fromString).toArray[Any])
 
+  test("winnow polynomial hash matches a BigInt model on random tokens") {
+    // the kernel's Russian-peasant mulmod and conditional subtracts must
+    // agree exactly with unbounded arithmetic — the DuckDB oracle (q28)
+    // computes the same chain in HUGEINT, so any drift here is a gate
+    // failure at best and a silent fingerprint bias at worst
+    val M = BigInt(TextKernels.WinnowMod)
+    def modelToken(s: String): BigInt =
+      s.codePoints().toArray.foldLeft(BigInt(0))((h, c) => (h * 131 + c) % M)
+    def modelGram(ts: Seq[String]): BigInt =
+      ts.map(modelToken).foldLeft(BigInt(0))((h, t) => (h * 137 + t) % M)
+    check("poly-hash-model", Prop.forAll(
+      Gen.listOfN(6, Gen.oneOf(Gen.asciiPrintableStr,
+        Gen.oneOf("café", "中文字", "naïve", "", "áé")))) { ts =>
+      val toks = ts.take(4)
+      if (toks.size < 4) Prop.passed
+      else {
+        // k = w = 4 over exactly 4 tokens → 1 gram, 1 window, 1 fingerprint
+        val out = TextKernels.winnow(sarr(toks), 4, 4)
+        Prop(out.numElements() == 1 &&
+          BigInt(out.getLong(0)) == modelGram(toks))
+      }
+    })
+  }
+
   test("X20 removeDiacritics is idempotent on arbitrary unicode") {
     check("nfkd-idempotent", Prop.forAll(Gen.asciiPrintableStr, Gen.listOf(
       Gen.oneOf("café", "àé", "Ç", "ü", "中文", "á"))) { (a, extra) =>
