@@ -41,6 +41,19 @@ object Exprs {
     override protected def withNewChildInternal(c: Expression): StripAccentsNfkd = copy(c)
   }
 
+  /** Oracle-replayable polynomial string hash (poly-131 over code
+    * points mod 2^61-1, [[TextKernels.polyHash131]]) — the hash the
+    * span-dedup operator keys duplicated k-grams on; DuckDB replays it
+    * with list_reduce + HUGEINT arithmetic. */
+  case class PolyHash(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(v: Any): Any =
+      TextKernels.polyHash131(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$K.polyHash131($c)")
+    override protected def withNewChildInternal(c: Expression): PolyHash = copy(c)
+  }
+
   /** 64-bit SimHash of an array<string> of tokens. */
   case class SimHash64(child: Expression)
       extends UnaryExpression {
@@ -267,5 +280,6 @@ object Exprs {
   def bitmap_jaccard(a: Column, b: Column): Column = c(BitmapJaccard(e(a), e(b)))
   def bitmap_card(a: Column): Column = c(BitmapCard(e(a)))
   def word_ngrams(tokens: Column, n: Int): Column = c(WordNgrams(e(tokens), n))
+  def poly_hash(s: Column): Column = c(PolyHash(e(s)))
   def repetition_stats(tokens: Column, n: Int): Column = c(RepetitionStats(e(tokens), n))
 }

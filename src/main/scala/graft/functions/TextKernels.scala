@@ -132,9 +132,12 @@ object TextKernels {
     r
   }
 
-  /** Polynomial hash of a token's code points: h = (h*131 + cp) mod M.
+  /** Polynomial hash of a string's code points: h = (h*131 + cp) mod M.
     * Code points (not UTF-8 bytes) so DuckDB's per-character ascii()
-    * replays it for any input, not just ASCII. */
+    * replays it for any input, not just ASCII. Public: the span-dedup
+    * operator hashes whole k-gram strings with it. */
+  def polyHash131(t: UTF8String): Long = polyTokenHash(t)
+
   private def polyTokenHash(t: UTF8String): Long = {
     val s = t.toString
     var h = 0L; var i = 0

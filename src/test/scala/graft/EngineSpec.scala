@@ -730,6 +730,25 @@ class EngineSpec extends AnyFunSuite {
     assert(operators.Resample.locf(emptyEv, 3600000000L).count() == 0)
   }
 
+  test("span dedup removes planted cross-doc spans, keeps unique text") {
+    import spark.implicits._
+    val boiler = (1 to 8).map(i => s"b$i").mkString(" ") // exactly one 8-gram
+    val docs = Seq(
+      (1L, s"u1 u2 u3 $boiler u4 u5"),
+      (2L, s"v1 $boiler v2 v3 v4 v5"),
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w8 w9")).toDF("doc_id", "text")
+    val got = operators.SpanDedup.cleanSpans(spark, docs)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // the boilerplate span (and only it) vanishes from docs 1 and 2;
+    // doc 3 shares nothing and survives untouched
+    assert(got == Seq(
+      (1L, 13L, 8L, m("u1 u2 u3 u4 u5")),
+      (2L, 13L, 8L, m("v1 v2 v3 v4 v5")),
+      (3L, 9L, 0L, m("w1 w2 w3 w4 w5 w6 w7 w8 w9"))), got.toString)
+  }
+
   test("locf buckets floor across the epoch (pre-1970 timestamps)") {
     import spark.implicits._
     // one event 30min BEFORE epoch, one 30min after: truncating division
