@@ -70,6 +70,7 @@ object GraftExtensions {
     ("graft_winnow", 3, args => Exprs.Winnow(args(0),
       intLit(args(1), "graft_winnow", "k"),
       intLit(args(2), "graft_winnow", "w"))),
+    ("graft_poly_hash", 1, args => Exprs.PolyHash(args(0))),
     ("graft_cosine", 2, args => Exprs.CosineSim(args(0), args(1))),
     ("graft_dot", 2, args => Exprs.DotF(args(0), args(1))),
     ("graft_repetition_stats", 2, args => Exprs.RepetitionStats(args(0),

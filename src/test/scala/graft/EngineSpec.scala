@@ -619,13 +619,15 @@ class EngineSpec extends AnyFunSuite {
         |  size(graft_minhash(array('a b','b c'), 16)) AS k,
         |  graft_repetition_stats(array('x','y','x','y'), 2) AS reps,
         |  size(graft_winnow(array('a','b','c','d','e','f'), 2, 3)) AS nw,
-        |  graft_dot(array(CAST(2.0 AS FLOAT)), array(CAST(3.0 AS FLOAT))) AS dot
+        |  graft_dot(array(CAST(2.0 AS FLOAT)), array(CAST(3.0 AS FLOAT))) AS dot,
+        |  graft_poly_hash('ab') AS ph
         |""".stripMargin).head()
     assert(more.getString(0) == "café", more.getString(0))
     assert(more.getInt(1) == 16)
     assert(more.getSeq[Long](2) == Seq(3L, 2L, 2L)) // 3 bigrams, 2 distinct, max 2
     assert(more.getInt(3) > 0)
     assert(more.getDouble(4) == 6.0)
+    assert(more.getLong(5) == 97L * 131 + 98) // poly-131 over 'a','b'
     // non-literal kernel params are rejected at plan time
     val err = intercept[Exception] {
       spark.sql("SELECT graft_word_ngrams(array('a'), CAST(rand()*2 AS INT))").head()
