@@ -826,4 +826,44 @@ class EngineSpec extends AnyFunSuite {
     assert(df(1L) > 0.30, s"degenerate doc dup_frac=${df(1L)}")
     assert(df(2L) == 0.0)
   }
+
+  test("salted join equals plain join and actually spreads a hot key") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 90%-hot synthetic skew: key 7 holds 9000 of 10000 fact rows
+    val fact = spark.range(10000)
+      .select(when(col("id") < 9000, 7L).otherwise(col("id")).as("k"),
+        col("id").as("row_id"))
+    val dim = spark.range(10000).select(col("id").as("k"),
+      concat(lit("d"), col("id")).as("payload"))
+    val plain = fact.join(dim, "k")
+    val salted = graft.operators.ScaleJoins.saltedJoin(
+      fact, dim, "k", salts = 8, saltOn = Seq("row_id"))
+    assert(salted.count() === plain.count())
+    assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
+    // the scatter itself: the hot key's rows land on >1 (k, salt) sub-key
+    val subkeys = fact
+      .withColumn("salt", pmod(xxhash64(col("row_id")), lit(8)))
+      .filter(col("k") === 7)
+      .select(countDistinct("salt")).as[Long].head()
+    assert(subkeys === 8L, s"hot key spread over $subkeys/8 salts")
+  }
+
+  test("binned range join equals the naive inequality join") {
+    import org.apache.spark.sql.functions._
+    val points = spark.range(500).select(col("id").as("p"))
+    // intervals of varying length 0..9 starting every 7 units; length-0
+    // (empty, s == e) intervals must match nothing
+    val intervals = spark.range(80).select(
+      (col("id") * 7).as("s"),
+      (col("id") * 7 + col("id") % 10).as("e"),
+      col("id").as("iv_id"))
+    val naive = points.join(intervals,
+      col("p") >= col("s") && col("p") < col("e"))
+    val binned = graft.operators.ScaleJoins.rangeJoin(
+      points, "p", intervals, "s", "e", binWidth = 5L)
+    assert(binned.count() === naive.count())
+    assert(binned.select("p", "iv_id").except(naive.select("p", "iv_id")).isEmpty)
+    assert(naive.select("p", "iv_id").except(binned.select("p", "iv_id")).isEmpty)
+  }
 }
