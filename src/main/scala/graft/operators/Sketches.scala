@@ -92,6 +92,124 @@ object Sketches {
     spark.createDataset(sk.take(top)).toDF("item", "count", "err")
   }
 
+  /** KMV output: kept-hash count (= min(k, distinct)), the k-th minimum
+    * hash, and the distinct-count estimate. */
+  case class KmvSummary(n_kept: Long, kth_hash: Long, est: Long)
+
+  /** K-Minimum-Values distinct-count sketch (Bar-Yossef et al. 2002 /
+    * Beyer et al. SIGMOD'07): keep the k smallest DISTINCT hash values
+    * seen; if fewer than k survive, the count is exact, else estimate
+    * (k−1)·M/h₍k₎ for hashes uniform on [0, M). Fixed k·8-byte state,
+    * trivially mergeable (union, re-take k smallest) — so it rides
+    * Spark's partial-aggregation tree like any sum, where an exact
+    * `countDistinct` must shuffle every distinct value.
+    *
+    * Spark ships HLL++ for this job; KMV's reason to exist here is that
+    * its state is REPLAYABLE: fed with the oracle-replayable poly-131
+    * hash, DuckDB recomputes every register and the gate pins the
+    * sketch bit-for-bit (estimate floored — floor is engine-portable
+    * where round's half-case is not). HLL's estimate can only ever be
+    * band-checked. Input is the already-hashed column; nulls must be
+    * filtered upstream. The sketch uniformizes its input internally
+    * ([[Kmv.mix]]) — callers feed raw poly hashes.
+    */
+  class Kmv(k: Int) extends Aggregator[Long, Seq[Long], KmvSummary] {
+    /** Largest hash value + 1 (poly-131 is mod 2^61−1). */
+    val M: Double = Kmv.M.toDouble
+
+    override def zero: Seq[Long] = Vector.empty
+
+    override def reduce(b: Seq[Long], hRaw: Long): Seq[Long] = {
+      val h = Kmv.mix(hRaw)
+      if (b.contains(h)) b
+      else if (b.size < k) (b :+ h).sorted
+      else if (h < b.last) (b.init :+ h).sorted
+      else b
+    }
+
+    override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] =
+      (a ++ b).distinct.sorted.take(k)
+
+    override def finish(b: Seq[Long]): KmvSummary = {
+      val n = b.size.toLong
+      val kth = if (b.isEmpty) -1L else b.last
+      val est =
+        if (n < k) n
+        else math.floor((k - 1).toDouble * M / kth.toDouble).toLong
+      KmvSummary(n, kth, est)
+    }
+
+    override def bufferEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+    override def outputEncoder: Encoder[KmvSummary] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[KmvSummary]()
+  }
+
+  object Kmv {
+    /** Hash modulus (poly-131's 2^61-1) and the uniformizing multiplier.
+      * Poly-131 of a SHORT string is far below M (5 ASCII chars reach
+      * only ~2^35), so raw hashes are not uniform on [0, M) and the
+      * order statistics KMV relies on would be nonsense. One modular
+      * multiply by a fixed 61-bit constant (Knuth's MMIX multiplier mod
+      * M) is a bijection on [0, M) that spreads any input range across
+      * the full modulus, and DuckDB replays it as a single HUGEINT
+      * `h * G % M`. */
+    val M: Long = 2305843009213693951L
+    val G: Long = 1752450205419405103L // 6364136223846793005 mod M
+
+    /** a * G mod M via Russian-peasant doubling over G's bits — every
+      * intermediate stays below 2^62, no 128-bit multiply needed. */
+    def mix(a: Long): Long = {
+      var r = 0L; var x = a % M; var n = G
+      while (n > 0) {
+        if ((n & 1L) == 1L) { r += x; if (r >= M) r -= M }
+        x <<= 1; if (x >= M) x -= M
+        n >>= 1
+      }
+      r
+    }
+  }
+
+  /** Per-group distinct users via a k=64 KMV over poly-131 hashes.
+    * sf0.001 has ~15 distinct users (exact path, n_kept < k), sf0.01+
+    * have 150+ (estimation path) — the gate exercises both branches
+    * across scale factors. DuckDB replays the hash, the k-min set, and
+    * the floored estimator. */
+  val q103 = Q.sql("q103_kmv_distinct",
+    """WITH h AS (
+      |  SELECT DISTINCT event_type,
+      |    CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+      |      list_transform(range(1, length(u) + 1),
+      |                     c -> CAST(ascii(substr(u, c, 1)) AS HUGEINT))),
+      |      (a, b) -> (a * 131 + b) % 2305843009213693951)
+      |      * 1752450205419405103 % 2305843009213693951 AS BIGINT) AS h
+      |  FROM (SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS u
+      |        FROM events WHERE user_id IS NOT NULL)),
+      |rk AS (
+      |  SELECT event_type, h,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      |  FROM h),
+      |k AS (
+      |  SELECT event_type, count(*) AS n_kept, max(h) AS kth_hash
+      |  FROM rk WHERE rn <= 64 GROUP BY 1)
+      |SELECT event_type, n_kept, kth_hash,
+      |  CASE WHEN n_kept < 64 THEN n_kept
+      |       ELSE CAST(floor(CAST(63 AS DOUBLE)
+      |         * CAST(2305843009213693951 AS DOUBLE)
+      |         / CAST(kth_hash AS DOUBLE)) AS BIGINT) END AS est
+      |FROM k ORDER BY event_type""".stripMargin) { (s, d) =>
+    val kmv = udaf(new Kmv(64), Encoders.scalaLong)
+    Tables.events(s, d)
+      .filter(col("user_id").isNotNull)
+      .select(col("event_type"),
+        graft.functions.Exprs.poly_hash(col("user_id").cast("string")).as("h"))
+      .groupBy("event_type")
+      .agg(kmv(col("h")).as("sk"))
+      .select(col("event_type"), col("sk.n_kept").as("n_kept"),
+        col("sk.kth_hash").as("kth_hash"), col("sk.est").as("est"))
+      .orderBy("event_type")
+  }
+
   /** Heavy-hitters gate. Sized EXACT on purpose: with k ≥ the distinct
     * key count (events has 1500 user_ids at sf0.1, k = 2048) no counter
     * is ever evicted, every partial sketch is an exact per-partition
@@ -108,5 +226,5 @@ object Sketches {
       .orderBy(col("count").desc, col("item"))
   }
 
-  val all: Seq[Q] = Seq(q91)
+  val all: Seq[Q] = Seq(q91, q103)
 }

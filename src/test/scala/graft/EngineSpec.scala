@@ -849,6 +849,29 @@ class EngineSpec extends AnyFunSuite {
     assert(subkeys === 8L, s"hot key spread over $subkeys/8 salts")
   }
 
+  test("KMV sketch: exact under k, within 20% over k, merge-invariant") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.Encoders
+    import graft.operators.Sketches
+    val kmv = udaf(new Sketches.Kmv(128), Encoders.scalaLong)
+    def sketch(nDistinct: Int, parts: Int) = spark.range(nDistinct * 3)
+      .select(graft.functions.Exprs.poly_hash(
+        concat(lit("u"), (col("id") % nDistinct).cast("string"))).as("h"))
+      .repartition(parts) // duplicates spread across partitions: merge path
+      .agg(kmv(col("h")).as("sk")).select("sk.n_kept", "sk.est")
+      .collect()(0)
+    // exact path: fewer distinct than k, duplicates collapse
+    val small = sketch(50, 7)
+    assert(small.getLong(0) === 50L && small.getLong(1) === 50L)
+    // estimation path: 2000 distinct through a k=128 sketch
+    val big = sketch(2000, 7)
+    assert(big.getLong(0) === 128L)
+    val err = math.abs(big.getLong(1) - 2000.0) / 2000.0
+    assert(err < 0.20, s"KMV est ${big.getLong(1)} vs 2000 (err $err)")
+    // merge invariance: partitioning must not change the sketch
+    assert(sketch(2000, 1).getLong(1) === big.getLong(1))
+  }
+
   test("binned range join equals the naive inequality join") {
     import org.apache.spark.sql.functions._
     val points = spark.range(500).select(col("id").as("p"))
