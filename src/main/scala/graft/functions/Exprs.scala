@@ -54,6 +54,18 @@ object Exprs {
     override protected def withNewChildInternal(c: Expression): PolyHash = copy(c)
   }
 
+  /** h·g mod 2^61−1 ([[TextKernels.mulMod61]]) for a fixed multiplier
+    * `g` — the uniformizer/bijection the sketch hash families apply on
+    * top of [[PolyHash]]. DuckDB replays it as HUGEINT `h * g % M`. */
+  case class MulMod61(child: Expression, g: Long) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(v: Any): Any =
+      TextKernels.mulMod61(v.asInstanceOf[Long], g)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$K.mulMod61($c, ${g}L)")
+    override protected def withNewChildInternal(c: Expression): MulMod61 = copy(child = c)
+  }
+
   /** 64-bit SimHash of an array<string> of tokens. */
   case class SimHash64(child: Expression)
       extends UnaryExpression {
@@ -281,5 +293,6 @@ object Exprs {
   def bitmap_card(a: Column): Column = c(BitmapCard(e(a)))
   def word_ngrams(tokens: Column, n: Int): Column = c(WordNgrams(e(tokens), n))
   def poly_hash(s: Column): Column = c(PolyHash(e(s)))
+  def mulmod61(h: Column, g: Long): Column = c(MulMod61(e(h), g))
   def repetition_stats(tokens: Column, n: Int): Column = c(RepetitionStats(e(tokens), n))
 }

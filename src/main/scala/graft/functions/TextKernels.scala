@@ -132,6 +132,22 @@ object TextKernels {
     r
   }
 
+  /** a·g mod 2^61−1 for arbitrary 61-bit operands, by Russian-peasant
+    * doubling over g's bits: every intermediate stays below 2^62, so no
+    * 128-bit multiply is needed on the JVM, while DuckDB replays the
+    * same product as one HUGEINT `a * g % M`. With M prime, any g ≠ 0
+    * is a bijection on [0, M) — the uniformizing step the KMV and
+    * Count-Min sketches hang their hash families on. */
+  def mulMod61(a: Long, g: Long): Long = {
+    var r = 0L; var x = a % WinnowMod; var n = g
+    while (n > 0) {
+      if ((n & 1L) == 1L) { r += x; if (r >= WinnowMod) r -= WinnowMod }
+      x <<= 1; if (x >= WinnowMod) x -= WinnowMod
+      n >>= 1
+    }
+    r
+  }
+
   /** Polynomial hash of a string's code points: h = (h*131 + cp) mod M.
     * Code points (not UTF-8 bytes) so DuckDB's per-character ascii()
     * replays it for any input, not just ASCII. Public: the span-dedup

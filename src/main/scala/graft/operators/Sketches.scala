@@ -157,17 +157,8 @@ object Sketches {
     val M: Long = 2305843009213693951L
     val G: Long = 1752450205419405103L // 6364136223846793005 mod M
 
-    /** a * G mod M via Russian-peasant doubling over G's bits — every
-      * intermediate stays below 2^62, no 128-bit multiply needed. */
-    def mix(a: Long): Long = {
-      var r = 0L; var x = a % M; var n = G
-      while (n > 0) {
-        if ((n & 1L) == 1L) { r += x; if (r >= M) r -= M }
-        x <<= 1; if (x >= M) x -= M
-        n >>= 1
-      }
-      r
-    }
+    /** a · G mod M ([[graft.functions.TextKernels.mulMod61]]). */
+    def mix(a: Long): Long = graft.functions.TextKernels.mulMod61(a, G)
   }
 
   /** Per-group distinct users via a k=64 KMV over poly-131 hashes.
@@ -210,6 +201,106 @@ object Sketches {
       .orderBy("event_type")
   }
 
+  /** Count-Min sketch parameters: depth×width register grid and the
+    * per-row multipliers. Row hash i of a poly-131 key h is
+    * `(h·Gᵢ mod 2^61−1) mod width` — M is prime so each multiply is a
+    * bijection, giving `depth` pairwise-unrelated row hashes from ONE
+    * base hash, and DuckDB replays every register with HUGEINT
+    * arithmetic. Width 256 × depth 4 = 8 KiB of state. */
+  object Cms {
+    val Width = 256
+    val Depth = 4
+    // splitmix64 / murmur finalizer constants reduced mod 2^61−1
+    val Gs: Array[Long] = Array(2177342782468422681L, 2258633747088074174L,
+      1499779743744070127L, 1650849331375898009L)
+    def cell(h: Long, i: Int): Int =
+      (graft.functions.TextKernels.mulMod61(h, Gs(i)) % Width).toInt
+  }
+
+  /** Count-Min sketch (Cormode & Muthukrishnan '05) over already-hashed
+    * keys: `depth` rows of `width` counters, each row incrementing one
+    * cell per item; a key's count estimate is the MIN over its `depth`
+    * cells, always ≥ the true count. Fixed-size state merged by
+    * element-wise sum — rides Spark's partial-aggregation tree, the
+    * constant-memory answer to per-key counts when the key domain is
+    * too wide to groupBy (the 100 TB regime: frequency estimates over
+    * billions of URLs/shingles in one pass, no shuffle of the keys
+    * themselves). Like [[Kmv]], its reason to exist next to Spark's
+    * built-ins is REPLAYABILITY: the poly-131 + mulmod hash family lets
+    * the DuckDB oracle recompute all depth×width registers exactly. */
+  class CountMin extends Aggregator[Long, Array[Long], Array[Long]] {
+    override def zero: Array[Long] = new Array[Long](Cms.Depth * Cms.Width)
+    override def reduce(b: Array[Long], h: Long): Array[Long] = {
+      var i = 0
+      while (i < Cms.Depth) { b(i * Cms.Width + Cms.cell(h, i)) += 1; i += 1 }
+      b
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+    override def finish(b: Array[Long]): Array[Long] = b
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** CMS point-query gate: sketch all event user_ids in one distributed
+    * pass, then report every distinct user's exact count next to its
+    * sketch estimate (`over` = est − exact ≥ 0 always, = 0 unless that
+    * user collides in all 4 rows). The 8 KiB register array is
+    * collect()ed — a constant-size driver ceiling like the lookup
+    * fixtures — and re-enters the point-query scan as an array literal,
+    * so the probe stays codegen with zero extra shuffle. DuckDB rebuilds
+    * the registers from the grouped exact counts and takes the same min. */
+  val q104 = Q.sql("q104_countmin",
+    """WITH k AS (
+      |  SELECT user_id,
+      |    CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+      |      list_transform(range(1, length(u) + 1),
+      |                     c -> CAST(ascii(substr(u, c, 1)) AS HUGEINT))),
+      |      (a, b) -> (a * 131 + b) % 2305843009213693951) AS BIGINT) AS h,
+      |    cnt
+      |  FROM (SELECT user_id, CAST(user_id AS VARCHAR) AS u,
+      |               count(*) AS cnt
+      |        FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2)),
+      |d AS (SELECT * FROM (VALUES
+      |  (0, 2177342782468422681), (1, 2258633747088074174),
+      |  (2, 1499779743744070127), (3, 1650849331375898009)) t(i, g)),
+      |c AS (
+      |  SELECT user_id, cnt, i,
+      |    CAST(CAST(h AS HUGEINT) * CAST(g AS HUGEINT)
+      |         % 2305843009213693951 % 256 AS BIGINT) AS cell
+      |  FROM k CROSS JOIN d),
+      |r AS (SELECT i, cell, CAST(sum(cnt) AS BIGINT) AS reg
+      |      FROM c GROUP BY 1, 2)
+      |SELECT c.user_id, max(c.cnt) AS exact, min(r.reg) AS est,
+      |       min(r.reg) - max(c.cnt) AS over
+      |FROM c JOIN r USING (i, cell)
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    import graft.functions.Exprs.{mulmod61, poly_hash}
+    val cms = udaf(new CountMin, Encoders.scalaLong)
+    val hashed = Tables.events(s, d)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"),
+        poly_hash(col("user_id").cast("string")).as("h"))
+    // constant 8 KiB sketch → driver → array literal (bounded collect)
+    val regs = hashed.agg(cms(col("h")).as("regs")).head().getSeq[Long](0)
+    val regLit = lit(regs.toArray)
+    val estCol = least((0 until Cms.Depth).map { i =>
+      element_at(regLit,
+        (lit(i * Cms.Width) +
+          pmod(mulmod61(col("h"), Cms.Gs(i)), lit(Cms.Width.toLong)) +
+          lit(1)).cast("int"))
+    }: _*)
+    hashed.groupBy("user_id", "h").agg(count(lit(1)).as("exact"))
+      .select(col("user_id"), col("exact"), estCol.as("est"),
+        (estCol - col("exact")).as("over"))
+      .orderBy("user_id")
+  }
+
   /** Heavy-hitters gate. Sized EXACT on purpose: with k ≥ the distinct
     * key count (events has 1500 user_ids at sf0.1, k = 2048) no counter
     * is ever evicted, every partial sketch is an exact per-partition
@@ -226,5 +317,5 @@ object Sketches {
       .orderBy(col("count").desc, col("item"))
   }
 
-  val all: Seq[Q] = Seq(q91, q103)
+  val all: Seq[Q] = Seq(q91, q103, q104)
 }
