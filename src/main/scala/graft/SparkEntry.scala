@@ -24,7 +24,8 @@ object SparkEntry {
       graft.streaming.StreamOps.all ++ graft.multimodal.Multimodal.all ++
       graft.quality.Checks.all ++ Seq(graft.pipeline.Governance.q98) ++
       graft.operators.SpanDedup.all ++ graft.operators.Quantize.all ++
-      graft.operators.ScaleJoins.all
+      graft.operators.ScaleJoins.all ++ graft.operators.Graph.all ++
+      graft.operators.Mining.all
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. Star join +
     * agg + top-k window — exercises scan, broadcast join, partial agg,

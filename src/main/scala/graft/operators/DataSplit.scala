@@ -232,5 +232,43 @@ object DataSplit {
     decontaminateBloom(s, Tables.documents(s, d))
   }
 
-  val all: Seq[Q] = Seq(q59, q60, q67, q77, q83)
+  /** Weighted sampling without replacement, exact-integer form of
+    * Efraimidis–Spirakis A-Res. E-S keys each row with u^(1/w) (u
+    * uniform) and keeps the top-n keys; for INTEGER weights u^(1/w) is
+    * distributed as the max of w independent uniforms, so the key
+    * becomes `max over j in 1..w of hash(id, j)` — pure 61-bit integer
+    * arithmetic, bit-replayable by the oracle, no pow()/ln() whose
+    * last-ulp behavior differs across libm builds. Weight here is a
+    * length bucket (1 + n_chars div 100 ∈ [1, 6]), so the per-row key
+    * costs O(weight) bounded hashes; a probability-proportional-to-size
+    * sample of documents where longer docs win proportionally more
+    * slots. Selection is a global top-n — TakeOrdered, no full sort. */
+  val q105 = Q.sql("q105_weighted_sample",
+    """WITH k AS (
+      |  SELECT doc_id, 1 + n_chars // 100 AS weight,
+      |    list_max(list_transform(range(1, CAST(2 + n_chars // 100 AS BIGINT)),
+      |      j -> CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+      |             list_transform(range(1, length(s || j) + 1),
+      |               c -> CAST(ascii(substr(s || j, c, 1)) AS HUGEINT))),
+      |             (a, b) -> (a * 131 + b) % 2305843009213693951)
+      |           * 1752450205419405103 % 2305843009213693951 AS BIGINT)))
+      |      AS samp_key
+      |  FROM (SELECT doc_id, n_chars, doc_id || '#' AS s FROM documents))
+      |SELECT doc_id, CAST(weight AS BIGINT) AS weight, samp_key
+      |FROM k ORDER BY samp_key DESC, doc_id LIMIT 50""".stripMargin) { (s, d) =>
+    import graft.functions.Exprs.{mulmod61, poly_hash}
+    val G = 1752450205419405103L // the KMV uniformizer (Sketches.Kmv.G)
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        (lit(1L) + expr("n_chars div 100")).as("weight"))
+      .withColumn("samp_key",
+        array_max(transform(
+          sequence(lit(1L), col("weight")),
+          j => mulmod61(poly_hash(
+            concat(col("doc_id").cast("string"), lit("#"), j.cast("string"))), G))))
+      .orderBy(col("samp_key").desc, col("doc_id"))
+      .limit(50)
+  }
+
+  val all: Seq[Q] = Seq(q59, q60, q67, q77, q83, q105)
 }

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Iterative graph analytics over edge DataFrames. The component
+  * machinery for dedup lives in [[DedupClusters]]; this module adds the
+  * other staple, PageRank-style centrality, in a deliberately
+  * cross-engine-deterministic form.
+  *
+  * Floating-point PageRank cannot be oracle-checked bit-for-bit: each
+  * engine sums contributions in its own order and double addition does
+  * not commute. So ranks here are FIXED-POINT integers — total mass
+  * 10^12, every division a positive-operand integer division (Spark
+  * `div` truncation ≡ DuckDB `//` floor for non-negatives), every sum a
+  * 64-bit integer sum (order-independent). The oracle replays all
+  * iterations exactly; the cost is ≤ one mass unit (10⁻¹²) of floor
+  * loss per division, which is noise for ranking and a fair price for a
+  * hash-exact gate.
+  *
+  * Scale shape: edges are materialized once (`localCheckpoint`) so the
+  * per-iteration plan is one shuffle join + one partial-agg'd sum —
+  * never a re-execution of the edge-building join (the q54 lesson).
+  * Ranks are checkpointed per iteration to keep lineage flat; the
+  * driver holds only the node count. At 100 TB the same loop runs with
+  * edges bucketed by src so the join is shuffle-free after the first
+  * iteration.
+  */
+object Graph {
+
+  /** `iters` rounds of damped PageRank (d = 0.85) over a directed edge
+    * list (`src`, `dst`) in which every node has out-degree ≥ 1 (feed a
+    * symmetrized edge list for undirected graphs — also the usual way
+    * to avoid dangling-mass bookkeeping). Returns (node, r) with r in
+    * 10^12-scaled mass units. */
+  def pagerank(edges: DataFrame, iters: Int): DataFrame = {
+    val e = edges.select("src", "dst").localCheckpoint()
+    val nodes = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg")).localCheckpoint()
+    val n = nodes.count() // bounded driver scalar (node count)
+    require(n > 0, "pagerank on an empty graph")
+    val r0 = 1000000000000L / n
+    val tp = 1000000000000L * 15 / 100 / n
+    var ranks = nodes.withColumn("r", lit(r0))
+    for (_ <- 1 to iters) {
+      val contrib = ranks
+        .join(e, ranks("node") === e("src"))
+        .select(col("dst").as("node"), expr("r div deg").as("c"))
+        .groupBy("node").agg(sum("c").as("s"))
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"), col("deg"),
+          (lit(tp) + coalesce(expr("(85 * s) div 100"), lit(0L))).as("r"))
+        .localCheckpoint()
+    }
+    ranks.select("node", "r")
+  }
+
+  private val Ten12 = "1000000000000"
+
+  /** The q106 oracle: ten unrolled iteration CTEs (DuckDB's recursive
+    * CTEs disallow aggregation over the recursive term, so the fixed
+    * iteration count is spelled out — mechanically generated here so
+    * both sides share one parameterization). */
+  private def oracleSql(iters: Int): String = {
+    val head =
+      s"""WITH raw AS (
+         |  SELECT DISTINCT o_custkey AS c, 1000000 + l_suppkey AS sp
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |edges AS (
+         |  SELECT c AS src, sp AS dst FROM raw
+         |  UNION ALL SELECT sp AS src, c AS dst FROM raw),
+         |nodes AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1),
+         |pr0 AS (SELECT node, deg,
+         |  (SELECT $Ten12 // count(*) FROM nodes) AS r FROM nodes)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""pr$i AS (
+         |  SELECT n.node, n.deg,
+         |    (SELECT ($Ten12 * 15) // 100 // count(*) FROM nodes)
+         |      + COALESCE((85 * s.s) // 100, 0) AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node, CAST(sum(p.r // p.deg) AS BIGINT) AS s
+         |    FROM pr${i - 1} p JOIN edges e ON e.src = p.node
+         |    GROUP BY 1) s ON n.node = s.node)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s"\nSELECT node, r FROM pr$iters ORDER BY node"
+  }
+
+  /** PageRank gate: centrality over the customer↔supplier bipartite
+    * graph induced by orders⋈lineitem (suppliers offset into their own
+    * id space), symmetrized, 10 fixed-point iterations. */
+  val q106 = Q.sql("q106_pagerank", oracleSql(10)) { (s, d) =>
+    val raw = Tables.orders(s, d)
+      .join(Tables.lineitem(s, d),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"),
+        (col("l_suppkey") + 1000000L).as("sp"))
+      .distinct()
+    val edges = raw.select(col("c").as("src"), col("sp").as("dst"))
+      .unionByName(raw.select(col("sp").as("src"), col("c").as("dst")))
+    pagerank(edges, 10).orderBy("node")
+  }
+
+  val all: Seq[Q] = Seq(q106)
+}

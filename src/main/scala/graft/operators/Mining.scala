@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Pattern-mining operators: co-occurrence (the support-counting core
+  * of market-basket / association-rule mining) and edit-distance fuzzy
+  * joins (the pairing core of entity resolution). Both are
+  * candidate-generation problems whose naive forms are quadratic; the
+  * operators here carry their standard sub-quadratic shapes.
+  */
+object Mining {
+
+  /** Item co-occurrence with minimum support: for basket column `bk`
+    * and item column `it`, count baskets containing both items of each
+    * unordered pair. The self-join shuffles on the basket key only —
+    * pair blowup is bounded by the per-basket item count m (m·(m−1)/2
+    * pairs per basket), so a basket-size cap upstream is the knob that
+    * keeps 100 TB runs flat; the support filter then collapses the
+    * long tail map-side via partial aggregation. */
+  def cooccur(items: DataFrame, bk: String, it: String, minSupport: Long): DataFrame = {
+    val i = items.select(col(bk).as("bk"), col(it).as("item")).distinct()
+    val a = i.select(col("bk"), col("item").as("p1"))
+    val b = i.select(col("bk"), col("item").as("p2"))
+    a.join(b, Seq("bk")).filter(col("p1") < col("p2"))
+      .groupBy("p1", "p2").agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+  }
+
+  /** Market-basket gate: parts co-ordered in the same order, support
+    * ≥ 2, top-100 by (support, pair) — ties broken by the pair itself
+    * so the cutoff is deterministic. */
+  val q107 = Q.sql("q107_cooccurrence",
+    """WITH i AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+      |SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS support
+      |FROM i a JOIN i b
+      |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |GROUP BY 1, 2 HAVING count(*) >= 2
+      |ORDER BY support DESC, p1, p2 LIMIT 100""".stripMargin) { (s, d) =>
+    cooccur(Tables.lineitem(s, d), "l_orderkey", "l_partkey", 2L)
+      .orderBy(col("support").desc, col("p1"), col("p2"))
+      .limit(100)
+  }
+
+  /** Edit-distance self-join on a string column with length-band
+    * blocking: `levenshtein(a, b) ≥ |len(a) − len(b)|`, so pairs within
+    * distance `maxDist` must fall in the same length band — each left
+    * row joins only the 2·maxDist+1 length buckets it could match,
+    * turning the all-pairs scan into an equi-join on length. The exact
+    * distance predicate then verifies candidates. Each qualifying pair
+    * appears once (`a < b` on the value); replication factor is the
+    * constant 2·maxDist+1. At 100 TB the length key is usually too
+    * coarse alone — the same shape composes with an additional q-gram
+    * count key — but band-then-verify is the load-bearing structure. */
+  def fuzzySelfJoin(values: DataFrame, c: String, maxDist: Int): DataFrame = {
+    val v = values.select(col(c).as("v")).distinct()
+      .withColumn("len", length(col("v")))
+    val probe = v.withColumn("blen",
+      explode(sequence(col("len") - maxDist, col("len") + maxDist)))
+    val build = v.select(col("v").as("w"), col("len").as("blen"))
+    probe.join(build, Seq("blen"))
+      .filter(col("v") < col("w"))
+      .filter(levenshtein(col("v"), col("w")) <= maxDist)
+      .select(col("v"), col("w"),
+        levenshtein(col("v"), col("w")).cast("long").as("dist"))
+  }
+
+  /** Fuzzy-join gate: distinct part names within edit distance 2,
+    * banded by length. Both engines run the textbook Levenshtein. */
+  val q109 = Q.sql("q109_fuzzy_join",
+    """WITH names AS (SELECT DISTINCT p_name FROM part)
+      |SELECT a.p_name AS name_a, b.p_name AS name_b,
+      |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+      |FROM names a JOIN names b
+      |  ON a.p_name < b.p_name
+      | AND abs(length(a.p_name) - length(b.p_name)) <= 2
+      |WHERE levenshtein(a.p_name, b.p_name) <= 2
+      |ORDER BY name_a, name_b""".stripMargin) { (s, d) =>
+    fuzzySelfJoin(Tables.part(s, d), "p_name", 2)
+      .select(col("v").as("name_a"), col("w").as("name_b"), col("dist"))
+      .orderBy("name_a", "name_b")
+  }
+
+  val all: Seq[Q] = Seq(q107, q109)
+}

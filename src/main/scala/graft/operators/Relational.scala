@@ -452,6 +452,38 @@ object Relational {
       .crossJoin(s3.agg(count(lit(1)).as("n_view_click_purchase")))
   }
 
+  /** The ranking-window surface in one pass: ntile, percent_rank,
+    * cume_dist, lag, lead over a single (partition, order) spec — one
+    * shuffle by event_type, one sort, five functions sharing the frame.
+    * Ordering is (µs timestamp, event_id): the unique tie-break makes
+    * every function deterministic, and the oracle orders by epoch_us to
+    * mirror Spark's micros-truncated view of the nanosecond source.
+    * percent_rank/cume_dist are single divisions of identical integer
+    * operands on both engines — bit-equal doubles, no rounding step
+    * needed; lag/lead move values untouched. */
+  val q108 = Q.sql("q108_rank_windows",
+    """SELECT event_id, event_type,
+      |  CAST(ntile(4) OVER w AS BIGINT) AS tile4,
+      |  percent_rank() OVER w AS pr,
+      |  cume_dist() OVER w AS cd,
+      |  lag(value, 1) OVER w AS prev_value,
+      |  lead(value, 1) OVER w AS next_value
+      |FROM events
+      |WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts), event_id)
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("event_id"), col("event_type"),
+        ntile(4).over(w).cast("long").as("tile4"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        lead(col("value"), 1).over(w).as("next_value"))
+      .orderBy("event_id")
+  }
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q17, q18, q19, q33, q34, q35, q36, q37, q81, q82)
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q33, q34, q35, q36, q37,
+    q81, q82, q108)
 }

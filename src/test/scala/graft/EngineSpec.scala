@@ -872,6 +872,80 @@ class EngineSpec extends AnyFunSuite {
     assert(sketch(2000, 1).getLong(1) === big.getLong(1))
   }
 
+  test("CMS sketch: est >= exact everywhere, partition-invariant registers") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.Encoders
+    import graft.operators.Sketches
+    val cms = udaf(new Sketches.CountMin, Encoders.scalaLong)
+    // zipfian-ish stream: key j appears ~3000/(j+1) times, 400 distinct
+    val keys = spark.range(400).select(
+      col("id").as("k"),
+      (lit(3000) / (col("id") + 1)).cast("long").as("n"))
+      .select(col("k"), explode(sequence(lit(1L), col("n"))).as("rep"))
+      .select(graft.functions.Exprs.poly_hash(
+        concat(lit("k"), col("k").cast("string"))).as("h"))
+    def regs(parts: Int): Seq[Long] = keys.repartition(parts)
+      .agg(cms(col("h")).as("r")).head().getSeq[Long](0)
+    val r7 = regs(7)
+    assert(r7 === regs(1), "register grid must not depend on partitioning")
+    // est(h) = min over rows; exact from a groupBy: overestimate only
+    val exact = keys.groupBy("h").count().collect()
+    val over = exact.map { row =>
+      val h = row.getLong(0)
+      val est = (0 until Sketches.Cms.Depth)
+        .map(i => r7(i * Sketches.Cms.Width + Sketches.Cms.cell(h, i))).min
+      est - row.getLong(1)
+    }
+    assert(over.forall(_ >= 0), "CMS must never under-count")
+  }
+
+  test("fixed-point pagerank: partition-invariant, mass conserved within floor loss") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Graph
+    // star + chain: hub 0 ↔ spokes 1..20, chain 20→21→22 (symmetrized)
+    val raw = ((1 to 20).map(i => (0L, i.toLong)) ++ Seq((20L, 21L), (21L, 22L))).toSeq
+    val e = spark.createDataFrame(raw ++ raw.map(_.swap)).toDF("src", "dst")
+    val r1 = Graph.pagerank(e.repartition(1), 10).collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val r7 = Graph.pagerank(e.repartition(7), 10).collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(r1 === r7, "integer pagerank must not depend on partitioning")
+    val total = r1.map(_._2).sum
+    // each of the 23 nodes loses < 2 units/iteration to floor: tight band
+    assert(total <= 1000000000000L && total > 1000000000000L - 23L * 2 * 10 - 23L,
+      s"mass $total outside floor-loss envelope")
+    val hub = r1.find(_._1 == 0L).get._2
+    assert(r1.forall { case (n, r) => n == 0L || r <= hub },
+      "hub of the star must carry the max rank")
+  }
+
+  test("fuzzy self-join banding is lossless vs the naive all-pairs scan") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.operators.Mining
+    val names = Seq("kitten", "sitten", "sitting", "mitten", "bolt",
+      "boat", "bolts", "gear", "bear", "pear", "spear").toDF("n")
+    val banded = Mining.fuzzySelfJoin(names, "n", 2)
+      .select("v", "w").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val naive = names.select(col("n").as("v"))
+      .crossJoin(names.select(col("n").as("w")))
+      .filter(col("v") < col("w") && levenshtein(col("v"), col("w")) <= 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(banded === naive)
+  }
+
+  test("weighted sample: heavy items win slots in proportion to weight") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.Exprs.{mulmod61, poly_hash}
+    // 500 items weight 6, 500 weight 1 → heavy share of top-200 ≈ 6/7
+    val keyed = spark.range(1000)
+      .select(col("id"), when(col("id") < 500, 6L).otherwise(1L).as("w"))
+      .withColumn("k", array_max(transform(sequence(lit(1L), col("w")),
+        j => mulmod61(poly_hash(concat(col("id").cast("string"), lit("#"),
+          j.cast("string"))), 1752450205419405103L))))
+      .orderBy(col("k").desc, col("id")).limit(200)
+    val heavy = keyed.filter(col("id") < 500).count()
+    assert(heavy > 140 && heavy < 195, s"heavy share $heavy/200 off the E-S expectation ~171")
+  }
+
   test("binned range join equals the naive inequality join") {
     import org.apache.spark.sql.functions._
     val points = spark.range(500).select(col("id").as("p"))
