@@ -45,11 +45,16 @@ object Graph {
     val tp = 1000000000000L * 15 / 100 / n
     var ranks = nodes.withColumn("r", lit(r0))
     for (_ <- 1 to iters) {
-      val contrib = ranks
-        .join(e, ranks("node") === e("src"))
+      // rank table ≪ edge table in any graph worth iterating on:
+      // broadcast it so edges never re-shuffle across iterations (the
+      // map-side partial agg then shrinks the dst-sum shuffle to ~|V|).
+      // If |V| ever outgrows broadcast, swap to edges pre-bucketed by
+      // src — the join stays shuffle-free either way.
+      val contrib = e
+        .join(broadcast(ranks), e("src") === ranks("node"))
         .select(col("dst").as("node"), expr("r div deg").as("c"))
         .groupBy("node").agg(sum("c").as("s"))
-      ranks = nodes.join(contrib, Seq("node"), "left")
+      ranks = nodes.join(broadcast(contrib), Seq("node"), "left")
         .select(col("node"), col("deg"),
           (lit(tp) + coalesce(expr("(85 * s) div 100"), lit(0L))).as("r"))
         .localCheckpoint()
@@ -88,6 +93,70 @@ object Graph {
       s"\nSELECT node, r FROM pr$iters ORDER BY node"
   }
 
+  /** Global triangle count by degree-ordered wedge join (the standard
+    * distributed-triangle shape: Suri & Vassilvitskii's MR algorithm /
+    * Latapy's compact-forward). Orienting every undirected edge from
+    * its lower (deg, node) endpoint to the higher makes each triangle
+    * countable exactly once AND bounds the wedge blowup: wedges form
+    * only at a node's outgoing (higher-degree) side, so a celebrity
+    * node with 10⁷ neighbors contributes wedges only through the ~√m
+    * edges pointing above it, not deg² pairs — the difference between
+    * a plan that survives a power-law graph at 100 TB and one that
+    * doesn't. Both engines derive the same integer degrees, so the
+    * orientation — and therefore the join — replays exactly. */
+  def triangles(edges0: DataFrame): DataFrame = {
+    // undirected input: one row per edge in each direction. Materialize
+    // once — edges feed the degree count AND the orientation join, and
+    // an expensive upstream plan (e.g. the co-occurrence self-join)
+    // must not re-execute per consumer.
+    val edges = edges0.select("src", "dst").localCheckpoint()
+    val deg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val oriented = edges
+      .join(deg.withColumnRenamed("node", "src").withColumnRenamed("deg", "ds"), "src")
+      .join(deg.withColumnRenamed("node", "dst").withColumnRenamed("deg", "dd"), "dst")
+      .filter(col("ds") < col("dd") ||
+        (col("ds") === col("dd") && col("src") < col("dst")))
+      .select("src", "dst").localCheckpoint()
+    val wedges = oriented.select(col("src").as("a"), col("dst").as("b"))
+      .join(oriented.select(col("src").as("a"), col("dst").as("c")), "a")
+      .filter(col("b") < col("c"))
+    wedges.join(oriented.select(col("src").as("b"), col("dst").as("c")).
+        unionByName(oriented.select(col("dst").as("b"), col("src").as("c"))),
+        Seq("b", "c"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** Triangle gate: the co-purchase graph (parts co-ordered in ≥ 2
+    * orders, q107's pair rule) counted for triangles. */
+  val q110 = Q.sql("q110_triangles",
+    """WITH i AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |pairs AS (
+      |  SELECT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM i a JOIN i b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |edges AS (SELECT u AS src, v AS dst FROM pairs
+      |          UNION ALL SELECT v AS src, u AS dst FROM pairs),
+      |deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1),
+      |o AS (
+      |  SELECT e.src, e.dst FROM edges e
+      |  JOIN deg s ON s.node = e.src JOIN deg t ON t.node = e.dst
+      |  WHERE s.deg < t.deg OR (s.deg = t.deg AND e.src < e.dst)),
+      |w AS (
+      |  SELECT x.src AS a, x.dst AS b, y.dst AS c
+      |  FROM o x JOIN o y ON x.src = y.src AND x.dst < y.dst)
+      |SELECT count(*) AS n_triangles
+      |FROM w JOIN (SELECT src AS b, dst AS c FROM o
+      |             UNION ALL SELECT dst AS b, src AS c FROM o) z
+      |  USING (b, c)""".stripMargin) { (s, d) =>
+    val pairs = Mining.cooccur(Tables.lineitem(s, d), "l_orderkey", "l_partkey", 2L)
+      .select(col("p1").as("u"), col("p2").as("v"))
+    val edges = pairs.select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(pairs.select(col("v").as("src"), col("u").as("dst")))
+    triangles(edges)
+  }
+
   /** PageRank gate: centrality over the customer↔supplier bipartite
     * graph induced by orders⋈lineitem (suppliers offset into their own
     * id space), symmetrized, 10 fixed-point iterations. */
@@ -103,5 +172,5 @@ object Graph {
     pagerank(edges, 10).orderBy("node")
   }
 
-  val all: Seq[Q] = Seq(q106)
+  val all: Seq[Q] = Seq(q106, q110)
 }

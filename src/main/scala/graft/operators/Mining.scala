@@ -83,5 +83,37 @@ object Mining {
       .orderBy("name_a", "name_b")
   }
 
-  val all: Seq[Q] = Seq(q107, q109)
+  /** Event-transition matrix — the Markov-chain view of user journeys
+    * (the aggregation under sankey/flow dashboards and next-step
+    * prediction baselines). One window pass per user ordered by the µs
+    * timestamp with a unique tie-break, then an integer pair count and
+    * a per-source probability; the probability is one division of
+    * identical integer operands on both engines, so the doubles
+    * hash-match without rounding. */
+  val q111 = Q.sql("q111_transition_matrix",
+    """WITH s AS (
+      |  SELECT event_type AS src,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |                           ORDER BY epoch_us(ts), event_id) AS dst
+      |  FROM events WHERE user_id IS NOT NULL)
+      |SELECT src, dst, count(*) AS n,
+      |  CAST(count(*) AS DOUBLE)
+      |    / sum(count(*)) OVER (PARTITION BY src) AS p
+      |FROM s WHERE dst IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val trans = Tables.events(s, d)
+      .filter(col("user_id").isNotNull)
+      .select(col("event_type").as("src"),
+        lead(col("event_type"), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull)
+      .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+    trans
+      .withColumn("p", col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy("src")))
+      .orderBy("src", "dst")
+  }
+
+  val all: Seq[Q] = Seq(q107, q109, q111)
 }
