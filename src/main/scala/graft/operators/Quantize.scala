@@ -62,5 +62,65 @@ object Quantize {
     int8Summary(Tables.embeddings(s, d)).orderBy("vec_id")
   }
 
-  val all: Seq[Q] = Seq(q100)
+  /** (vec_id, qv): the quantized vectors themselves, same formula as
+    * [[int8Summary]]. */
+  def int8Vectors(emb: DataFrame): DataFrame = {
+    val maxabs = array_max(transform(col("embedding"), x => abs(x)))
+    val scale = (maxabs / lit(127.0)).cast("double")
+    val q = when(scale === 0.0,
+        transform(col("embedding"), _ => lit(0L)))
+      .otherwise(transform(col("embedding"), x =>
+        greatest(lit(-127L), least(lit(127L),
+          floor(x.cast("double") / scale + lit(0.5))))))
+    emb.select(col("vec_id"), q.as("qv"))
+  }
+
+  /** Quantized-ANN serving gate: top-5 neighbors per probe by INT8 dot
+    * product. This is the rerank arithmetic an int8-compressed index
+    * serves (q32's IVF is the candidate-pruning stage; this is the
+    * scoring stage after compression) — and unlike float cosine it is
+    * integer-exact, so the gate pins every score, not a rounded echo.
+    * Probes broadcast (the small side by construction); candidates
+    * stream through one scan; per-probe top-5 is one rank window whose
+    * input is already pruned to |probes|·|cands| pairs. */
+  val q112 = Q.sql("q112_ann_int8",
+    """WITH s AS (
+      |  SELECT vec_id, embedding,
+      |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+      |  FROM embeddings),
+      |q AS (
+      |  SELECT vec_id,
+      |    CASE WHEN scale = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+      |         ELSE list_transform(embedding, x -> CAST(greatest(-127, least(127,
+      |                floor(CAST(x AS DOUBLE) / scale + 0.5))) AS BIGINT))
+      |    END AS qv
+      |  FROM s),
+      |p AS (SELECT vec_id AS q_id, qv AS qa FROM q WHERE vec_id < 20),
+      |pr AS (
+      |  SELECT q_id, c.vec_id AS c_id,
+      |    CAST(list_dot_product(qa, c.qv) AS BIGINT) AS dot
+      |  FROM p, q c WHERE c.vec_id <> q_id)
+      |SELECT q_id, c_id, dot, CAST(rk AS BIGINT) AS rk FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id
+      |                               ORDER BY dot DESC, c_id) AS rk
+      |  FROM pr) t
+      |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val qv = int8Vectors(Tables.embeddings(s, d))
+    val probes = qv.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("qv").as("qa"))
+    val pairs = qv.select(col("vec_id").as("c_id"), col("qv"))
+      .crossJoin(broadcast(probes))
+      .filter(col("c_id") =!= col("q_id"))
+      .select(col("q_id"), col("c_id"),
+        aggregate(zip_with(col("qa"), col("qv"), (x, y) => x * y),
+          lit(0L), (a, x) => a + x).as("dot"))
+    pairs
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("dot").desc, col("c_id"))).cast("long"))
+      .filter(col("rk") <= 5)
+      .orderBy("q_id", "rk")
+  }
+
+  val all: Seq[Q] = Seq(q100, q112)
 }

@@ -119,16 +119,9 @@ object Sketches {
 
     override def zero: Seq[Long] = Vector.empty
 
-    override def reduce(b: Seq[Long], hRaw: Long): Seq[Long] = {
-      val h = Kmv.mix(hRaw)
-      if (b.contains(h)) b
-      else if (b.size < k) (b :+ h).sorted
-      else if (h < b.last) (b.init :+ h).sorted
-      else b
-    }
+    override def reduce(b: Seq[Long], hRaw: Long): Seq[Long] = Kmv.add(b, hRaw, k)
 
-    override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] =
-      (a ++ b).distinct.sorted.take(k)
+    override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] = Kmv.mrg(a, b, k)
 
     override def finish(b: Seq[Long]): KmvSummary = {
       val n = b.size.toLong
@@ -159,6 +152,36 @@ object Sketches {
 
     /** a · G mod M ([[graft.functions.TextKernels.mulMod61]]). */
     def mix(a: Long): Long = graft.functions.TextKernels.mulMod61(a, G)
+
+    /** Insert one raw hash into a sorted k-min buffer. */
+    def add(b: Seq[Long], hRaw: Long, k: Int): Seq[Long] = {
+      val h = mix(hRaw)
+      if (b.contains(h)) b
+      else if (b.size < k) (b :+ h).sorted
+      else if (h < b.last) (b.init :+ h).sorted
+      else b
+    }
+
+    /** Union two sorted k-min buffers, re-take the k smallest. */
+    def mrg(a: Seq[Long], b: Seq[Long], k: Int): Seq[Long] =
+      (a ++ b).distinct.sorted.take(k)
+  }
+
+  /** The KMV sketch finishing to its k-min SET instead of a summary —
+    * the form sketch ALGEBRA needs: two sets union into the sketch of
+    * the union stream (associative, order-free), and the min-k
+    * intersection estimator reads membership straight off them. Native
+    * array expressions (`array_union`/`array_intersect`/`slice`) do the
+    * downstream algebra inside codegen — no UDF in the combining path. */
+  class KmvSet(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
+    override def zero: Seq[Long] = Vector.empty
+    override def reduce(b: Seq[Long], hRaw: Long): Seq[Long] = Kmv.add(b, hRaw, k)
+    override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] = Kmv.mrg(a, b, k)
+    override def finish(b: Seq[Long]): Seq[Long] = b
+    override def bufferEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+    override def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
   }
 
   /** Per-group distinct users via a k=64 KMV over poly-131 hashes.
@@ -199,6 +222,80 @@ object Sketches {
       .select(col("event_type"), col("sk.n_kept").as("n_kept"),
         col("sk.kth_hash").as("kth_hash"), col("sk.est").as("est"))
       .orderBy("event_type")
+  }
+
+  /** Sketch-algebra gate: pairwise union/intersection distinct-count
+    * estimates across the per-event-type KMV sketches — the "how many
+    * distinct users did types A and B reach together / share" question
+    * answered from 5 fixed-size sketches instead of a 10-way re-scan of
+    * the raw stream. Union sketch = k smallest of the merged k-min
+    * sets (exactly the sketch the union stream would have produced);
+    * intersection via the min-k estimator |A∩B| ≈ ρ·|A∪B| with
+    * ρ = |K(A)∩K(B)∩K(A∪B)|/|K(A∪B)| (Beyer et al. SIGMOD'07), kept in
+    * integer arithmetic. sf0.001 (15 users) exercises the exact branch,
+    * sf0.01+ (150+) the estimation branch. */
+  val q113 = Q.sql("q113_kmv_setops",
+    """WITH h AS (
+      |  SELECT DISTINCT event_type,
+      |    CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+      |      list_transform(range(1, length(u) + 1),
+      |                     c -> CAST(ascii(substr(u, c, 1)) AS HUGEINT))),
+      |      (a, b) -> (a * 131 + b) % 2305843009213693951)
+      |      * 1752450205419405103 % 2305843009213693951 AS BIGINT) AS h
+      |  FROM (SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS u
+      |        FROM events WHERE user_id IS NOT NULL)),
+      |rk AS (
+      |  SELECT event_type, h,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      |  FROM h),
+      |s AS (SELECT event_type, list(h ORDER BY h) AS s
+      |      FROM rk WHERE rn <= 64 GROUP BY 1),
+      |p AS (
+      |  SELECT x.event_type AS type_a, y.event_type AS type_b,
+      |    (list_sort(list_distinct(list_concat(x.s, y.s))))[1:64] AS u,
+      |    list_intersect(x.s, y.s) AS xy
+      |  FROM s x JOIN s y ON x.event_type < y.event_type),
+      |c AS (
+      |  SELECT type_a, type_b,
+      |    CAST(len(u) AS BIGINT) AS n_union_kept,
+      |    u[len(u)] AS kth_union,
+      |    CAST(len(list_intersect(xy, u)) AS BIGINT) AS n_inter
+      |  FROM p),
+      |e AS (
+      |  SELECT *, CASE WHEN n_union_kept < 64 THEN n_union_kept
+      |    ELSE CAST(floor(CAST(63 AS DOUBLE)
+      |      * CAST(2305843009213693951 AS DOUBLE)
+      |      / CAST(kth_union AS DOUBLE)) AS BIGINT) END AS est_union
+      |  FROM c)
+      |SELECT type_a, type_b, n_union_kept, kth_union, est_union, n_inter,
+      |  (n_inter * est_union) // n_union_kept AS est_inter
+      |FROM e ORDER BY type_a, type_b""".stripMargin) { (s, d) =>
+    val k = 64
+    val kmvset = udaf(new KmvSet(k), Encoders.scalaLong)
+    val sk = Tables.events(s, d)
+      .filter(col("user_id").isNotNull)
+      .select(col("event_type"),
+        graft.functions.Exprs.poly_hash(col("user_id").cast("string")).as("h"))
+      .groupBy("event_type").agg(kmvset(col("h")).as("s"))
+    val x = sk.select(col("event_type").as("type_a"), col("s").as("sa"))
+    val y = sk.select(col("event_type").as("type_b"), col("s").as("sb"))
+    val u = slice(array_sort(array_union(col("sa"), col("sb"))), 1, k)
+    val pairs = x.join(y, col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"), col("sa"), col("sb"), u.as("u"))
+      .select(col("type_a"), col("type_b"),
+        size(col("u")).cast("long").as("n_union_kept"),
+        element_at(col("u"), size(col("u"))).as("kth_union"),
+        size(array_intersect(array_intersect(col("sa"), col("sb")), col("u")))
+          .cast("long").as("n_inter"))
+    pairs
+      .withColumn("est_union",
+        when(col("n_union_kept") < k, col("n_union_kept"))
+          .otherwise(floor(lit(63.0) * lit(Kmv.M.toDouble)
+            / col("kth_union").cast("double")).cast("long")))
+      .withColumn("est_inter", expr("(n_inter * est_union) div n_union_kept"))
+      .select("type_a", "type_b", "n_union_kept", "kth_union", "est_union",
+        "n_inter", "est_inter")
+      .orderBy("type_a", "type_b")
   }
 
   /** Count-Min sketch parameters: depth×width register grid and the
@@ -317,5 +414,5 @@ object Sketches {
       .orderBy(col("count").desc, col("item"))
   }
 
-  val all: Seq[Q] = Seq(q91, q103, q104)
+  val all: Seq[Q] = Seq(q91, q103, q104, q113)
 }

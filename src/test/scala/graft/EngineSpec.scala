@@ -872,6 +872,27 @@ class EngineSpec extends AnyFunSuite {
     assert(sketch(2000, 1).getLong(1) === big.getLong(1))
   }
 
+  test("KMV set algebra: union of sketches == sketch of union; intersection within 25%") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.Encoders
+    import graft.operators.Sketches
+    val k = 128
+    val kmvset = udaf(new Sketches.KmvSet(k), Encoders.scalaLong)
+    def sk(lo: Int, hi: Int) = spark.range(lo, hi)
+      .select(graft.functions.Exprs.poly_hash(
+        concat(lit("u"), col("id").cast("string"))).as("h"))
+      .agg(kmvset(col("h")).as("s")).head().getSeq[Long](0)
+    val a = sk(0, 1000); val b = sk(500, 1500); val ab = sk(0, 1500)
+    // algebra: merge of the two sketches IS the union-stream sketch
+    assert(Sketches.Kmv.mrg(a, b, k) === ab)
+    // min-k intersection estimate: rho * est_union vs true 500
+    val u = Sketches.Kmv.mrg(a, b, k)
+    val inter = a.toSet.intersect(b.toSet).intersect(u.toSet).size
+    val estU = math.floor((k - 1).toDouble * Sketches.Kmv.M.toDouble / u.last.toDouble).toLong
+    val estI = inter * estU / u.size
+    assert(math.abs(estI - 500.0) / 500.0 < 0.25, s"est_inter $estI vs 500")
+  }
+
   test("CMS sketch: est >= exact everywhere, partition-invariant registers") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.Encoders

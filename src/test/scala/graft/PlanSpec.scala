@@ -205,4 +205,29 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
       s"expected checkpointed inputs in the plan:\n$p")
   }
+
+  test("triangle count materializes the co-occurrence graph once (q110 scan pin)") {
+    // same class as q54/q25: edges feed degree count + orientation join +
+    // wedge closure — without the checkpoints the lineitem self-join
+    // would execute once per consumer
+    val p = plan(SparkEntry.queries("q110_triangles")(spark, sf))
+    val scans = p.linesIterator.count(l =>
+      l.contains("FileScan") || l.contains("BatchScan"))
+    assert(scans == 0, s"q110 re-scans lineitem downstream of the edge checkpoint:\n$p")
+    assert(p.contains("ExistingRDD"), s"q110 lost its checkpointed edges:\n$p")
+  }
+
+  test("int8 ANN rerank broadcasts probes and pushes the probe filter down") {
+    val df = SparkEntry.queries("q112_ann_int8")(spark, sf)
+    df.collect()
+    val p = plan(df)
+    // probe side: pruned at the scan, shipped broadcast; candidate side
+    // streams through exactly one more scan — no shuffle of the pairs
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("LessThan(vec_id,20)"), s"probe filter not pushed:\n$p")
+    val finalPlan = p.split("== Initial Plan ==")(0)
+    val scans = finalPlan.linesIterator.count(l =>
+      l.contains("FileScan") || l.contains("BatchScan"))
+    assert(scans == 2, s"expected probe scan + candidate scan, got $scans\n$finalPlan")
+  }
 }
