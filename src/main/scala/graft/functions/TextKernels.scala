@@ -122,15 +122,7 @@ object TextKernels {
 
   /** a * b mod [[WinnowMod]] for small constant b, via Russian-peasant
     * doubling — every intermediate stays under 2^62, no 128-bit math. */
-  private def mulSmallMod(a: Long, b: Int): Long = {
-    var r = 0L; var x = a; var n = b
-    while (n > 0) {
-      if ((n & 1) == 1) { r += x; if (r >= WinnowMod) r -= WinnowMod }
-      x <<= 1; if (x >= WinnowMod) x -= WinnowMod
-      n >>= 1
-    }
-    r
-  }
+  private def mulSmallMod(a: Long, b: Int): Long = mulMod61(a, b.toLong)
 
   /** a·g mod 2^61−1 for arbitrary 61-bit operands, by Russian-peasant
     * doubling over g's bits: every intermediate stays below 2^62, so no

@@ -257,7 +257,7 @@ object DataSplit {
       |SELECT doc_id, CAST(weight AS BIGINT) AS weight, samp_key
       |FROM k ORDER BY samp_key DESC, doc_id LIMIT 50""".stripMargin) { (s, d) =>
     import graft.functions.Exprs.{mulmod61, poly_hash}
-    val G = 1752450205419405103L // the KMV uniformizer (Sketches.Kmv.G)
+    val G = Sketches.Kmv.G // the KMV uniformizer
     Tables.documents(s, d)
       .select(col("doc_id"),
         (lit(1L) + expr("n_chars div 100")).as("weight"))

@@ -71,7 +71,7 @@ object Graph {
   private def oracleSql(iters: Int): String = {
     val head =
       s"""WITH raw AS (
-         |  SELECT DISTINCT o_custkey AS c, 1000000 + l_suppkey AS sp
+         |  SELECT DISTINCT 2 * o_custkey AS c, 2 * l_suppkey + 1 AS sp
          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
          |edges AS (
          |  SELECT c AS src, sp AS dst FROM raw
@@ -158,14 +158,17 @@ object Graph {
   }
 
   /** PageRank gate: centrality over the customer↔supplier bipartite
-    * graph induced by orders⋈lineitem (suppliers offset into their own
-    * id space), symmetrized, 10 fixed-point iterations. */
+    * graph induced by orders⋈lineitem, symmetrized, 10 fixed-point
+    * iterations. Node ids interleave by parity (customer 2k, supplier
+    * 2k+1) — collision-free at every scale factor, where an additive
+    * offset would alias customers onto suppliers once custkey outgrows
+    * it. */
   val q106 = Q.sql("q106_pagerank", oracleSql(10)) { (s, d) =>
     val raw = Tables.orders(s, d)
       .join(Tables.lineitem(s, d),
         col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("c"),
-        (col("l_suppkey") + 1000000L).as("sp"))
+      .select((col("o_custkey") * 2L).as("c"),
+        (col("l_suppkey") * 2L + 1L).as("sp"))
       .distinct()
     val edges = raw.select(col("c").as("src"), col("sp").as("dst"))
       .unionByName(raw.select(col("sp").as("src"), col("c").as("dst")))

@@ -62,9 +62,9 @@ object Mining {
     val build = v.select(col("v").as("w"), col("len").as("blen"))
     probe.join(build, Seq("blen"))
       .filter(col("v") < col("w"))
-      .filter(levenshtein(col("v"), col("w")) <= maxDist)
-      .select(col("v"), col("w"),
-        levenshtein(col("v"), col("w")).cast("long").as("dist"))
+      .withColumn("dist", levenshtein(col("v"), col("w")).cast("long"))
+      .filter(col("dist") <= maxDist) // computed once — the DP does not
+      .select("v", "w", "dist")       // re-run in a downstream projection
   }
 
   /** Fuzzy-join gate: distinct part names within edit distance 2,

@@ -21,9 +21,11 @@ import graft.Tables
   */
 object Quantize {
 
-  /** (vec_id, n_dims, scale, sum_q, min_q, max_q): quantization summary
-    * per vector — the integer columns are exact, scale rounds to 6. */
-  def int8Summary(emb: DataFrame): DataFrame = {
+  /** The quantization formula, shared by every int8 surface: (scale,
+    * quantized array) column pair over an `embedding` column. One
+    * definition so the rounding/clamping choice can never drift between
+    * gates. */
+  private def quantCols: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
     val maxabs = array_max(transform(col("embedding"), x => abs(x)))
     val scale = (maxabs / lit(127.0)).cast("double")
     val q = when(scale === 0.0,
@@ -31,6 +33,13 @@ object Quantize {
       .otherwise(transform(col("embedding"), x =>
         greatest(lit(-127L), least(lit(127L),
           floor(x.cast("double") / scale + lit(0.5))))))
+    (scale, q)
+  }
+
+  /** (vec_id, n_dims, scale, sum_q, min_q, max_q): quantization summary
+    * per vector — the integer columns are exact, scale rounds to 6. */
+  def int8Summary(emb: DataFrame): DataFrame = {
+    val (scale, q) = quantCols
     emb.select(col("vec_id"),
       size(col("embedding")).cast("bigint").as("n_dims"),
       round(scale, 6).as("scale"),
@@ -64,16 +73,8 @@ object Quantize {
 
   /** (vec_id, qv): the quantized vectors themselves, same formula as
     * [[int8Summary]]. */
-  def int8Vectors(emb: DataFrame): DataFrame = {
-    val maxabs = array_max(transform(col("embedding"), x => abs(x)))
-    val scale = (maxabs / lit(127.0)).cast("double")
-    val q = when(scale === 0.0,
-        transform(col("embedding"), _ => lit(0L)))
-      .otherwise(transform(col("embedding"), x =>
-        greatest(lit(-127L), least(lit(127L),
-          floor(x.cast("double") / scale + lit(0.5))))))
-    emb.select(col("vec_id"), q.as("qv"))
-  }
+  def int8Vectors(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), quantCols._2.as("qv"))
 
   /** Quantized-ANN serving gate: top-5 neighbors per probe by INT8 dot
     * product. This is the rerank arithmetic an int8-compressed index

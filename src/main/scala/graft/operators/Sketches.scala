@@ -153,13 +153,17 @@ object Sketches {
     /** a · G mod M ([[graft.functions.TextKernels.mulMod61]]). */
     def mix(a: Long): Long = graft.functions.TextKernels.mulMod61(a, G)
 
-    /** Insert one raw hash into a sorted k-min buffer. */
+    /** Insert one raw hash into a sorted k-min buffer. The saturated
+      * no-op (h ≥ current k-th min — the overwhelming majority of a
+      * long stream) is decided by one comparison before the O(k)
+      * duplicate scan: h == last is a kept duplicate, h > last is
+      * either too large or an already-evicted duplicate — no-ops all. */
     def add(b: Seq[Long], hRaw: Long, k: Int): Seq[Long] = {
       val h = mix(hRaw)
-      if (b.contains(h)) b
+      if (b.size == k && h >= b.last) b
+      else if (b.contains(h)) b
       else if (b.size < k) (b :+ h).sorted
-      else if (h < b.last) (b.init :+ h).sorted
-      else b
+      else (b.init :+ h).sorted
     }
 
     /** Union two sorted k-min buffers, re-take the k smallest. */
@@ -290,7 +294,7 @@ object Sketches {
     pairs
       .withColumn("est_union",
         when(col("n_union_kept") < k, col("n_union_kept"))
-          .otherwise(floor(lit(63.0) * lit(Kmv.M.toDouble)
+          .otherwise(floor(lit((k - 1).toDouble) * lit(Kmv.M.toDouble)
             / col("kth_union").cast("double")).cast("long")))
       .withColumn("est_inter", expr("(n_inter * est_union) div n_union_kept"))
       .select("type_a", "type_b", "n_union_kept", "kth_union", "est_union",
@@ -396,6 +400,53 @@ object Sketches {
       .select(col("user_id"), col("exact"), estCol.as("est"),
         (estCol - col("exact")).as("over"))
       .orderBy("user_id")
+  }
+
+  /** Binned-histogram quantiles — the quantile member of the sketch
+    * family (distinct = KMV, frequency = CMS, heavy hitters =
+    * SpaceSaving): fixed-width value bins, so per-group state is a
+    * bounded integer histogram that merges by bin-count addition and
+    * rides partial aggregation like any sum; the q-quantile estimate is
+    * the lower edge of the first bin whose cumulative count reaches
+    * ⌈q·N⌉, off by at most one bin width. Spark's own
+    * `approx_percentile` (t-digest-style) estimates tighter but its
+    * clusters are order-sensitive and unreplayable; the histogram's
+    * integer registers let the oracle pin every count and every edge.
+    * Error budget is the bin width — size it from the known value range
+    * as here, or log-scale the bins when the range spans decades. */
+  val q114 = Q.sql("q114_binned_quantiles",
+    """WITH h AS (
+      |  SELECT event_type, CAST(floor(value / 4.0) AS BIGINT) AS bin,
+      |         count(*) AS c
+      |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT event_type, bin, c,
+      |    sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+      |    sum(c) OVER (PARTITION BY event_type) AS total
+      |  FROM h)
+      |SELECT event_type, CAST(max(total) AS BIGINT) AS n,
+      |  min(CASE WHEN cum >= ceil(0.50 * total) THEN bin END) * 4.0 AS p50_edge,
+      |  min(CASE WHEN cum >= ceil(0.95 * total) THEN bin END) * 4.0 AS p95_edge,
+      |  min(CASE WHEN cum >= ceil(0.99 * total) THEN bin END) * 4.0 AS p99_edge
+      |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val hist = Tables.events(s, d)
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"),
+        floor(col("value") / 4.0).cast("long").as("bin"))
+      .agg(count(lit(1)).as("c"))
+    val byType = Window.partitionBy("event_type")
+    val cum = hist
+      .withColumn("cum", sum("c").over(byType.orderBy("bin")))
+      .withColumn("total", sum("c").over(byType))
+    def edge(q: Double) =
+      min(when(col("cum") >= ceil(lit(q) * col("total")), col("bin"))) * 4.0
+    cum.groupBy("event_type")
+      .agg(max("total").as("n"),
+        edge(0.50).as("p50_edge"),
+        edge(0.95).as("p95_edge"),
+        edge(0.99).as("p99_edge"))
+      .orderBy("event_type")
   }
 
   /** Heavy-hitters gate. Sized EXACT on purpose: with k ≥ the distinct
