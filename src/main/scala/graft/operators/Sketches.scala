@@ -465,5 +465,5 @@ object Sketches {
       .orderBy(col("count").desc, col("item"))
   }
 
-  val all: Seq[Q] = Seq(q91, q103, q104, q113)
+  val all: Seq[Q] = Seq(q91, q103, q104, q113, q114)
 }
