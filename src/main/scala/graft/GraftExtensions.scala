@@ -57,6 +57,13 @@ object GraftExtensions {
       s"$fn: $what must be an INT literal, got $other")
   }
 
+  private def longLit(e: Expression, fn: String, what: String): Long = e match {
+    case Literal(v: Long, _) => v
+    case Literal(v: Int, _) => v.toLong
+    case other => throw new IllegalArgumentException(
+      s"$fn: $what must be an integer literal, got $other")
+  }
+
   /** (name, arity, builder). */
   private[graft] val functions: Seq[(String, Int, Seq[Expression] => Expression)] = Seq(
     ("graft_strip_accents", 1, args => Exprs.StripAccents(args(0))),
@@ -71,6 +78,8 @@ object GraftExtensions {
       intLit(args(1), "graft_winnow", "k"),
       intLit(args(2), "graft_winnow", "w"))),
     ("graft_poly_hash", 1, args => Exprs.PolyHash(args(0))),
+    ("graft_mulmod61", 2, args => Exprs.MulMod61(args(0),
+      longLit(args(1), "graft_mulmod61", "g"))),
     ("graft_cosine", 2, args => Exprs.CosineSim(args(0), args(1))),
     ("graft_dot", 2, args => Exprs.DotF(args(0), args(1))),
     ("graft_repetition_stats", 2, args => Exprs.RepetitionStats(args(0),

@@ -620,7 +620,8 @@ class EngineSpec extends AnyFunSuite {
         |  graft_repetition_stats(array('x','y','x','y'), 2) AS reps,
         |  size(graft_winnow(array('a','b','c','d','e','f'), 2, 3)) AS nw,
         |  graft_dot(array(CAST(2.0 AS FLOAT)), array(CAST(3.0 AS FLOAT))) AS dot,
-        |  graft_poly_hash('ab') AS ph
+        |  graft_poly_hash('ab') AS ph,
+        |  graft_mulmod61(graft_poly_hash('ab'), 1752450205419405103) AS mm
         |""".stripMargin).head()
     assert(more.getString(0) == "café", more.getString(0))
     assert(more.getInt(1) == 16)
@@ -628,6 +629,8 @@ class EngineSpec extends AnyFunSuite {
     assert(more.getInt(3) > 0)
     assert(more.getDouble(4) == 6.0)
     assert(more.getLong(5) == 97L * 131 + 98) // poly-131 over 'a','b'
+    assert(more.getLong(6) ==
+      operators.Sketches.Kmv.mix(97L * 131 + 98)) // SQL mulmod ≡ kernel
     // non-literal kernel params are rejected at plan time
     val err = intercept[Exception] {
       spark.sql("SELECT graft_word_ngrams(array('a'), CAST(rand()*2 AS INT))").head()
