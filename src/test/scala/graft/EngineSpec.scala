@@ -896,6 +896,22 @@ class EngineSpec extends AnyFunSuite {
     assert(math.abs(estI - 500.0) / 500.0 < 0.25, s"est_inter $estI vs 500")
   }
 
+  test("binned quantiles: every edge within one bin width below the exact quantile") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q114_binned_quantiles")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val vals = Tables.events(spark, sf).filter(col("value").isNotNull)
+      .select("event_type", "value").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1)).sorted).toMap
+    for ((t, (p50, p95, p99)) <- got; (q, edge) <- Seq((0.50, p50), (0.95, p95), (0.99, p99))) {
+      val xs = vals(t)
+      val exact = xs(math.ceil(q * xs.length).toInt - 1) // ceil(qN)-th smallest
+      assert(edge <= exact && exact < edge + 4.0,
+        s"$t p$q: edge $edge vs exact $exact outside one bin width")
+    }
+  }
+
   test("CMS sketch: est >= exact everywhere, partition-invariant registers") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.Encoders

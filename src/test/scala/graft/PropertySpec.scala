@@ -48,6 +48,18 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("mulMod61 matches BigInt multiplication mod 2^61-1 on random operands") {
+    // the sketch hash family (KMV mix, CMS rows, q105 sampling keys)
+    // rides this kernel; the DuckDB oracles replay it as one HUGEINT
+    // multiply, so any doubling-loop drift is a silent gate divergence
+    val M = BigInt(TextKernels.WinnowMod)
+    check("mulmod61-model", Prop.forAll(
+      Gen.chooseNum(0L, TextKernels.WinnowMod - 1),
+      Gen.chooseNum(1L, TextKernels.WinnowMod - 1)) { (a, g) =>
+      Prop(BigInt(TextKernels.mulMod61(a, g)) == (BigInt(a) * BigInt(g)) % M)
+    })
+  }
+
   test("X20 removeDiacritics is idempotent on arbitrary unicode") {
     check("nfkd-idempotent", Prop.forAll(Gen.asciiPrintableStr, Gen.listOf(
       Gen.oneOf("café", "àé", "Ç", "ü", "中文", "á"))) { (a, extra) =>
