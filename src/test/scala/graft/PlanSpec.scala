@@ -230,4 +230,17 @@ class PlanSpec extends AnyFunSuite {
       l.contains("FileScan") || l.contains("BatchScan"))
     assert(scans == 2, s"expected probe scan + candidate scan, got $scans\n$finalPlan")
   }
+
+  test("range join aggregates points to day partials below the join (q102 eager agg)") {
+    // the pair stream must carry day-level (count, sum) partials, not raw
+    // lineitem rows — without the pushed group-by the bin join emits
+    // O(|lineitem| × intervals-per-bin) candidates
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val joins = SparkEntry.queries("q102_range_join")(spark, sf)
+      .queryExecution.optimizedPlan.collect { case j: Join => j }
+    assert(joins.nonEmpty, "q102 lost its join")
+    assert(joins.exists(j => Seq(j.left, j.right).exists(
+      _.collectFirst { case a: Aggregate => a }.isDefined)),
+      "no aggregate below the range join — point rows flow raw into the pair stream")
+  }
 }
