@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Z-order (Morton curve) data layout — multi-dimensional clustering
+  * for scan pruning. Sorting a table by the bit-interleaved z-value of
+  * two columns before writing makes every output file cover a small
+  * rectangle of BOTH dimensions, so parquet min/max statistics prune
+  * scans filtered on either column — the standard lakehouse layout
+  * trick for tables queried on more than one key.
+  *
+  * The z-value itself is pure codegen'd bitwise arithmetic (the
+  * classic shift-or-mask bit spread), no UDF; `clusterByZ` is a
+  * range-repartition + in-partition sort on that value, i.e. exactly
+  * the shuffle shape a distributed writer wants: one exchange, sorted
+  * output, no driver involvement.
+  */
+object Layout {
+
+  /** Spread the low 16 bits of `c` to even bit positions (classic
+    * mask-shift doubling: 8, 4, 2, 1). */
+  private def spread16(c: Column): Column = {
+    val a = (c.bitwiseOR(shiftleft(c, 8))).bitwiseAND(lit(0x00FF00FFL))
+    val b = (a.bitwiseOR(shiftleft(a, 4))).bitwiseAND(lit(0x0F0F0F0FL))
+    val d = (b.bitwiseOR(shiftleft(b, 2))).bitwiseAND(lit(0x33333333L))
+    (d.bitwiseOR(shiftleft(d, 1))).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** 32-bit Morton code of the low 16 bits of `x` and `y` (x on even
+    * bits, y on odd). */
+  def zValue(x: Column, y: Column): Column =
+    spread16(x.cast("long").bitwiseAND(lit(65535L)))
+      .bitwiseOR(shiftleft(spread16(y.cast("long").bitwiseAND(lit(65535L))), 1))
+
+  /** Cluster `df` for writing: range-partition on the z-value of
+    * (xCol, yCol) into `partitions` output slices, sorted within each —
+    * every slice then covers a contiguous z-range (disjoint across
+    * slices, pinned by EngineSpec) and thus a bounded box in (x, y). */
+  def clusterByZ(df: DataFrame, xCol: String, yCol: String,
+      partitions: Int): DataFrame = {
+    val z = df.withColumn("__z", zValue(col(xCol), col(yCol)))
+    z.repartitionByRange(partitions, col("__z"))
+      .sortWithinPartitions(col("__z"))
+  }
+
+  /** Z-order gate: Morton codes of (l_partkey, l_suppkey) rolled up to
+    * curve buckets with counts and value bounds — the oracle replays
+    * the bit-spread arithmetic in plain integer SQL. */
+  val q117 = Q.sql("q117_zorder",
+    """WITH z AS (
+      |  SELECT l_partkey & 65535 AS x, l_suppkey & 65535 AS y FROM lineitem),
+      |s1 AS (SELECT ((x | (x << 8)) & 16711935) AS x1,
+      |              ((y | (y << 8)) & 16711935) AS y1 FROM z),
+      |s2 AS (SELECT ((x1 | (x1 << 4)) & 252645135) AS x2,
+      |              ((y1 | (y1 << 4)) & 252645135) AS y2 FROM s1),
+      |s3 AS (SELECT ((x2 | (x2 << 2)) & 858993459) AS x3,
+      |              ((y2 | (y2 << 2)) & 858993459) AS y3 FROM s2),
+      |s4 AS (SELECT ((x3 | (x3 << 1)) & 1431655765) AS x4,
+      |              ((y3 | (y3 << 1)) & 1431655765) AS y4 FROM s3),
+      |zv AS (SELECT (x4 | (y4 << 1)) AS zval FROM s4)
+      |SELECT zval >> 14 AS zbucket, count(*) AS n,
+      |  min(zval) AS min_z, max(zval) AS max_z
+      |FROM zv GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .select(zValue(col("l_partkey"), col("l_suppkey")).as("zval"))
+      .groupBy(shiftright(col("zval"), 14).as("zbucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("zval")).as("min_z"), max(col("zval")).as("max_z"))
+      .orderBy("zbucket")
+  }
+
+  val all: Seq[Q] = Seq(q117)
+}

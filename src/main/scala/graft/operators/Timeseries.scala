@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Sliding-window aggregates and batch sessionization over event
+  * streams — the batch complements of the streaming window/session
+  * gates (q50/q51/q63).
+  *
+  * The sliding aggregate deliberately does NOT use a single
+  * `Window.partitionBy(key)`: with few hot keys (events has a handful
+  * of event types at every SF) one task would sort an entire key's
+  * history — the classic window-skew collapse at 100 TB. Instead the
+  * timeline is cut into `chunkUs` slabs, each row is owned by its slab,
+  * and the last `windowUs` of every slab is REPLICATED into the next
+  * slab so each owner row still sees its full look-back frame. The
+  * per-(key, slab) windows then parallelize across the cluster and the
+  * result is row-identical to the naive single-partition window (pinned
+  * by EngineSpec's chunked≡naive test). Replication overhead is
+  * windowUs/chunkUs per row — bounded and chosen by the caller.
+  *
+  * Sessionization needs no such treatment: it partitions by user, a
+  * key whose cardinality grows with the data.
+  */
+object Timeseries {
+
+  /** Per-row look-back sum/count of `valCol` over the half-open time
+    * frame `[ts − windowUs, ts]` within `key`, computed chunk-parallel.
+    * Output keeps every input column plus `wsum` (exact decimal sum,
+    * returned as double) and `wn`. Requires `chunkUs >= windowUs` so a
+    * single boundary copy suffices. */
+  def slidingSumCount(df: DataFrame, key: String, tsUs: Column,
+      valCol: String, windowUs: Long, chunkUs: Long): DataFrame = {
+    require(windowUs > 0 && chunkUs >= windowUs,
+      s"need chunkUs ($chunkUs) >= windowUs ($windowUs) > 0")
+    val base = df.withColumn("__us", tsUs.cast("long"))
+      // exact floor for any sign (Spark's div truncates toward zero)
+      .withColumn("__chunk",
+        expr(s"(__us - pmod(__us, ${chunkUs}L)) div ${chunkUs}L"))
+    val owners = base.withColumn("__owner", lit(true))
+    // tail of each slab, re-homed one slab later purely as frame context
+    val copies = base
+      .filter(pmod(col("__us"), lit(chunkUs)) >= lit(chunkUs - windowUs))
+      .withColumn("__chunk", col("__chunk") + 1)
+      .withColumn("__owner", lit(false))
+    val w = Window.partitionBy(col(key), col("__chunk"))
+      .orderBy(col("__us")).rangeBetween(-windowUs, 0)
+    owners.unionByName(copies)
+      .withColumn("wsum",
+        sum(col(valCol).cast("decimal(18,6)")).over(w).cast("double"))
+      .withColumn("wn", count(col(valCol)).over(w))
+      .filter(col("__owner"))
+      .drop("__us", "__chunk", "__owner")
+  }
+
+  /** Gap-based sessions: a new session starts when the user's
+    * inter-event gap exceeds `gapUs`. Returns one row per session with
+    * its ordinal (1-based per user), event count, and bounds. */
+  def sessionize(ev: DataFrame, gapUs: Long): DataFrame = {
+    val order = Window.partitionBy("user_id")
+      .orderBy(col("__us"), col("event_id"))
+    val run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("__us"))
+      .withColumn("__brk",
+        when(lag(col("__us"), 1).over(order).isNull ||
+          col("__us") - lag(col("__us"), 1).over(order) > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("__brk")).over(run))
+      .groupBy("user_id", "sid")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("__us")).as("start_us"), max(col("__us")).as("end_us"))
+  }
+
+  /** Sliding-aggregate gate: 1-hour look-back sum/count per event type,
+    * chunked into 4-hour slabs. The oracle is the PLAIN range-frame
+    * window — chunking must be invisible in the result. */
+  val q115 = Q.sql("q115_sliding_window",
+    """SELECT event_id,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS wsum,
+      |  count(value) OVER w AS wn
+      |FROM events
+      |WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+      |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    slidingSumCount(
+      Tables.events(s, d).select(col("event_id"), col("event_type"),
+        col("ts"), col("value")),
+      key = "event_type", tsUs = expr("unix_micros(ts)"), valCol = "value",
+      windowUs = 3600000000L, chunkUs = 4 * 3600000000L)
+      .select(col("event_id"), col("wsum"), col("wn"))
+      .orderBy("event_id")
+  }
+
+  /** Sessionization gate: 30-minute gap sessions over the full event
+    * stream, replayed by the oracle as lag + running break-sum. */
+  val q116 = Q.sql("q116_sessionize",
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us,
+      |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+      |s AS (
+      |  SELECT user_id, us,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |                   ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM e)
+      |SELECT user_id, CAST(sid AS BIGINT) AS sid, count(*) AS n_events,
+      |  min(us) AS start_us, max(us) AS end_us
+      |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    sessionize(Tables.events(s, d), gapUs = 1800000000L)
+      .orderBy("user_id", "sid")
+  }
+
+  val all: Seq[Q] = Seq(q115, q116)
+}

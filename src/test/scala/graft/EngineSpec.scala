@@ -912,6 +912,42 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("chunked sliding window equals the naive single-partition window") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("event_type"), col("ts"), col("value"))
+    val naiveW = Window.partitionBy("event_type")
+      .orderBy(expr("unix_micros(ts)")).rangeBetween(-3600000000L, 0)
+    val naive = ev
+      .withColumn("wsum",
+        sum(col("value").cast("decimal(18,6)")).over(naiveW).cast("double"))
+      .withColumn("wn", count(col("value")).over(naiveW))
+      .select("event_id", "wsum", "wn")
+    // two chunk widths, including the tightest legal one (chunk == window)
+    for (chunkUs <- Seq(3600000000L, 4 * 3600000000L)) {
+      val chunked = operators.Timeseries.slidingSumCount(ev, "event_type",
+          expr("unix_micros(ts)"), "value", 3600000000L, chunkUs)
+        .select("event_id", "wsum", "wn")
+      assert(chunked.exceptAll(naive).isEmpty && naive.exceptAll(chunked).isEmpty,
+        s"chunked (chunkUs=$chunkUs) diverges from the naive window")
+    }
+  }
+
+  test("z-order clustering yields disjoint per-partition z ranges") {
+    import org.apache.spark.sql.functions._
+    val parts = operators.Layout.clusterByZ(
+        Tables.lineitem(spark, sf).select("l_partkey", "l_suppkey"),
+        "l_partkey", "l_suppkey", partitions = 8)
+      .select(spark_partition_id().as("pid"), col("__z"))
+      .groupBy("pid").agg(min("__z").as("lo"), max("__z").as("hi"))
+      .orderBy("pid").collect()
+    assert(parts.length > 1, "expected multiple output slices")
+    for (Array(a, b) <- parts.sliding(2))
+      assert(a.getLong(2) <= b.getLong(1),
+        s"z ranges overlap across slices: $a vs $b")
+  }
+
   test("CMS sketch: est >= exact everywhere, partition-invariant registers") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.Encoders
