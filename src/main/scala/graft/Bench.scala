@@ -35,7 +35,16 @@ object Bench {
         case e: Throwable =>
           System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
       }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // drop cross-query state so 118 queries measure like 118 fresh
+      // sessions: eager localCheckpoints pin RDD blocks in the block
+      // manager until GC + ContextCleaner get around to them, and the
+      // accumulation degrades later queries (memory pressure, eviction
+      // churn) — observed as 3-8× inflation over isolated runs
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      q.name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")

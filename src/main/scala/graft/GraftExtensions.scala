@@ -83,5 +83,6 @@ object GraftExtensions {
     ("graft_cosine", 2, args => Exprs.CosineSim(args(0), args(1))),
     ("graft_dot", 2, args => Exprs.DotF(args(0), args(1))),
     ("graft_repetition_stats", 2, args => Exprs.RepetitionStats(args(0),
-      intLit(args(1), "graft_repetition_stats", "n"))))
+      intLit(args(1), "graft_repetition_stats", "n"))),
+    ("graft_char_stats", 1, args => Exprs.CharStats(args(0))))
 }

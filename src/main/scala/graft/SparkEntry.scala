@@ -26,7 +26,8 @@ object SparkEntry {
       graft.operators.SpanDedup.all ++ graft.operators.Quantize.all ++
       graft.operators.ScaleJoins.all ++ graft.operators.Graph.all ++
       graft.operators.Mining.all ++ graft.operators.Timeseries.all ++
-      graft.operators.Layout.all ++ graft.operators.Vocab.all
+      graft.operators.Layout.all ++ graft.operators.Vocab.all ++
+      graft.operators.TextStats.all ++ graft.operators.Profiling.all
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. Star join +
     * agg + top-k window — exercises scan, broadcast join, partial agg,

@@ -254,6 +254,19 @@ object Exprs {
       copy(child = c)
   }
 
+  /** One-pass character-distribution counters
+    * `[n_chars, distinct_chars, top_char_count, entropy_scaled]` —
+    * see [[TextKernels.charStats]]. */
+  case class CharStats(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      TextKernels.charStats(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$K.charStats($c)")
+    override protected def withNewChildInternal(c: Expression): CharStats =
+      copy(child = c)
+  }
+
   /** popcount of a bitset (token-set cardinality). */
   case class BitmapCard(child: Expression) extends UnaryExpression {
     override def dataType: DataType = IntegerType
@@ -295,4 +308,5 @@ object Exprs {
   def poly_hash(s: Column): Column = c(PolyHash(e(s)))
   def mulmod61(h: Column, g: Long): Column = c(MulMod61(e(h), g))
   def repetition_stats(tokens: Column, n: Int): Column = c(RepetitionStats(e(tokens), n))
+  def char_stats(text: Column): Column = c(CharStats(e(text)))
 }

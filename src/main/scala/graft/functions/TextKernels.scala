@@ -396,4 +396,45 @@ object TextKernels {
     }
     UTF8String.fromString(sb.toString)
   }
+
+  /** One-pass character-distribution statistics over a string:
+    * `[n_chars, distinct_chars, top_char_count, entropy_scaled]` where
+    * `entropy_scaled = n·L(n) − Σ_c cnt_c·L(cnt_c)` and
+    * `L(k) = round(log2(k)·1e6)` — i.e. Shannon entropy in units of
+    * 1e-6·bits·n, kept ALL-INTEGER so a SQL oracle can replay it
+    * exactly from a character histogram. log2 is only ever taken of
+    * integer counts (shared across every document), so a half-ulp
+    * rounding disagreement between libm implementations is measure-zero
+    * in practice. Counts are per Unicode code point. O(len) time, one
+    * small HashMap per row — a stateless map at 100 TB, no shuffle.
+    */
+  def charStats(s: UTF8String): ArrayData = {
+    val str = s.toString
+    if (str.isEmpty) return new GenericArrayData(Array[Any](0L, 0L, 0L, 0L))
+    val counts = new java.util.HashMap[Integer, Long](64)
+    var i = 0
+    var n = 0L
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      i += Character.charCount(cp)
+      counts.merge(Integer.valueOf(cp), java.lang.Long.valueOf(1L),
+        (a, b) => java.lang.Long.valueOf(a.longValue() + b.longValue()))
+      n += 1
+    }
+    var top = 0L
+    var sumCLogC = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next().longValue()
+      if (c > top) top = c
+      sumCLogC += c * lg2e6(c)
+    }
+    val entropyScaled = n * lg2e6(n) - sumCLogC
+    new GenericArrayData(Array[Any](n, counts.size().toLong, top, entropyScaled))
+  }
+
+  /** round(log2(k)·1e6) — the integer log the entropy kernel and its
+    * SQL oracle share. */
+  private def lg2e6(k: Long): Long =
+    Math.round(Math.log(k.toDouble) / Math.log(2.0) * 1e6)
 }

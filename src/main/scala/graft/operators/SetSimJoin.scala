@@ -83,18 +83,40 @@ object SetSimJoin {
     routed(spark, docs0, threshold, filterOnRounded = true,
       denseVocabCap, quadDocCap)._1
 
+  /** Capped distinct-vocabulary probe WITHOUT a shuffle: each partition
+    * keeps a local distinct set capped at `cap + 1` entries and the
+    * driver tree-merges them with the same cap. If any partition (or the
+    * merge) exceeds the cap, the global vocabulary provably exceeds it
+    * too, so "more than cap" is decided exactly; when the result is
+    * ≤ cap it IS the complete vocabulary (every partition contributed
+    * its full local distinct set). One narrow pass over the token
+    * stream — at 100 TB this replaces the old global
+    * distinct-exchange-then-limit (a full token shuffle) with a map-side
+    * scan whose driver payload is ≤ cap+1 strings.
+    */
+  private def cappedVocab(docs: DataFrame, cap: Int): Array[String] = {
+    import docs.sparkSession.implicits._
+    docs.select(explode($"ts").as("tok")).as[String].rdd
+      .treeAggregate(new java.util.LinkedHashSet[String]())(
+        (set, t) => { if (set.size <= cap) set.add(t); set },
+        (a, b) => {
+          val it = b.iterator()
+          while (it.hasNext && a.size <= cap) a.add(it.next())
+          a
+        })
+      .toArray(Array.empty[String])
+  }
+
   private def routed(spark: SparkSession, docs0: DataFrame,
       threshold: Double, filterOnRounded: Boolean,
       denseVocabCap: Int, quadDocCap: Long): (Route, DataFrame) = {
     import spark.implicits._
     val docs = docs0.select($"doc_id", $"ts")
-    val n = docs.count()
-    // vocabulary probe — collect at most cap+1 distinct tokens (a tiny
-    // aggregate; the full distinct never materializes on the driver when
-    // the vocab is large). ONE job serves both the dense/hashed decision
-    // and, if dense wins, the bitmap vocabulary itself.
-    val probe = docs.select(explode($"ts").as("tok")).distinct()
-      .limit(denseVocabCap + 1).as[String].collect()
+    // vocabulary probe first — it needs no row count, it is shuffle-free,
+    // and when dense wins (≤ cap distinct tokens) the probe's tokens
+    // double as the bitmap vocabulary AND the count job is skipped
+    // entirely (the dense decision is n-independent).
+    val probe = cappedVocab(docs, denseVocabCap)
     if (probe.length <= denseVocabCap)
       // dense short-circuit, any n: with ≤ denseVocabCap distinct tokens
       // the prefix filter cannot be selective (every prefix token's df is
@@ -103,6 +125,7 @@ object SetSimJoin {
       // saves its index build on exactly the corpora that won't use it
       return (Route.Dense,
         densePairs(spark, docs, threshold, filterOnRounded, probe.sorted))
+    val n = docs.count()
     if (n <= quadDocCap)
       return (Route.Hashed, hashedPairs(spark, docs, threshold, filterOnRounded))
     // prefix-index df probe: materialize the (doc_id, prefix tok) index

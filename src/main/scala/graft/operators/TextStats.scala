@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{Exprs, Text}
+
+/** Corpus-statistics quality filters a training-data pipeline runs
+  * before (and after) the heavy dedup stages: character-entropy junk
+  * detection and n-gram containment decontamination.
+  *
+  * Scale: q119 is a stateless one-pass kernel (no shuffle — the filter
+  * costs one scan at 100 TB). q120 is the q60/q83 decontamination shape
+  * (distinct-gram semi-join, optionally Bloom-prefiltered) extended to a
+  * containment RATIO and a drop decision per document.
+  */
+object TextStats {
+
+  /** Character-entropy quality gate: per-document Shannon entropy over
+    * the code-point distribution, plus the distinct/top-char counters it
+    * derives from. Encoding junk, base64 blobs, and `aaaa…` padding sit
+    * far below natural-language entropy (≈3.5–4.5 bits/char), so the
+    * `low_entropy` decision is the cheap first fence of a quality
+    * pipeline. The kernel keeps the arithmetic all-integer
+    * ([[graft.functions.TextKernels.charStats]]) so DuckDB replays it
+    * exactly from a char histogram.
+    */
+  val q119 = Q.sql("q119_char_entropy",
+    """WITH ch AS (
+      |  SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+      |h AS (SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY 1, 2),
+      |st AS (SELECT doc_id,
+      |    CAST(sum(cnt) AS BIGINT) AS n_chars,
+      |    CAST(count(*) AS BIGINT) AS distinct_chars,
+      |    CAST(max(cnt) AS BIGINT) AS top_char_cnt,
+      |    CAST(sum(cnt * CAST(round(log2(cnt) * 1000000) AS BIGINT)) AS BIGINT) AS sclogc
+      |  FROM h GROUP BY 1)
+      |SELECT doc_id, n_chars, distinct_chars, top_char_cnt,
+      |  round((n_chars * CAST(round(log2(n_chars) * 1000000) AS BIGINT) - sclogc)
+      |        / (n_chars * 1000000.0), 4) AS entropy_bits,
+      |  round(1.0 * top_char_cnt / n_chars, 4) AS top_char_frac,
+      |  round((n_chars * CAST(round(log2(n_chars) * 1000000) AS BIGINT) - sclogc)
+      |        / (n_chars * 1000000.0), 4) < 2.5 AS low_entropy
+      |FROM st ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), Exprs.char_stats(col("text")).as("cs"))
+      .filter(element_at(col("cs"), 1) > 0)
+      .select(col("doc_id"),
+        element_at(col("cs"), 1).as("n_chars"),
+        element_at(col("cs"), 2).as("distinct_chars"),
+        element_at(col("cs"), 3).as("top_char_cnt"),
+        element_at(col("cs"), 4).as("esc"))
+      .withColumn("entropy_bits",
+        round(col("esc").cast("double") / (col("n_chars") * lit(1000000.0)), 4))
+      .withColumn("top_char_frac",
+        round(lit(1.0) * col("top_char_cnt") / col("n_chars"), 4))
+      .withColumn("low_entropy", col("entropy_bits") < 2.5)
+      .drop("esc")
+      .orderBy("doc_id")
+  }
+
+  /** Containment-ratio decontamination: for each test-split document,
+    * the fraction of its distinct 5-grams that occur anywhere in the
+    * train split, and the drop decision at 50% containment. q60 counts
+    * raw contaminated grams as evidence; this gate is the normalized
+    * policy variant an eval-set owner actually applies (the WMT/lm-eval
+    * convention: drop when most of the doc's n-grams are in-corpus).
+    * All-integer counts, one exact division, rounded before the
+    * threshold — fully oracle-replayable.
+    *
+    * Scale shape: distinct train grams ↘ semi-join probed map-side
+    * after a Bloom prefilter at 100 TB (q83's machinery); here the
+    * plain left join keeps the gate exact and the plan identical in
+    * kind.
+    */
+  val q120 = Q.sql("q120_overlap_contam",
+    """WITH s AS (
+      |  SELECT doc_id,
+      |    CASE WHEN substr(md5(text), 1, 1) < 'c' THEN 'train'
+      |         WHEN substr(md5(text), 1, 1) < 'e' THEN 'val'
+      |         ELSE 'test' END AS split,
+      |    regexp_split_to_array(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, split,
+      |    unnest(list_distinct(list_transform(range(1, len(toks) - 3),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+      |           toks[i+3] || ' ' || toks[i+4]))) AS g
+      |  FROM s),
+      |tg AS (SELECT DISTINCT g FROM g WHERE split = 'train'),
+      |t AS (
+      |  SELECT eg.doc_id,
+      |    CAST(count(*) AS BIGINT) AS n_grams,
+      |    CAST(count(tg.g) AS BIGINT) AS n_hit
+      |  FROM g eg LEFT JOIN tg ON eg.g = tg.g
+      |  WHERE eg.split = 'test' GROUP BY 1)
+      |SELECT doc_id, n_grams, n_hit,
+      |  round(1.0 * n_hit / n_grams, 4) AS containment,
+      |  round(1.0 * n_hit / n_grams, 4) >= 0.5 AS drop_doc
+      |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val split = Tables.documents(s, d)
+      .select(col("doc_id"),
+        array_distinct(Text.shingles(Text.tokens(col("text")), 5)).as("grams"),
+        when(substring(md5(col("text").cast("binary")), 1, 1) < "c", "train")
+          .when(substring(md5(col("text").cast("binary")), 1, 1) < "e", "val")
+          .otherwise("test").as("split"))
+    val trainGrams = split.filter(col("split") === "train")
+      .select(explode(col("grams")).as("g")).distinct()
+    val testGrams = split.filter(col("split") === "test")
+      .select(col("doc_id"), explode(col("grams")).as("g"))
+    testGrams
+      .join(trainGrams.withColumnRenamed("g", "tg"),
+        col("g") === col("tg"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), count(col("tg")).as("n_hit"))
+      .withColumn("containment", round(lit(1.0) * col("n_hit") / col("n_grams"), 4))
+      .withColumn("drop_doc", col("containment") >= 0.5)
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(q119, q120)
+}

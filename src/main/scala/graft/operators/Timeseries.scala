@@ -75,6 +75,90 @@ object Timeseries {
         min(col("__us")).as("start_us"), max(col("__us")).as("end_us"))
   }
 
+  /** Trailing-window z-score anomaly detection: each event is scored
+    * against the mean/σ of its user's previous `lookback` events. The
+    * windowed sums run over exact DECIMAL(18,6) values, so the double
+    * arithmetic downstream starts from bit-identical inputs in any
+    * engine — the z-score and the flag are then deterministic because
+    * both sides evaluate the same IEEE expression tree. Partitioned by
+    * user (cardinality grows with the data), rows-frame windows — the
+    * skew-safe shape; no driver state.
+    */
+  def rollingZScore(ev: DataFrame, lookback: Int = 20, minPrev: Int = 5)
+      : DataFrame = {
+    val order = Window.partitionBy("user_id")
+      .orderBy(col("__us"), col("event_id"))
+    val w = order.rowsBetween(-lookback, -1)
+    ev.select(col("event_id"), col("user_id"),
+        expr("unix_micros(ts)").as("__us"),
+        col("value").cast("decimal(18,6)").as("v"))
+      .withColumn("n_prev", count(col("v")).over(w))
+      .withColumn("s", sum(col("v")).over(w))
+      .withColumn("sq", sum(col("v") * col("v")).over(w))
+      .filter(col("n_prev") >= minPrev)
+      .withColumn("x", col("v").cast("double"))
+      .withColumn("mean_prev", col("s").cast("double") / col("n_prev"))
+      .withColumn("var0",
+        col("sq").cast("double") / col("n_prev") -
+          (col("s").cast("double") / col("n_prev")) *
+          (col("s").cast("double") / col("n_prev")))
+      .withColumn("z",
+        round(when(col("var0") > 1e-12,
+          (col("x") - col("mean_prev")) / sqrt(col("var0"))), 3))
+      // reported mean is rounded in INTEGER micro-units — round(double, 4)
+      // can land on a .00005 boundary where engines' double-rounding
+      // disagrees by one ulp (s/n has small denominators). Half-up via
+      // (2a+b) div 2b; trunc≡floor here because sums are non-negative
+      // (guarded below), so Spark `div` and any floor-division agree.
+      .withColumn("__s_micro", (col("s") * lit(1000000)).cast("long"))
+      .withColumn("__mean4",
+        when(col("__s_micro") >= 0,
+          expr("(2 * __s_micro + 100 * n_prev) div (200 * n_prev)"))
+          .otherwise(-expr("(-2 * __s_micro + 100 * n_prev) div (200 * n_prev)")))
+      .select(col("event_id"), col("user_id"), col("n_prev"),
+        (col("__mean4") / lit(10000.0)).as("mean_prev"), col("z"),
+        coalesce(abs(col("z")) > 3, lit(false)).as("anomaly"))
+  }
+
+  /** Rolling z-score gate: 20-event look-back per user, scored from the
+    * 5th prior event on. The oracle replays the identical decimal-sums →
+    * double expression tree. */
+  val q121 = Q.sql("q121_rolling_zscore",
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS us,
+      |    CAST(value AS DECIMAL(18,6)) AS v
+      |  FROM events),
+      |w AS (
+      |  SELECT event_id, user_id, us, v,
+      |    count(v) OVER win AS n_prev,
+      |    sum(v) OVER win AS s,
+      |    sum(v * v) OVER win AS sq
+      |  FROM e
+      |  WINDOW win AS (PARTITION BY user_id ORDER BY us, event_id
+      |                 ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+      |c AS (
+      |  SELECT event_id, user_id, n_prev,
+      |    CAST(v AS DOUBLE) AS x,
+      |    CAST(s AS DOUBLE) / n_prev AS mean_prev,
+      |    CAST(s * 1000000 AS BIGINT) AS sm,
+      |    CAST(sq AS DOUBLE) / n_prev -
+      |      (CAST(s AS DOUBLE) / n_prev) * (CAST(s AS DOUBLE) / n_prev) AS var0
+      |  FROM w WHERE n_prev >= 5),
+      |z AS (
+      |  SELECT event_id, user_id, n_prev,
+      |    (CASE WHEN sm >= 0 THEN (2 * sm + 100 * n_prev) // (200 * n_prev)
+      |          ELSE -((-2 * sm + 100 * n_prev) // (200 * n_prev)) END)
+      |      / 10000.0 AS mean_i,
+      |    round(CASE WHEN var0 > 1e-12 THEN (x - mean_prev) / sqrt(var0) END,
+      |          3) AS z
+      |  FROM c)
+      |SELECT event_id, user_id, n_prev, mean_i AS mean_prev, z,
+      |  coalesce(abs(z) > 3, false) AS anomaly
+      |FROM z ORDER BY event_id""".stripMargin) { (s, d) =>
+    rollingZScore(Tables.events(s, d), lookback = 20, minPrev = 5)
+      .orderBy("event_id")
+  }
+
   /** Sliding-aggregate gate: 1-hour look-back sum/count per event type,
     * chunked into 4-hour slabs. The oracle is the PLAIN range-frame
     * window — chunking must be invisible in the result. */
@@ -117,5 +201,5 @@ object Timeseries {
       .orderBy("user_id", "sid")
   }
 
-  val all: Seq[Q] = Seq(q115, q116)
+  val all: Seq[Q] = Seq(q115, q116, q121)
 }

@@ -912,6 +912,81 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("char entropy gate matches a driver-side recomputation") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q119_char_entropy")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(4))).toMap
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+    for (r <- docs) {
+      val cs = functions.TextKernels.charStats(
+        org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(1)))
+      val n = cs.getLong(0)
+      val e = BigDecimal(cs.getLong(3).toDouble / (n * 1e6))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val (gn, ge) = got(r.getLong(0))
+      assert(gn == n && math.abs(ge - e) < 1e-9, s"doc ${r.getLong(0)}")
+    }
+    // word-ish text sits well above the junk fence
+    assert(got.values.forall(_._2 > 2.5))
+  }
+
+  test("containment decontamination matches driver-side set arithmetic") {
+    val got = SparkEntry.queries("q120_overlap_contam")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map { r =>
+        val toks = r.getString(1).trim.split("\\s+")
+        val grams = toks.sliding(5).filter(_.length == 5)
+          .map(_.mkString(" ")).toSet
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+          .digest(r.getString(1).getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        val split = if (md5.head < 'c') "train"
+          else if (md5.head < 'e') "val" else "test"
+        (r.getLong(0), split, grams)
+      }
+    val train = docs.filter(_._2 == "train").flatMap(_._3).toSet
+    val test = docs.filter(d => d._2 == "test" && d._3.nonEmpty)
+    assert(test.nonEmpty && got.nonEmpty)
+    for ((id, _, grams) <- test) {
+      val (nGrams, nHit) = got(id)
+      assert(nGrams == grams.size.toLong, s"doc $id gram count")
+      assert(nHit == grams.count(train).toLong, s"doc $id hit count")
+    }
+  }
+
+  test("rolling z-score flags a planted spike and nothing in a flat series") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = (1 to 40).map(i =>
+      (i.toLong, 1L, java.sql.Timestamp.from(
+        java.time.Instant.ofEpochSecond(i * 60L)),
+        if (i == 30) 500.0 else 10.0 + (i % 3)))
+    val ev = base.toDF("event_id", "user_id", "ts", "value")
+    val out = operators.Timeseries.rollingZScore(ev)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+    assert(out(30L), "spike not flagged")
+    assert(out.filter(_._2).keySet == Set(30L),
+      s"false anomalies: ${out.filter(_._2).keySet - 30L}")
+  }
+
+  test("profile census matches direct aggregates") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q122_profile")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))
+      .toMap
+    val o = Tables.orders(spark, sf)
+    val n = o.count()
+    val (nd, mn, mx) = {
+      val r = o.agg(countDistinct(col("o_orderkey")),
+        min(col("o_orderkey")), max(col("o_orderkey"))).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    assert(got("o_orderkey") == ((n, 0L, nd, mn.toString, mx.toString)))
+    assert(got.size == 6 && got.values.forall(_._1 == n))
+  }
+
   test("chunked sliding window equals the naive single-partition window") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._

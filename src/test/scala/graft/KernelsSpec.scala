@@ -34,6 +34,32 @@ class KernelsSpec extends AnyFunSuite {
     assert(dAB < dAC, s"near-dup hamming $dAB should be < unrelated $dAC")
   }
 
+  test("charStats: all-integer entropy matches a naive recomputation") {
+    def ref(s: String): (Long, Long, Long, Long) = {
+      val cps = s.codePoints().toArray
+      val h = cps.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      def lg(k: Long) = Math.round(Math.log(k.toDouble) / Math.log(2.0) * 1e6)
+      val n = cps.length.toLong
+      val e = n * lg(n) - h.values.map(c => c * lg(c)).sum
+      (n, h.size.toLong, if (h.isEmpty) 0L else h.values.max, e)
+    }
+    for (s <- Seq("abab", "aaaa", "the quick brown fox", "áé á", "x",
+        "mississippi riverbank", "0123456789 9876543210")) {
+      val got = TextKernels.charStats(UTF8String.fromString(s))
+      val (n, d, t, e) = ref(s)
+      assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3))
+        == ((n, d, t, e)), s"for '$s'")
+    }
+    // analytic anchors: zero entropy for a constant string, exactly
+    // 2 bits/char for a uniform 4-symbol string
+    val const = TextKernels.charStats(UTF8String.fromString("aaaaaaaa"))
+    assert(const.getLong(3) == 0L)
+    val uni = TextKernels.charStats(UTF8String.fromString("abcdabcdabcd"))
+    assert(uni.getLong(3) == 12L * 2000000L) // n·2.0 bits scaled by 1e6
+    val empty = TextKernels.charStats(UTF8String.fromString(""))
+    assert((0 until 4).forall(i => empty.getLong(i) == 0L))
+  }
+
   test("repetitionStats counts n-grams, distincts, and the mode in one pass") {
     // "a b a b a" → bigrams: [a b, b a, a b, b a] → n=4, distinct=2, max=2
     val s2 = TextKernels.repetitionStats(arr("a", "b", "a", "b", "a"), 2)
