@@ -267,6 +267,19 @@ object Exprs {
       copy(child = c)
   }
 
+  /** One-pass Unicode-script census
+    * `[n, latin, cyrillic, greek, arabic, hangul, cjk, digit, space,
+    * other]` — see [[TextKernels.scriptStats]]. */
+  case class ScriptStats(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      TextKernels.scriptStats(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$K.scriptStats($c)")
+    override protected def withNewChildInternal(c: Expression): ScriptStats =
+      copy(child = c)
+  }
+
   /** popcount of a bitset (token-set cardinality). */
   case class BitmapCard(child: Expression) extends UnaryExpression {
     override def dataType: DataType = IntegerType
@@ -309,4 +322,5 @@ object Exprs {
   def mulmod61(h: Column, g: Long): Column = c(MulMod61(e(h), g))
   def repetition_stats(tokens: Column, n: Int): Column = c(RepetitionStats(e(tokens), n))
   def char_stats(text: Column): Column = c(CharStats(e(text)))
+  def script_stats(text: Column): Column = c(ScriptStats(e(text)))
 }

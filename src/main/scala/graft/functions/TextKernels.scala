@@ -437,4 +437,42 @@ object TextKernels {
     * SQL oracle share. */
   private def lg2e6(k: Long): Long =
     Math.round(Math.log(k.toDouble) / Math.log(2.0) * 1e6)
+
+  /** One-pass Unicode-script census over a string:
+    * `[n_chars, latin, cyrillic, greek, arabic, hangul, cjk, digit,
+    * space, other]`. Classification is by fixed code-point ranges (NOT
+    * `Character.UnicodeScript`, whose tables drift across JDKs and which
+    * a SQL oracle could not replay):
+    * latin = A–Z, a–z, U+00C0–U+024F (Latin-1 letters + Extended A/B);
+    * cyrillic = U+0400–U+04FF; greek = U+0370–U+03FF;
+    * arabic = U+0600–U+06FF; hangul = U+AC00–U+D7AF;
+    * cjk = U+4E00–U+9FFF ∪ U+3040–U+30FF (unified ideographs + kana);
+    * digit = 0–9; space = {SP, TAB, LF, CR}; other = rest.
+    * Ranges are disjoint, so the nine classes partition the string and
+    * the oracle's CASE ladder is order-independent. Plain counters, no
+    * allocation per char — a stateless codegen map, no shuffle at 100 TB.
+    */
+  def scriptStats(s: UTF8String): ArrayData = {
+    val str = s.toString
+    val out = new Array[Long](10)
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      i += Character.charCount(cp)
+      out(0) += 1
+      val cls =
+        if ((cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z') ||
+            (cp >= 0xC0 && cp <= 0x24F)) 1
+        else if (cp >= 0x400 && cp <= 0x4FF) 2
+        else if (cp >= 0x370 && cp <= 0x3FF) 3
+        else if (cp >= 0x600 && cp <= 0x6FF) 4
+        else if (cp >= 0xAC00 && cp <= 0xD7AF) 5
+        else if ((cp >= 0x4E00 && cp <= 0x9FFF) || (cp >= 0x3040 && cp <= 0x30FF)) 6
+        else if (cp >= '0' && cp <= '9') 7
+        else if (cp == ' ' || cp == '\t' || cp == '\n' || cp == '\r') 8
+        else 9
+      out(cls) += 1
+    }
+    new GenericArrayData(out.map(l => l: Any))
+  }
 }
