@@ -102,14 +102,23 @@ object Streams {
   }
 
   private def eventStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Same dtype branch as Tables.loadEvents: 3.x-era readers need
+    // nanosAsLong (INT64 TIMESTAMP(NANOS) → raw long), 4.1+ reads it
+    // natively as TIMESTAMP_NTZ with the ns→us truncation built in.
+    try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    catch { case _: Exception => () }
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     // file-stream sources take a directory: point at the sf dir with a
     // glob so the events drop-folder shape is preserved
-    spark.readStream.schema(schema)
+    val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   /** Tumbling 1-hour window counts by event_type, 1h watermark. */
