@@ -233,24 +233,79 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  /** SimHash band-bucket skew guard. Wider than q25's: 8-bit band values
+  /** SimHash band-bucket saturation threshold. 8-bit band values
     * concentrate hard (simhash bits are majority votes, so template-y
     * corpora share whole bytes — the sf0.01 corpus peaks at 237 docs in
-    * one bucket), and a cap below the peak would sample true pairs away
-    * and break the recall the oracle pins. 512 clears the gate-scale
-    * peak with headroom while still bounding the degenerate
-    * all-identical-signature corpus at C(512,2) pairs per bucket. */
-  private val SIMHASH_BUCKET_CAP = 512
+    * one bucket). A bucket past this size is NOT sampled (sampling
+    * discards true pairs once every 256-value bucket fills, which is
+    * guaranteed beyond ~10⁵ docs); it is re-banded hierarchically — see
+    * [[simhashCandidates]]. The cap only bounds the quadratic blow-up of
+    * the 16-bit sub-buckets, where the degenerate all-identical-signature
+    * corpus is still C(cap,2) per sub-bucket. */
+  private[graft] val SIMHASH_BUCKET_CAP = 512
 
-  /** SimHash-banded near-dup detection: 64-bit signature → 8 bands of 8
-    * bits → band-collision candidates → exact shingle-Jaccard verify.
+  /** Candidate pairs for simhash near-dup detection, scale-safe.
+    *
+    * Block-combination tables (the flat variant of Manku et al.,
+    * WWW'07 §3): the 64-bit signature splits into 8 disjoint 8-bit
+    * blocks; each doc is keyed into all C(8,2) = 28 tables, one per
+    * unordered block pair, key = the 16 concatenated bits of that pair.
+    * Pigeonhole: a pair at hamming ≤ 6 has ≥ 2 clean blocks, hence at
+    * least one clean block PAIR — the two docs share that table's key
+    * exactly, so recall for hamming ≤ 6 is structural, not
+    * probabilistic.
+    *
+    * Why not single 8-bit bands (the previous layout): a band's key
+    * space is 256 values, so at n ≫ 10⁵ every bucket holds ≥ n/256
+    * docs — within-bucket pairing is then ~n²/256 candidates per band
+    * (quadratic, regardless of capping), and any cap that bounds it
+    * throws away true pairs precisely when scale arrives. The 16-bit
+    * keys hold ~n/65536 docs per bucket: candidate volume stays
+    * ~28·n²/65536, i.e. 900× sparser, and NO bucket saturates on
+    * non-degenerate corpora (ScaleSpec pins recall = 1.0 on a 100k-doc
+    * corpus with a fully saturated 8-bit band value).
+    *
+    * Degenerate bound: a bucket past `cap` (only reachable by
+    * template/identical-signature mega-clusters — such docs collide in
+    * ALL 28 tables) is row_number-sampled to `cap` members, keeping the
+    * cluster detectable at C(cap,2) cost instead of quadratic; the
+    * exact-dup pre-pass (q20) is the composed pipeline's first-line
+    * shrink for those clusters.
+    *
+    * Input: (doc_id, sig64). Output: distinct (id_a, id_b), id_a < id_b.
+    */
+  private[graft] def simhashCandidates(sigs: DataFrame,
+      cap: Int = SIMHASH_BUCKET_CAP): DataFrame = {
+    val tabCols = for { i <- 0 until 8; j <- (i + 1) until 8 } yield struct(
+      lit(i * 8 + j).as("tab"),
+      (shiftright(col("sig64"), i * 8).bitwiseAND(lit(0xffL)) * 256L +
+        shiftright(col("sig64"), j * 8).bitwiseAND(lit(0xffL))).as("key"))
+    val keyed = sigs
+      .select(col("doc_id"), explode(array(tabCols: _*)).as("tk"))
+      .select(col("doc_id"), col("tk.tab").as("tab"), col("tk.key").as("key"))
+    val w = Window.partitionBy("tab", "key").orderBy("doc_id")
+    val capped = keyed
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= cap).drop("__r")
+    capped.select(col("tab"), col("key"), col("doc_id").as("id_a"))
+      .join(capped.select(col("tab"), col("key"), col("doc_id").as("id_b")),
+        Seq("tab", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** SimHash-banded near-dup detection: 64-bit signature → 28
+    * block-pair tables (16-bit keys, see [[simhashCandidates]]) →
+    * key-collision candidates → exact shingle-Jaccard verify.
     * Same oracle as q25 — two independent sketch front-ends pinned to one
-    * brute-force reference set. Any pair at hamming ≤ 7 shares a band by
-    * pigeonhole (8 bands, ≤ 7 dirty bits); the corpus's J ≥ 0.8 pairs
-    * sit at hamming ≤ 6, so recall is structurally 1.0 and a sketch or
-    * banding drift hash-mismatches the oracle loudly. (4×16 bands only
-    * guarantee hamming ≤ 3 — that layout missed two hamming-5/6 true
-    * pairs.) */
+    * brute-force reference set. Any pair at hamming ≤ 6 has two clean
+    * 8-bit blocks, i.e. a clean block-pair key, by pigeonhole; the
+    * corpus's J ≥ 0.8 pairs sit at hamming ≤ 6, so recall is
+    * structurally 1.0 and a sketch or banding drift hash-mismatches the
+    * oracle loudly. (4×16 disjoint bands only guarantee hamming ≤ 3 —
+    * that layout missed two hamming-5/6 true pairs; 8×8 disjoint bands
+    * guarantee ≤ 7 but their 256-value key space collapses recall at
+    * corpus ≫ 10⁵ docs.) */
   val q27 = Q.sql("q27_simhash_neardup", ShinglePairsOracle) { (s, d) =>
     // one corpus scan computes BOTH kernels (simhash for banding,
     // shingles for the verify), materialized once — without the
@@ -262,29 +317,10 @@ object TextOps {
         Text.shingles(Text.tokens(col("text")), 2).as("sh"))
       .filter(size(col("sh")) > 0)
       .localCheckpoint(true)
-    // 8 bands of 8 bits: docs sharing any band are candidates
-    val bandCols = (0 until 8).map(i => struct(
-      lit(i).as("band"),
-      shiftright(col("sig64"), i * 8).bitwiseAND(lit(0xffL)).as("bits")))
-    val banded0 = base
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"),
-        col("bb.band").as("band"), col("bb.bits").as("bits"))
-    // skew guard (q25's sample-the-bucket semantics, wider cap — see
-    // SIMHASH_BUCKET_CAP): a degenerate band value would make one
-    // bucket quadratic; identical signatures collide in ALL bands, so
-    // dropping oversized buckets would miss such clusters entirely —
-    // sampling keeps them detectable at bounded cost
-    val wB = org.apache.spark.sql.expressions.Window
-      .partitionBy("band", "bits").orderBy("doc_id")
-    val banded = banded0
-      .withColumn("__bsz", row_number().over(wB))
-      .filter(col("__bsz") <= SIMHASH_BUCKET_CAP).drop("__bsz")
-    val a = banded.select(col("band"), col("bits"), col("doc_id").as("id_a"))
-    val b = banded.select(col("band"), col("bits"), col("doc_id").as("id_b"))
-    val pairs = a.join(b, Seq("band", "bits"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    // scale-safe candidate generation: hierarchical re-banding instead
+    // of bucket sampling (see simhashCandidates — ScaleSpec pins recall
+    // on a 100k-doc corpus with a fully saturated band)
+    val pairs = simhashCandidates(base.select(col("doc_id"), col("sig64")))
     verifyShinglePairs(base.select(col("doc_id"), col("sh")), pairs, 0.8)
   }
 

@@ -112,12 +112,12 @@ class ScaleSpec extends AnyFunSuite {
 
   test("simhash banding survives a degenerate all-same-band corpus (bucket sampling)") {
     import spark.implicits._
-    // 2000 identical docs: every 8-bit band bucket holds the whole
-    // corpus — uncapped this is ~2M pairs per band. The cap SAMPLES each
-    // bucket to SIMHASH_BUCKET_CAP (512) members, so the cluster is
-    // still detected (pairs among the sample, all verifying at jac 1.0)
-    // at bounded cost; drop-the-bucket semantics would return zero pairs
-    // for exactly this corpus.
+    // 2000 identical docs: identical signatures collide in every one of
+    // the 28 block-pair tables, saturating each 16-bit bucket past the
+    // cap — which SAMPLES to SIMHASH_BUCKET_CAP members, so the cluster
+    // is still detected (pairs among the sample, all verifying at jac
+    // 1.0) at bounded cost; drop-the-bucket semantics would return zero
+    // pairs for exactly this corpus.
     val dir = java.nio.file.Files.createTempDirectory("graft_simhash").toString
     spark.range(2000)
       .select($"id".as("doc_id"), lit("the same exact template text body").as("text"))
@@ -128,6 +128,55 @@ class ScaleSpec extends AnyFunSuite {
     assert(rows.nonEmpty, "degenerate cluster went undetected")
     assert(rows.forall(_.getDouble(2) == 1.0), "identical docs must verify at jac 1.0")
     assert(secs < 30, s"degenerate corpus took ${secs}s")
+  }
+
+  test("simhash recall survives a saturating band at 100k docs (block-pair tables)") {
+    import spark.implicits._
+    // The deployment-scale failure mode sampling could not survive: a
+    // block whose 256-value key space is fully saturated. 100k
+    // signatures all share block 0 (bits 0-7 = 0xAB) — under the old
+    // 8-band sample-the-bucket semantics a planted near-dup pair
+    // survives only if both members land in the first 512 by doc_id:
+    // recall ~0 for random placement. The block-pair tables must find
+    // every planted pair: ≤ 6 flipped bits leave ≥ 2 clean blocks,
+    // hence a clean 16-bit block-pair key (pigeonhole); buckets keyed on
+    // two random blocks run ~100k/65536 ≈ 2 docs, and even the
+    // 256-effective-value tables that include block 0 run ~390 < cap,
+    // so no sampling triggers anywhere.
+    val rnd = new scala.util.Random(42)
+    val n = 100000
+    val base = Array.fill(n)(rnd.nextLong() & ~0xffL | 0xabL)
+    // plant 50 near-dup pairs: partner = member with ≤6 bit flips, all
+    // in bits 8..63 (band 0 stays clean/saturating), spread over up to
+    // 6 distinct other bands
+    val planted = (0 until 50).map { i =>
+      val a = i * 1000 // distinct members, far apart in doc_id order
+      val flips = 1 + rnd.nextInt(6)
+      val bitPositions = rnd.shuffle((8 to 63).toList).take(flips)
+      val sigB = bitPositions.foldLeft(base(a))((s, b) => s ^ (1L << b))
+      (a.toLong, (n + i).toLong, sigB)
+    }
+    val rows = base.zipWithIndex.map { case (s, i) => (i.toLong, s) } ++
+      planted.map { case (_, idB, sigB) => (idB, sigB) }
+    val sigs = rows.toSeq.toDF("doc_id", "sig64")
+      .repartition(8)
+    // The saturated band makes the 7 tables that include block 0
+    // effectively 8-bit keyed, so TOTAL candidate volume is ~n²/256 —
+    // inherent for structural recall when 8 bits are corpus-constant
+    // (the pair's locality then lives in the other 56 bits, pigeonhole
+    // over which guarantees only one clean 8-bit block). Collecting all
+    // of that into the test JVM would OOM; production verifies the
+    // stream distributed. Here: keep only pairs that can involve a
+    // planted partner (id ≥ n) — pushed below the distinct by Catalyst.
+    val cands = operators.TextOps.simhashCandidates(sigs)
+      .filter($"id_b" >= n)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val missed = planted.filterNot { case (a, b, _) =>
+      cands.contains((math.min(a, b), math.max(a, b)))
+    }
+    assert(missed.isEmpty,
+      s"recall broke at saturation: ${missed.size}/50 planted pairs missed: " +
+        missed.take(5).map(p => s"(${p._1},${p._2})").mkString(", "))
   }
 
   test("salted aggregation of a skewed key equals the direct aggregate") {
