@@ -25,6 +25,58 @@ import graft.functions.Exprs
   */
 object Similarity {
 
+  /** One ranked neighbor: the output element of [[TopKSim]]. */
+  case class Hit(neighbor_id: Long, sim: Double)
+
+  /** Bounded-heap top-k aggregator over (sim, neighbor_id) pairs —
+    * the scale replacement for `row_number() OVER (PARTITION BY
+    * query_id)` on the candidate-pair stream. The window form shuffles
+    * EVERY pair row (25M at sf0.1 brute force) to sort-and-discard;
+    * this aggregator is mergeable, so partial aggregation keeps at most
+    * k rows per (query, partition) map-side and the exchange carries
+    * k·partitions rows per query instead of the full pair stream.
+    *
+    * Ordering matches the oracle's rank: sim DESC (already rounded by
+    * the caller), neighbor_id ASC tie-break. Neighbors are deduped
+    * inside the buffer (same (query, neighbor) always carries the same
+    * rounded sim), mirroring the oracle's DISTINCT-before-rank. */
+  class TopKSim(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (Double, Long), Seq[(Double, Long)], Seq[Hit]] {
+    private def better(a: (Double, Long), b: (Double, Long)): Boolean =
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+    private def trim(s: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      s.distinctBy(_._2).sortWith(better).take(k)
+    override def zero: Seq[(Double, Long)] = Vector.empty
+    override def reduce(b: Seq[(Double, Long)],
+        x: (Double, Long)): Seq[(Double, Long)] =
+      if (b.size == k && better(b.last, x)) b else trim(b :+ x)
+    override def merge(a: Seq[(Double, Long)],
+        b: Seq[(Double, Long)]): Seq[(Double, Long)] = trim(a ++ b)
+    override def finish(b: Seq[(Double, Long)]): Seq[Hit] =
+      b.map { case (s, n) => Hit(n, s) }
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Seq[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Hit]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Hit]]()
+  }
+
+  /** Top-k rows per query from a (query_id, neighbor_id, sim) pair
+    * stream via [[TopKSim]] — one partial-aggregated exchange, no
+    * window sort over the pairs. */
+  private[operators] def topKPerQuery(pairs: org.apache.spark.sql.DataFrame,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    val agg = udaf(new TopKSim(k),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaDouble,
+        org.apache.spark.sql.Encoders.scalaLong))
+    pairs.groupBy("query_id")
+      .agg(agg(col("sim"), col("neighbor_id")).as("top"))
+      .select(col("query_id"), explode(col("top")).as("h"))
+      .select(col("query_id"), col("h.neighbor_id").as("neighbor_id"),
+        col("h.sim").as("sim"))
+  }
+
   /** Brute-force cosine top-5 per query vector. Oracle: DuckDB
     * list_cosine_similarity (double accumulation, same fold order).
     * Ranking happens on the ROUNDED similarity with id tie-break so both
@@ -46,13 +98,9 @@ object Similarity {
     val a = e.repartition(s.sparkContext.defaultParallelism)
       .select(col("vec_id").as("query_id"), col("embedding").as("va"))
     val b = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("vb"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    a.join(broadcast(b), col("query_id") =!= col("neighbor_id"))
+    val pairs = a.join(broadcast(b), col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", round(Exprs.cosine_sim(col("va"), col("vb")), 4))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 5)
-      .select("query_id", "neighbor_id", "sim")
+    topKPerQuery(pairs, 5)
       .orderBy(col("query_id"), col("sim").desc, col("neighbor_id"))
   }
 
@@ -133,14 +181,10 @@ object Similarity {
           ).otherwise(0L)))
     val a = e.select(col("bucket"), col("vec_id").as("query_id"), col("embedding").as("va"))
     val b = e.select(col("bucket"), col("vec_id").as("neighbor_id"), col("embedding").as("vb"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    a.join(b, Seq("bucket"))
+    val pairs = a.join(b, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", round(Exprs.cosine_sim(col("va"), col("vb")), 4))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
-      .select("query_id", "neighbor_id", "sim")
+    topKPerQuery(pairs, 3)
       .orderBy(col("query_id"), col("sim").desc, col("neighbor_id"))
   }
 
@@ -204,14 +248,12 @@ object Similarity {
     val qprobes = assign(
       e.select(col("vec_id").as("query_id"), col("embedding").as("va")),
       "query_id", "va", "qlist", probes)
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    qprobes.join(assigned, col("qlist") === col("nlist"))
+    // TopKSim dedupes neighbors inside the buffer, so the multi-probe
+    // stream needs no separate dropDuplicates pass
+    val pairs = qprobes.join(assigned, col("qlist") === col("nlist"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", round(Exprs.cosine_sim(col("va"), col("vb")), 4))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= topK)
-      .select("query_id", "neighbor_id", "sim").dropDuplicates("query_id", "neighbor_id")
+    topKPerQuery(pairs, topK)
       .orderBy(col("query_id"), col("sim").desc, col("neighbor_id"))
   }
 
@@ -367,13 +409,9 @@ object Similarity {
       val a = e.repartition(spark.sparkContext.defaultParallelism)
         .select(col("vec_id").as("query_id"), col("embedding").as("va"))
       val b = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("vb"))
-      val w = Window.partitionBy("query_id")
-        .orderBy(col("sim").desc, col("neighbor_id"))
-      a.join(broadcast(b), col("query_id") =!= col("neighbor_id"))
+      val pairs = a.join(broadcast(b), col("query_id") =!= col("neighbor_id"))
         .withColumn("sim", round(Exprs.cosine_sim(col("va"), col("vb")), 4))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= topK)
-        .select("query_id", "neighbor_id", "sim")
+      topKPerQuery(pairs, topK)
     } else ivfTopK(e, kmeansCentroids(e), topK = topK)
   }
 

@@ -231,6 +231,27 @@ class PlanSpec extends AnyFunSuite {
     assert(scans == 2, s"expected probe scan + candidate scan, got $scans\n$finalPlan")
   }
 
+  test("cosine top-k aggregates the pair stream — no window sort over pairs") {
+    // q30's 25M-pair brute-force stream must reach the exchange already
+    // partial-aggregated to <= k rows per (query, partition) by the
+    // TopKSim aggregator; a row_number window would instead shuffle and
+    // sort EVERY pair. Pin: no Window exec anywhere, and an aggregate
+    // with a partial_topksim below the exchange.
+    for (q <- Seq(operators.Similarity.q30, operators.Similarity.q31,
+        operators.Similarity.q32)) {
+      val p = plan(q.fn(spark, sf))
+      assert(p.contains("partial_topksim"),
+        s"${q.name} lost the partial top-k aggregate:\n$p")
+    }
+    // q30/q31's pair streams must carry NO window at all; q32 keeps its
+    // two centroid-ASSIGNMENT windows (bounded 16-rows-per-key streams,
+    // WindowGroupLimit-pushed), but none keyed on the pair stream
+    for (q <- Seq(operators.Similarity.q30, operators.Similarity.q31)) {
+      val p = plan(q.fn(spark, sf))
+      assert(!p.contains("Window"), s"${q.name} still windows the pair stream:\n$p")
+    }
+  }
+
   test("range join aggregates points to day partials below the join (q102 eager agg)") {
     // the pair stream must carry day-level (count, sum) partials, not raw
     // lineitem rows — without the pushed group-by the bin join emits
