@@ -231,6 +231,30 @@ class PlanSpec extends AnyFunSuite {
     assert(scans == 2, s"expected probe scan + candidate scan, got $scans\n$finalPlan")
   }
 
+  test("sliding window is slab-replicated — no single-partition-per-key window (q115)") {
+    // events has a handful of event types at every SF: a window
+    // partitioned by event_type alone funnels each type's entire history
+    // through one task. The slab design must survive refactors: the
+    // window (and its exchange) partitions on (event_type, __chunk).
+    val p = plan(operators.Timeseries.q115.fn(spark, sf))
+    val winLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty, s"q115 lost its window:\n$p")
+    assert(winLines.forall(l => l.contains("__chunk")),
+      s"q115 window no longer partitions by the slab key:\n${winLines.mkString("\n")}")
+    assert(p.contains("hashpartitioning(event_type"),
+      s"q115 exchange not keyed on (event_type, __chunk):\n$p")
+  }
+
+  test("rolling z-score uses a rows frame, not a range frame (q121)") {
+    // a RANGE frame over __us would re-scan equal-timestamp runs and
+    // (worse) silently change semantics on ties; the look-back is
+    // defined as the previous 20 ROWS
+    val p = plan(operators.Timeseries.q121.fn(spark, sf))
+    assert(p.contains("RowFrame"), s"q121 lost its rows frame:\n$p")
+    assert(!p.contains("RangeFrame"),
+      s"q121 window regressed to a range frame:\n$p")
+  }
+
   test("cosine top-k aggregates the pair stream — no window sort over pairs") {
     // q30's 25M-pair brute-force stream must reach the exchange already
     // partial-aggregated to <= k rows per (query, partition) by the

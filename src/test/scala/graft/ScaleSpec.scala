@@ -110,6 +110,25 @@ class ScaleSpec extends AnyFunSuite {
       s"prefix join still forces a broadcast:\n$plan")
   }
 
+  test("SetSimJoin re-route of the same input is a cache hit — zero probe jobs") {
+    import spark.implicits._
+    import operators.SetSimJoin
+    // the probes (capped-vocab treeAggregate, count, prefix-df estimate)
+    // are 2-3 driver-blocking jobs per call; a composed pipeline or a
+    // bench repeat re-routing the SAME input must pay them exactly once
+    SetSimJoin.clearRouteCache()
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", functions.Text.tokenSet($"text").as("ts"))
+    val first = SetSimJoin.chosenRoute(spark, docs, 0.9) // populates cache
+    spark.sparkContext.setJobGroup("route-cache-hit", "re-route probe audit")
+    val second = SetSimJoin.chosenRoute(spark, docs, 0.9)
+    spark.sparkContext.clearJobGroup()
+    assert(second == first)
+    val jobs = spark.sparkContext.statusTracker.getJobIdsForGroup("route-cache-hit")
+    assert(jobs.isEmpty,
+      s"cache hit still launched ${jobs.length} probe job(s) (dense route needs none)")
+  }
+
   test("simhash banding survives a degenerate all-same-band corpus (bucket sampling)") {
     import spark.implicits._
     // 2000 identical docs: identical signatures collide in every one of
