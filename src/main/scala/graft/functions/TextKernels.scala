@@ -58,9 +58,23 @@ object TextKernels {
   private def hashToken(t: UTF8String, seed: Long): Long =
     XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, seed)
 
-  /** 64-bit SimHash over a token array: per-token xxhash64, each bit votes
-    * +1/-1, sign of the vote becomes the output bit. One pass per row —
-    * O(tokens * 64) integer ops, no allocation beyond the vote array.
+  /** SimHash bit-mix multipliers: the two classic 64-bit LCG multipliers
+    * (Knuth MMIX 6364136223846793005, Lehmer-line 2862933555777941757)
+    * reduced mod 2^61−1. With M prime both are bijections on [0, M), so
+    * the two products of one token hash give 64 decorrelated vote bits
+    * while staying replayable as one HUGEINT `(h*G) % M` each in SQL. */
+  val SimHashG1: Long = 1752450205419405103L
+  val SimHashG2: Long = 557090546564247806L
+
+  /** 64-bit SimHash over a token array. Per-token vote bits come from
+    * the ORACLE-REPLAYABLE polynomial family (the q28 winnowing hashes),
+    * not xxhash64: h = poly-131 over code points mod 2^61−1, then bits
+    * 0–31 = low half of (h+1)·G1 mod M and bits 32–63 = low half of
+    * (h+1)·G2 mod M (the +1 keeps the empty token off the 0 fixed
+    * point). Each bit votes ±1 across tokens; sign of the vote becomes
+    * the output bit. One pass per row — O(tokens·64) integer ops, no
+    * allocation beyond the vote array; DuckDB replays the signature
+    * exactly (q26), which xxhash64 could not offer.
     */
   def simHash64(tokens: ArrayData): Long = {
     val votes = new Array[Int](64)
@@ -68,10 +82,13 @@ object TextKernels {
     var i = 0
     while (i < n) {
       if (!tokens.isNullAt(i)) {
-        val h = hashToken(tokens.getUTF8String(i), 0L)
+        val h = polyTokenHash(tokens.getUTF8String(i))
+        val m1 = mulMod61(h + 1, SimHashG1)
+        val m2 = mulMod61(h + 1, SimHashG2)
+        val bits = (m1 & 0xffffffffL) | ((m2 & 0xffffffffL) << 32)
         var b = 0
         while (b < 64) {
-          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          if (((bits >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
           b += 1
         }
       }

@@ -134,16 +134,58 @@ object Chunking {
       }(Encoders.product[Packed]).toDF()
   }
 
-  /** BFD packing gate at the q69 budget. No SQL oracle (best-fit needs
-    * an ordered mutable bin set — not expressible as one DuckDB query);
-    * PropertySpec pins the invariants instead: partition of the corpus,
-    * capacity respected, bin count ≤ greedy, deterministic. */
-  val q73 = Q.rowsOnly("q73_packing_bfd") { (s, d) =>
-    packBestFitDecreasing(
+  /** BFD packing gate at the q69 budget. Best-fit needs an ordered
+    * mutable bin set — the bin ASSIGNMENT is not expressible as one
+    * DuckDB query — so the gate emits what SQL CAN pin exactly:
+    * the corpus partition (every doc exactly once, with its true token
+    * count — the oracle recomputes both sides from `documents`) plus
+    * three invariant booleans the oracle hard-pins to `true`:
+    *
+    *  - `capacity_ok`: the doc's bin totals ≤ budget, or the doc is an
+    *    at/over-budget doc alone in its own bin;
+    *  - `gapless_ok`: the doc starts exactly where its bin predecessor
+    *    ended (offset = Σ earlier docs' tokens — no holes, no overlap);
+    *  - `halffull_ok`: at most one bin in the doc's stratum is ≤ half
+    *    full — the classic any-fit quality bound, so a degenerate
+    *    one-doc-per-bin regression flips the gate loudly.
+    *
+    * Any packing bug makes a boolean false (or a doc vanish/duplicate)
+    * and hash-mismatches the oracle. PropertySpec additionally drives
+    * the same invariants on random length multisets. */
+  val q73 = Q.sql("q73_packing_bfd",
+    """SELECT doc_id, lang,
+      |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+      |  true AS capacity_ok, true AS gapless_ok, true AS halffull_ok
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val budget = 2048L
+    val packed = packBestFitDecreasing(
       Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
           size(Text.tokens(col("text"))).cast("long").as("n_tokens")),
-      budget = 2048)
+      budget = budget)
+    val binW = Window.partitionBy("lang", "bin_id")
+    val binOrder = Window.partitionBy("lang", "bin_id").orderBy("bin_offset")
+    val langW = Window.partitionBy("lang")
+    packed
+      .withColumn("bin_load", sum(col("n_tokens")).over(binW))
+      .withColumn("bin_docs", count(lit(1)).over(binW))
+      .withColumn("capacity_ok",
+        (col("bin_load") <= budget) ||
+          (col("n_tokens") >= budget && col("bin_docs") === 1))
+      .withColumn("gapless_ok",
+        col("bin_offset") === coalesce(
+          lag(col("bin_offset") + col("n_tokens"), 1).over(binOrder), lit(0L)))
+      // distinct (bin_id, load<=half) pairs per stratum, counted without
+      // a second aggregation pass: flag each bin once at its first row
+      .withColumn("__first_in_bin",
+        row_number().over(binOrder) === 1)
+      .withColumn("__half_bin",
+        when(col("__first_in_bin") && col("bin_load") * 2 <= budget, 1L)
+          .otherwise(0L))
+      .withColumn("halffull_ok", sum(col("__half_bin")).over(langW) <= 1)
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("capacity_ok"), col("gapless_ok"), col("halffull_ok"))
       .orderBy("doc_id")
   }
 

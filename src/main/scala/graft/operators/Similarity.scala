@@ -217,7 +217,13 @@ object Similarity {
       cents = assigned
         .select(col("cent_id"), posexplode(col("embedding")))
         .groupBy("cent_id", "pos")
-        .agg((sum(col("col").cast("decimal(28,12)")) / count(lit(1))).as("v"))
+        // exact decimal sum (order-independent), THEN one double
+        // division: engines' decimal-division scale rules differ, but
+        // cast-exact-sum-to-double + IEEE divide is bit-identical
+        // everywhere — this is what lets q62's oracle replay the
+        // refinement (two unrolled Lloyd steps in SQL)
+        .agg((sum(col("col").cast("decimal(28,12)")).cast("double") /
+          count(lit(1))).as("v"))
         .groupBy("cent_id")
         .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pv"))
         .select(col("cent_id"),
@@ -286,12 +292,60 @@ object Similarity {
     ivfTopK(e, cents)
   }
 
+  /** One Lloyd step in DuckDB SQL: assign every vector to its nearest
+    * centroid in `cin` (rounded-sim rank, cent_id tie-break — the Q
+    * determinism rules), then per-dimension means as exact
+    * DECIMAL(28,12) sums cast to double, divided, and squeezed through
+    * REAL — the bit-identical replay of [[kmeansCentroids]]'s step. */
+  private def lloydStepSql(cin: String, asg: String, m: String,
+      cout: String): String =
+    s"""$asg AS (
+       |  SELECT e.vec_id, c.cent_id, e.emb,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY round(list_cosine_similarity(e.emb, c.cvec), 4) DESC, c.cent_id) AS crn
+       |  FROM e CROSS JOIN $cin c),
+       |$m AS (
+       |  SELECT cent_id, r.i AS pos,
+       |    CAST(sum(CAST(emb[r.i] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS v
+       |  FROM $asg, range(1, $DIM + 1) r(i) WHERE crn = 1
+       |  GROUP BY cent_id, r.i),
+       |$cout AS (
+       |  SELECT cent_id,
+       |    list_transform(list(v ORDER BY pos),
+       |      x -> CAST(CAST(x AS REAL) AS DOUBLE)) AS cvec
+       |  FROM $m GROUP BY cent_id)""".stripMargin
+
   /** IVF with the k-means-refined quantizer: same probe pipeline as q32
-    * over Lloyd-refined centroids. No SQL oracle (the iterative
-    * refinement is not reasonably expressible in one DuckDB query);
-    * EngineSpec measures its recall@3 against brute force and asserts it
-    * does not regress vs the raw first-k quantizer. */
-  val q62 = Q.rowsOnly("q62_ann_ivf_kmeans") { (s, d) =>
+    * over Lloyd-refined centroids. Fully oracled: the two Lloyd steps
+    * unroll into plain CTEs (assignment rank → exact decimal means →
+    * REAL-rounded centroids, twice), then q32's probe/rerank tail runs
+    * over the refined table — so quantizer drift, mean-accumulation
+    * drift, and probe changes all hash-mismatch. EngineSpec additionally
+    * measures recall@3 against brute force. */
+  val q62 = Q.sql("q62_ann_ivf_kmeans",
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |c0 AS (SELECT vec_id AS cent_id, emb AS cvec FROM e ORDER BY vec_id LIMIT $IVF_LISTS),
+       |${lloydStepSql("c0", "a1", "m1", "c1")},
+       |${lloydStepSql("c1", "a2", "m2", "c2")},
+       |asg AS (
+       |  SELECT e.vec_id, c.cent_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY round(list_cosine_similarity(e.emb, c.cvec), 4) DESC, c.cent_id) AS crn
+       |  FROM e CROSS JOIN c2 c),
+       |nlist AS (SELECT vec_id AS neighbor_id, cent_id AS lst FROM asg WHERE crn = 1),
+       |qlist AS (SELECT vec_id AS query_id, cent_id AS lst FROM asg WHERE crn <= $IVF_PROBES),
+       |scored AS (
+       |  SELECT DISTINCT q.query_id, n.neighbor_id,
+       |    round(list_cosine_similarity(qe.emb, ne.emb), 4) AS sim
+       |  FROM qlist q JOIN nlist n USING (lst)
+       |  JOIN e qe ON qe.vec_id = q.query_id
+       |  JOIN e ne ON ne.vec_id = n.neighbor_id
+       |  WHERE q.query_id <> n.neighbor_id)
+       |SELECT query_id, neighbor_id, sim FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+       |  FROM scored) t
+       |WHERE rn <= 3
+       |ORDER BY query_id, sim DESC, neighbor_id""".stripMargin) { (s, d) =>
     val e = Tables.embeddings(s, d)
     ivfTopK(e, kmeansCentroids(e))
   }

@@ -218,18 +218,49 @@ object TextOps {
     verifyShinglePairs(sh, pairs, 0.8)
   }
 
-  /** SimHash signatures per document (64-bit, hex). Rows-only BY CHOICE:
-    * simhash's detection quality rides on per-bit mixing of the token
-    * hash, so it keeps xxhash64 (which SQL cannot replay) rather than
-    * trading hash quality for an oracle the way the winnowing sketch
-    * could (q28's 61-bit polynomial is ample for a fingerprint, not for
-    * 64 independent vote bits). The DETECTOR built on these signatures
-    * is fully oracled end-to-end in q27. */
-  val q26 = Q.rowsOnly("q26_simhash") { (s, d) =>
+  /** SimHash signatures per document, emitted as the signed 64-bit
+    * value. Fully oracled: the kernel's vote bits come from the q28
+    * polynomial family (token poly-131 mod 2^61−1, then two fixed
+    * multiplier mixes G1/G2 for the low/high 32 bits — see
+    * TextKernels.simHash64), which DuckDB replays verbatim in HUGEINT
+    * arithmetic: per-token hash, per-bit ±1 votes, sign, and the final
+    * two's-complement reinterpretation all hash-compare exactly. */
+  val q26 = Q.sql("q26_simhash",
+    s"""WITH tok AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+       |  FROM documents),
+       |th AS (
+       |  SELECT doc_id, list_transform(t, tk -> list_reduce(
+       |      list_prepend(CAST(0 AS HUGEINT),
+       |        list_transform(range(1, length(tk) + 1),
+       |                       i -> CAST(ascii(substr(tk, i, 1)) AS HUGEINT))),
+       |      (a, b) -> (a * 131 + b) % 2305843009213693951)) AS hs
+       |  FROM tok),
+       |bv AS (
+       |  SELECT doc_id, unnest(list_transform(hs, h ->
+       |      ((h + 1) * ${graft.functions.TextKernels.SimHashG1}) % 2305843009213693951 % 4294967296
+       |    + (((h + 1) * ${graft.functions.TextKernels.SimHashG2}) % 2305843009213693951 % 4294967296)
+       |      * 4294967296)) AS bits
+       |  FROM th),
+       |vo AS (
+       |  SELECT doc_id, r.b AS bit,
+       |    sum(CASE WHEN (bits // CAST(power(2, r.b) AS HUGEINT)) % 2 = 1
+       |             THEN 1 ELSE -1 END) AS vote
+       |  FROM bv, range(0, 64) r(b) GROUP BY doc_id, r.b),
+       |sig AS (
+       |  SELECT doc_id,
+       |    sum(CASE WHEN vote > 0 THEN CAST(power(2, bit) AS HUGEINT)
+       |             ELSE CAST(0 AS HUGEINT) END) AS s
+       |  FROM vo GROUP BY doc_id)
+       |SELECT t.doc_id,
+       |  CAST(CASE WHEN coalesce(g.s, 0) >= 9223372036854775808
+       |            THEN coalesce(g.s, 0) - 18446744073709551616
+       |            ELSE coalesce(g.s, 0) END AS BIGINT) AS simhash
+       |FROM tok t LEFT JOIN sig g ON t.doc_id = g.doc_id
+       |ORDER BY t.doc_id""".stripMargin) { (s, d) =>
     Tables.documents(s, d)
       .select(col("doc_id"),
-        Exprs.simhash64(Text.tokens(lower(col("text")))).as("sh"))
-      .select(col("doc_id"), format_string("%016x", col("sh")).as("simhash"))
+        Exprs.simhash64(Text.tokens(lower(col("text")))).as("simhash"))
       .orderBy("doc_id")
   }
 
