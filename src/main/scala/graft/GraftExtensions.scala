@@ -84,5 +84,6 @@ object GraftExtensions {
     ("graft_dot", 2, args => Exprs.DotF(args(0), args(1))),
     ("graft_repetition_stats", 2, args => Exprs.RepetitionStats(args(0),
       intLit(args(1), "graft_repetition_stats", "n"))),
-    ("graft_char_stats", 1, args => Exprs.CharStats(args(0))))
+    ("graft_char_stats", 1, args => Exprs.CharStats(args(0))),
+    ("graft_script_stats", 1, args => Exprs.ScriptStats(args(0))))
 }

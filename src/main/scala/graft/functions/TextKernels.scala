@@ -9,8 +9,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * directly (`graft.functions.TextKernels.stripAccents(...)`) and stay
   * inside whole-stage codegen.
   *
-  * All hashing is xxhash64 over the raw UTF-8 bytes (Spark's own
-  * [[XXH64]]), so signatures are stable across JVMs and partitions.
+  * Hashing: kernels whose output an oracle must replay (simhash,
+  * winnowing, span hashes) use the poly-131 / mod 2^61−1 family that
+  * DuckDB reproduces in HUGEINT arithmetic; MinHash keeps xxhash64 over
+  * the raw UTF-8 bytes (Spark's own [[XXH64]]) since its gate verifies
+  * the detector's PAIR SET, not the signature values. Both are stable
+  * across JVMs and partitions.
   */
 object TextKernels {
 
@@ -460,7 +464,10 @@ object TextKernels {
     * space, other]`. Classification is by fixed code-point ranges (NOT
     * `Character.UnicodeScript`, whose tables drift across JDKs and which
     * a SQL oracle could not replay):
-    * latin = A–Z, a–z, U+00C0–U+024F (Latin-1 letters + Extended A/B);
+    * latin = A–Z, a–z, U+00C0–U+024F (the contiguous Latin-1
+    * Supplement/Extended-A/B letter block — NOTE the range deliberately
+    * includes its two non-letters, × U+00D7 and ÷ U+00F7, to stay one
+    * branch; an oracle must use the numeric bounds, not "letters");
     * cyrillic = U+0400–U+04FF; greek = U+0370–U+03FF;
     * arabic = U+0600–U+06FF; hangul = U+AC00–U+D7AF;
     * cjk = U+4E00–U+9FFF ∪ U+3040–U+30FF (unified ideographs + kana);

@@ -621,7 +621,9 @@ class EngineSpec extends AnyFunSuite {
         |  size(graft_winnow(array('a','b','c','d','e','f'), 2, 3)) AS nw,
         |  graft_dot(array(CAST(2.0 AS FLOAT)), array(CAST(3.0 AS FLOAT))) AS dot,
         |  graft_poly_hash('ab') AS ph,
-        |  graft_mulmod61(graft_poly_hash('ab'), 1752450205419405103) AS mm
+        |  graft_mulmod61(graft_poly_hash('ab'), 1752450205419405103) AS mm,
+        |  graft_char_stats('aab') AS cs,
+        |  graft_script_stats('ab д 1') AS ss
         |""".stripMargin).head()
     assert(more.getString(0) == "café", more.getString(0))
     assert(more.getInt(1) == 16)
@@ -631,6 +633,11 @@ class EngineSpec extends AnyFunSuite {
     assert(more.getLong(5) == 97L * 131 + 98) // poly-131 over 'a','b'
     assert(more.getLong(6) ==
       operators.Sketches.Kmv.mix(97L * 131 + 98)) // SQL mulmod ≡ kernel
+    assert(more.getSeq[Long](7) == Seq(3L, 2L, 2L,
+      3 * Math.round(Math.log(3.0) / Math.log(2.0) * 1e6) -
+        2 * Math.round(Math.log(2.0) / Math.log(2.0) * 1e6)))
+    assert(more.getSeq[Long](8) ==
+      Seq(6L, 2L, 1L, 0L, 0L, 0L, 0L, 1L, 2L, 0L)) // 'ab' latin, 'д' cyr, '1' digit, 2 spaces
     // non-literal kernel params are rejected at plan time
     val err = intercept[Exception] {
       spark.sql("SELECT graft_word_ngrams(array('a'), CAST(rand()*2 AS INT))").head()

@@ -151,6 +151,30 @@ class KernelsSpec extends AnyFunSuite {
       larr(Long.MinValue, 0L, Long.MaxValue), larr(Long.MinValue, Long.MaxValue)) == 2)
   }
 
+  test("scriptStats: partition of the string into the nine classes") {
+    def ss(s: String): Seq[Long] =
+      TextKernels.scriptStats(UTF8String.fromString(s)).toLongArray().toSeq
+    // empty string: zero everywhere
+    assert(ss("") == Seq.fill(10)(0L))
+    // mixed-script string with known per-class counts
+    //           latin  cyr greek arab hang cjk digit space other
+    val mixed = "ab" + "дё" + "αβ" + "سم" + "한" + "水か" + "42" + " \t" + "!€"
+    val got = ss(mixed)
+    assert(got(0) == mixed.codePointCount(0, mixed.length), "n_chars")
+    assert(got.drop(1) == Seq(2L, 2L, 2L, 2L, 1L, 2L, 2L, 2L, 2L),
+      s"class counts off: $got")
+    // classes 1..9 partition the census: they sum to n_chars
+    assert(got.drop(1).sum == got(0))
+    // × U+00D7 and ÷ U+00F7 sit INSIDE the contiguous latin block —
+    // the documented one-branch trade-off, which the oracle must copy
+    assert(ss("×÷").drop(1) == Seq(2L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L))
+    // astral (surrogate-pair) code point: ONE char in the census, lands
+    // in `other`, and n_chars counts code points not UTF-16 units
+    val astral = new String(Character.toChars(0x1F600))
+    assert(ss(astral) == Seq(1L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 1L))
+    assert(ss("a" + astral + "9").drop(1).sum == 3L)
+  }
+
   test("cosineF/dotF in double, matching sequential fold") {
     assert(math.abs(TextKernels.cosineF(farr(1f, 0f), farr(1f, 1f)) -
       0.7071067811865475) < 1e-12)
