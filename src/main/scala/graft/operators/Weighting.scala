@@ -1,0 +1,188 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{Exprs, Text}
+
+/** Corpus-level data-selection operators — the step between a cleaned
+  * corpus and the training mix, where docs are SCORED against the whole
+  * corpus (or a target domain) and kept, bucketed, or resampled by that
+  * score:
+  *
+  *  - CCNet-style LM-score binning (Wenzek et al., LREC'20): score every
+  *    doc under a corpus language model, then cut each language into
+  *    head/middle/tail thirds so a mix can oversample the head;
+  *  - DSIR hashed-ngram importance weighting (Xie et al., NeurIPS'23):
+  *    weight every raw doc by how target-domain-like its hashed n-gram
+  *    features are, then resample the raw pool by that weight.
+  *
+  * Both follow the repo's oracle-determinism rules (operators.Q): no
+  * transcendentals — the LM score is the exact mean corpus-frequency of
+  * the doc's bigrams (a monotone surrogate for log-likelihood kept in
+  * integer arithmetic; the binning machinery is identical), and the DSIR
+  * weight uses the scaled LINEAR probability ratio rather than its log
+  * (same feature estimator, same ranking for single-bucket docs; the log
+  * variant is a one-line swap where bit-replay is not required).
+  */
+object Weighting {
+
+  /** CCNet head/middle/tail buckets. Per doc: mean corpus-frequency of
+    * its word bigrams, in exact integer micros (sum of per-gram corpus
+    * counts ×1e6, floor-divided by the doc's gram count); then ntile(3)
+    * within each language, best score first, doc_id tie-break.
+    *
+    * Scale shape: one shuffle to count grams, one shuffle-join of the
+    * gram stream against the count table (AQE turns it broadcast when
+    * the vocabulary is small, as at gate scale), one fold to docs. The
+    * per-language ntile is the gate-scale form of the cut; at 100 TB the
+    * two cut points per language come from the mergeable binned-quantile
+    * sketch (q114's machinery) and bucket assignment becomes a stateless
+    * compare — same output up to sketch resolution, no global sort.
+    */
+  val q123 = Q.sql("q123_ccnet_buckets",
+    """WITH t AS (
+      |  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+      |                                       i -> toks[i] || ' ' || toks[i+1])) AS g
+      |  FROM t),
+      |c AS (SELECT g, count(*) AS c FROM g GROUP BY 1),
+      |sc AS (
+      |  SELECT doc_id, sum(c.c) AS s, count(*) AS n
+      |  FROM g JOIN c USING (g) GROUP BY 1),
+      |s2 AS (
+      |  SELECT t.doc_id, t.lang,
+      |    CAST(coalesce((sc.s * 1000000) // sc.n, 0) AS BIGINT) AS score_micro
+      |  FROM t LEFT JOIN sc USING (doc_id))
+      |SELECT doc_id, lang, score_micro,
+      |  CASE ntile(3) OVER (PARTITION BY lang
+      |                      ORDER BY score_micro DESC, doc_id)
+      |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+      |FROM s2 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    ccnetBuckets(Tables.documents(s, d)).orderBy("doc_id")
+  }
+
+  /** The q123 rule over any (doc_id, lang, text) frame. */
+  def ccnetBuckets(documents: DataFrame): DataFrame = {
+    val base = documents.select(col("doc_id"), col("lang"), col("text"))
+    val grams = base.select(col("doc_id"),
+      explode(Text.shingles(Text.tokens(col("text")), 2)).as("g"))
+    val counts = grams.groupBy("g").agg(count(lit(1)).as("c"))
+    val scored = grams.join(counts, "g")
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("s"), count(lit(1)).as("n"))
+      .select(col("doc_id"),
+        expr("(s * 1000000) div n").as("score_micro"))
+    val w = Window.partitionBy("lang")
+      .orderBy(col("score_micro").desc, col("doc_id"))
+    base.select("doc_id", "lang")
+      .join(scored, Seq("doc_id"), "left")
+      .withColumn("score_micro", coalesce(col("score_micro"), lit(0L)))
+      .withColumn("bucket",
+        when(ntile(3).over(w) === 1, "head")
+          .when(ntile(3).over(w) === 2, "middle")
+          .otherwise("tail"))
+  }
+
+  /** DSIR feature-space size: bigrams hash into this many buckets. The
+    * paper uses 10k; 64 keeps the gate's feature table printable while
+    * exercising the identical plumbing (the constant appears in the
+    * oracle SQL, so changing it is a two-site edit). */
+  private[graft] val DSIR_BUCKETS = 64L
+
+  /** Importance weight of every doc against a target domain, plus the
+    * resample decision (top-`keep` by weight). Features are bigram
+    * counts hashed into [[DSIR_BUCKETS]] buckets with the
+    * oracle-replayable poly-131/mod-2^61−1 family (the q26/q28 hashes);
+    * the per-gram weight is the add-one-smoothed probability ratio
+    *
+    *   ((ct[b]+1)/(Nt+B)) / ((cr[b]+1)/(Nr+B))
+    *
+    * carried as the exact integer `((ct+1)·(Nr+B)·1e6) // ((cr+1)·(Nt+B))`
+    * and summed per doc — BIGINT-exact on both engines (the factors stay
+    * < 2^63 at gate scale; the 100 TB form lifts the product into
+    * DECIMAL(38) or pre-normalizes the ratio table to micros, which is
+    * the same 64-row broadcast either way).
+    *
+    * Scale shape: two scans of the gram stream (bucket counts, then the
+    * weight fold) — the feature table is B rows and broadcasts; nothing
+    * else shuffles wider than (doc_id, bucket). The global top-`keep`
+    * rank is gate-scale; the deployment form is the mergeable bounded
+    * heap q30 ranks with.
+    */
+  val q124 = Q.sql("q124_dsir_weights",
+    """WITH t AS (
+      |  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, source, unnest(list_transform(range(1, len(toks)),
+      |                                i -> toks[i] || ' ' || toks[i+1])) AS g
+      |  FROM t),
+      |h AS (
+      |  SELECT doc_id, source,
+      |    CAST(list_reduce(
+      |      list_prepend(CAST(0 AS HUGEINT),
+      |        list_transform(range(1, length(g) + 1),
+      |                       i -> CAST(ascii(substr(g, i, 1)) AS HUGEINT))),
+      |      (a, b) -> (a * 131 + b) % 2305843009213693951) % 64 AS BIGINT) AS b
+      |  FROM g),
+      |raw AS (SELECT b, count(*) AS cr FROM h GROUP BY 1),
+      |tgt AS (SELECT b, count(*) AS ct FROM h
+      |        WHERE source IN ('src0', 'src1', 'src2') GROUP BY 1),
+      |tot AS (SELECT count(*) AS nr,
+      |          sum(CASE WHEN source IN ('src0', 'src1', 'src2')
+      |              THEN 1 ELSE 0 END) AS nt FROM h),
+      |term AS (
+      |  SELECT h.doc_id,
+      |    CAST((CAST(coalesce(tgt.ct, 0) + 1 AS HUGEINT) * (tot.nr + 64) * 1000000)
+      |         // (CAST(raw.cr + 1 AS HUGEINT) * (tot.nt + 64)) AS BIGINT) AS term
+      |  FROM h JOIN raw USING (b) LEFT JOIN tgt USING (b) CROSS JOIN tot),
+      |w AS (SELECT doc_id, sum(term) AS w FROM term GROUP BY 1)
+      |SELECT t.doc_id,
+      |  CAST(coalesce(w.w, 0) AS BIGINT) AS w_micro,
+      |  (row_number() OVER (ORDER BY coalesce(w.w, 0) DESC, t.doc_id)) <= 100 AS kept
+      |FROM t LEFT JOIN w USING (doc_id) ORDER BY t.doc_id""".stripMargin) { (s, d) =>
+    dsirWeights(Tables.documents(s, d),
+      targetSources = Set("src0", "src1", "src2"), keep = 100)
+      .orderBy("doc_id")
+  }
+
+  /** The q124 rule over any (doc_id, source, text) frame. `keep` is the
+    * resample budget: the `kept` flag marks the top-`keep` docs by
+    * weight (weight desc, doc_id tie-break). */
+  def dsirWeights(documents: DataFrame, targetSources: Set[String],
+      keep: Int): DataFrame = {
+    val isTarget = col("source").isin(targetSources.toSeq: _*)
+    val base = documents.select(col("doc_id"), col("source"), col("text"))
+    def gramBuckets(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), col("source"),
+        explode(Text.shingles(Text.tokens(col("text")), 2)).as("g"))
+      .select(col("doc_id"), col("source"),
+        pmod(Exprs.poly_hash(col("g")), lit(DSIR_BUCKETS)).as("b"))
+    val h = gramBuckets(base)
+    val raw = h.groupBy("b").agg(count(lit(1)).as("cr"))
+    val tgt = h.filter(isTarget).groupBy("b").agg(count(lit(1)).as("ct"))
+    val tot = h.agg(count(lit(1)).as("nr"),
+      sum(when(isTarget, 1L).otherwise(0L)).as("nt"))
+    // B rows × (cr, ct, nr, nt) → the per-bucket integer ratio; broadcast
+    val terms = raw.join(tgt, Seq("b"), "left").crossJoin(broadcast(tot))
+      .select(col("b"),
+        expr(s"((coalesce(ct, 0) + 1) * (nr + $DSIR_BUCKETS) * 1000000) div " +
+          s"((cr + 1) * (nt + $DSIR_BUCKETS))").as("term"))
+    val w = h.join(broadcast(terms), "b")
+      .groupBy("doc_id").agg(sum(col("term")).as("w"))
+    base.select("doc_id")
+      .join(w, Seq("doc_id"), "left")
+      .withColumn("w_micro", coalesce(col("w"), lit(0L)))
+      .withColumn("kept",
+        row_number().over(Window.orderBy(col("w_micro").desc, col("doc_id")))
+          <= keep)
+      .select("doc_id", "w_micro", "kept")
+  }
+
+  val all: Seq[Q] = Seq(q123, q124)
+}

@@ -1104,6 +1104,46 @@ class EngineSpec extends AnyFunSuite {
     assert(heavy > 140 && heavy < 195, s"heavy share $heavy/200 off the E-S expectation ~171")
   }
 
+  test("ccnet buckets cut each language into balanced, score-ordered thirds") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("q123_ccnet_buckets")(spark, sf)
+    val docs = Tables.documents(spark, sf)
+    assert(out.count() === docs.count(), "every doc must be bucketed")
+    // thirds: per lang, bucket sizes differ by at most one
+    val sizes = out.groupBy("lang", "bucket").count()
+      .groupBy("lang").agg(max("count").as("mx"), min("count").as("mn"))
+      .collect()
+    sizes.foreach(r => assert(r.getLong(1) - r.getLong(2) <= 1,
+      s"unbalanced thirds for ${r.getString(0)}"))
+    // ordering: within a language, every head score >= every tail score
+    val agg = out.groupBy("lang").agg(
+      min(when(col("bucket") === "head", col("score_micro"))).as("head_min"),
+      max(when(col("bucket") === "tail", col("score_micro"))).as("tail_max"))
+      .collect()
+    agg.foreach(r => assert(r.getLong(1) >= r.getLong(2),
+      s"head/tail order inverted for ${r.getString(0)}"))
+  }
+
+  test("dsir weights rank target-vocabulary docs above off-domain docs") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // planted corpus: the target domain speaks a disjoint vocabulary;
+    // raw-pool docs that share it must out-weigh raw docs that don't
+    val tgtVocab = "alpha beta gamma delta epsilon zeta"
+    val offVocab = "uno dos tres cuatro cinco seis"
+    val docs = ((0L until 20L).map(i => (i, "src0", s"$tgtVocab $tgtVocab")) ++
+      (20L until 40L).map(i => (i, "raw", s"$tgtVocab $tgtVocab")) ++
+      (40L until 60L).map(i => (i, "raw", s"$offVocab $offVocab")))
+      .toDF("doc_id", "source", "text")
+    val w = graft.operators.Weighting
+      .dsirWeights(docs, targetSources = Set("src0"), keep = 40)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val inDomain = (20L until 40L).map(w).min
+    val offDomain = (40L until 60L).map(w).max
+    assert(inDomain > offDomain,
+      s"target-vocab raw docs ($inDomain) must out-weigh off-domain ($offDomain)")
+  }
+
   test("binned range join equals the naive inequality join") {
     import org.apache.spark.sql.functions._
     val points = spark.range(500).select(col("id").as("p"))
