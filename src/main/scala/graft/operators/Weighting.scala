@@ -164,14 +164,18 @@ object Weighting {
       .select(col("doc_id"), col("source"),
         pmod(Exprs.poly_hash(col("g")), lit(DSIR_BUCKETS)).as("b"))
     val h = gramBuckets(base)
-    val raw = h.groupBy("b").agg(count(lit(1)).as("cr"))
-    val tgt = h.filter(isTarget).groupBy("b").agg(count(lit(1)).as("ct"))
-    val tot = h.agg(count(lit(1)).as("nr"),
-      sum(when(isTarget, 1L).otherwise(0L)).as("nt"))
+    // raw and target bucket counts in ONE pass over the gram stream (a
+    // conditional sum, not a second scan + shuffle); the B-row table is
+    // materialized once (q25/q54's checkpoint pattern) so the totals
+    // fold reads it instead of re-running the corpus pass
+    val counts = h.groupBy("b").agg(count(lit(1)).as("cr"),
+      sum(when(isTarget, 1L).otherwise(0L)).as("ct"))
+      .localCheckpoint(true)
+    val tot = counts.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
     // B rows × (cr, ct, nr, nt) → the per-bucket integer ratio; broadcast
-    val terms = raw.join(tgt, Seq("b"), "left").crossJoin(broadcast(tot))
+    val terms = counts.crossJoin(broadcast(tot))
       .select(col("b"),
-        expr(s"((coalesce(ct, 0) + 1) * (nr + $DSIR_BUCKETS) * 1000000) div " +
+        expr(s"((ct + 1) * (nr + $DSIR_BUCKETS) * 1000000) div " +
           s"((cr + 1) * (nt + $DSIR_BUCKETS))").as("term"))
     val w = h.join(broadcast(terms), "b")
       .groupBy("doc_id").agg(sum(col("term")).as("w"))

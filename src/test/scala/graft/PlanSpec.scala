@@ -276,6 +276,27 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("dsir weight fold joins the gram stream against a BROADCAST feature table") {
+    // q124's per-gram weight lookup is a B(=64)-row table: it must reach
+    // the gram stream as a broadcast hash join, never an exchange of the
+    // gram stream on the bucket key — at 100 TB the gram stream is the
+    // corpus ×~wordcount and must not shuffle for a 64-row lookup
+    val p = plan(SparkEntry.queries("q124_dsir_weights")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"q124 lost the broadcast feature join:\n$p")
+    val exchangesOnB = "hashpartitioning\\(b#".r.findAllIn(p).size
+    assert(exchangesOnB <= 1, // the bucket-count groupBy is the one legit b-exchange
+      s"q124 shuffles the gram stream on the bucket key beyond the count pass:\n$p")
+  }
+
+  test("ccnet scoring partial-aggregates the gram stream before both shuffles") {
+    // the gram-count pass and the per-doc fold must both run map-side
+    // partials; the ntile window is per-language by design (gate-scale
+    // exact cut — see the q114-sketch scale note on Weighting)
+    val p = plan(SparkEntry.queries("q123_ccnet_buckets")(spark, sf))
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      s"q123 lost map-side partial aggregation:\n$p")
+  }
+
   test("range join aggregates points to day partials below the join (q102 eager agg)") {
     // the pair stream must carry day-level (count, sum) partials, not raw
     // lineitem rows — without the pushed group-by the bin join emits
