@@ -1144,6 +1144,35 @@ class EngineSpec extends AnyFunSuite {
       s"target-vocab raw docs ($inDomain) must out-weigh off-domain ($offDomain)")
   }
 
+  test("bpe learns the classic merge order on a hand-worked corpus") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // Sennrich's worked example shape: {low ×5, lower ×2, newest ×6,
+    // widest ×3}. Pair counts: (e,s)=9, (s,t)=9, (w,e)=8(newest)... —
+    // hand-derivation below, ties broken lexically:
+    //   1. (e,s) 9 vs (s,t) 9 → "es" wins lexically
+    //   2. (es,t) 9 → "est"
+    //   3. (l,o) 7 → "lo"
+    //   4. (n,e) 6, (e,w) 6, (w,est) 9? — after est: newest = n e w est,
+    //      widest = w i d est: (w,est)=6+0? w est only in newest(6);
+    //      d est in widest(3); (lo,w)=7 wins
+    //   (assert only the first three — independently hand-checked)
+    val words = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+      .toDF("word", "f")
+    val (merges, finalWords) = graft.operators.Bpe.trainOn(words, 5)
+    assert(merges.take(3).map(m => (m._2, m._3)) ===
+      Seq(("e", "s"), ("es", "t"), ("l", "o")),
+      s"merge order diverged: ${merges.mkString(", ")}")
+    // counts at merge time: es = 6+3+... newest(6)+widest(3) = 9
+    assert(merges.head._4 === 9L)
+    // encoding: after 5 merges "newest" must be fewer symbols than chars
+    val u = ""
+    val segs = finalWords.filter(col("word") === "newest")
+      .select(col("s")).collect().head.getString(0)
+    val n = segs.stripPrefix(u).stripSuffix(u).split(u + u).length
+    assert(n < 6, s"no compression on 'newest': $segs")
+  }
+
   test("binned range join equals the naive inequality join") {
     import org.apache.spark.sql.functions._
     val points = spark.range(500).select(col("id").as("p"))
