@@ -112,8 +112,8 @@ object TextOps {
       .orderBy("id_a", "id_b")
   }
 
-  private val MINHASH_K = 64
-  private val LSH_ROWS = 2 // rows per band → 32 bands
+  private[operators] val MINHASH_K = 64
+  private[operators] val LSH_ROWS = 2 // rows per band → 32 bands
   // Skew guard: an oversized LSH bucket is SAMPLED to its first
   // BUCKET_CAP members (by doc_id), not dropped — identical-signature
   // mega-clusters (template/exact-dup corpora) fill EVERY band's bucket,
@@ -122,7 +122,7 @@ object TextOps {
   // C(cap,2) per bucket while keeping the cluster detectable; exact-dup
   // removal (q20) stays the pre-pass that shrinks such clusters before
   // LSH in the composed pipeline.
-  private val BUCKET_CAP = 64
+  private[operators] val BUCKET_CAP = 64
 
   /** The brute-force 2-shingle-set Jaccard pair set — the DuckDB oracle
     * both sketch-candidate gates (q25 MinHash-LSH, q27 SimHash bands)
@@ -151,7 +151,7 @@ object TextOps {
     * verify over — built once per gate so candidate generation and the
     * exact verify derive from the same frame instead of re-scanning +
     * re-shingling the corpus per stage. */
-  private def shingled(docs: DataFrame): DataFrame =
+  private[operators] def shingled(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
         Text.shingles(Text.tokens(col("text")), 2).as("sh"))
       .filter(size(col("sh")) > 0)
@@ -161,7 +161,7 @@ object TextOps {
     * longs (machine-word merge walk, same trick as SetSimJoin's hashed
     * path) → (id_a, id_b, jac) with jac ≥ `threshold` on the rounded
     * value. `docs` is the [[shingled]] frame. */
-  private def verifyShinglePairs(docs: DataFrame, pairs: DataFrame,
+  private[operators] def verifyShinglePairs(docs: DataFrame, pairs: DataFrame,
       threshold: Double): DataFrame = {
     val sets = docs.select(col("doc_id"),
       array_sort(transform(array_distinct(col("sh")), t => xxhash64(t))).as("ts"))

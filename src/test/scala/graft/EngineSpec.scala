@@ -1173,6 +1173,19 @@ class EngineSpec extends AnyFunSuite {
     assert(n < 6, s"no compression on 'newest': $segs")
   }
 
+  test("near-dup index is mergeable: segment indexes union to the whole-corpus index") {
+    import org.apache.spark.sql.functions._
+    // the property that makes incremental appends sound: a corpus
+    // segment's index rows are independent of every other segment
+    val docs = Tables.documents(spark, sf)
+    val segA = docs.filter(col("doc_id") % 2 === 0)
+    val segB = docs.filter(col("doc_id") % 2 =!= 0)
+    val merged = graft.operators.IncrementalDedup.buildIndex(segA)
+      .union(graft.operators.IncrementalDedup.buildIndex(segB))
+    val whole = graft.operators.IncrementalDedup.buildIndex(docs)
+    assert(merged.except(whole).isEmpty && whole.except(merged).isEmpty)
+  }
+
   test("binned range join equals the naive inequality join") {
     import org.apache.spark.sql.functions._
     val points = spark.range(500).select(col("id").as("p"))
