@@ -179,7 +179,8 @@ class PlanSpec extends AnyFunSuite {
     // exact verify all branch off one checkpointed frame — a dropped
     // checkpoint re-scans the corpus and re-runs the shingle/simhash
     // kernels once per branch
-    for (name <- Seq("q25_minhash_lsh", "q27_simhash_neardup")) {
+    for (name <- Seq("q25_minhash_lsh", "q27_simhash_neardup",
+        "q127_incremental_neardup")) {
       val p = plan(SparkEntry.queries(name)(spark, sf))
       val scans = p.linesIterator.count(l =>
         l.contains("FileScan") || l.contains("BatchScan"))
