@@ -45,6 +45,7 @@ object Bench {
         .foreach(_.unpersist(blocking = false))
     }
     val results = picked.flatMap { q =>
+      var lastErr: String = null
       val times = (1 to repeats).flatMap { _ =>
         val t0 = System.nanoTime()
         val ok =
@@ -52,25 +53,24 @@ object Bench {
           catch {
             case e: Throwable =>
               System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
-              errors(q.name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+              lastErr = Option(e.getMessage).getOrElse(e.getClass.getName)
               false
           }
         val dt = (System.nanoTime() - t0) / 1e9
         scrub()
         if (ok) Some(dt) else None
       }
-      // a failed query contributes an errors entry, NOT a phantom timing
-      if (times.isEmpty) None else Some(q.name -> times.min)
+      // errors only when EVERY repeat failed — a transient one-repeat
+      // throw (executor contention, OOM blip) with a clean other repeat
+      // is exactly what min-of-N exists to absorb, so it must not fail
+      // the run; a query that never succeeds contributes an errors
+      // entry, NOT a phantom timing
+      if (times.isEmpty) { errors(q.name) = lastErr; None }
+      else Some(q.name -> times.min)
     }
-    def jstr(s: String): String = "\"" + s.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-      case '\r' => "\\r"; case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
+    val qs = results.map { case (k, v) => f"${Jsonl.str(k)}:$v%.3f" }
       .mkString("{", ",", "}")
-    val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v.take(300))}" }
+    val errs = errors.map { case (k, v) => s"${Jsonl.str(k)}:${Jsonl.str(v.take(300))}" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val json =

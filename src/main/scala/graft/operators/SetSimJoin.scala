@@ -113,10 +113,14 @@ object SetSimJoin {
     * 2-3 driver-blocking Spark jobs per call — the right price once,
     * pure overhead when a composed pipeline (q54) or a bench repeat
     * re-routes the SAME input. Keyed on the canonicalized analyzed plan,
-    * so the cache assumes plan-identical inputs are data-identical
-    * within a session — true for the immutable sf dirs every gate reads;
-    * a caller that mutates files under an identical plan should
-    * [[clearRouteCache]] first. LRU-bounded at 32 entries. */
+    * and ONLY for file-backed plans (every leaf a LogicalRelation): the
+    * path in the canonical form is the identity the memo needs, and the
+    * cache assumes plan-identical inputs are data-identical within a
+    * session — true for the immutable sf dirs every gate reads; a caller
+    * that mutates files under an identical plan should
+    * [[clearRouteCache]] first. In-memory and checkpointed inputs bypass
+    * the cache (a LocalRelation's string form hides its rows, so two
+    * same-schema corpora would collide). LRU-bounded at 32 entries. */
   private case class RouteKey(session: Int, plan: String, threshold: Double,
       denseVocabCap: Int, quadDocCap: Long)
   private case class RouteVal(route: Route, vocab: Array[String])
@@ -133,10 +137,20 @@ object SetSimJoin {
       denseVocabCap: Int, quadDocCap: Long): (Route, DataFrame) = {
     import spark.implicits._
     val docs = docs0.select($"doc_id", $"ts")
+    // cache ONLY file-backed plans: a LocalRelation's string form hides
+    // its rows (two same-schema in-memory corpora would collide on the
+    // key and reuse a stale route + dense vocab), and a checkpointed
+    // LogicalRDD's id is fresh per call so caching it can never hit —
+    // file relations carry their path in the canonical form, which is
+    // exactly the identity the memo wants
+    val fileBacked = docs0.queryExecution.analyzed.collectLeaves().forall {
+      case _: org.apache.spark.sql.execution.datasources.LogicalRelation => true
+      case _ => false
+    }
     val key = RouteKey(System.identityHashCode(spark),
       docs0.queryExecution.analyzed.canonicalized.toString,
       threshold, denseVocabCap, quadDocCap)
-    val hit = routeCache.get(key)
+    val hit = if (fileBacked) routeCache.get(key) else null
     if (hit != null) {
       // rebuild the chosen path's plan fresh (no DataFrames are cached —
       // only the decision and the dense vocab), skipping the probe jobs
@@ -166,13 +180,13 @@ object SetSimJoin {
       // path is the asymptotic winner too, and skipping the prefix probe
       // saves its index build on exactly the corpora that won't use it
       val vocab = probe.sorted
-      routeCache.put(key, RouteVal(Route.Dense, vocab))
+      if (fileBacked) routeCache.put(key, RouteVal(Route.Dense, vocab))
       return (Route.Dense,
         densePairs(spark, docs, threshold, filterOnRounded, vocab))
     }
     val n = docs.count()
     if (n <= quadDocCap) {
-      routeCache.put(key, RouteVal(Route.Hashed, Array.empty))
+      if (fileBacked) routeCache.put(key, RouteVal(Route.Hashed, Array.empty))
       return (Route.Hashed, hashedPairs(spark, docs, threshold, filterOnRounded))
     }
     // prefix-index df probe: materialize the (doc_id, prefix tok) index
@@ -185,11 +199,11 @@ object SetSimJoin {
       .as[Long].head() / 2.0
     val allPairs = n.toDouble * (n - 1) / 2
     if (est < allPairs * DenseCandidateFrac) {
-      routeCache.put(key, RouteVal(Route.Prefix, Array.empty))
+      if (fileBacked) routeCache.put(key, RouteVal(Route.Prefix, Array.empty))
       (Route.Prefix, PrefixJoin.verify(sized, PrefixJoin.candidates(prefix),
         threshold, filterOnRounded))
     } else {
-      routeCache.put(key, RouteVal(Route.Hashed, Array.empty))
+      if (fileBacked) routeCache.put(key, RouteVal(Route.Hashed, Array.empty))
       (Route.Hashed, hashedPairs(spark, docs, threshold, filterOnRounded))
     }
   }
