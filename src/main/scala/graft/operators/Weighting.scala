@@ -66,8 +66,9 @@ object Weighting {
     ccnetBuckets(Tables.documents(s, d)).orderBy("doc_id")
   }
 
-  /** The q123 rule over any (doc_id, lang, text) frame. */
-  def ccnetBuckets(documents: DataFrame): DataFrame = {
+  /** (doc_id, lang, score_micro) for every doc — the scoring pass both
+    * bucket assigners share. */
+  private def lmScores(documents: DataFrame): DataFrame = {
     val base = documents.select(col("doc_id"), col("lang"), col("text"))
     val grams = base.select(col("doc_id"),
       explode(Text.shingles(Text.tokens(col("text")), 2)).as("g"))
@@ -77,15 +78,52 @@ object Weighting {
       .agg(sum(col("c")).as("s"), count(lit(1)).as("n"))
       .select(col("doc_id"),
         expr("(s * 1000000) div n").as("score_micro"))
-    val w = Window.partitionBy("lang")
-      .orderBy(col("score_micro").desc, col("doc_id"))
     base.select("doc_id", "lang")
       .join(scored, Seq("doc_id"), "left")
       .withColumn("score_micro", coalesce(col("score_micro"), lit(0L)))
+  }
+
+  /** The q123 rule over any (doc_id, lang, text) frame. */
+  def ccnetBuckets(documents: DataFrame): DataFrame = {
+    val w = Window.partitionBy("lang")
+      .orderBy(col("score_micro").desc, col("doc_id"))
+    lmScores(documents)
       .withColumn("bucket",
         when(ntile(3).over(w) === 1, "head")
           .when(ntile(3).over(w) === 2, "middle")
           .otherwise("tail"))
+  }
+
+  /** The 100 TB form of [[ccnetBuckets]]: per-language cut points from a
+    * binned score histogram (q114's sketch shape — bounded integer
+    * state, mergeable under partial aggregation) instead of a
+    * per-language global sort. The two cuts per language are the bins
+    * where the descending cumulative count first reaches ⌈N/3⌉ and
+    * ⌈2N/3⌉; assignment is then a stateless compare against the
+    * broadcast cut table. Disagreement with the exact thirds is
+    * confined to docs whose score lands IN a cut bin (resolution = bin
+    * width; ties at a cut all go to the better bucket) — EngineSpec
+    * pins that bound. */
+  def ccnetBucketsApprox(documents: DataFrame, binMicros: Long): DataFrame = {
+    val scored = lmScores(documents)
+      .withColumn("bin", expr(s"score_micro div $binMicros"))
+    val hist = scored.groupBy("lang", "bin").agg(count(lit(1)).as("c"))
+    val byLang = Window.partitionBy("lang")
+    val cum = hist
+      .withColumn("cum", sum("c").over(byLang.orderBy(col("bin").desc)))
+      .withColumn("total", sum("c").over(byLang))
+    // descending cumulative ⇒ the crossing bin is the LARGEST bin whose
+    // cum has reached the target (q114's ascending form uses min)
+    def cut(frac: Double) =
+      max(when(col("cum") >= ceil(lit(frac) * col("total")), col("bin")))
+    val cuts = cum.groupBy("lang")
+      .agg(cut(1.0 / 3).as("head_bin"), cut(2.0 / 3).as("mid_bin"))
+    scored.join(broadcast(cuts), "lang")
+      .withColumn("bucket",
+        when(col("bin") >= col("head_bin"), "head")
+          .when(col("bin") >= col("mid_bin"), "middle")
+          .otherwise("tail"))
+      .select("doc_id", "lang", "score_micro", "bucket")
   }
 
   /** DSIR feature-space size: bigrams hash into this many buckets. The

@@ -1124,6 +1124,30 @@ class EngineSpec extends AnyFunSuite {
       s"head/tail order inverted for ${r.getString(0)}"))
   }
 
+  test("ccnet approx cuts disagree with exact thirds only inside cut bins") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    val binMicros = 50000L
+    val exact = SparkEntry.queries("q123_ccnet_buckets")(spark, sf)
+      .select(col("doc_id"), col("lang"), col("score_micro"),
+        col("bucket").as("b_exact"))
+    val approx = graft.operators.Weighting.ccnetBucketsApprox(docs, binMicros)
+      .select(col("doc_id"), col("bucket").as("b_approx"))
+    val joined = exact.join(approx, "doc_id")
+    assert(joined.count() === docs.count())
+    // disagreements may only occur inside a bin that STRADDLES an exact
+    // cut (the documented bin-resolution slack): any (lang, bin) with a
+    // flipped doc must contain docs from two different exact buckets
+    val straddle = joined
+      .withColumn("bin", expr(s"score_micro div $binMicros"))
+      .groupBy("lang", "bin")
+      .agg(count_distinct(col("b_exact")).as("nb"),
+        sum(when(col("b_exact") =!= col("b_approx"), 1).otherwise(0)).as("nd"))
+      .filter(col("nd") > 0 && col("nb") < 2)
+    assert(straddle.isEmpty,
+      "a doc flipped bucket outside a straddling cut bin")
+  }
+
   test("dsir weights rank target-vocabulary docs above off-domain docs") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
