@@ -181,6 +181,45 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("bpe fenced-replace pass equals the naive merge fold on random words") {
+    // the Bpe engine applies merge (a,b) as the literal string replace
+    // `␟a␟␟b␟ → ␟ab␟` over the fenced symbol string, relying on
+    // non-overlapping left-to-right semantics being exactly the BPE pass
+    // order; UTF8String.replace is the primitive Spark's replace()
+    // executes, so driving it directly pins the production code path.
+    // The naive model folds over the symbol list: merge when (last ==
+    // a && cur == b), else append — merged output can't re-merge in the
+    // same pass because the new symbol a+b differs from a.
+    val U = ""
+    def wrap(syms: Seq[String]): String = syms.map(U + _ + U).mkString
+    def fencedPass(syms: Seq[String], a: String, b: String): Seq[String] = {
+      val out = UTF8String.fromString(wrap(syms))
+        .replace(UTF8String.fromString(s"$U$a$U$U$b$U"),
+          UTF8String.fromString(s"$U$a$b$U")).toString
+      if (out.isEmpty) Seq.empty
+      else out.stripPrefix(U).stripSuffix(U).split(U + U).toSeq
+    }
+    def naivePass(syms: Seq[String], a: String, b: String): Seq[String] =
+      syms.foldLeft(Vector.empty[String]) { (acc, cur) =>
+        if (acc.nonEmpty && acc.last == a && cur == b)
+          acc.init :+ (a + b)
+        else acc :+ cur
+      }
+    // small alphabet so collisions/adjacent repeats are common, and
+    // three chained merges so multi-char symbols get fenced too
+    val word = Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c"))
+    val mergeSeq = Gen.listOfN(3,
+      Gen.zip(Gen.oneOf("a", "b", "c", "ab", "ba", "aa", "bc"),
+        Gen.oneOf("a", "b", "c", "ab", "ba", "aa", "bc")))
+    check("bpe-pass-model", Prop.forAll(Gen.zip(word, mergeSeq)) {
+      case (w, merges) =>
+        val (f, n) = merges.foldLeft((w: Seq[String], w: Seq[String])) {
+          case ((fs, ns), (a, b)) => (fencedPass(fs, a, b), naivePass(ns, a, b))
+        }
+        Prop(f == n) :| s"fenced=$f naive=$n word=$w merges=$merges"
+    })
+  }
+
   test("harvest plan covers [0, total) exactly once for any stripe shape") {
     val g = for {
       total <- Gen.choose(0, 5000)
