@@ -191,9 +191,17 @@ object Weighting {
 
   /** The q124 rule over any (doc_id, source, text) frame. `keep` is the
     * resample budget: the `kept` flag marks the top-`keep` docs by
-    * weight (weight desc, doc_id tie-break). */
+    * weight (weight desc, doc_id tie-break).
+    *
+    * `wide = true` is the 100 TB arithmetic: the per-bucket ratio
+    * `(ct+1)(Nr+B)·1e6 // (cr+1)(Nt+B)` overflows BIGINT once the
+    * corpus gram count reaches ~10¹³ (exactly the 100 TB regime), so
+    * the wide path collects the B-row count table (bounded driver
+    * state — B = 64 rows regardless of corpus size) and computes the
+    * terms in BigInt before broadcasting them back. Identical output
+    * wherever the narrow path doesn't overflow (spec-pinned). */
   def dsirWeights(documents: DataFrame, targetSources: Set[String],
-      keep: Int): DataFrame = {
+      keep: Int, wide: Boolean = false): DataFrame = {
     val isTarget = col("source").isin(targetSources.toSeq: _*)
     val base = documents.select(col("doc_id"), col("source"), col("text"))
     def gramBuckets(df: DataFrame): DataFrame = df
@@ -211,10 +219,25 @@ object Weighting {
       .localCheckpoint(true)
     val tot = counts.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
     // B rows × (cr, ct, nr, nt) → the per-bucket integer ratio; broadcast
-    val terms = counts.crossJoin(broadcast(tot))
-      .select(col("b"),
-        expr(s"((ct + 1) * (nr + $DSIR_BUCKETS) * 1000000) div " +
-          s"((cr + 1) * (nt + $DSIR_BUCKETS))").as("term"))
+    val terms =
+      if (!wide)
+        counts.crossJoin(broadcast(tot))
+          .select(col("b"),
+            expr(s"((ct + 1) * (nr + $DSIR_BUCKETS) * 1000000) div " +
+              s"((cr + 1) * (nt + $DSIR_BUCKETS))").as("term"))
+      else {
+        val spark = documents.sparkSession
+        import spark.implicits._
+        val rows = counts.select("b", "cr", "ct").collect()
+        val nr = BigInt(rows.map(_.getLong(1)).sum)
+        val nt = BigInt(rows.map(_.getLong(2)).sum)
+        val bB = BigInt(DSIR_BUCKETS)
+        rows.toSeq.map { r =>
+          val t = (BigInt(r.getLong(2)) + 1) * (nr + bB) * 1000000 /
+            ((BigInt(r.getLong(1)) + 1) * (nt + bB))
+          (r.getLong(0), t.toLong)
+        }.toDF("b", "term")
+      }
     val w = h.join(broadcast(terms), "b")
       .groupBy("doc_id").agg(sum(col("term")).as("w"))
     base.select("doc_id")

@@ -1197,6 +1197,15 @@ class EngineSpec extends AnyFunSuite {
     assert(n < 6, s"no compression on 'newest': $segs")
   }
 
+  test("dsir wide (BigInt) arithmetic equals the narrow BIGINT path") {
+    val docs = Tables.documents(spark, sf)
+    val tgt = Set("src0", "src1", "src2")
+    val narrow = graft.operators.Weighting.dsirWeights(docs, tgt, keep = 100)
+    val wide = graft.operators.Weighting.dsirWeights(docs, tgt, keep = 100,
+      wide = true)
+    assert(narrow.except(wide).isEmpty && wide.except(narrow).isEmpty)
+  }
+
   test("near-dup index is mergeable: segment indexes union to the whole-corpus index") {
     import org.apache.spark.sql.functions._
     // the property that makes incremental appends sound: a corpus
