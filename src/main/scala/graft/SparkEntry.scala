@@ -29,7 +29,8 @@ object SparkEntry {
       graft.operators.Layout.all ++ graft.operators.Vocab.all ++
       graft.operators.TextStats.all ++ graft.operators.Profiling.all ++
       graft.operators.Weighting.all ++ graft.operators.Bpe.all ++
-      graft.operators.IncrementalDedup.all
+      graft.operators.IncrementalDedup.all ++ graft.operators.WebQuality.all ++
+      graft.operators.Postings.all ++ graft.operators.MinhashEstimate.all
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. Star join +
     * agg + top-k window — exercises scan, broadcast join, partial agg,

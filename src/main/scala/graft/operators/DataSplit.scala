@@ -270,5 +270,40 @@ object DataSplit {
       .limit(50)
   }
 
-  val all: Seq[Q] = Seq(q59, q60, q67, q77, q83, q105)
+  /** Temperature-scaled mixture sampling rates (the XLM-R / mT5
+    * multilingual rebalancing step, α = 0.5): a source's sampling
+    * probability is pᵢ ∝ nᵢ^α, flattening the source distribution so
+    * head domains stop drowning the tail. One tiny groupBy produces
+    * the per-source counts; the normalization is a cross join against
+    * the one-row total (≤ a few hundred source rows — never a
+    * single-partition window over the corpus). Kept cross-engine exact
+    * by quantizing the weight to integer micros first — IEEE sqrt is
+    * correctly rounded on both engines, and everything after the
+    * round() is BIGINT arithmetic (rate as floor-ppm, target docs for
+    * a 100k budget as floor). */
+  val q133 = Q.sql("q133_mixture_rates",
+    """WITH c AS (
+      |  SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+      |w AS (
+      |  SELECT source, n_docs,
+      |    CAST(round(sqrt(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT) AS w
+      |  FROM c),
+      |t AS (SELECT CAST(sum(w) AS BIGINT) AS total FROM w)
+      |SELECT source, n_docs, w,
+      |  CAST(w * 1000000 // total AS BIGINT) AS rate_ppm,
+      |  CAST(w * 100000 // total AS BIGINT) AS target_docs
+      |FROM w, t ORDER BY source""".stripMargin) { (s, d) =>
+    val c = Tables.documents(s, d)
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("w",
+        round(sqrt(col("n_docs").cast("double")) * 1000000).cast("long"))
+    val t = c.agg(sum("w").as("total"))
+    c.crossJoin(t)
+      .select(col("source"), col("n_docs"), col("w"),
+        expr("w * 1000000 div total").as("rate_ppm"),
+        expr("w * 100000 div total").as("target_docs"))
+      .orderBy("source")
+  }
+
+  val all: Seq[Q] = Seq(q59, q60, q67, q77, q83, q105, q133)
 }

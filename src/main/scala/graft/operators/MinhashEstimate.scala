@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{Exprs, Text}
+
+/** Signature-level Jaccard ESTIMATION — the pure-sketch half of the
+  * MinHash family. q25 generates candidates by banding and then
+  * exact-verifies with a shingle scan; this operator stops at the
+  * signatures: similarity is estimated as the fraction of agreeing
+  * MinHash coordinates (an unbiased estimator of Jaccard, Broder '97),
+  * which is what a 100 TB pipeline uses when re-reading both documents
+  * for the exact verify is the expensive step (the text never moves —
+  * only 16·8 B signatures shuffle).
+  *
+  * Hash family: coordinate i of a doc is min over its distinct tokens
+  * of `(polyHash131(tok)·Gᵢ mod 2^61−1)` — the same oracle-replayable
+  * modular-multiplier construction as the CMS/KMV sketches (M prime →
+  * each Gᵢ is a bijection), so DuckDB rebuilds every signature
+  * bit-for-bit in HUGEINT arithmetic.
+  */
+object MinhashEstimate {
+
+  val K = 16
+  val Rows = 4 // rows per band → 4 bands
+  val Bands: Int = K / Rows
+
+  /** splitmix64 stream (seed 0x5EEDCAFE) reduced mod 2^61−1. */
+  val Gs: Array[Long] = Array(
+    228306911474628631L, 1167673549497243331L, 2112403024448701698L,
+    809674738077516596L, 845383944982593576L, 1308348358051381457L,
+    1453449505825715565L, 1787550849459870439L, 516243539066360113L,
+    800261756675004903L, 860876837426832833L, 1295616717811322051L,
+    1525990493319459205L, 1254184912358004047L, 2065892881832967110L,
+    2298790755795059679L)
+
+  /** Per-doc K-coordinate MinHash signature as an array column.
+    * Features are distinct word 2-shingles (q25's feature space): the
+    * synthetic corpus has a ~31-token vocabulary, so token-level
+    * signatures would collide on nearly every pair — bigrams give the
+    * sketch a feature space that actually separates documents. */
+  def signatures(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"),
+        explode(array_distinct(
+          Text.shingles(Text.tokens(col("text")), 2))).as("tok"))
+      // poly_hash is RAW poly-131; apply the KMV uniformizer explicitly
+      // (the oracle replays hash·G before the per-coordinate multipliers)
+      .select(col("doc_id"),
+        Exprs.mulmod61(Exprs.poly_hash(col("tok")), Sketches.Kmv.G).as("h"))
+      .groupBy("doc_id")
+      .agg(min(Exprs.mulmod61(col("h"), Gs(0))).as("s0"),
+        Gs.zipWithIndex.drop(1).map { case (g, i) =>
+          min(Exprs.mulmod61(col("h"), g)).as(s"s$i")
+        }.toSeq: _*)
+      .select(col("doc_id"),
+        array((0 until K).map(i => col(s"s$i")): _*).as("sig"))
+
+  /** Banded candidate pairs with the coordinate-agreement estimate. */
+  def estimatePairs(documents: DataFrame): DataFrame = {
+    val sig = signatures(documents)
+    val bandCols = (0 until Bands).map { b =>
+      array_join(transform(slice(col("sig"), b * Rows + 1, Rows),
+        _.cast("string")), ":")
+    }
+    val banded = sig
+      .select(col("doc_id"), posexplode(array(bandCols: _*)))
+      .withColumnRenamed("pos", "bnd").withColumnRenamed("col", "bv")
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.bnd") === col("b.bnd") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    cand
+      .join(sig.select(col("doc_id").as("id_a"), col("sig").as("siga")), "id_a")
+      .join(sig.select(col("doc_id").as("id_b"), col("sig").as("sigb")), "id_b")
+      .withColumn("n_match",
+        aggregate(zip_with(col("siga"), col("sigb"),
+          (x, y) => (x === y).cast("int")), lit(0), (a, x) => a + x)
+          .cast("long"))
+      .select(col("id_a"), col("id_b"), col("n_match"),
+        round(col("n_match") / lit(K.toDouble), 4).as("est"))
+  }
+
+  private val gList = Gs.mkString("[", ",", "]")
+
+  val q132 = Q.sql("q132_minhash_estimate",
+    s"""WITH t0 AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      |  FROM documents),
+      |tok AS (
+      |  SELECT doc_id,
+      |    unnest(list_distinct(list_transform(range(1, len(t)),
+      |      i -> t[i] || ' ' || t[i+1]))) AS tok
+      |  FROM t0 WHERE len(t) >= 2),
+      |h AS (
+      |  SELECT doc_id,
+      |    CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+      |      list_transform(range(1, length(tok) + 1),
+      |                     c -> CAST(ascii(substr(tok, c, 1)) AS HUGEINT))),
+      |      (a, b) -> (a * 131 + b) % 2305843009213693951)
+      |      * 1752450205419405103 % 2305843009213693951 AS BIGINT) AS h
+      |  FROM tok),
+      |sigl AS (
+      |  SELECT doc_id, i,
+      |    min(CAST((CAST(h AS HUGEINT) * ($gList)[i+1])
+      |        % 2305843009213693951 AS BIGINT)) AS s
+      |  FROM h, LATERAL unnest(range(0, $K)) AS u(i)
+      |  GROUP BY doc_id, i),
+      |sg AS (SELECT doc_id, list(s ORDER BY i) AS sig FROM sigl GROUP BY doc_id),
+      |b AS (
+      |  SELECT doc_id, bnd,
+      |    array_to_string(list_slice(sig, bnd*$Rows+1, bnd*$Rows+$Rows), ':') AS bv
+      |  FROM sg, LATERAL unnest(range(0, $Bands)) AS u(bnd)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+      |  FROM b a JOIN b b2 ON a.bnd = b2.bnd AND a.bv = b2.bv
+      |                    AND a.doc_id < b2.doc_id)
+      |SELECT c.id_a, c.id_b,
+      |  CAST(len(list_filter(range(1, ${K + 1}), j -> x.sig[j] = y.sig[j])) AS BIGINT) AS n_match,
+      |  round(CAST(len(list_filter(range(1, ${K + 1}), j -> x.sig[j] = y.sig[j])) AS DOUBLE) / $K.0, 4) AS est
+      |FROM cand c JOIN sg x ON c.id_a = x.doc_id JOIN sg y ON c.id_b = y.doc_id
+      |ORDER BY c.id_a, c.id_b""".stripMargin) { (s, d) =>
+    estimatePairs(Tables.documents(s, d)).orderBy("id_a", "id_b")
+  }
+
+  val all: Seq[Q] = Seq(q132)
+}

@@ -465,5 +465,94 @@ object Sketches {
       .orderBy(col("count").desc, col("item"))
   }
 
-  val all: Seq[Q] = Seq(q91, q103, q104, q113, q114)
+  /** HyperLogLog distinct-count sketch (Flajolet et al. '07) as plain
+    * declarative Spark — no custom Aggregator: the sketch IS a 64-cell
+    * grid of `max(rho)` registers, so `groupBy(key, bucket).agg(max)`
+    * gives mergeability, partial aggregation, and spill-safety from the
+    * engine for free. Register: bucket = low 6 hash bits, rho = 1 +
+    * LEADING zeros of the remaining 55-bit field, i.e. 56 − bitlen(w)
+    * (0 for an empty bucket, 56 when the field is all zero) — computed
+    * integer-exactly as length(bin(w)) on both engines. High bits, not
+    * trailing: the poly·G multiplicative family mixes its high bits
+    * much better than its low ones (trailing-zero rho measured 40%
+    * biased on sequential key sets; leading-zero rho sits inside the
+    * 1.04/√m envelope — see WebPipelineSpec). Estimate = the raw-HLL harmonic
+    * mean α₆₄·m²/Σ2^(−ρ), computed via the all-integer S = Σ2^(56−ρ)
+    * (fits: ≤ 64·2^56 = 2^62) and one IEEE double division — the same
+    * cross-engine-exact pattern as q103's KMV estimate. The
+    * small-range linear-counting correction is a driver-side concern
+    * (the raw estimate is what the registers determine); Spark's own
+    * approx_count_distinct is the production shortcut but its HLL++
+    * registers are unreplayable — these 8 B/bucket registers the
+    * oracle pins one by one.
+    *
+    * Emits the full m-row register grid per key (empty buckets as
+    * ρ = 0) with the per-key estimate alongside — the mergeable state
+    * AND the answer derived from it. */
+  val q131 = Q.sql("q131_hll_registers",
+    """WITH h AS (
+      |  SELECT DISTINCT event_type,
+      |    CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+      |      list_transform(range(1, length(u) + 1),
+      |                     c -> CAST(ascii(substr(u, c, 1)) AS HUGEINT))),
+      |      (a, b) -> (a * 131 + b) % 2305843009213693951)
+      |      * 1752450205419405103 % 2305843009213693951 AS BIGINT) AS h
+      |  FROM (SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS u
+      |        FROM events WHERE user_id IS NOT NULL)),
+      |r AS (
+      |  SELECT event_type, h % 64 AS reg_id, h // 64 AS w FROM h),
+      |rho AS (
+      |  SELECT event_type, reg_id,
+      |    max(CASE WHEN w = 0 THEN 56 ELSE 56 - length(bin(w)) END) AS rho
+      |  FROM r GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT t.event_type, g.reg_id, coalesce(rho.rho, 0) AS rho
+      |  FROM (SELECT DISTINCT event_type FROM h) t
+      |  CROSS JOIN (SELECT unnest(range(0, 64)) AS reg_id) g
+      |  LEFT JOIN rho ON rho.event_type = t.event_type
+      |               AND rho.reg_id = g.reg_id),
+      |s AS (
+      |  SELECT event_type,
+      |    sum(CAST(1 AS BIGINT) << CAST(56 - rho AS INT)) AS s
+      |  FROM grid GROUP BY 1)
+      |SELECT g.event_type, CAST(g.reg_id AS BIGINT) AS reg_id,
+      |  CAST(g.rho AS BIGINT) AS rho,
+      |  CAST(floor(CAST(0.709 AS DOUBLE) * 4096
+      |       * CAST(72057594037927936 AS DOUBLE)
+      |       / CAST(s.s AS DOUBLE)) AS BIGINT) AS est
+      |FROM grid g JOIN s ON g.event_type = s.event_type
+      |ORDER BY g.event_type, g.reg_id""".stripMargin) { (s, d) =>
+    // Kmv.mix applied explicitly: poly_hash is the RAW poly-131 value
+    // (the KMV/CMS aggregators mix internally); bucket/rho need the
+    // uniformized bits the oracle replays.
+    val h = Tables.events(s, d)
+      .filter(col("user_id").isNotNull)
+      .select(col("event_type"),
+        graft.functions.Exprs.mulmod61(
+          graft.functions.Exprs.poly_hash(col("user_id").cast("string")),
+          Kmv.G).as("h"))
+    val rho = h
+      .select(col("event_type"), (col("h") % 64).as("reg_id"),
+        expr("h div 64").as("w"))
+      .groupBy("event_type", "reg_id")
+      .agg(max(when(col("w") === 0, 56)
+        .otherwise(lit(56) - length(bin(col("w"))))).as("rho"))
+    val grid = h.select("event_type").distinct()
+      .select(col("event_type"),
+        explode(sequence(lit(0L), lit(63L))).as("reg_id"))
+      .join(rho, Seq("event_type", "reg_id"), "left")
+      .select(col("event_type"), col("reg_id"),
+        coalesce(col("rho"), lit(0L)).cast("long").as("rho"))
+    val sTab = grid.groupBy("event_type")
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(56 - rho AS INT))"))
+        .as("s"))
+    grid.join(sTab, "event_type")
+      .select(col("event_type"), col("reg_id").cast("long").as("reg_id"),
+        col("rho").cast("long").as("rho"),
+        floor(lit(0.709) * lit(4096) * lit(72057594037927936.0)
+          / col("s").cast("double")).cast("long").as("est"))
+      .orderBy("event_type", "reg_id")
+  }
+
+  val all: Seq[Q] = Seq(q91, q103, q104, q113, q114, q131)
 }

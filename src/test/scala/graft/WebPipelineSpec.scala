@@ -1,0 +1,201 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{MinhashEstimate, Postings, WebQuality}
+
+/** Specs for the web-corpus rule filters (Gopher/C4), the inverted
+  * index, and the sketch additions (HLL registers, minhash-coordinate
+  * Jaccard estimation, temperature mixture rates) — the edge shapes the
+  * sf-corpus oracle can't discriminate (the synthetic corpus has no
+  * symbols/bullets, so those rules are exercised on crafted fixtures
+  * here) plus scale invariants (partition-invariance, estimate-vs-truth
+  * envelopes, shuffle-free plans).
+  */
+class WebPipelineSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  // ---- Gopher rules on crafted fixtures --------------------------------
+
+  test("gopher: symbol rule fires on hash/ellipsis-heavy docs") {
+    val good = ("w " * 60).trim                       // 60 clean words
+    val hashy = (("w " * 50) + ("# " * 10)).trim      // 10 symbols / 60 words
+    val r = WebQuality.gopherStats(docs(1L -> good, 2L -> hashy))
+      .orderBy("doc_id").collect()
+    assert(r(0).getAs[Boolean]("r_symbol"))
+    assert(!r(1).getAs[Boolean]("r_symbol"), r(1).toString)
+  }
+
+  test("gopher: bullet and ellipsis-end line rules fire on crafted segments") {
+    // every 8-token segment starts with "-" → bullet fraction 100% > 90%
+    val bullets = Seq.fill(8)("- a b c d e f g").mkString(" ")
+    // every segment ends with "..." → ellipsis-end fraction 100% > 30%
+    val ells = Seq.fill(8)("a b c d e f g ...").mkString(" ")
+    val r = WebQuality.gopherStats(docs(1L -> bullets, 2L -> ells))
+      .orderBy("doc_id").collect()
+    assert(!r(0).getAs[Boolean]("r_bullet"), r(0).toString)
+    assert(r(0).getAs[Boolean]("r_ellipsis_end"))
+    assert(r(1).getAs[Boolean]("r_bullet"))
+    assert(!r(1).getAs[Boolean]("r_ellipsis_end"), r(1).toString)
+  }
+
+  test("gopher: word-count, mean-word-length, alpha and stopword rules") {
+    val short = "only four words here"                   // < 50 words
+    val numeric = (("12345 " * 30) + ("word " * 30)).trim // 50% alpha < 80%
+    val longw = ("pneumonoultramicroscopic " * 60).trim  // mwl 24 > 10
+    val stopped = ("the and of to " * 15).trim           // 4 distinct stops
+    val r = WebQuality.gopherStats(
+      docs(1L -> short, 2L -> numeric, 3L -> longw, 4L -> stopped))
+      .orderBy("doc_id").collect()
+    assert(!r(0).getAs[Boolean]("r_wordcount"))
+    assert(!r(1).getAs[Boolean]("r_alpha"))
+    assert(!r(2).getAs[Boolean]("r_meanwordlen"))
+    assert(r(3).getAs[Boolean]("r_stopwords") && r(3).getAs[Boolean]("r_wordcount"))
+    assert(!r(0).getAs[Boolean]("keep") && !r(1).getAs[Boolean]("keep"))
+  }
+
+  test("gopher + c4 are shuffle-free stateless maps (no exchange in plan)") {
+    val g = WebQuality.gopherStats(Tables.documents(spark, sf))
+    val c = WebQuality.c4LineFilter(Tables.documents(spark, sf))
+    assert(!g.queryExecution.executedPlan.toString.contains("Exchange"),
+      "gopherStats shuffles")
+    assert(!c.queryExecution.executedPlan.toString.contains("Exchange"),
+      "c4LineFilter shuffles")
+  }
+
+  // ---- C4 line filter --------------------------------------------------
+
+  test("c4: blocklisted and short lines drop; majority-dropped doc is removed") {
+    // 2 segments: one clean, one carrying a blocklist term → 50% kept →
+    // NOT dropped (strict < half). 1-of-3 kept → dropped.
+    val half = "a b c d e f g h " + "x y slow q w e r t"
+    val third = "a b c d e f g h " + "slow b c d e f g h " + "big b c d e f g h"
+    val r = WebQuality.c4LineFilter(docs(1L -> half, 2L -> third))
+      .orderBy("doc_id").collect()
+    assert(r(0).getAs[Long]("n_kept") == 1L && !r(0).getAs[Boolean]("dropped"))
+    assert(r(1).getAs[Long]("n_kept") == 1L && r(1).getAs[Boolean]("dropped"))
+    // dropped docs digest the empty string, kept docs their kept text
+    assert(r(1).getAs[String]("clean_md5") ==
+      java.security.MessageDigest.getInstance("MD5")
+        .digest("".getBytes("UTF-8")).map("%02x".format(_)).mkString)
+  }
+
+  test("c4: a tail segment shorter than 3 words is dropped by the word rule") {
+    val r = WebQuality.c4LineFilter(docs(1L -> ("a b c d e f g h " + "i j")))
+      .collect()(0)
+    assert(r.getAs[Long]("n_lines") == 2L && r.getAs[Long]("n_kept") == 1L)
+  }
+
+  // ---- Inverted index --------------------------------------------------
+
+  test("postings: df/tf/digest match a hand-built index") {
+    val r = Postings.invertedIndex(
+      docs(1L -> "a b a", 2L -> "b c", 3L -> "a"))
+      .orderBy("token").collect()
+    val byTok = r.map(x => x.getAs[String]("token") ->
+      (x.getAs[Long]("df"), x.getAs[Long]("tf"))).toMap
+    assert(byTok("a") == (2L, 3L))
+    assert(byTok("b") == (2L, 2L))
+    assert(byTok("c") == (1L, 1L))
+    val md5a = java.security.MessageDigest.getInstance("MD5")
+      .digest("1,3".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(r.find(_.getAs[String]("token") == "a").get
+      .getAs[String]("postings_md5") == md5a)
+  }
+
+  test("postings build partial-aggregates before the token shuffle") {
+    val p = Postings.invertedIndex(Tables.documents(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_count") || p.contains("partial"), p)
+  }
+
+  // ---- HLL registers ---------------------------------------------------
+
+  test("hll: registers are partition-invariant (mergeable by max)") {
+    val a = SparkEntry.queries("q131_hll_registers")(spark, sf).collect()
+    // same rows through a different partitioning must give identical grids
+    // (q131 reads only $dir/events.parquet — rewrite it repartitioned)
+    val tmp = s"/tmp/hll_repart_${System.nanoTime()}"
+    Tables.events(spark, sf).repartition(13)
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val b = SparkEntry.queries("q131_hll_registers")(spark, tmp).collect()
+    assert(a.map(_.toString).sorted.sameElements(b.map(_.toString).sorted))
+  }
+
+  test("hll: estimate lands within the m=64 error envelope of exact") {
+    import spark.implicits._
+    // 5000 distinct keys through the same register math as q131
+    val n = 5000
+    val df = (1 to n).map(i => s"user$i").toDF("u")
+      .select(graft.functions.Exprs.mulmod61(
+        graft.functions.Exprs.poly_hash(col("u")),
+        graft.operators.Sketches.Kmv.G).as("h"))
+      .select((col("h") % 64).as("reg_id"), expr("h div 64").as("w"))
+      .groupBy("reg_id")
+      .agg(max(when(col("w") === 0, 56)
+        .otherwise(lit(56) - length(bin(col("w"))))).cast("long").as("rho"))
+    val regs = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val s = (0 until 64).map(i => 1L << (56 - regs.getOrElse(i.toLong, 0L))).sum
+    val est = math.floor(0.709 * 4096 * math.pow(2, 56) / s.toDouble)
+    // raw HLL relative error ~1.04/sqrt(64) = 13%; allow 3σ
+    assert(math.abs(est - n) < 0.4 * n, s"est=$est exact=$n")
+  }
+
+  // ---- MinHash coordinate estimation -----------------------------------
+
+  test("minhash estimate tracks exact shingle-jaccard on planted near-dups") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 57).map(i => s"tok$i").mkString(" ") + " zzz yyy xxx"
+    val far = (100 to 160).map(i => s"w$i").mkString(" ")
+    val d = docs(1L -> base, 2L -> near, 3L -> far)
+    val pairs = MinhashEstimate.estimatePairs(d).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Double]("est"))
+      .toMap
+    // the planted near-dup pair must surface through banding (J ≈ 0.9 →
+    // a 4-coordinate band agrees with prob ≈ 1−(1−0.9⁴)^4 ≈ 0.99)
+    assert(pairs.contains((1L, 2L)), s"planted pair missing: $pairs")
+    // true 2-shingle jaccard = 56/62 ≈ 0.90; K=16 coordinates give
+    // σ = sqrt(J(1−J)/16) ≈ 0.075 — allow 4σ below
+    val est = pairs((1L, 2L))
+    assert(est >= 0.6, s"est=$est far from true J≈0.90")
+    // the unrelated doc must not pair with anything
+    assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("minhash signatures are deterministic and length-K") {
+    val d = docs(1L -> "a b c d e f")
+    val s1 = MinhashEstimate.signatures(d).collect()(0).getSeq[Long](1)
+    val s2 = MinhashEstimate.signatures(d).collect()(0).getSeq[Long](1)
+    assert(s1 == s2 && s1.length == MinhashEstimate.K)
+  }
+
+  // ---- Mixture rates ---------------------------------------------------
+
+  test("mixture rates: ppm allocations are sqrt-proportional and sum ≤ 1e6") {
+    val r = SparkEntry.queries("q133_mixture_rates")(spark, sf).collect()
+    val ppm = r.map(_.getAs[Long]("rate_ppm"))
+    assert(ppm.sum <= 1000000L && ppm.sum > 1000000L - r.length)
+    // a source with 4× the docs gets ~2× the rate (sqrt flattening)
+    val byN = r.map(x => x.getAs[Long]("n_docs").toDouble -> x.getAs[Long]("rate_ppm").toDouble)
+    for (Seq((n1, p1), (n2, p2)) <- byN.toSeq.sortBy(_._1).combinations(2).map(_.sortBy(_._1))) {
+      val expected = math.sqrt(n2 / n1)
+      assert(math.abs(p2 / p1 - expected) < 0.01 * expected + 0.01,
+        s"n=$n1→$n2 rate ratio ${p2 / p1} vs sqrt ${expected}")
+    }
+  }
+}
