@@ -281,5 +281,87 @@ object Multimodal {
     inferenceBatches(mediaTable(s, d), batchSize = 8).orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(q52, q53, q58, q79, q90)
+  /** WAV fixture clips, one per document: n = 256 + (text bytes % 512)
+    * PCM16 mono samples at 16 kHz, sample j = ((doc_id·11 + j·17) mod
+    * 65536) − 32768 — full int16 range, deterministic, replayed
+    * arithmetically by the oracle. The payload is a REAL RIFF/WAVE
+    * file; [[Wav.decode]] must walk the chunk list and land the
+    * little-endian sample decode exactly or the gates hash-mismatch. */
+  def wavTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select("doc_id", "text").as[(Long, String)]
+      .map { case (id, text) =>
+        val n = 256 + text.getBytes("UTF-8").length % 512
+        val samples = Array.tabulate(n)(j =>
+          (((id * 11 + j.toLong * 17) % 65536) - 32768).toShort)
+        val bytes = Wav.encode(Wav.Audio(16000, 1, samples))
+        val md = MessageDigest.getInstance("MD5")
+        val sha = md.digest(bytes).map("%02x".format(_)).mkString
+        MediaRow(id, bytes, MediaMeta("audio/wav", bytes.length.toLong, sha))
+      }
+  }
+
+  /** Audio frame windowing: window 256 samples, hop 128, full windows
+    * only — the STFT/feature-frame shape. Real decode per clip through
+    * the same batch-shaped partitions as [[sampleFrames]]; per window
+    * the exact integer energy (Σ s²) and peak (max |s|), both
+    * hash-stable. */
+  val AudioWindow = 256
+  val AudioHop = 128
+
+  case class AudioWin(doc_id: Long, win_idx: Long, n_samples: Long,
+      sample_rate: Long, energy: Long, peak: Long)
+
+  def windowEnergy(media: Dataset[MediaRow]): Dataset[AudioWin] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(BATCH_SIZE).flatMap(_.iterator.flatMap { row =>
+        val a = Wav.decode(row.payload)
+        val n = a.samples.length
+        val nWin = if (n < AudioWindow) 0 else (n - AudioWindow) / AudioHop + 1
+        (0 until nWin).iterator.map { w =>
+          var e = 0L; var p = 0L
+          var j = w * AudioHop
+          val until = j + AudioWindow
+          while (j < until) {
+            val s = a.samples(j).toLong
+            e += s * s
+            val abs = math.abs(s)
+            if (abs > p) p = abs
+            j += 1
+          }
+          AudioWin(row.doc_id, w.toLong, n.toLong, a.sampleRate.toLong, e, p)
+        }
+      })
+    }
+  }
+
+  /** Audio window gate: the oracle replays the generator arithmetic
+    * through the window index ranges — a RIFF chunk-walk bug, an
+    * endianness slip, or an off-by-one in the hop lands different
+    * samples in a window and the exact energy/peak mismatch. */
+  val q134 = Q.sql("q134_audio_windows",
+    s"""WITH t AS (
+       |  SELECT doc_id, 256 + octet_length(encode(text)) % 512 AS n
+       |  FROM documents),
+       |w AS (
+       |  SELECT doc_id, n,
+       |    unnest(range(0, (n - $AudioWindow) // $AudioHop + 1)) AS win
+       |  FROM t),
+       |e AS (
+       |  SELECT doc_id, n, win,
+       |    list_sum(list_transform(range(win*$AudioHop, win*$AudioHop + $AudioWindow),
+       |      j -> ((doc_id*11 + j*17) % 65536 - 32768)
+       |         * ((doc_id*11 + j*17) % 65536 - 32768))) AS energy,
+       |    list_max(list_transform(range(win*$AudioHop, win*$AudioHop + $AudioWindow),
+       |      j -> abs((doc_id*11 + j*17) % 65536 - 32768))) AS peak
+       |  FROM w)
+       |SELECT doc_id, CAST(win AS BIGINT) AS win_idx, CAST(n AS BIGINT) AS n_samples,
+       |  CAST(16000 AS BIGINT) AS sample_rate,
+       |  CAST(energy AS BIGINT) AS energy, CAST(peak AS BIGINT) AS peak
+       |FROM e ORDER BY doc_id, win_idx""".stripMargin) { (s, d) =>
+    windowEnergy(wavTable(s, d)).toDF().orderBy("doc_id", "win_idx")
+  }
+
+  val all: Seq[Q] = Seq(q52, q53, q58, q79, q90, q134)
 }

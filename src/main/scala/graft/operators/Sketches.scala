@@ -488,8 +488,53 @@ object Sketches {
     *
     * Emits the full m-row register grid per key (empty buckets as
     * ρ = 0) with the per-key estimate alongside — the mergeable state
-    * AND the answer derived from it. */
-  val q131 = Q.sql("q131_hll_registers",
+    * AND the answer derived from it.
+    *
+    * Pieces below: [[hllRowRegs]] (stateless per-row contribution) →
+    * max aggregation (batch in q131; Complete-mode streaming in q135)
+    * → [[hllFinish]] (grid fill + estimate). */
+  /** Stateless per-row HLL register contribution: one (event_type,
+    * reg_id, rho) row per input row. Shared by the batch gate (q131)
+    * and the streaming variant (q135 — the SAME max-aggregation run in
+    * Complete mode maintains the registers incrementally; monotone max
+    * state is exactly what the streaming engine merges for free). */
+  def hllRowRegs(events: DataFrame): DataFrame = {
+    import graft.functions.Exprs
+    events
+      .filter(col("user_id").isNotNull)
+      .select(col("event_type"),
+        Exprs.mulmod61(Exprs.poly_hash(col("user_id").cast("string")),
+          Kmv.G).as("h"))
+      .select(col("event_type"), (col("h") % 64).as("reg_id"),
+        expr("h div 64").as("w"))
+      .select(col("event_type"), col("reg_id"),
+        when(col("w") === 0, 56)
+          .otherwise(lit(56) - length(bin(col("w")))).cast("long").as("rho"))
+  }
+
+  /** Fill the m=64 grid (empty buckets as ρ=0) and derive the raw-HLL
+    * estimate from aggregated (event_type, reg_id, rho) registers. */
+  def hllFinish(regs: DataFrame): DataFrame = {
+    val grid = regs.select("event_type").distinct()
+      .select(col("event_type"),
+        explode(sequence(lit(0L), lit(63L))).as("reg_id"))
+      .join(regs, Seq("event_type", "reg_id"), "left")
+      .select(col("event_type"), col("reg_id"),
+        coalesce(col("rho"), lit(0L)).cast("long").as("rho"))
+    val sTab = grid.groupBy("event_type")
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(56 - rho AS INT))"))
+        .as("s"))
+    grid.join(sTab, "event_type")
+      .select(col("event_type"), col("reg_id").cast("long").as("reg_id"),
+        col("rho").cast("long").as("rho"),
+        floor(lit(0.709) * lit(4096) * lit(72057594037927936.0)
+          / col("s").cast("double")).cast("long").as("est"))
+      .orderBy("event_type", "reg_id")
+  }
+
+  /** The q131/q135 oracle — also the streaming gate's: a Complete-mode
+    * max aggregation's final state must equal the batch sketch. */
+  val HllOracle =
     """WITH h AS (
       |  SELECT DISTINCT event_type,
       |    CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
@@ -521,37 +566,14 @@ object Sketches {
       |       * CAST(72057594037927936 AS DOUBLE)
       |       / CAST(s.s AS DOUBLE)) AS BIGINT) AS est
       |FROM grid g JOIN s ON g.event_type = s.event_type
-      |ORDER BY g.event_type, g.reg_id""".stripMargin) { (s, d) =>
-    // Kmv.mix applied explicitly: poly_hash is the RAW poly-131 value
-    // (the KMV/CMS aggregators mix internally); bucket/rho need the
-    // uniformized bits the oracle replays.
-    val h = Tables.events(s, d)
-      .filter(col("user_id").isNotNull)
-      .select(col("event_type"),
-        graft.functions.Exprs.mulmod61(
-          graft.functions.Exprs.poly_hash(col("user_id").cast("string")),
-          Kmv.G).as("h"))
-    val rho = h
-      .select(col("event_type"), (col("h") % 64).as("reg_id"),
-        expr("h div 64").as("w"))
-      .groupBy("event_type", "reg_id")
-      .agg(max(when(col("w") === 0, 56)
-        .otherwise(lit(56) - length(bin(col("w"))))).as("rho"))
-    val grid = h.select("event_type").distinct()
-      .select(col("event_type"),
-        explode(sequence(lit(0L), lit(63L))).as("reg_id"))
-      .join(rho, Seq("event_type", "reg_id"), "left")
-      .select(col("event_type"), col("reg_id"),
-        coalesce(col("rho"), lit(0L)).cast("long").as("rho"))
-    val sTab = grid.groupBy("event_type")
-      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(56 - rho AS INT))"))
-        .as("s"))
-    grid.join(sTab, "event_type")
-      .select(col("event_type"), col("reg_id").cast("long").as("reg_id"),
-        col("rho").cast("long").as("rho"),
-        floor(lit(0.709) * lit(4096) * lit(72057594037927936.0)
-          / col("s").cast("double")).cast("long").as("est"))
-      .orderBy("event_type", "reg_id")
+      |ORDER BY g.event_type, g.reg_id""".stripMargin
+
+  val q131 = Q.sql("q131_hll_registers", HllOracle) { (s, d) =>
+    // Kmv.mix applied explicitly inside hllRowRegs: poly_hash is the
+    // RAW poly-131 value (the KMV/CMS aggregators mix internally);
+    // bucket/rho need the uniformized bits the oracle replays.
+    hllFinish(hllRowRegs(Tables.events(s, d))
+      .groupBy("event_type", "reg_id").agg(max("rho").as("rho")))
   }
 
   val all: Seq[Q] = Seq(q91, q103, q104, q113, q114, q131)

@@ -132,5 +132,14 @@ object StreamOps {
       .orderBy("user_id")
   }
 
-  val all: Seq[Q] = Seq(q50, q51, q57, q63, q71, q72, q76, q84)
+  /** Streaming HLL ≡ batch HLL: the register grid a Complete-mode max
+    * aggregation leaves behind must equal q131's batch sketch — the
+    * oracle is shared verbatim. Sketches-over-streams is the 100 TB
+    * monitoring shape (distinct users per type, live, bounded state). */
+  val q135 = Q.sql("q135_stream_hll",
+    graft.operators.Sketches.HllOracle) { (s, d) =>
+    Streams.hllSketch(s, d, qn("hll"))
+  }
+
+  val all: Seq[Q] = Seq(q50, q51, q57, q63, q71, q72, q76, q84, q135)
 }

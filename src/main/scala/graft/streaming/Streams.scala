@@ -334,4 +334,30 @@ object Streams {
       .select(col("user_id"), col("s.n_sessions").as("n_sessions"),
         col("s.n_events").as("n_events"))
   }
+
+  /** Streaming HyperLogLog: the q131 register grid maintained by a
+    * Complete-mode max aggregation over the event stream — distinct
+    * users per event type from O(m) state per key while the stream
+    * runs. Monotone max registers are the ideal streaming state: the
+    * engine's incremental aggregation IS the sketch merge, no custom
+    * stateful operator, and the final state provably equals the batch
+    * sketch (the gate's oracle is q131's, verbatim). At 100 TB the
+    * same query runs unbounded with the memory sink swapped for a
+    * foreachBatch register-table upsert. */
+  def hllSketch(spark: SparkSession, dir: String, queryName: String): DataFrame = {
+    import graft.operators.Sketches
+    val regs = Sketches.hllRowRegs(eventStream(spark, dir))
+      .groupBy("event_type", "reg_id").agg(max("rho").as("rho"))
+    val q = regs.writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory").queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    // hllFinish self-joins the register frame (grid fill + estimate);
+    // the memory-sink View keeps one attribute set per name, which the
+    // analyzer cannot deduplicate across that self-join — checkpoint the
+    // (≤ 5·64-row) state to give the finish plan fresh leaves.
+    Sketches.hllFinish(spark.table(queryName).localCheckpoint(true))
+  }
 }

@@ -156,6 +156,14 @@ class WebPipelineSpec extends AnyFunSuite {
     assert(math.abs(est - n) < 0.4 * n, s"est=$est exact=$n")
   }
 
+  test("hll: streaming register state equals the batch sketch exactly") {
+    val batch = SparkEntry.queries("q131_hll_registers")(spark, sf)
+      .collect().map(_.toString).sorted
+    val stream = SparkEntry.queries("q135_stream_hll")(spark, sf)
+      .collect().map(_.toString).sorted
+    assert(batch.sameElements(stream))
+  }
+
   // ---- MinHash coordinate estimation -----------------------------------
 
   test("minhash estimate tracks exact shingle-jaccard on planted near-dups") {
