@@ -159,5 +159,97 @@ object TrainingPipeline {
       .select(col("doc_id"), col("lang"),
         explode(sequence(lit(0L), col("n").cast("long") - 1)).as("epoch"))
 
-  val all: Seq[Q] = Seq(q80, q85, q86)
+  /** Web-curation pipeline — the round-6 operators composed end to end
+    * the way a pretraining ingest actually chains them:
+    * Gopher CORE rules (word count / mean word length / symbol ratio /
+    * alpha fraction — the stopword/line rules are corpus config and
+    * stay off for this vocabulary) → C4 line filtering + majority-drop
+    * → exact dedup on the CLEANED text digest (template dups collapse
+    * only after boilerplate lines go) → temperature-budgeted selection
+    * (α = 0.5 mixture targets for a 200-doc budget, q77's salted-hash
+    * rank inside each source). The oracle replays all four stages as
+    * one CTE chain, so stage ORDER and handoff are pinned, not just the
+    * pieces. Every stage is a stateless map or a slim keyed agg; the
+    * only window partitions by source (bounded cardinality). */
+  val q136 = Q.sql("q136_web_curation",
+    """WITH t AS (
+      |  SELECT doc_id, text, source,
+      |    regexp_split_to_array(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |core AS (
+      |  SELECT doc_id, toks FROM (
+      |    SELECT doc_id, toks,
+      |      CAST(len(toks) AS BIGINT) AS n_words,
+      |      CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS BIGINT) AS sum_len,
+      |      CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha_words,
+      |      CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash,
+      |      CAST(len(regexp_extract_all(text, '\.\.\.'))
+      |        + length(text) - length(replace(text, '…', '')) AS BIGINT) AS n_ellipsis
+      |    FROM t)
+      |  WHERE n_words BETWEEN 50 AND 100000
+      |    AND sum_len >= n_words*3 AND sum_len <= n_words*10
+      |    AND (n_hash + n_ellipsis)*10 <= n_words
+      |    AND alpha_words*10 >= n_words*8),
+      |cl AS (
+      |  SELECT doc_id,
+      |    list_filter(list_transform(range(0, (len(toks)+7)//8),
+      |      g -> list_slice(toks, g*8+1, g*8+8)),
+      |      a -> len(a) >= 3 AND NOT list_has_any(a, ['slow','big'])) AS kept,
+      |    (len(toks)+7)//8 AS n_lines
+      |  FROM core),
+      |cleaned AS (
+      |  SELECT doc_id,
+      |    md5(array_to_string(list_transform(kept, a -> array_to_string(a, ' ')),
+      |        chr(10))) AS clean_md5
+      |  FROM cl WHERE NOT (len(kept)*10 < n_lines*5)),
+      |deduped AS (
+      |  SELECT clean_md5, min(doc_id) AS doc_id FROM cleaned GROUP BY 1),
+      |ws AS (
+      |  SELECT dd.doc_id, t.source FROM deduped dd JOIN t ON dd.doc_id = t.doc_id),
+      |cnt AS (
+      |  SELECT source,
+      |    CAST(round(sqrt(CAST(count(*) AS DOUBLE)) * 1000000) AS BIGINT) AS w
+      |  FROM ws GROUP BY 1),
+      |tg AS (
+      |  SELECT source,
+      |    CAST(w * 200 // (SELECT CAST(sum(w) AS BIGINT) FROM cnt) AS BIGINT) AS target
+      |  FROM cnt),
+      |rk AS (
+      |  SELECT doc_id, source,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY md5('sel:' || CAST(doc_id AS VARCHAR)), doc_id) AS sel_rank
+      |  FROM ws)
+      |SELECT r.doc_id, r.source, CAST(r.sel_rank AS BIGINT) AS sel_rank
+      |FROM rk r JOIN tg ON r.source = tg.source
+      |WHERE r.sel_rank <= tg.target
+      |ORDER BY r.doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val budget = 200
+    val core = WebQuality.gopherStats(docs)
+      .filter(col("r_wordcount") && col("r_meanwordlen") &&
+        col("r_symbol") && col("r_alpha"))
+      .select("doc_id")
+    val cleaned = WebQuality.c4LineFilter(docs.join(core, "doc_id"))
+      .filter(!col("dropped"))
+      .select(col("doc_id"), col("clean_md5"))
+    val deduped = cleaned.groupBy("clean_md5").agg(min("doc_id").as("doc_id"))
+    val withSrc = deduped.join(docs.select("doc_id", "source"), "doc_id")
+    val counts = withSrc.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("w",
+        round(sqrt(col("n_docs").cast("double")) * 1000000).cast("long"))
+    val targets = counts.crossJoin(counts.agg(sum("w").as("total")))
+      .select(col("source"), expr(s"w * $budget div total").as("target"))
+    val rankW = Window.partitionBy("source").orderBy(
+      md5(concat(lit("sel:"), col("doc_id").cast("string")).cast("binary")),
+      col("doc_id"))
+    withSrc
+      .withColumn("sel_rank", row_number().over(rankW).cast("long"))
+      .join(targets, "source") // targets side is tiny → broadcast
+      .filter(col("sel_rank") <= col("target"))
+      .select(col("doc_id"), col("source"), col("sel_rank"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(q80, q85, q86, q136)
 }

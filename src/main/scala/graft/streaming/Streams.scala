@@ -24,6 +24,31 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Streams {
 
+  /** Start a streaming query and drain it, with the STATE partition
+    * count sized separately from the session's batch shuffle setting.
+    *
+    * A stateful streaming query fixes its number of state partitions at
+    * first start from `spark.sql.shuffle.partitions`, and every
+    * micro-batch then pays per-partition state-store open/commit
+    * overhead — at gate scale (KBs of state, many micro-batches) 32
+    * partitions is almost pure overhead, while a deployment sizes this
+    * to cores×k for state VOLUME. `SPARK_GRAFT_STREAM_PARTITIONS`
+    * (default 8) is that knob; the session's batch setting is restored
+    * after the query completes, and because these gates start fresh
+    * queries (memory sink, ephemeral checkpoint) no persisted state can
+    * disagree with the chosen count. */
+  private def runToCompletion(spark: SparkSession,
+      writer: org.apache.spark.sql.streaming.DataStreamWriter[_]): Unit = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
+    try {
+      val q = writer.start()
+      q.processAllAvailable()
+      q.stop()
+    } finally spark.conf.set(key, prev)
+  }
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
   case class SessionAgg(user_id: Long, n_sessions: Long, n_events: Long)
@@ -82,14 +107,11 @@ object Streams {
     try {
       val events = eventStream(spark, dir)
         .select("event_id", "ts", "user_id", "event_type", "value").as[Event]
-      val q = events.groupByKey(_.user_id)
+      runToCompletion(spark, events.groupByKey(_.user_id)
         .transformWithState(new SessionProcessor(gapMinutes * 60000L),
           TimeMode.None(), OutputMode.Update())
         .writeStream.outputMode(OutputMode.Update())
-        .format("memory").queryName(queryName)
-        .start()
-      q.processAllAvailable()
-      q.stop()
+        .format("memory").queryName(queryName))
       val t = spark.table(queryName)
       t.groupBy("user_id")
         .agg(max(struct(col("n_events"), col("n_sessions"))).as("s"))
@@ -128,12 +150,9 @@ object Streams {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("cnt"))
       .select(col("window.start").as("hour"), col("event_type"), col("cnt"))
-    val q = agg.writeStream
+    runToCompletion(spark, agg.writeStream
       .outputMode(OutputMode.Complete())
-      .format("memory").queryName(queryName)
-      .start()
-    q.processAllAvailable()
-    q.stop()
+      .format("memory").queryName(queryName))
     spark.table(queryName)
   }
 
@@ -147,12 +166,9 @@ object Streams {
     val deduped = eventStream(spark, dir)
       .select(col("user_id"), col("event_type"))
       .dropDuplicates("user_id", "event_type")
-    val q = deduped.writeStream
+    runToCompletion(spark, deduped.writeStream
       .outputMode(OutputMode.Append())
-      .format("memory").queryName(queryName)
-      .start()
-    q.processAllAvailable()
-    q.stop()
+      .format("memory").queryName(queryName))
     spark.table(queryName)
   }
 
@@ -180,12 +196,9 @@ object Streams {
       .withWatermark("ts", "0 seconds")
       .groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes"))
       .agg(count(lit(1)).as("n_events"))
-    val q = sessions.writeStream
+    runToCompletion(spark, sessions.writeStream
       .outputMode(OutputMode.Append())
-      .format("memory").queryName(queryName)
-      .start()
-    q.processAllAvailable()
-    q.stop()
+      .format("memory").queryName(queryName))
     spark.table(queryName)
       .select(col("user_id"), col("n_events"),
         (unix_millis(col("session_window.end"))
@@ -210,12 +223,9 @@ object Streams {
       .select(col("user_id"), col("event_type"), col("ts"))
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select("user_id", "event_type")
-    val q = deduped.writeStream
+    runToCompletion(spark, deduped.writeStream
       .outputMode(OutputMode.Append())
-      .format("memory").queryName(queryName)
-      .start()
-    q.processAllAvailable()
-    q.stop()
+      .format("memory").queryName(queryName))
     spark.table(queryName)
   }
 
@@ -235,12 +245,9 @@ object Streams {
       .join(nation, nation("n_nationkey") === customer("c_nationkey"))
       .groupBy(col("n_name").as("nation"))
       .agg(count(lit(1)).as("cnt"))
-    val q = agg.writeStream
+    runToCompletion(spark, agg.writeStream
       .outputMode(OutputMode.Complete())
-      .format("memory").queryName(queryName)
-      .start()
-    q.processAllAvailable()
-    q.stop()
+      .format("memory").queryName(queryName))
     spark.table(queryName)
   }
 
@@ -269,12 +276,9 @@ object Streams {
       expr("""v_user = p_user AND
              |p_ts > v_ts AND
              |p_ts <= v_ts + interval 1 hour""".stripMargin))
-    val q = pairs.writeStream
+    runToCompletion(spark, pairs.writeStream
       .outputMode(OutputMode.Append())
-      .format("memory").queryName(queryName)
-      .start()
-    q.processAllAvailable()
-    q.stop()
+      .format("memory").queryName(queryName))
     spark.table(queryName)
   }
 
@@ -319,13 +323,10 @@ object Streams {
       Iterator(SessionAgg(userId, sessions, count))
     }
 
-    val q = events.groupByKey(_.user_id)
+    runToCompletion(spark, events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout)(fn)
       .writeStream.outputMode(OutputMode.Update())
-      .format("memory").queryName(queryName)
-      .start()
-    q.processAllAvailable()
-    q.stop()
+      .format("memory").queryName(queryName))
     // Update-mode memory sink appends one row per group per batch; the
     // final state per user is the last emitted row.
     val t = spark.table(queryName)
@@ -348,12 +349,9 @@ object Streams {
     import graft.operators.Sketches
     val regs = Sketches.hllRowRegs(eventStream(spark, dir))
       .groupBy("event_type", "reg_id").agg(max("rho").as("rho"))
-    val q = regs.writeStream
+    runToCompletion(spark, regs.writeStream
       .outputMode(OutputMode.Complete())
-      .format("memory").queryName(queryName)
-      .start()
-    q.processAllAvailable()
-    q.stop()
+      .format("memory").queryName(queryName))
     // hllFinish self-joins the register frame (grid fill + estimate);
     // the memory-sink View keeps one attribute set per name, which the
     // analyzer cannot deduplicate across that self-join — checkpoint the

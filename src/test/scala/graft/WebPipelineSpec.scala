@@ -156,6 +156,25 @@ class WebPipelineSpec extends AnyFunSuite {
     assert(math.abs(est - n) < 0.4 * n, s"est=$est exact=$n")
   }
 
+  test("hll: register aggregation runs partial (map-side max) before the shuffle") {
+    val p = graft.operators.Sketches
+      .hllRowRegs(Tables.events(spark, sf))
+      .groupBy("event_type", "reg_id").agg(max("rho").as("rho"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_max"), p)
+  }
+
+  test("minhash estimate: candidate join carries only (band, bucket, id) — sigs join back late") {
+    // the banded self-join must not ship the 16-coordinate signature
+    // arrays through the candidate shuffle; they join back by id after
+    // the distinct pair set exists (two slim joins instead of wide rows)
+    val plan = MinhashEstimate.estimatePairs(Tables.documents(spark, sf))
+      .queryExecution.optimizedPlan.toString
+    val bandJoinSide = plan.linesIterator
+      .find(l => l.contains("Join") && l.contains("bnd")).getOrElse("")
+    assert(!bandJoinSide.contains("sig"), bandJoinSide)
+  }
+
   test("hll: streaming register state equals the batch sketch exactly") {
     val batch = SparkEntry.queries("q131_hll_registers")(spark, sf)
       .collect().map(_.toString).sorted
