@@ -58,8 +58,19 @@ object MinhashEstimate {
       .select(col("doc_id"),
         array((0 until K).map(i => col(s"s$i")): _*).as("sig"))
 
+  /** Skew guard, same role as q25's LSH bucket cap: a template-heavy
+    * corpus puts identical signatures in every band, and an uncapped
+    * bucket of b docs pairs b²/2 times. Capped by doc_id rank — a
+    * DETERMINISTIC order, so unlike q25's (hash-bucketed, recall-argued)
+    * cap this one is replayed verbatim by the oracle's row_number. At
+    * gate scale no bucket reaches the cap (the oracle would catch a
+    * drop); ScaleSpec plants a 600-doc template cluster to pin the
+    * capped semantics. */
+  val BucketCap = 512
+
   /** Banded candidate pairs with the coordinate-agreement estimate. */
   def estimatePairs(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val sig = signatures(documents)
     val bandCols = (0 until Bands).map { b =>
       array_join(transform(slice(col("sig"), b * Rows + 1, Rows),
@@ -68,6 +79,10 @@ object MinhashEstimate {
     val banded = sig
       .select(col("doc_id"), posexplode(array(bandCols: _*)))
       .withColumnRenamed("pos", "bnd").withColumnRenamed("col", "bv")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("bnd", "bv").orderBy("doc_id")))
+      .filter(col("rn") <= BucketCap)
+      .drop("rn")
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.bnd") === col("b.bnd") && col("a.bv") === col("b.bv") &&
@@ -111,10 +126,16 @@ object MinhashEstimate {
       |  FROM h, LATERAL unnest(range(0, $K)) AS u(i)
       |  GROUP BY doc_id, i),
       |sg AS (SELECT doc_id, list(s ORDER BY i) AS sig FROM sigl GROUP BY doc_id),
-      |b AS (
+      |b0 AS (
       |  SELECT doc_id, bnd,
       |    array_to_string(list_slice(sig, bnd*$Rows+1, bnd*$Rows+$Rows), ':') AS bv
       |  FROM sg, LATERAL unnest(range(0, $Bands)) AS u(bnd)),
+      |b AS (
+      |  SELECT doc_id, bnd, bv FROM (
+      |    SELECT doc_id, bnd, bv,
+      |      row_number() OVER (PARTITION BY bnd, bv ORDER BY doc_id) AS rn
+      |    FROM b0)
+      |  WHERE rn <= $BucketCap),
       |cand AS (
       |  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
       |  FROM b a JOIN b b2 ON a.bnd = b2.bnd AND a.bv = b2.bv

@@ -231,4 +231,23 @@ class ScaleSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
     assert(oneBucket == single)
   }
+
+  test("minhash-estimate bucket cap bounds a template mega-cluster deterministically") {
+    import spark.implicits._
+    // 600 byte-identical docs: every band's bucket holds all 600 —
+    // uncapped that is 600²/2 pairs per band; the doc_id-ordered cap
+    // keeps the first 512, so candidates are exactly C(512,2) pairs
+    // among ids 1..512, every one estimating 1.0 (identical sigs).
+    // The cap order is deterministic, which is what lets the gate's
+    // DuckDB oracle replay the SAME cap with a row_number.
+    val text = (1 to 30).map(i => s"t$i").mkString(" ")
+    val docs = (1L to 600L).map(i => (i, text)).toDF("doc_id", "text")
+    val pairs = graft.operators.MinhashEstimate.estimatePairs(docs)
+    val cap = graft.operators.MinhashEstimate.BucketCap
+    val n = pairs.count()
+    assert(n == cap.toLong * (cap - 1) / 2, s"got $n pairs")
+    val agg = pairs.agg(max("id_b"), min(col("est"))).collect()(0)
+    assert(agg.getLong(0) == cap.toLong, s"max id ${agg.getLong(0)}")
+    assert(agg.getDouble(1) == 1.0)
+  }
 }
