@@ -34,7 +34,10 @@ object Bench {
     // repeats — with the block-manager scrub between them — bounds the
     // exposure: contention would have to hit the SAME query in every
     // repeat to survive into the artifact.
-    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "2").toInt
+    // clamped to ≥ 1: zero repeats would time nothing, leave lastErr
+    // null for every query, and crash the errors-JSON build
+    val repeats =
+      math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "2").toInt)
     def scrub(): Unit = {
       // drop cross-query state so each measurement is a fresh session:
       // eager localCheckpoints pin RDD blocks until GC + ContextCleaner

@@ -107,30 +107,47 @@ object SetSimJoin {
       .toArray(Array.empty[String])
   }
 
-  /** Route memo: (session, canonicalized input plan, threshold, caps) →
-    * the chosen route plus the dense path's probed vocabulary. The
-    * probes (capped-vocab treeAggregate; count; prefix-df estimate) are
-    * 2-3 driver-blocking Spark jobs per call — the right price once,
-    * pure overhead when a composed pipeline (q54) or a bench repeat
-    * re-routes the SAME input. Keyed on the canonicalized analyzed plan,
-    * and ONLY for file-backed plans (every leaf a LogicalRelation): the
-    * path in the canonical form is the identity the memo needs, and the
-    * cache assumes plan-identical inputs are data-identical within a
-    * session — true for the immutable sf dirs every gate reads; a caller
-    * that mutates files under an identical plan should
-    * [[clearRouteCache]] first. In-memory and checkpointed inputs bypass
-    * the cache (a LocalRelation's string form hides its rows, so two
-    * same-schema corpora would collide). LRU-bounded at 32 entries. */
-  private case class RouteKey(session: Int, plan: String, threshold: Double,
+  /** Route memo: (input files + canonicalized plan, threshold, caps) →
+    * the chosen route plus the dense path's probed vocabulary, held in a
+    * PER-SESSION weak map. The probes (capped-vocab treeAggregate;
+    * count; prefix-df estimate) are 2-3 driver-blocking Spark jobs per
+    * call — the right price once, pure overhead when a composed
+    * pipeline (q54) or a bench repeat re-routes the SAME input.
+    *
+    * Identity: the canonicalized plan NORMALIZES AWAY the scan path
+    * (Spark canonicalization strips relation identity — two different
+    * parquet corpora with the same shape print identically), so the key
+    * also carries `inputFiles` — the concrete file list IS the corpus
+    * identity the memo needs. Cached ONLY for file-backed plans (every
+    * leaf a LogicalRelation, inputFiles non-empty); in-memory and
+    * checkpointed inputs bypass the cache entirely. The cache assumes
+    * path-identical files are content-identical within a session — true
+    * for the immutable sf dirs every gate reads; a caller that REWRITES
+    * files in place should [[clearRouteCache]] first.
+    *
+    * Per-session `WeakHashMap`: entries die with their session (an
+    * identityHashCode key could be reused by a later session after GC
+    * and resurrect a dead session's routes). LRU-bounded at 32 entries
+    * per session. */
+  private case class RouteKey(plan: String, files: String, threshold: Double,
       denseVocabCap: Int, quadDocCap: Long)
   private case class RouteVal(route: Route, vocab: Array[String])
-  private val routeCache = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[RouteKey, RouteVal](16, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[RouteKey, RouteVal]): Boolean = size > 32
-    })
+  private val routeCaches =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.LinkedHashMap[RouteKey, RouteVal]]()
+  private def cacheFor(spark: SparkSession) = routeCaches.synchronized {
+    var m = routeCaches.get(spark)
+    if (m == null) {
+      m = new java.util.LinkedHashMap[RouteKey, RouteVal](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[RouteKey, RouteVal]): Boolean = size > 32
+      }
+      routeCaches.put(spark, m)
+    }
+    m
+  }
 
-  def clearRouteCache(): Unit = routeCache.clear()
+  def clearRouteCache(): Unit = routeCaches.synchronized(routeCaches.clear())
 
   private def routed(spark: SparkSession, docs0: DataFrame,
       threshold: Double, filterOnRounded: Boolean,
@@ -140,17 +157,23 @@ object SetSimJoin {
     // cache ONLY file-backed plans: a LocalRelation's string form hides
     // its rows (two same-schema in-memory corpora would collide on the
     // key and reuse a stale route + dense vocab), and a checkpointed
-    // LogicalRDD's id is fresh per call so caching it can never hit —
-    // file relations carry their path in the canonical form, which is
-    // exactly the identity the memo wants
+    // LogicalRDD's id is fresh per call so caching it can never hit.
+    // The corpus identity is the FILE LIST, not the canonical plan —
+    // canonicalization strips relation paths and even column names, so
+    // plan-identical reads of different directories print identically.
     val fileBacked = docs0.queryExecution.analyzed.collectLeaves().forall {
       case _: org.apache.spark.sql.execution.datasources.LogicalRelation => true
       case _ => false
     }
-    val key = RouteKey(System.identityHashCode(spark),
+    val inputFiles = if (fileBacked) docs0.inputFiles.sorted.mkString("\n") else ""
+    val key = RouteKey(
       docs0.queryExecution.analyzed.canonicalized.toString,
-      threshold, denseVocabCap, quadDocCap)
-    val hit = if (fileBacked) routeCache.get(key) else null
+      inputFiles, threshold, denseVocabCap, quadDocCap)
+    val routeCache = cacheFor(spark)
+    val hit =
+      if (fileBacked && inputFiles.nonEmpty)
+        routeCache.synchronized(routeCache.get(key))
+      else null
     if (hit != null) {
       // rebuild the chosen path's plan fresh (no DataFrames are cached —
       // only the decision and the dense vocab), skipping the probe jobs
@@ -180,13 +203,13 @@ object SetSimJoin {
       // path is the asymptotic winner too, and skipping the prefix probe
       // saves its index build on exactly the corpora that won't use it
       val vocab = probe.sorted
-      if (fileBacked) routeCache.put(key, RouteVal(Route.Dense, vocab))
+      if (fileBacked && inputFiles.nonEmpty) routeCache.synchronized(routeCache.put(key, RouteVal(Route.Dense, vocab)))
       return (Route.Dense,
         densePairs(spark, docs, threshold, filterOnRounded, vocab))
     }
     val n = docs.count()
     if (n <= quadDocCap) {
-      if (fileBacked) routeCache.put(key, RouteVal(Route.Hashed, Array.empty))
+      if (fileBacked && inputFiles.nonEmpty) routeCache.synchronized(routeCache.put(key, RouteVal(Route.Hashed, Array.empty)))
       return (Route.Hashed, hashedPairs(spark, docs, threshold, filterOnRounded))
     }
     // prefix-index df probe: materialize the (doc_id, prefix tok) index
@@ -199,11 +222,11 @@ object SetSimJoin {
       .as[Long].head() / 2.0
     val allPairs = n.toDouble * (n - 1) / 2
     if (est < allPairs * DenseCandidateFrac) {
-      if (fileBacked) routeCache.put(key, RouteVal(Route.Prefix, Array.empty))
+      if (fileBacked && inputFiles.nonEmpty) routeCache.synchronized(routeCache.put(key, RouteVal(Route.Prefix, Array.empty)))
       (Route.Prefix, PrefixJoin.verify(sized, PrefixJoin.candidates(prefix),
         threshold, filterOnRounded))
     } else {
-      if (fileBacked) routeCache.put(key, RouteVal(Route.Hashed, Array.empty))
+      if (fileBacked && inputFiles.nonEmpty) routeCache.synchronized(routeCache.put(key, RouteVal(Route.Hashed, Array.empty)))
       (Route.Hashed, hashedPairs(spark, docs, threshold, filterOnRounded))
     }
   }

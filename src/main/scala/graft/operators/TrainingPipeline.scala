@@ -171,10 +171,17 @@ object TrainingPipeline {
     * one CTE chain, so stage ORDER and handoff are pinned, not just the
     * pieces. Every stage is a stateless map or a slim keyed agg; the
     * only window partitions by source (bounded cardinality). */
+  // The composed stages interpolate WebQuality's own constants — a
+  // width/blocklist change there follows through this oracle too.
+  private val W136 = graft.operators.WebQuality.LineWidth
+  private val Block136 =
+    graft.operators.WebQuality.BlockTerms.map("'" + _ + "'").mkString(",")
+  private val Budget136 = 200 // selection budget (docs)
+
   val q136 = Q.sql("q136_web_curation",
-    """WITH t AS (
+    s"""WITH t AS (
       |  SELECT doc_id, text, source,
-      |    regexp_split_to_array(trim(text), '\s+') AS toks
+      |    regexp_split_to_array(trim(text), '\\s+') AS toks
       |  FROM documents),
       |core AS (
       |  SELECT doc_id, toks FROM (
@@ -183,7 +190,7 @@ object TrainingPipeline {
       |      CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS BIGINT) AS sum_len,
       |      CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha_words,
       |      CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash,
-      |      CAST(len(regexp_extract_all(text, '\.\.\.'))
+      |      CAST(len(regexp_extract_all(text, '\\.\\.\\.'))
       |        + length(text) - length(replace(text, '…', '')) AS BIGINT) AS n_ellipsis
       |    FROM t)
       |  WHERE n_words BETWEEN 50 AND 100000
@@ -192,10 +199,10 @@ object TrainingPipeline {
       |    AND alpha_words*10 >= n_words*8),
       |cl AS (
       |  SELECT doc_id,
-      |    list_filter(list_transform(range(0, (len(toks)+7)//8),
-      |      g -> list_slice(toks, g*8+1, g*8+8)),
-      |      a -> len(a) >= 3 AND NOT list_has_any(a, ['slow','big'])) AS kept,
-      |    (len(toks)+7)//8 AS n_lines
+      |    list_filter(list_transform(range(0, (len(toks)+${W136 - 1})//$W136),
+      |      g -> list_slice(toks, g*$W136+1, g*$W136+$W136)),
+      |      a -> len(a) >= 3 AND NOT list_has_any(a, [$Block136])) AS kept,
+      |    (len(toks)+${W136 - 1})//$W136 AS n_lines
       |  FROM core),
       |cleaned AS (
       |  SELECT doc_id,
@@ -212,7 +219,7 @@ object TrainingPipeline {
       |  FROM ws GROUP BY 1),
       |tg AS (
       |  SELECT source,
-      |    CAST(w * 200 // (SELECT CAST(sum(w) AS BIGINT) FROM cnt) AS BIGINT) AS target
+      |    CAST(w * $Budget136 // (SELECT CAST(sum(w) AS BIGINT) FROM cnt) AS BIGINT) AS target
       |  FROM cnt),
       |rk AS (
       |  SELECT doc_id, source,
@@ -225,7 +232,7 @@ object TrainingPipeline {
       |ORDER BY r.doc_id""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, d)
-    val budget = 200
+    val budget = Budget136
     val core = WebQuality.gopherStats(docs)
       .filter(col("r_wordcount") && col("r_meanwordlen") &&
         col("r_symbol") && col("r_alpha"))

@@ -24,7 +24,11 @@ import graft.functions.Text
   */
 object WebQuality {
 
-  private val W = 8 // tokens per synthetic line (tail-inclusive)
+  /** Tokens per synthetic line (tail-inclusive). Public: composed gates
+    * (q136) interpolate it into their oracles so a width change stays a
+    * one-site edit. */
+  val LineWidth = 8
+  private val W = LineWidth
 
   /** Gopher rule set (Rae et al. '21, Table A1 subset): word count in
     * [50, 100k]; mean word length in [3, 10]; symbol-to-word ratio

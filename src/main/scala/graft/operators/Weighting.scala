@@ -193,13 +193,19 @@ object Weighting {
     * resample budget: the `kept` flag marks the top-`keep` docs by
     * weight (weight desc, doc_id tie-break).
     *
-    * `wide = true` is the 100 TB arithmetic: the per-bucket ratio
-    * `(ct+1)(Nr+B)·1e6 // (cr+1)(Nt+B)` overflows BIGINT once the
-    * corpus gram count reaches ~10¹³ (exactly the 100 TB regime), so
-    * the wide path collects the B-row count table (bounded driver
+    * `wide = true` forces the wide arithmetic: the per-bucket ratio
+    * `(ct+1)(Nr+B)·1e6 // (cr+1)(Nt+B)` overflows BIGINT once
+    * `(max ct+1)·(Nr+B)·10⁶` exceeds 2⁶³ — with a target-heavy bucket
+    * that can happen at ~10⁷ gram occurrences, far below the "100 TB
+    * regime" (the naive ~10¹³ reading ignores that ct GROWS WITH Nr).
+    * The wide path collects the B-row count table (bounded driver
     * state — B = 64 rows regardless of corpus size) and computes the
-    * terms in BigInt before broadcasting them back. Identical output
-    * wherever the narrow path doesn't overflow (spec-pinned). */
+    * terms in BigInt before broadcasting them back. `wide = false` is
+    * therefore only a REQUEST: the narrow expression is used only
+    * after an exact bound check on the (already materialized) B-row
+    * counts proves no term can overflow; otherwise the call
+    * auto-upgrades to wide. Identical output wherever the narrow path
+    * is safe (spec-pinned). */
   def dsirWeights(documents: DataFrame, targetSources: Set[String],
       keep: Int, wide: Boolean = false): DataFrame = {
     val isTarget = col("source").isin(targetSources.toSeq: _*)
@@ -218,9 +224,24 @@ object Weighting {
       sum(when(isTarget, 1L).otherwise(0L)).as("ct"))
       .localCheckpoint(true)
     val tot = counts.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
+    // Exact overflow check for the narrow BIGINT expression, over the
+    // checkpointed B-row table (one trivial 64-row agg): numerator
+    // (ct+1)(nr+B)·1e6 and denominator (cr+1)(nt+B) must both fit 2⁶³.
+    val narrowSafe = !wide && {
+      val r = counts
+        .agg(max(col("ct")).as("mct"), max(col("cr")).as("mcr"),
+          sum(col("cr")).as("snr"), sum(col("ct")).as("snt"))
+        .collect()(0)
+      r.isNullAt(0) || {
+        val bB = BigInt(DSIR_BUCKETS)
+        val num = (BigInt(r.getLong(0)) + 1) * (BigInt(r.getLong(2)) + bB) * 1000000
+        val den = (BigInt(r.getLong(1)) + 1) * (BigInt(r.getLong(3)) + bB)
+        num <= BigInt(Long.MaxValue) && den <= BigInt(Long.MaxValue)
+      }
+    }
     // B rows × (cr, ct, nr, nt) → the per-bucket integer ratio; broadcast
     val terms =
-      if (!wide)
+      if (narrowSafe)
         counts.crossJoin(broadcast(tot))
           .select(col("b"),
             expr(s"((ct + 1) * (nr + $DSIR_BUCKETS) * 1000000) div " +

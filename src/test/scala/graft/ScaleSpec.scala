@@ -129,6 +129,34 @@ class ScaleSpec extends AnyFunSuite {
       s"cache hit still launched ${jobs.length} probe job(s) (dense route needs none)")
   }
 
+  test("route cache distinguishes corpora whose plans canonicalize identically") {
+    import spark.implicits._
+    import operators.SetSimJoin
+    // Spark canonicalization strips relation identity: reads of two
+    // DIFFERENT parquet dirs through the same pipeline print the same
+    // canonical plan. The memo key must therefore carry the input file
+    // list — otherwise corpus B inherits corpus A's route AND A's dense
+    // vocabulary (silently wrong pairs). A: 10-token vocab → Dense.
+    // B: ~5000 distinct tokens (> DenseVocabCap) → must NOT hit A's entry.
+    SetSimJoin.clearRouteCache()
+    def writeDocs(dir: String, vocabPerDoc: Long => Seq[String]): String = {
+      (1L to 100L).map(i => (i, vocabPerDoc(i).mkString(" ")))
+        .toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+      dir
+    }
+    val dirA = writeDocs(
+      java.nio.file.Files.createTempDirectory("graft_rc_a").toString + "/d",
+      i => (0 to 9).map(j => s"t${(i + j) % 10}"))
+    val dirB = writeDocs(
+      java.nio.file.Files.createTempDirectory("graft_rc_b").toString + "/d",
+      i => (0 to 49).map(j => s"u${i}_$j"))
+    def load(dir: String) = spark.read.parquet(dir)
+      .select($"doc_id", functions.Text.tokenSet($"text").as("ts"))
+    assert(SetSimJoin.chosenRoute(spark, load(dirA), 0.8) == SetSimJoin.Route.Dense)
+    assert(SetSimJoin.chosenRoute(spark, load(dirB), 0.8) == SetSimJoin.Route.Hashed,
+      "corpus B hit corpus A's cached dense route — key lacks corpus identity")
+  }
+
   test("simhash banding survives a degenerate all-same-band corpus (bucket sampling)") {
     import spark.implicits._
     // 2000 identical docs: identical signatures collide in every one of
