@@ -175,5 +175,64 @@ object Graph {
     pagerank(edges, 10).orderBy("node")
   }
 
-  val all: Seq[Q] = Seq(q106, q110)
+  /** k-core peeling: repeatedly delete nodes of degree < k (and their
+    * edges) — the classic hub/periphery decomposition, and the graph
+    * analogue of the dedup family's "drop the long tail before the
+    * expensive pass" (a node outside the k-core can never join a
+    * k-dense community, so downstream clustering prunes its work).
+    * Defined here as a FIXED number of peel rounds (q106's bounded-loop
+    * pattern): both engines run the same `rounds` peels, so the gate is
+    * deterministic whether or not the peel has converged; each round is
+    * one degree aggregation + two semi-joins, localCheckpointed so the
+    * lineage stays flat (the 100 TB form writes round snapshots the
+    * same way PageRank does). */
+  def kcore(edges0: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var edges = edges0.localCheckpoint(true)
+    var i = 0
+    while (i < rounds) {
+      val keep = edges.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select("node")
+      edges = edges
+        .join(keep.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+        .localCheckpoint(true)
+      i += 1
+    }
+    edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+  }
+
+  private def kcoreOracle(k: Int, rounds: Int): String = {
+    val base =
+      """WITH i AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS (
+        |  SELECT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM i a JOIN i b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e0 AS (SELECT u AS src, v AS dst FROM pairs
+        |       UNION ALL SELECT v AS src, u AS dst FROM pairs)""".stripMargin
+    val peels = (1 to rounds).map { r =>
+      s"""n$r AS (SELECT src AS node FROM e${r - 1} GROUP BY 1 HAVING count(*) >= $k),
+         |e$r AS (SELECT e.src, e.dst FROM e${r - 1} e
+         |        JOIN n$r a ON e.src = a.node JOIN n$r b ON e.dst = b.node)""".stripMargin
+    }
+    s"""$base,
+       |${peels.mkString(",\n")}
+       |SELECT src AS node, count(*) AS deg FROM e$rounds
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** k-core gate: the q110 co-purchase graph peeled 6 rounds at k = 3;
+    * oracle = the same 6 peels unrolled as CTE layers. */
+  val q138 = Q.sql("q138_kcore", kcoreOracle(3, 6)) { (s, d) =>
+    val pairs = Mining.cooccur(Tables.lineitem(s, d), "l_orderkey", "l_partkey", 2L)
+      .select(col("p1").as("u"), col("p2").as("v"))
+    val edges = pairs.select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(pairs.select(col("v").as("src"), col("u").as("dst")))
+    kcore(edges, k = 3, rounds = 6).orderBy("node")
+  }
+
+  val all: Seq[Q] = Seq(q106, q110, q138)
 }

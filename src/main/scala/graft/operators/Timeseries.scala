@@ -201,5 +201,70 @@ object Timeseries {
       .orderBy("user_id", "sid")
   }
 
-  val all: Seq[Q] = Seq(q115, q116, q121)
+  /** SCD2 history build (slowly-changing dimension, type 2): collapse a
+    * keyed event timeline into VERSION rows — one row per run of equal
+    * values, with [valid_from, valid_to) bounds and a current flag. The
+    * warehouse shape behind "what was this entity's state at time t":
+    * change detection is a lag() inequality, version ids a running sum
+    * of change flags (the q116 sessionize machinery pointed at value
+    * changes instead of time gaps), bounds a lead() over the version
+    * starts. One hash exchange on the key serves all three windows and
+    * the rollup; `valid_to_us = -1` marks the open (current) version —
+    * a sentinel, not NULL, so the driver's hash compare never sees
+    * engine-specific null ordering. */
+  def scd2(events: DataFrame, keyCol: String, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byKey = Window.partitionBy(keyCol)
+      .orderBy(col("us"), col("event_id"))
+    val e = events
+      .select(col(keyCol), col("event_id"), col(valueCol).as("v"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("brk",
+        when(lag(col("v"), 1).over(byKey).isNull ||
+          lag(col("v"), 1).over(byKey) =!= col("v"), 1L).otherwise(0L))
+      .withColumn("ver", sum(col("brk")).over(
+        byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val versions = e.groupBy(col(keyCol), col("ver"))
+      .agg(min(col("v")).as("value"), min(col("us")).as("valid_from_us"),
+        count(lit(1)).as("n_events"))
+    val byVer = Window.partitionBy(keyCol).orderBy(col("ver"))
+    versions
+      .withColumn("valid_to_us",
+        coalesce(lead(col("valid_from_us"), 1).over(byVer), lit(-1L)))
+      .withColumn("is_current", col("valid_to_us") === -1L)
+      .select(col(keyCol), col("ver").cast("long").as("ver"), col("value"),
+        col("valid_from_us"), col("valid_to_us"), col("n_events"),
+        col("is_current"))
+  }
+
+  /** SCD2 gate over the per-user event_type timeline. */
+  val q137 = Q.sql("q137_scd2_history",
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type AS v, epoch_us(ts) AS us,
+      |    CASE WHEN lag(event_type) OVER w IS NULL
+      |           OR lag(event_type) OVER w <> event_type
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+      |s AS (
+      |  SELECT user_id, v, us,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |                   ROWS UNBOUNDED PRECEDING) AS ver
+      |  FROM e),
+      |vr AS (
+      |  SELECT user_id, ver, min(v) AS value, min(us) AS valid_from_us,
+      |    count(*) AS n_events
+      |  FROM s GROUP BY 1, 2)
+      |SELECT user_id, CAST(ver AS BIGINT) AS ver, value, valid_from_us,
+      |  coalesce(lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY ver),
+      |           -1) AS valid_to_us,
+      |  n_events,
+      |  coalesce(lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY ver),
+      |           -1) = -1 AS is_current
+      |FROM vr ORDER BY user_id, ver""".stripMargin) { (s, d) =>
+    scd2(Tables.events(s, d), "user_id", "event_type")
+      .orderBy("user_id", "ver")
+  }
+
+  val all: Seq[Q] = Seq(q115, q116, q121, q137)
 }
