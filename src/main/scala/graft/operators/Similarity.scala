@@ -469,5 +469,66 @@ object Similarity {
     } else ivfTopK(e, kmeansCentroids(e), topK = topK)
   }
 
-  val all: Seq[Q] = Seq(q29, q30, q31, q32, q62, q74)
+  /** Persist an IVF index as TABLES: the centroid list and the
+    * per-vector list assignment — the serving artifact an ANN system
+    * writes once and probes many times (q127's persisted-band-index
+    * shape, applied to vectors). At 100 TB the assignment table is
+    * bucketed by `nlist` so a probe's shuffle prunes to the touched
+    * lists; vectors themselves stay in the embedding store and join
+    * back by id at rerank. */
+  def writeIvfIndex(e: org.apache.spark.sql.DataFrame,
+      cents: org.apache.spark.sql.DataFrame, dir: String): Unit = {
+    cents.write.mode("overwrite").parquet(s"$dir/centroids.parquet")
+    val w = Window.partitionBy("neighbor_id").orderBy(col("csim").desc, col("cent_id"))
+    e.select(col("vec_id").as("neighbor_id"), col("embedding").as("vb"))
+      .join(broadcast(cents), lit(true))
+      .withColumn("csim", round(Exprs.cosine_sim(col("vb"), col("cvec")), 4))
+      .withColumn("crn", row_number().over(w))
+      .filter(col("crn") === 1)
+      .select(col("neighbor_id"), col("cent_id").as("nlist"))
+      .write.mode("overwrite").parquet(s"$dir/assignments.parquet")
+  }
+
+  /** Probe a persisted IVF index: assign the QUERIES to their `probes`
+    * nearest lists (centroids broadcast from the index), join the
+    * stored assignment table on the list id, fetch neighbor vectors by
+    * id, exact rerank, top-k. Query-time cost ∝ queries × probed lists
+    * — the corpus is never re-assigned. */
+  def probeIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      queries: org.apache.spark.sql.DataFrame,
+      vectors: org.apache.spark.sql.DataFrame, dir: String,
+      probes: Int = IVF_PROBES, topK: Int = 3): org.apache.spark.sql.DataFrame = {
+    val cents = spark.read.parquet(s"$dir/centroids.parquet")
+    val assigned = spark.read.parquet(s"$dir/assignments.parquet")
+    val w = Window.partitionBy("query_id").orderBy(col("csim").desc, col("cent_id"))
+    val qprobes = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("va"))
+      .join(broadcast(cents), lit(true))
+      .withColumn("csim", round(Exprs.cosine_sim(col("va"), col("cvec")), 4))
+      .withColumn("crn", row_number().over(w))
+      .filter(col("crn") <= probes)
+      .select(col("query_id"), col("va"), col("cent_id").as("qlist"))
+    val pairs = qprobes
+      .join(assigned, col("qlist") === col("nlist"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .join(vectors.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("vb")), "neighbor_id")
+      .withColumn("sim", round(Exprs.cosine_sim(col("va"), col("vb")), 4))
+    topKPerQuery(pairs, topK)
+      .orderBy(col("query_id"), col("sim").desc, col("neighbor_id"))
+  }
+
+  /** Persisted-index gate: build + write the IVF index, then answer
+    * every query FROM the loaded index. Must equal the in-memory q32
+    * pipeline exactly — the oracle is q32's, verbatim. */
+  val q139 = Q.sql("q139_ann_index_serve", q32.oracle.get) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    val cents = e.orderBy("vec_id").limit(IVF_LISTS)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+    writeIvfIndex(e, cents, dir)
+    probeIvfIndex(s, e, e, dir)
+  }
+
+  val all: Seq[Q] = Seq(q29, q30, q31, q32, q62, q74, q139)
 }

@@ -211,6 +211,14 @@ class WebPipelineSpec extends AnyFunSuite {
     assert(s1 == s2 && s1.length == MinhashEstimate.K)
   }
 
+  test("persisted IVF index serves the same neighbors as the in-memory pipeline") {
+    val served = SparkEntry.queries("q139_ann_index_serve")(spark, sf)
+      .collect().map(_.toString)
+    val inMem = SparkEntry.queries("q32_ann_ivf")(spark, sf)
+      .collect().map(_.toString)
+    assert(served.sameElements(inMem))
+  }
+
   // ---- Mixture rates ---------------------------------------------------
 
   test("mixture rates: ppm allocations are sqrt-proportional and sum ≤ 1e6") {
