@@ -166,5 +166,31 @@ object MetricsOps {
       .orderBy("type", "country", "name", "year")
   }
 
-  val all: Seq[Q] = Seq(q45, q49, q61)
+  /** Additive maintenance of the metric cells — the engine-side answer
+    * to the reference's WEEKLY FULL REBUILD of every TMGL metric
+    * (SURVEY §3.2): every cell key is a pure per-doc derivation and
+    * every measure is an additive count/conditional-sum, so cells
+    * computed over a standing corpus and over an arriving batch merge
+    * by `groupBy(keys).sum(count)` into exactly the full recompute.
+    * The gate runs the fused pass over the fixture split in two,
+    * merges, and must reproduce q45's hand-computed oracle VERBATIM —
+    * a batch append costs one delta pass + a cell-table merge, never a
+    * corpus re-scan. */
+  def mergeCells(parts: Seq[org.apache.spark.sql.DataFrame]): org.apache.spark.sql.DataFrame =
+    parts.reduce(_.unionByName(_))
+      .groupBy("type", "region", "name", "year")
+      .agg(org.apache.spark.sql.functions.sum("count").as("count"))
+
+  val q140 = Q.sql("q140_metric_maintenance", q45.oracle.get) { (s, _) =>
+    import s.implicits._
+    val old = s.createDataset(fixtureDocs.take(2)).toDF()
+    val delta = s.createDataset(fixtureDocs.drop(2)).toDF()
+    def cells(docs: org.apache.spark.sql.DataFrame) =
+      Metrics.allCellsFused(s, docs, fixtureRegions, fixtureDecsLabels,
+        fixtureAreaLabels)
+    mergeCells(Seq(cells(old), cells(delta)))
+      .orderBy(col("type"), col("region").asc_nulls_first, col("name"), col("year"))
+  }
+
+  val all: Seq[Q] = Seq(q45, q49, q61, q140)
 }

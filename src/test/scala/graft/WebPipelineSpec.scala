@@ -69,6 +69,21 @@ class WebPipelineSpec extends AnyFunSuite {
     assert(!r(0).getAs[Boolean]("keep") && !r(1).getAs[Boolean]("keep"))
   }
 
+  test("new gates prune their scans (ReadSchema carries only touched columns)") {
+    def readSchema(q: String) = {
+      val p = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    }
+    val gopher = readSchema("q128_gopher_rules")
+    assert(gopher.contains("text") && !gopher.contains("lang") &&
+      !gopher.contains("source"), gopher)
+    val mix = readSchema("q133_mixture_rates")
+    assert(mix.contains("source") && !mix.contains("text"), mix)
+    val inv = readSchema("q130_inverted_index")
+    assert(inv.contains("text") && !inv.contains("n_chars"), inv)
+  }
+
   test("gopher + c4 are shuffle-free stateless maps (no exchange in plan)") {
     val g = WebQuality.gopherStats(Tables.documents(spark, sf))
     val c = WebQuality.c4LineFilter(Tables.documents(spark, sf))
