@@ -203,19 +203,23 @@ object Graph {
     edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
   }
 
+  // MATERIALIZED on every peel layer (the q125/q126 convention): each
+  // e_r references e_{r-1} twice (directly and through n_r), so an
+  // inlining planner re-evaluates the base subtree ~3^rounds times —
+  // at sf0.1 that turned a 2s query into a runaway.
   private def kcoreOracle(k: Int, rounds: Int): String = {
     val base =
-      """WITH i AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-        |pairs AS (
+      """WITH i AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS MATERIALIZED (
         |  SELECT a.l_partkey AS u, b.l_partkey AS v
         |  FROM i a JOIN i b
         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         |  GROUP BY 1, 2 HAVING count(*) >= 2),
-        |e0 AS (SELECT u AS src, v AS dst FROM pairs
+        |e0 AS MATERIALIZED (SELECT u AS src, v AS dst FROM pairs
         |       UNION ALL SELECT v AS src, u AS dst FROM pairs)""".stripMargin
     val peels = (1 to rounds).map { r =>
-      s"""n$r AS (SELECT src AS node FROM e${r - 1} GROUP BY 1 HAVING count(*) >= $k),
-         |e$r AS (SELECT e.src, e.dst FROM e${r - 1} e
+      s"""n$r AS MATERIALIZED (SELECT src AS node FROM e${r - 1} GROUP BY 1 HAVING count(*) >= $k),
+         |e$r AS MATERIALIZED (SELECT e.src, e.dst FROM e${r - 1} e
          |        JOIN n$r a ON e.src = a.node JOIN n$r b ON e.dst = b.node)""".stripMargin
     }
     s"""$base,
@@ -224,14 +228,17 @@ object Graph {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
-  /** k-core gate: the q110 co-purchase graph peeled 6 rounds at k = 3;
-    * oracle = the same 6 peels unrolled as CTE layers. */
-  val q138 = Q.sql("q138_kcore", kcoreOracle(3, 6)) { (s, d) =>
+  /** k-core gate: the q110 co-purchase graph peeled 6 rounds at k = 2
+    * (k = 3 empties the sparser sf0.1 graph — a correct-but-empty gate
+    * is weak evidence; the 2-core stays non-empty at every SF while
+    * still peeling thousands of periphery edges at sf0.01);
+    * oracle = the same 6 peels unrolled as MATERIALIZED CTE layers. */
+  val q138 = Q.sql("q138_kcore", kcoreOracle(2, 6)) { (s, d) =>
     val pairs = Mining.cooccur(Tables.lineitem(s, d), "l_orderkey", "l_partkey", 2L)
       .select(col("p1").as("u"), col("p2").as("v"))
     val edges = pairs.select(col("u").as("src"), col("v").as("dst"))
       .unionByName(pairs.select(col("v").as("src"), col("u").as("dst")))
-    kcore(edges, k = 3, rounds = 6).orderBy("node")
+    kcore(edges, k = 2, rounds = 6).orderBy("node")
   }
 
   val all: Seq[Q] = Seq(q106, q110, q138)
