@@ -226,6 +226,18 @@ class WebPipelineSpec extends AnyFunSuite {
     assert(s1 == s2 && s1.length == MinhashEstimate.K)
   }
 
+  test("k-core peel: triangle survives its own k, vanishes above it") {
+    import spark.implicits._
+    // triangle 1-2-3 plus a pendant 3-4: at k=2 the pendant peels off
+    // and the triangle (every degree 2) survives; at k=3 everything goes
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val core2 = graft.operators.Graph.kcore(edges, k = 2, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core2 == Map(1L -> 2L, 2L -> 2L, 3L -> 2L), core2.toString)
+    assert(graft.operators.Graph.kcore(edges, k = 3, rounds = 4).count() == 0L)
+  }
+
   test("persisted IVF index serves the same neighbors as the in-memory pipeline") {
     val served = SparkEntry.queries("q139_ann_index_serve")(spark, sf)
       .collect().map(_.toString)
