@@ -226,6 +226,24 @@ class WebPipelineSpec extends AnyFunSuite {
     assert(s1 == s2 && s1.length == MinhashEstimate.K)
   }
 
+  test("simhash detector recall vs brute force stays high (the sketch's measured tail)") {
+    // q27's oracle pins the banding CONTRACT (hamming-bounded retrieval
+    // + exact verify); actual recall against the full J >= 0.8 pair set
+    // is an empirical property of the sketch — measure it here against
+    // q25 (whose oracle IS brute force, recall pinned 1.0). At sf0.1
+    // the sketch misses 4 of 256 pairs (hamming >= 7, no clean block
+    // pair) — the tail this floor bounds.
+    val brute = SparkEntry.queries("q25_minhash_lsh")(spark, sf)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = SparkEntry.queries("q27_simhash_neardup")(spark, sf)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty)
+    val recall = brute.count(sim).toDouble / brute.size
+    assert(recall >= 0.9, s"simhash recall $recall (${sim.size}/${brute.size})")
+  }
+
   test("k-core peel: triangle survives its own k, vanishes above it") {
     import spark.implicits._
     // triangle 1-2-3 plus a pendant 3-4: at k=2 the pendant peels off
