@@ -133,14 +133,10 @@ object DedupClusters {
       |edges AS (
       |  SELECT id_a AS src, id_b AS dst FROM pairs
       |  UNION SELECT id_b, id_a FROM pairs),
-      |lp(id, label, r) AS (
-      |  SELECT doc_id, doc_id, 0 FROM s
-      |  UNION ALL
-      |  SELECT lp.id, least(lp.label, min(l2.label)), lp.r + 1
-      |  FROM lp JOIN edges ON lp.id = edges.src
-      |          JOIN lp l2 ON l2.id = edges.dst AND l2.r = lp.r
-      |  WHERE lp.r < 8
-      |  GROUP BY lp.id, lp.label, lp.r),
+      |lp(id, label) AS (
+      |  SELECT doc_id, doc_id FROM s
+      |  UNION
+      |  SELECT edges.src, lp.label FROM lp JOIN edges ON lp.id = edges.dst),
       |final AS (
       |  SELECT id, min(label) AS component FROM lp GROUP BY id)
       |SELECT s.doc_id, coalesce(f.component, s.doc_id) AS component,

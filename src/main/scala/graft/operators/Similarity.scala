@@ -406,8 +406,11 @@ object Similarity {
   /** Semantic (embedding-space) dedup decisions at cosine ≥ 0.4: banded
     * SRP candidates → exact rounded-cosine threshold → connected
     * components → keep = min vec_id per component. Oracle replicates the
-    * banding (planes inlined) and the components (bounded recursive
-    * label propagation, q54 pattern). */
+    * banding (planes inlined) and the components as an EXACT
+    * reachability closure (recursive UNION-dedup fixpoint — a
+    * round-BOUNDED label propagation under-merges any component whose
+    * diameter exceeds the bound, which sf0.1's sprawling 0.4-threshold
+    * graph actually does; the closure is diameter-independent). */
   val q74 = Q.sql("q74_semantic_dedup",
     s"""WITH RECURSIVE
        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
@@ -427,14 +430,10 @@ object Similarity {
        |  JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b
        |  WHERE round(list_cosine_similarity(ea.emb, eb.emb), 4) >= 0.4),
        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs),
-       |lp(id, label, r) AS (
-       |  SELECT vec_id, vec_id, 0 FROM e
-       |  UNION ALL
-       |  SELECT lp.id, least(lp.label, min(l2.label)), lp.r + 1
-       |  FROM lp JOIN edges ON lp.id = edges.src
-       |          JOIN lp l2 ON l2.id = edges.dst AND l2.r = lp.r
-       |  WHERE lp.r < 8
-       |  GROUP BY lp.id, lp.label, lp.r),
+       |lp(id, label) AS (
+       |  SELECT vec_id, vec_id FROM e
+       |  UNION
+       |  SELECT edges.src, lp.label FROM lp JOIN edges ON lp.id = edges.dst),
        |final AS (SELECT id, min(label) AS component FROM lp GROUP BY id)
        |SELECT e.vec_id, coalesce(f.component, e.vec_id) AS component,
        |  coalesce(f.component, e.vec_id) = e.vec_id AS keep
