@@ -45,5 +45,77 @@ object Postings {
     invertedIndex(Tables.documents(s, d)).orderBy("token")
   }
 
-  val all: Seq[Q] = Seq(q130)
+  /** BM25 ranked retrieval (Robertson–Spärck Jones, k1 = 1.2, b = 0.75)
+    * — the scoring half of the search story whose indexing half is
+    * [[invertedIndex]] and whose export half is the Solr XML sink. Kept
+    * CROSS-ENGINE EXACT by clearing denominators instead of evaluating
+    * transcendentals: with S = Σ doc lengths and N docs, the classic
+    *
+    *   idf·tf·(k1+1) / (tf + k1·(1−b+b·len/avgLen))
+    *
+    * multiplied through by (2df+1)·10S becomes the integer rational
+    *
+    *   (2N−2df+1)·22·S·tf / [(2df+1)·(10·S·tf + 3·S + 9·len·N)]
+    *
+    * (idf = (N−df+½)/(df+½) in the same clearing), floored to micros
+    * per term and SUMMED per doc — order-independent integer adds, so
+    * DuckDB replays every score bit-for-bit. The log-idf variant is a
+    * monotone transform of this rational idf at fixed N; ranking
+    * changes only through the idf shape, not the machinery.
+    *
+    * Scale shape: df/S/N are one aggregation over the token stream
+    * (broadcast back — B rows); scoring joins the tiny query-term
+    * table against the postings by token. One shuffle on token. */
+  def bm25(documents: DataFrame, queryTerms: Seq[String], topK: Int): DataFrame = {
+    val spark = documents.sparkSession
+    val toks = documents
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
+    val lens = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
+    val totals = lens.agg(count(lit(1)).as("n"), sum("len").as("s"))
+    val df = toks.filter(col("token").isin(queryTerms: _*))
+      .groupBy("token").agg(count_distinct(col("doc_id")).as("df"))
+    val tf = toks.filter(col("token").isin(queryTerms: _*))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    tf.join(broadcast(df), "token")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(totals))
+      .withColumn("term_micro",
+        expr("((2*n - 2*df + 1) * 22 * s * tf * 1000000) div " +
+          "((2*df + 1) * (10*s*tf + 3*s + 9*len*n))"))
+      .groupBy("doc_id")
+      .agg(sum("term_micro").as("score_micro"),
+        count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(topK)
+  }
+
+  /** Query fixed to three corpus terms; scores + hit counts for the
+    * top 10, every score an exact integer. */
+  private val Terms = Seq("spark", "table", "fast")
+
+  val q141 = Q.sql("q141_bm25",
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+       |  FROM documents),
+       |lens AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY 1),
+       |tot AS (SELECT count(*) AS n, CAST(sum(len) AS BIGINT) AS s FROM lens),
+       |df AS (
+       |  SELECT token, count(DISTINCT doc_id) AS df FROM toks
+       |  WHERE token IN (${Terms.map("'" + _ + "'").mkString(",")}) GROUP BY 1),
+       |tf AS (
+       |  SELECT doc_id, token, count(*) AS tf FROM toks
+       |  WHERE token IN (${Terms.map("'" + _ + "'").mkString(",")}) GROUP BY 1, 2),
+       |t AS (
+       |  SELECT tf.doc_id,
+       |    CAST(((2*n - 2*df + 1) * 22 * s * tf * 1000000) //
+       |         ((2*df + 1) * (10*s*tf + 3*s + 9*len*n)) AS BIGINT) AS term_micro
+       |  FROM tf JOIN df USING (token) JOIN lens USING (doc_id) CROSS JOIN tot)
+       |SELECT doc_id, CAST(sum(term_micro) AS BIGINT) AS score_micro,
+       |  count(*) AS n_terms_hit
+       |FROM t GROUP BY 1
+       |ORDER BY score_micro DESC, doc_id LIMIT 10""".stripMargin) { (s, d) =>
+    bm25(Tables.documents(s, d), Terms, topK = 10)
+  }
+
+  val all: Seq[Q] = Seq(q130, q141)
 }

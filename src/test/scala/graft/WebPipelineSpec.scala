@@ -226,6 +226,23 @@ class WebPipelineSpec extends AnyFunSuite {
     assert(s1 == s2 && s1.length == MinhashEstimate.K)
   }
 
+  test("bm25: rarity, tf, and length normalization order a hand fixture correctly") {
+    import graft.operators.Postings
+    // 'rare' appears in 1 of 4 docs, 'common' in all; doc 4 repeats
+    // 'common' but is long — BM25's length normalization must keep the
+    // rare-term doc on top and the padded doc below the short one.
+    val d = docs(
+      1L -> "rare common x y",
+      2L -> "common x y z",
+      3L -> "common common x y",
+      4L -> ("common common " + ("pad " * 40).trim))
+    val r = Postings.bm25(d, Seq("rare", "common"), topK = 4).collect()
+    assert(r.head.getAs[Long]("doc_id") == 1L, r.mkString(";"))
+    val score = r.map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("score_micro")).toMap
+    assert(score(3L) > score(2L), s"tf ignored: $score")     // tf 2 beats tf 1
+    assert(score(3L) > score(4L), s"length ignored: $score") // short beats padded
+  }
+
   test("simhash detector recall vs brute force stays high (the sketch's measured tail)") {
     // q27's oracle pins the banding CONTRACT (hamming-bounded retrieval
     // + exact verify); actual recall against the full J >= 0.8 pair set
