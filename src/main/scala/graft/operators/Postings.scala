@@ -61,27 +61,37 @@ object Postings {
     * per term and SUMMED per doc — order-independent integer adds, so
     * DuckDB replays every score bit-for-bit. The log-idf variant is a
     * monotone transform of this rational idf at fixed N; ranking
-    * changes only through the idf shape, not the machinery.
+    * changes only through the idf shape, not the machinery. The
+    * cleared products are evaluated in DECIMAL(38,0) (HUGEINT on the
+    * oracle side): the numerator is ~N·S·tf·2e7, which outgrows BIGINT
+    * one scale decade past sf0.1 — only the per-term QUOTIENT (bounded
+    * by idf·2.2e6 ≤ ~4·N·1e6) must fit 64 bits, and does at any
+    * conceivable corpus.
     *
-    * Scale shape: df/S/N are one aggregation over the token stream
-    * (broadcast back — B rows); scoring joins the tiny query-term
-    * table against the postings by token. One shuffle on token. */
+    * Scale shape: two corpus scans (doc lengths; query-term postings —
+    * df folds from the tf table, no third scan), the ≤|query|-row df
+    * and 1-row totals broadcast; one shuffle on token. */
   def bm25(documents: DataFrame, queryTerms: Seq[String], topK: Int): DataFrame = {
-    val spark = documents.sparkSession
     val toks = documents
       .select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
+    // doc-length table: tiny (one row per doc), reused by totals and the
+    // scoring join — materialized so neither re-runs the corpus explode
     val lens = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
+      .localCheckpoint(true)
     val totals = lens.agg(count(lit(1)).as("n"), sum("len").as("s"))
-    val df = toks.filter(col("token").isin(queryTerms: _*))
-      .groupBy("token").agg(count_distinct(col("doc_id")).as("df"))
     val tf = toks.filter(col("token").isin(queryTerms: _*))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    // one row per (doc, token) in tf ⇒ df is a count, not a re-scan
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     tf.join(broadcast(df), "token")
       .join(lens, "doc_id")
       .crossJoin(broadcast(totals))
       .withColumn("term_micro",
-        expr("((2*n - 2*df + 1) * 22 * s * tf * 1000000) div " +
-          "((2*df + 1) * (10*s*tf + 3*s + 9*len*n))"))
+        expr("CAST(2*n - 2*df + 1 AS DECIMAL(38,0)) * 22 * s * tf * 1000000 div " +
+          "(CAST(2*df + 1 AS DECIMAL(38,0)) * " +
+          " (CAST(10 AS DECIMAL(38,0))*s*tf + CAST(3 AS DECIMAL(38,0))*s" +
+          "  + CAST(9 AS DECIMAL(38,0))*len*n))"))
       .groupBy("doc_id")
       .agg(sum("term_micro").as("score_micro"),
         count(lit(1)).as("n_terms_hit"))
@@ -107,8 +117,10 @@ object Postings {
        |  WHERE token IN (${Terms.map("'" + _ + "'").mkString(",")}) GROUP BY 1, 2),
        |t AS (
        |  SELECT tf.doc_id,
-       |    CAST(((2*n - 2*df + 1) * 22 * s * tf * 1000000) //
-       |         ((2*df + 1) * (10*s*tf + 3*s + 9*len*n)) AS BIGINT) AS term_micro
+       |    CAST((CAST(2*n - 2*df + 1 AS HUGEINT) * 22 * s * tf * 1000000) //
+       |         (CAST(2*df + 1 AS HUGEINT) *
+       |          (CAST(10 AS HUGEINT)*s*tf + CAST(3 AS HUGEINT)*s
+       |           + CAST(9 AS HUGEINT)*len*n)) AS BIGINT) AS term_micro
        |  FROM tf JOIN df USING (token) JOIN lens USING (doc_id) CROSS JOIN tot)
        |SELECT doc_id, CAST(sum(term_micro) AS BIGINT) AS score_micro,
        |  count(*) AS n_terms_hit

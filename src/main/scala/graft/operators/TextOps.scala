@@ -392,27 +392,24 @@ object TextOps {
 
   /** SimHash-banded near-dup detection: 64-bit signature → 28
     * block-pair tables (16-bit keys, see [[simhashCandidates]]) →
-    * key-collision candidates → exact shingle-Jaccard verify.
-    * Same oracle as q25 — two independent sketch front-ends pinned to one
-    * brute-force reference set. Any pair at hamming ≤ 6 has two clean
-    * 8-bit blocks, i.e. a clean block-pair key, by pigeonhole; the
-    * corpus's J ≥ 0.8 pairs sit at hamming ≤ 6, so recall is
-    * structurally 1.0 and a sketch or banding drift hash-mismatches the
-    * oracle loudly. (4×16 disjoint bands only guarantee hamming ≤ 3 —
-    * that layout missed two hamming-5/6 true pairs; 8×8 disjoint bands
-    * guarantee ≤ 7 but their 256-value key space collapses recall at
-    * corpus ≫ 10⁵ docs.)
+    * key-collision candidates → exact shingle-Jaccard verify. Any pair
+    * at hamming ≤ 6 has two clean 8-bit blocks, i.e. a clean block-pair
+    * key, by pigeonhole — hamming-BOUNDED retrieval is the structural
+    * guarantee, and the only one a simhash layout can make. (4×16
+    * disjoint bands only guarantee hamming ≤ 3 — that layout missed two
+    * hamming-5/6 true pairs; 8×8 disjoint bands guarantee ≤ 7 but their
+    * 256-value key space collapses recall at corpus ≫ 10⁵ docs.)
     *
-    * Oracle = the banding CONTRACT replayed end-to-end, not the brute
+    * Oracle = that banding CONTRACT replayed end-to-end, NOT the brute
     * J ≥ 0.8 pair set: DuckDB rebuilds every signature (q26's HUGEINT
     * replay), the 28 block-pair keys, the deterministic doc_id-ordered
     * bucket cap, the key-collision candidates, and the exact verify.
-    * Pinning brute force instead encodes an EMPIRICAL corpus claim
-    * ("every J ≥ 0.8 pair sits at hamming ≤ 6") that a sketch cannot
-    * guarantee — at sf0.1 one true pair lands at hamming ≥ 7 with no
-    * clean block-pair and the claim breaks; simhash's real promise is
-    * hamming-bounded retrieval, which is what this oracle pins
-    * (recall vs brute force stays measured in WebPipelineSpec). */
+    * The gate previously pinned q25's brute-force oracle, which encodes
+    * the EMPIRICAL claim "every J ≥ 0.8 pair sits at hamming ≤ 6" —
+    * true at sf0.01, false at sf0.1, where 4 of 256 true pairs land at
+    * hamming ≥ 7 with no clean block-pair. Detector recall vs brute
+    * force is therefore a MEASURED property (WebPipelineSpec floor 0.9;
+    * 0.984 observed at sf0.1), not an oracle identity. */
   val q27 = Q.sql("q27_simhash_neardup", SimhashBandedOracle) { (s, d) =>
     // one corpus scan computes BOTH kernels (simhash for banding,
     // shingles for the verify), materialized once — without the
