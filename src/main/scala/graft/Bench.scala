@@ -47,6 +47,11 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
     }
+    // per-repeat times are kept in the artifact alongside the min: a
+    // single inflated repeat (sandbox contention — BENCH_r06 recorded
+    // q63 at 15.5s that re-measures at 2.6s) is then visible IN the
+    // artifact as a wide spread instead of masquerading as a regression
+    val allRepeats = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val results = picked.flatMap { q =>
       var lastErr: String = null
       val times = (1 to repeats).flatMap { _ =>
@@ -69,15 +74,29 @@ object Bench {
       // the run; a query that never succeeds contributes an errors
       // entry, NOT a phantom timing
       if (times.isEmpty) { errors(q.name) = lastErr; None }
-      else Some(q.name -> times.min)
+      else { allRepeats(q.name) = times; Some(q.name -> times.min) }
+    }
+    // >3× spread between fastest and slowest repeat = the measurement is
+    // contention-dominated, not the query: flag it in the artifact (and
+    // on stderr) so a fat min-of-N survivor is never read as a real cost
+    val spreads = allRepeats.collect {
+      case (k, ts) if ts.size >= 2 && ts.max > 3 * ts.min => k -> ts.max / ts.min
+    }
+    spreads.foreach { case (k, r) =>
+      System.err.println(f"[bench] WARNING $k repeat spread ${r}%.1fx — treat min as contention-suspect")
     }
     val qs = results.map { case (k, v) => f"${Jsonl.str(k)}:$v%.3f" }
+      .mkString("{", ",", "}")
+    val reps = allRepeats.map { case (k, ts) =>
+      s"${Jsonl.str(k)}:${ts.map(t => f"$t%.3f").mkString("[", ",", "]")}"
+    }.mkString("{", ",", "}")
+    val spr = spreads.map { case (k, r) => f"${Jsonl.str(k)}:$r%.2f" }
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"${Jsonl.str(k)}:${Jsonl.str(v.take(300))}" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"repeats":$reps,"spread_warnings":$spr,"errors":$errs,"sf":"$sfDir"}"""
     // stdout FIRST: a bad SPARK_GRAFT_BENCH_OUT path must not discard a
     // finished run's timings. Then the file — stdout tails get truncated
     // by log capture (BENCH_r04 lost its total line), so the file is the
