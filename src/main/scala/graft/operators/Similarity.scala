@@ -1,6 +1,5 @@
 package graft.operators
 
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -205,16 +204,17 @@ object Similarity {
     * clusters drop out (the list count may shrink below k). */
   def kmeansCentroids(e: org.apache.spark.sql.DataFrame,
       k: Int = IVF_LISTS, iters: Int = 2): org.apache.spark.sql.DataFrame = {
-    var cents = e.orderBy("vec_id").limit(k)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+    val spark = e.sparkSession
+    var cents = localCents(e.orderBy("vec_id").limit(k)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec")))
     for (_ <- 1 to iters) {
-      val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id"))
-      val assigned = e.join(broadcast(cents), lit(true))
-        .withColumn("csim", round(Exprs.cosine_sim(col("embedding"), col("cvec")), 4))
-        .withColumn("crn", row_number().over(w))
-        .filter(col("crn") === 1)
-        .select(col("cent_id"), col("embedding"))
-      cents = assigned
+      // assignment is the map-side literal argmax — no join, no window —
+      // and the ≤k×64-float result of each step is COLLECTED before the
+      // next, so iteration i's plan starts from a literal centroid table
+      // instead of re-executing iteration i−1's assignment lazily
+      val assigned = ivfAssign(e.select(col("vec_id"), col("embedding")),
+        cents, "vec_id", "embedding", "cent_id", 1)
+      cents = localCents(assigned
         .select(col("cent_id"), posexplode(col("embedding")))
         .groupBy("cent_id", "pos")
         // exact decimal sum (order-independent), THEN one double
@@ -227,27 +227,58 @@ object Similarity {
         .groupBy("cent_id")
         .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pv"))
         .select(col("cent_id"),
-          transform(col("pv"), x => x.getField("v").cast("float")).as("cvec"))
+          transform(col("pv"), x => x.getField("v").cast("float")).as("cvec")))
     }
-    cents
+    centsDf(spark, cents)
+  }
+
+  /** Collect a (cent_id, cvec) frame to the driver — ≤ IVF_LISTS rows of
+    * 64 floats, the bounded-materialization pattern the rest of the
+    * codebase uses for lookup tables. Sorted by cent_id so downstream
+    * literal construction is order-stable. */
+  private def localCents(
+      cents: org.apache.spark.sql.DataFrame): Seq[(Long, Seq[Float])] =
+    cents.select(col("cent_id"), col("cvec")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toVector))
+      .sortBy(_._1).toVector
+
+  /** A driver-held centroid table back as a DataFrame (LocalRelation —
+    * free to re-read, nothing to re-execute). */
+  private def centsDf(spark: org.apache.spark.sql.SparkSession,
+      cents: Seq[(Long, Seq[Float])]): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    cents.toDF("cent_id", "cvec")
+      .select(col("cent_id"), col("cvec").cast("array<float>").as("cvec"))
   }
 
   /** THE nearest-centroid assignment idiom — rounded-cosine rank with
-    * cent_id tie-break against a broadcast centroid table. One shared
-    * implementation on purpose: q32's oracle, q62's Lloyd replay, and
-    * q139's served-equals-in-memory contract all depend on this exact
-    * rounding + tie-break; a second copy drifting by one detail would
-    * break them silently. */
+    * cent_id tie-break against the (≤16-row) centroid table, inlined as
+    * LITERALS into a per-row expression: build the array of
+    * (round(cos,4), −cent_id) structs, `sort_array` descending
+    * (lexicographic struct order = sim DESC, cent_id ASC — exactly the
+    * oracle's `ORDER BY sim DESC, cent_id`), slice the top `keep`. Pure
+    * projection: no join, no Exchange, no Sort in the plan — the
+    * row_number-window form this replaces shuffled the full n×C
+    * cross-join to keep 1–2 rows per vector, the dominant exchange of
+    * q32/q62/q139 at scale. One shared implementation on purpose:
+    * q32's oracle, q62's Lloyd replay, and q139's served-equals-in-memory
+    * contract all depend on this exact rounding + tie-break; a second
+    * copy drifting by one detail would break them silently.
+    * (Spark's round never produces −0.0 — it rounds through BigDecimal,
+    * which has no signed zero — so the DESC double compare and the
+    * oracle's agree on ties.) */
   private def ivfAssign(df: org.apache.spark.sql.DataFrame,
-      cents: org.apache.spark.sql.DataFrame, idCol: String,
+      cents: Seq[(Long, Seq[Float])], idCol: String,
       vecCol: String, outCol: String, keep: Int): org.apache.spark.sql.DataFrame = {
-    val w = Window.partitionBy(idCol).orderBy(col("csim").desc, col("cent_id"))
-    df.join(broadcast(cents), lit(true))
-      .withColumn("csim", round(Exprs.cosine_sim(col(vecCol), col("cvec")), 4))
-      .withColumn("crn", row_number().over(w))
-      .filter(col("crn") <= keep)
-      .withColumnRenamed("cent_id", outCol)
-      .drop("cvec", "csim", "crn")
+    val cands = array(cents.map { case (cid, cv) =>
+      struct(
+        round(Exprs.cosine_sim(col(vecCol), typedlit(cv)), 4).as("csim"),
+        lit(-cid).as("negid"))
+    }: _*)
+    df.select(col(idCol), col(vecCol),
+        explode(slice(sort_array(cands, asc = false), 1, keep)).as("cand"))
+      .withColumn(outCol, -col("cand.negid"))
+      .drop("cand")
   }
 
   /** The IVF probe pipeline over a given centroid table: assign every
@@ -256,12 +287,13 @@ object Similarity {
   def ivfTopK(e: org.apache.spark.sql.DataFrame,
       cents: org.apache.spark.sql.DataFrame,
       probes: Int = IVF_PROBES, topK: Int = 3): org.apache.spark.sql.DataFrame = {
+    val centArr = localCents(cents) // one ≤16-row collect, shared by both passes
     val assigned = ivfAssign(
       e.select(col("vec_id").as("neighbor_id"), col("embedding").as("vb")),
-      cents, "neighbor_id", "vb", "nlist", 1)
+      centArr, "neighbor_id", "vb", "nlist", 1)
     val qprobes = ivfAssign(
       e.select(col("vec_id").as("query_id"), col("embedding").as("va")),
-      cents, "query_id", "va", "qlist", probes)
+      centArr, "query_id", "va", "qlist", probes)
     // TopKSim dedupes neighbors inside the buffer, so the multi-probe
     // stream needs no separate dropDuplicates pass
     val pairs = qprobes.join(assigned, col("qlist") === col("nlist"))
@@ -488,7 +520,7 @@ object Similarity {
     cents.write.mode("overwrite").parquet(s"$dir/centroids.parquet")
     ivfAssign(
       e.select(col("vec_id").as("neighbor_id"), col("embedding").as("vb")),
-      cents, "neighbor_id", "vb", "nlist", 1)
+      localCents(cents), "neighbor_id", "vb", "nlist", 1)
       .select(col("neighbor_id"), col("nlist"))
       .write.mode("overwrite").parquet(s"$dir/assignments.parquet")
   }
@@ -502,7 +534,7 @@ object Similarity {
       queries: org.apache.spark.sql.DataFrame,
       vectors: org.apache.spark.sql.DataFrame, dir: String,
       probes: Int = IVF_PROBES, topK: Int = 3): org.apache.spark.sql.DataFrame = {
-    val cents = spark.read.parquet(s"$dir/centroids.parquet")
+    val cents = localCents(spark.read.parquet(s"$dir/centroids.parquet"))
     val assigned = spark.read.parquet(s"$dir/assignments.parquet")
     val qprobes = ivfAssign(
       queries.select(col("vec_id").as("query_id"), col("embedding").as("va")),
@@ -519,11 +551,17 @@ object Similarity {
   }
 
   /** Index location + build-once memo: one DETERMINISTIC directory per
-    * data dir (keyed by its md5, overwritten if stale) instead of a
-    * fresh temp dir per call — repeated gate/bench/spec invocations
+    * data dir (keyed by its md5) so repeated gate/bench/spec invocations
     * reuse the persisted index rather than leaking a parquet tree each,
     * and from the second call on the measured cost is the SERVE path
     * (probe-from-disk), which is what this operator exists to show.
+    * Lives under the repo-local gitignored `.tmp/` (overridable via
+    * GRAFT_TMP), not the world-shared java.io.tmpdir. Cross-process
+    * safety: the index is built in a per-process staging dir and
+    * atomically renamed into place — two concurrent JVMs (bench +
+    * verify) on the same data dir either both rename-race (loser deletes
+    * its staging and uses the winner's — byte-identical by determinism)
+    * or see a completed dir and skip the build entirely.
     * Per-JVM memo only: a run that rewrites the embeddings under the
     * same path must clear it (the sf dirs are immutable). */
   private val ivfIndexBuilt =
@@ -534,12 +572,28 @@ object Similarity {
     ivfIndexBuilt.computeIfAbsent(dataDir, { _ =>
       val key = java.security.MessageDigest.getInstance("MD5")
         .digest(dataDir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_$key"
-      val e = Tables.embeddings(spark, dataDir)
-      val cents = e.orderBy("vec_id").limit(IVF_LISTS)
-        .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
-      writeIvfIndex(e, cents, dir)
-      dir
+      val base = sys.env.getOrElse("GRAFT_TMP",
+        s"${System.getProperty("user.dir")}/.tmp")
+      val target = java.nio.file.Paths.get(base, s"graft_ivf_$key")
+      if (!java.nio.file.Files.exists(target)) {
+        val staging = java.nio.file.Paths.get(base,
+          s"graft_ivf_$key.stage-${java.lang.ProcessHandle.current().pid()}")
+        val e = Tables.embeddings(spark, dataDir)
+        val cents = e.orderBy("vec_id").limit(IVF_LISTS)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+        writeIvfIndex(e, cents, staging.toString)
+        try java.nio.file.Files.move(staging, target,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          // another process completed the rename first: its index is
+          // byte-identical (deterministic build); discard the staging
+          case _: java.nio.file.FileAlreadyExistsException |
+               _: java.nio.file.AccessDeniedException |
+               _: java.nio.file.DirectoryNotEmptyException =>
+            org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
+        }
+      }
+      target.toString
     })
 
   /** Persisted-index gate: build + write the IVF index (once per data

@@ -343,6 +343,37 @@ class EngineSpec extends AnyFunSuite {
     assert(c1.sameElements(c2))
   }
 
+  test("kmeans centroids materialize between Lloyd steps — no nested re-execution") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, sf)
+    e.count() // warm the scan so the audit charges only the refinement
+    val group = "lloyd-audit"
+    spark.sparkContext.setJobGroup(group, "kmeans job-count audit", false)
+    val cents = try operators.Similarity.kmeansCentroids(e)
+    finally spark.sparkContext.clearJobGroup()
+    // the returned table is a LocalRelation: downstream callers (ivfTopK
+    // twice, writeIvfIndex, specs) re-read a literal — they can never
+    // re-trigger an assignment job
+    assert(cents.queryExecution.optimizedPlan.collectLeaves().forall(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+      cents.queryExecution.optimizedPlan.toString)
+    // job count: init collect + 2 iterations, each ONE collect over the
+    // map-side assignment + mean pipeline (AQE may split a collect into a
+    // couple of jobs; the nested-lazy form this replaces re-executed the
+    // prior iteration inside each step, growing the work superlinearly
+    // with iters). Status store updates are async — poll until stable.
+    def jobs(): Int =
+      spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+    var prev = -1; var cur = jobs(); var tries = 0
+    while (cur != prev && tries < 50) {
+      prev = cur; Thread.sleep(100); cur = jobs(); tries += 1
+    }
+    assert(cur >= 3 && cur <= 9, s"unexpected Lloyd job count $cur")
+    // and the centroid schema survives the local round-trip
+    assert(cents.columns.sameElements(Array("cent_id", "cvec")))
+    assert(cents.select(col("cvec")).head.getSeq[Float](0).size == 64)
+  }
+
   test("quality checks count violations on dirty data") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

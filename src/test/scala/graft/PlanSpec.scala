@@ -268,13 +268,24 @@ class PlanSpec extends AnyFunSuite {
       assert(p.contains("partial_topksim"),
         s"${q.name} lost the partial top-k aggregate:\n$p")
     }
-    // q30/q31's pair streams must carry NO window at all; q32 keeps its
-    // two centroid-ASSIGNMENT windows (bounded 16-rows-per-key streams,
-    // WindowGroupLimit-pushed), but none keyed on the pair stream
-    for (q <- Seq(operators.Similarity.q30, operators.Similarity.q31)) {
+    // no gate may window ANY stream: q30/q31's pair streams aggregate
+    // through TopKSim, and q32's centroid assignment is the map-side
+    // literal argmax (sort_array over ≤16 inlined centroids) — zero
+    // Exchange/Sort/Window on the assignment path
+    for (q <- Seq(operators.Similarity.q30, operators.Similarity.q31,
+        operators.Similarity.q32)) {
       val p = plan(q.fn(spark, sf))
-      assert(!p.contains("Window"), s"${q.name} still windows the pair stream:\n$p")
+      assert(!p.contains("Window"), s"${q.name} still windows a stream:\n$p")
     }
+    // and the assignment stream itself (everything below the pair join)
+    // must be exchange-free: the only exchanges in q32's whole plan are
+    // the pair-join build side broadcast and the top-k aggregation
+    val p32 = plan(operators.Similarity.q32.fn(spark, sf))
+      .split("== Initial Plan ==")(0)
+    val exchanges = "Exchange hashpartitioning\\(([a-z_]+)#".r
+      .findAllMatchIn(p32).map(_.group(1)).toSet
+    assert(exchanges.subsetOf(Set("query_id", "qlist", "nlist")),
+      s"q32 exchanges on unexpected keys $exchanges:\n$p32")
   }
 
   test("dsir weight fold joins the gram stream against a BROADCAST feature table") {
