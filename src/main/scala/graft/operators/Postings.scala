@@ -71,7 +71,14 @@ object Postings {
     * Scale shape: two corpus scans (doc lengths; query-term postings —
     * df folds from the tf table, no third scan), the ≤|query|-row df
     * and 1-row totals broadcast; one shuffle on token. */
-  def bm25(documents: DataFrame, queryTerms: Seq[String], topK: Int): DataFrame = {
+  /** Exact per-(doc_id, token) BM25 term scores (micros) for a fixed
+    * term set — the shared scoring core of [[bm25]] and [[bm25Batch]].
+    * The cleared-denominator products run in DECIMAL(38,0), where a
+    * non-ANSI overflow yields NULL and a downstream sum would silently
+    * SKIP the term — so the quotient is null-trapped: an
+    * out-of-headroom corpus fails loudly instead of mis-scoring
+    * (coalesce short-circuits; raise_error never evaluates in-headroom). */
+  private def termScores(documents: DataFrame, terms: Seq[String]): DataFrame = {
     val toks = documents
       .select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
     // doc-length table: tiny (one row per doc), reused by totals and the
@@ -79,7 +86,7 @@ object Postings {
     val lens = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
       .localCheckpoint(true)
     val totals = lens.agg(count(lit(1)).as("n"), sum("len").as("s"))
-    val tf = toks.filter(col("token").isin(queryTerms: _*))
+    val tf = toks.filter(col("token").isin(terms: _*))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
       .localCheckpoint(true)
     // one row per (doc, token) in tf ⇒ df is a count, not a re-scan
@@ -87,16 +94,53 @@ object Postings {
     tf.join(broadcast(df), "token")
       .join(lens, "doc_id")
       .crossJoin(broadcast(totals))
-      .withColumn("term_micro",
+      .withColumn("term_micro", coalesce(
         expr("CAST(2*n - 2*df + 1 AS DECIMAL(38,0)) * 22 * s * tf * 1000000 div " +
           "(CAST(2*df + 1 AS DECIMAL(38,0)) * " +
           " (CAST(10 AS DECIMAL(38,0))*s*tf + CAST(3 AS DECIMAL(38,0))*s" +
-          "  + CAST(9 AS DECIMAL(38,0))*len*n))"))
+          "  + CAST(9 AS DECIMAL(38,0))*len*n))"),
+        raise_error(lit("bm25: DECIMAL(38,0) headroom exceeded — term score overflowed"))))
+      .select(col("doc_id"), col("token"), col("term_micro"))
+  }
+
+  def bm25(documents: DataFrame, queryTerms: Seq[String], topK: Int): DataFrame =
+    termScores(documents, queryTerms)
       .groupBy("doc_id")
       .agg(sum("term_micro").as("score_micro"),
         count(lit(1)).as("n_terms_hit"))
       .orderBy(col("score_micro").desc, col("doc_id"))
       .limit(topK)
+
+  /** Batch retrieval: N queries served from ONE pass over the corpus.
+    * The query table (query_id, term) is a driver literal broadcast into
+    * the per-(doc, token) score stream; scores fold per (query_id, doc)
+    * and each query's top-k comes from the mergeable [[Similarity.TopKSim]]
+    * aggregator — no window over the candidate stream, so the plan is
+    * q141's plus one broadcast join regardless of how many queries ride
+    * the batch. Shared terms are scored once (term_micro is
+    * query-independent). Ranking passes through double (exact for
+    * micros < 2^53 — per-term scores are bounded by ~4N·10⁶, so a batch
+    * would need ~10⁹ hit terms per doc to graze the edge); the OUTPUT
+    * scores are the exact integers, joined back by (query_id, doc_id). */
+  def bm25Batch(documents: DataFrame, queries: Seq[(Long, Seq[String])],
+      topK: Int): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val qt = queries.flatMap { case (qid, ts) => ts.distinct.map((qid, _)) }
+      .toDF("query_id", "token")
+    val perQuery = termScores(documents, queries.flatMap(_._2).distinct)
+      .join(broadcast(qt), "token")
+      .groupBy("query_id", "doc_id")
+      .agg(sum("term_micro").as("score_micro"),
+        count(lit(1)).as("n_terms_hit"))
+      // selection pass + exact join-back both read this: materialize once
+      .localCheckpoint(true)
+    val top = Similarity.topKPerQuery(
+      perQuery.select(col("query_id"), col("doc_id").as("neighbor_id"),
+        col("score_micro").cast("double").as("sim")), topK)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"))
+    perQuery.join(broadcast(top), Seq("query_id", "doc_id"))
+      .orderBy(col("query_id"), col("score_micro").desc, col("doc_id"))
   }
 
   /** Query fixed to three corpus terms; scores + hit counts for the
@@ -129,5 +173,53 @@ object Postings {
     bm25(Tables.documents(s, d), Terms, topK = 10)
   }
 
-  val all: Seq[Q] = Seq(q130, q141)
+  /** Three queries sharing terms across each other (and with q141's):
+    * 'spark' rides queries 1+2, 'fast' rides 1+3 — so the gate pins
+    * that shared terms score once but fold per query independently. */
+  private[graft] val BatchQueries: Seq[(Long, Seq[String])] = Seq(
+    1L -> Seq("spark", "table", "fast"),
+    2L -> Seq("spark", "data", "query"),
+    3L -> Seq("fast", "row", "scan"))
+
+  val q142 = Q.sql("q142_bm25_batch", {
+    val allTerms = BatchQueries.flatMap(_._2).distinct
+    val inList = allTerms.map("'" + _ + "'").mkString(",")
+    val queryValues = BatchQueries.flatMap { case (qid, ts) =>
+      ts.distinct.map(t => s"(CAST($qid AS BIGINT), '$t')")
+    }.mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+       |  FROM documents),
+       |queries(query_id, token) AS (VALUES $queryValues),
+       |lens AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY 1),
+       |tot AS (SELECT count(*) AS n, CAST(sum(len) AS BIGINT) AS s FROM lens),
+       |df AS (
+       |  SELECT token, count(DISTINCT doc_id) AS df FROM toks
+       |  WHERE token IN ($inList) GROUP BY 1),
+       |tf AS (
+       |  SELECT doc_id, token, count(*) AS tf FROM toks
+       |  WHERE token IN ($inList) GROUP BY 1, 2),
+       |t AS (
+       |  SELECT tf.doc_id, tf.token,
+       |    CAST((CAST(2*n - 2*df + 1 AS HUGEINT) * 22 * s * tf * 1000000) //
+       |         (CAST(2*df + 1 AS HUGEINT) *
+       |          (CAST(10 AS HUGEINT)*s*tf + CAST(3 AS HUGEINT)*s
+       |           + CAST(9 AS HUGEINT)*len*n)) AS BIGINT) AS term_micro
+       |  FROM tf JOIN df USING (token) JOIN lens USING (doc_id) CROSS JOIN tot),
+       |sc AS (
+       |  SELECT q.query_id, t.doc_id,
+       |    CAST(sum(term_micro) AS BIGINT) AS score_micro,
+       |    count(*) AS n_terms_hit
+       |  FROM queries q JOIN t USING (token) GROUP BY 1, 2)
+       |SELECT query_id, doc_id, score_micro, n_terms_hit FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS rn
+       |  FROM sc) z
+       |WHERE rn <= 10
+       |ORDER BY query_id, score_micro DESC, doc_id""".stripMargin
+  }) { (s, d) =>
+    bm25Batch(Tables.documents(s, d), BatchQueries, topK = 10)
+  }
+
+  val all: Seq[Q] = Seq(q130, q141, q142)
 }

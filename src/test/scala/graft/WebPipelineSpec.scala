@@ -243,6 +243,25 @@ class WebPipelineSpec extends AnyFunSuite {
     assert(score(3L) > score(4L), s"length ignored: $score") // short beats padded
   }
 
+  test("bm25 batch: each query's slice equals the query served alone, in order") {
+    import graft.operators.Postings
+    // cross-query independence: batching N queries (with shared terms)
+    // through one corpus pass must not perturb any single query's
+    // ranking, scores, or tie-broken order — compare the batch slice
+    // against the single-query path PER ROW, order included
+    val d = Tables.documents(spark, sf)
+    val batch = Postings.bm25Batch(d, Postings.BatchQueries, topK = 10).collect()
+    for ((qid, terms) <- Postings.BatchQueries) {
+      val slice = batch.filter(_.getAs[Long]("query_id") == qid)
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score_micro"),
+          r.getAs[Long]("n_terms_hit"))).toSeq
+      val alone = Postings.bm25(d, terms, topK = 10).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score_micro"),
+          r.getAs[Long]("n_terms_hit"))).toSeq
+      assert(slice == alone, s"query $qid diverged:\nbatch=$slice\nalone=$alone")
+    }
+  }
+
   test("simhash detector recall vs brute force stays high (the sketch's measured tail)") {
     // q27's oracle pins the banding CONTRACT (hamming-bounded retrieval
     // + exact verify); actual recall against the full J >= 0.8 pair set
