@@ -221,5 +221,58 @@ object Postings {
     bm25Batch(Tables.documents(s, d), BatchQueries, topK = 10)
   }
 
-  val all: Seq[Q] = Seq(q130, q141, q142)
+  /** Positional postings: token → per-doc sorted position array — the
+    * index layout phrase/adjacency queries need (what the reference gets
+    * by shipping documents to Solr, whose default field config stores
+    * exactly these term positions). Same build shape as [[invertedIndex]]
+    * (explode → groupBy token, map-side partials); the position payload
+    * rides the same one shuffle. At 100 TB the posting shards partition
+    * by (token, doc bucket) exactly like the df/tf index. */
+  def positionalIndex(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"),
+        posexplode(Text.tokens(col("text"))).as(Seq("pos", "token")))
+      .groupBy("token", "doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("positions"))
+
+  /** Phrase (exact-adjacency) search over a positional index: slot i of
+    * the phrase must appear at base+i, so each slot's postings project
+    * (doc_id, pos − i) and an occurrence is a base every slot agrees on —
+    * the classic positional-intersection, expressed as |phrase|−1
+    * co-keyed equi-joins on (doc_id, base). Positions are unique per
+    * (doc, token), so the joins never fan out; after the first join both
+    * sides are already partitioned on the join key. */
+  def phraseSearch(index: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.size >= 2, "phrase needs at least two terms")
+    val parts = phrase.zipWithIndex.map { case (w, i) =>
+      index.filter(col("token") === w)
+        .select(col("doc_id"), explode(col("positions")).as("p"))
+        .select(col("doc_id"), (col("p") - i).as("base"))
+    }
+    parts.reduce((a, b) => a.join(b, Seq("doc_id", "base")))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_occurrences"))
+  }
+
+  private val Phrase = Seq("spark", "table")
+
+  /** Two-term adjacency query served FROM the positional index; the
+    * oracle replays it with a per-doc lambda scan over the token array
+    * (adjacent-pair filter) — index-vs-scan agreement is the gate. */
+  val q143 = Q.sql("q143_phrase_search",
+    s"""WITH d AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(list_filter(range(1, len(toks)),
+       |    i -> toks[i] = '${Phrase(0)}' AND toks[i + 1] = '${Phrase(1)}')) AS BIGINT)
+       |    AS n_occurrences
+       |FROM d
+       |WHERE len(list_filter(range(1, len(toks)),
+       |    i -> toks[i] = '${Phrase(0)}' AND toks[i + 1] = '${Phrase(1)}')) > 0
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    phraseSearch(positionalIndex(Tables.documents(s, d)), Phrase)
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(q130, q141, q142, q143)
 }

@@ -243,6 +243,22 @@ class WebPipelineSpec extends AnyFunSuite {
     assert(score(3L) > score(4L), s"length ignored: $score") // short beats padded
   }
 
+  test("phrase search: positional intersection counts overlapping and 3-term runs") {
+    import graft.operators.Postings
+    val d = docs(
+      1L -> "a b a b a b",   // 'a b' x3; 'a b a' overlaps: positions 0,2
+      2L -> "a a a",         // 'a a' x2 (overlapping); no 'a b'
+      3L -> "b a b",         // 'a b' x1
+      4L -> "x y z")
+    val idx = Postings.positionalIndex(d)
+    def hits(p: Seq[String]) = Postings.phraseSearch(idx, p).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_occurrences")).toMap
+    assert(hits(Seq("a", "b")) == Map(1L -> 3L, 3L -> 1L))
+    assert(hits(Seq("a", "a")) == Map(2L -> 2L))            // overlapping runs count
+    assert(hits(Seq("a", "b", "a")) == Map(1L -> 2L))       // 3-term, overlapping
+    assert(hits(Seq("x", "z")).isEmpty)                     // adjacency, not co-occurrence
+  }
+
   test("bm25 batch: each query's slice equals the query served alone, in order") {
     import graft.operators.Postings
     // cross-query independence: batching N queries (with shared terms)
