@@ -147,5 +147,54 @@ object GovOps {
       .orderBy("id")
   }
 
-  val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q46)
+  /** K1/K2 serve path as a driver gate: the SHARDED `<add>` export (the
+    * 100 TB path — q44 pins only the per-doc XML, q46 the single-file
+    * roundtrip). Shard layout is deterministic: murmur3(id) % 3 with a
+    * within-shard id sort. Pins, per shard: StAX-parsed doc count
+    * (well-formedness included), and globally that (a) concatenating the
+    * shard bodies in part order — envelopes stripped, exactly the K2
+    * manifest's documented concat rule — byte-equals the single-file
+    * export body, and (b) the manifest lists every shard with its true
+    * on-disk size and total. Counts are pinned constants: the fixture
+    * corpus (21 docs) and Spark's murmur3 are both fixed. */
+  val q144 = Q.sql("q144_sharded_export",
+    """SELECT * FROM (VALUES
+      |  (CAST(0 AS BIGINT), CAST(6 AS BIGINT), true, true),
+      |  (CAST(1 AS BIGINT), CAST(4 AS BIGINT), true, true),
+      |  (CAST(2 AS BIGINT), CAST(11 AS BIGINT), true, true)
+      |) AS t(shard, n_docs, concat_equals_single, manifest_matches)
+      |ORDER BY shard""".stripMargin) { (s, _) =>
+    import s.implicits._
+    import scala.jdk.CollectionConverters._
+    val ds = Gov.toIahx(Gov.fixtureLanding(s), Fixtures.lookups, 2026)
+      .repartition(3, col("id"))
+      .sortWithinPartitions("id")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_shardgate")
+    val dir = tmp.resolve("xml").toString
+    SolrXml.writeSharded(ds, dir)
+    SolrXml.writeHandoffManifest(ds, dir)
+    val single = tmp.resolve("single.xml").toString
+    SolrXml.writeSingleFile(ds, single)
+    val parts = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.length() > 0)
+      .sortBy(_.getName)
+    def lines(p: String): Seq[String] =
+      java.nio.file.Files.readAllLines(java.nio.file.Paths.get(p),
+        java.nio.charset.StandardCharsets.UTF_8).asScala.toSeq
+    // strip the per-file envelope: XML declaration + <add> (2 lines), </add> (1)
+    def body(p: String): Seq[String] = lines(p).drop(2).dropRight(1)
+    val concatEq =
+      parts.toSeq.flatMap(f => body(f.getPath)) == body(single)
+    val manifest = lines(s"$dir/manifest.json").mkString("\n")
+    val manifestOk = parts.forall(p =>
+      manifest.contains(s""""name": "${p.getName}", "bytes": ${p.length()}""")) &&
+      manifest.contains(s""""total_bytes": ${parts.map(_.length()).sum}""")
+    parts.toSeq.zipWithIndex.map { case (f, i) =>
+      (i.toLong, graft.ingest.XmlSource.read(s, f.getPath).count(),
+        concatEq, manifestOk)
+    }.toDF("shard", "n_docs", "concat_equals_single", "manifest_matches")
+      .orderBy("shard")
+  }
+
+  val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q46, q144)
 }
