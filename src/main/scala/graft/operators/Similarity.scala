@@ -450,7 +450,16 @@ object Similarity {
     * reachability closure (recursive UNION-dedup fixpoint — a
     * round-BOUNDED label propagation under-merges any component whose
     * diameter exceeds the bound, which sf0.1's sprawling 0.4-threshold
-    * graph actually does; the closure is diameter-independent). */
+    * graph actually does; the closure is diameter-independent).
+    * ORACLE COST NOTE: the `lp` fixpoint materializes one row per
+    * (node, reachable-node) pair — O(Σ component-size²) working set.
+    * Fine at the swept SFs (sf0.1's largest component is small); a
+    * denser corpus or lower threshold at a larger SF would need the
+    * contraction form instead (carry only min-label-so-far per node,
+    * i.e. `SELECT id, min(label) ... GROUP BY id` inside the recursion
+    * via DuckDB's USING KEY), which is linear per round but
+    * round-bounded by diameter. The ENGINE side has no such quadratic
+    * term — this is a test-oracle trade only. */
   val q74 = Q.sql("q74_semantic_dedup",
     s"""WITH RECURSIVE
        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),

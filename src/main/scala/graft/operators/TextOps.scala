@@ -329,15 +329,15 @@ object TextOps {
        |            len(list_distinct(x.sh || y.sh)), 4) >= 0.8
        |ORDER BY c.id_a, c.id_b""".stripMargin
 
-  /** SimHash band-bucket saturation threshold. 8-bit band values
-    * concentrate hard (simhash bits are majority votes, so template-y
-    * corpora share whole bytes — the sf0.01 corpus peaks at 237 docs in
-    * one bucket). A bucket past this size is NOT sampled (sampling
-    * discards true pairs once every 256-value bucket fills, which is
-    * guaranteed beyond ~10⁵ docs); it is re-banded hierarchically — see
-    * [[simhashCandidates]]. The cap only bounds the quadratic blow-up of
-    * the 16-bit sub-buckets, where the degenerate all-identical-signature
-    * corpus is still C(cap,2) per sub-bucket. */
+  /** SimHash block-pair bucket cap. A 16-bit key bucket past this size
+    * is deterministically truncated to its `cap` LOWEST doc_ids
+    * (row_number over doc_id — the q27 oracle replays exactly this
+    * cap, so it is part of the gate contract, not an internal detail).
+    * Only template/identical-signature mega-clusters can reach the cap
+    * (16-bit keys hold ~n/65536 docs on non-degenerate corpora); such
+    * clusters collide in ALL 28 tables, stay detectable at C(cap,2)
+    * cost, and the exact-dup pre-pass (q20) is the composed pipeline's
+    * first-line shrink for them — see [[simhashCandidates]]. */
   private[graft] val SIMHASH_BUCKET_CAP = 512
 
   /** Candidate pairs for simhash near-dup detection, scale-safe.
@@ -421,9 +421,10 @@ object TextOps {
         Text.shingles(Text.tokens(col("text")), 2).as("sh"))
       .filter(size(col("sh")) > 0)
       .localCheckpoint(true)
-    // scale-safe candidate generation: hierarchical re-banding instead
-    // of bucket sampling (see simhashCandidates — ScaleSpec pins recall
-    // on a 100k-doc corpus with a fully saturated band)
+    // scale-safe candidate generation: 28 block-pair tables with the
+    // deterministic doc_id-ordered bucket cap the oracle replays (see
+    // simhashCandidates — ScaleSpec pins recall on a 100k-doc corpus
+    // with a fully saturated 8-bit band value)
     val pairs = simhashCandidates(base.select(col("doc_id"), col("sig64")))
     verifyShinglePairs(base.select(col("doc_id"), col("sh")), pairs, 0.8)
   }
