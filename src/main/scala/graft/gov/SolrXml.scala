@@ -160,8 +160,12 @@ object SolrXml {
   }
 
   /** Single-file `<add>` export (reference writes one file then SFTPs it).
-    * Streams partitions through the driver; [[writeSharded]] is the
-    * distributed variant. */
+    * FIXTURE-SCALE ONLY: streams every partition through the driver's
+    * `toLocalIterator` — bounded by driver I/O, not cluster width. It
+    * exists because the reference's contract is literally "one file";
+    * at corpus scale use [[writeSharded]] + the manifest (q144 pins that
+    * concatenating the shards in part order, envelopes stripped,
+    * byte-equals this writer's output). */
   def writeSingleFile(ds: Dataset[IahxDoc], path: String): Unit = {
     import ds.sparkSession.implicits._
     val it = ds.map(docXml _)(org.apache.spark.sql.Encoders.STRING).toLocalIterator()
