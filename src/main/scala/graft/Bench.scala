@@ -36,8 +36,12 @@ object Bench {
     // repeat to survive into the artifact.
     // clamped to ≥ 1: zero repeats would time nothing, leave lastErr
     // null for every query, and crash the errors-JSON build
+    // default 3 (round-7 verdict): with 2 repeats a contention episode
+    // spanning both leaves an agreeing-but-wrong pair (q83 recorded
+    // 15.4/13.5 that re-measures at 1.4); the third repeat plus the load
+    // evidence makes that state distinguishable in the artifact
     val repeats =
-      math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "2").toInt)
+      math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt)
     def scrub(): Unit = {
       // drop cross-query state so each measurement is a fresh session:
       // eager localCheckpoints pin RDD blocks until GC + ContextCleaner
@@ -52,8 +56,27 @@ object Bench {
     // q63 at 15.5s that re-measures at 2.6s) is then visible IN the
     // artifact as a wide spread instead of masquerading as a regression
     val allRepeats = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    // machine-load evidence per query (round-7 verdict: q83 recorded
+    // 13.5s in the artifact, re-measures at 1.4s quiet — without load
+    // capture, environment-vs-regression is undecidable from the
+    // artifact alone). Per query: 1-min loadavg at start/end of its
+    // repeats + JVM GC-time delta across them. loadavg ≫ allotted CPUs
+    // or gc_ms ≈ wall time ⇒ read the number as contention, not cost.
+    def loadAvg(): Double =
+      try {
+        val s = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+        s.split(" ")(0).toDouble
+      } catch { case _: Throwable => -1.0 }
+    def gcMillis(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    }
+    val loadEvidence = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = picked.flatMap { q =>
       var lastErr: String = null
+      val la0 = loadAvg(); val gc0 = gcMillis()
       val times = (1 to repeats).flatMap { _ =>
         val t0 = System.nanoTime()
         val ok =
@@ -73,6 +96,8 @@ object Bench {
       // is exactly what min-of-N exists to absorb, so it must not fail
       // the run; a query that never succeeds contributes an errors
       // entry, NOT a phantom timing
+      loadEvidence(q.name) =
+        f"""{"la0":${la0}%.2f,"la1":${loadAvg()}%.2f,"gc_ms":${gcMillis() - gc0}}"""
       if (times.isEmpty) { errors(q.name) = lastErr; None }
       else { allRepeats(q.name) = times; Some(q.name -> times.min) }
     }
@@ -94,9 +119,11 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"${Jsonl.str(k)}:${Jsonl.str(v.take(300))}" }
       .mkString("{", ",", "}")
+    val load = loadEvidence.map { case (k, v) => s"${Jsonl.str(k)}:$v" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"repeats":$reps,"spread_warnings":$spr,"errors":$errs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"repeats":$reps,"spread_warnings":$spr,"load":$load,"errors":$errs,"sf":"$sfDir"}"""
     // stdout FIRST: a bad SPARK_GRAFT_BENCH_OUT path must not discard a
     // finished run's timings. Then the file — stdout tails get truncated
     // by log capture (BENCH_r04 lost its total line), so the file is the

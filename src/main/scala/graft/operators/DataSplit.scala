@@ -173,7 +173,19 @@ object DataSplit {
     * contamination; false positives are killed by the exact join — the
     * result is bit-identical to q60 (same oracle SQL, spec-pinned), only
     * the physical plan changes: full-corpus shuffle → broadcast probe +
-    * sliver shuffle. */
+    * sliver shuffle.
+    *
+    * The corpus is deliberately tokenized TWICE (once filtered to test
+    * for the eval build, once filtered to train for the probe) rather
+    * than materializing one shared (split, gram) projection: the
+    * exploded train grams are ~2× the corpus in bytes, so persisting
+    * them to skip the second pass trades cheap re-scan CPU for a
+    * corpus-scale disk write — the wrong trade at 100 TB, where the
+    * train side must stream through the broadcast Bloom unmaterialized.
+    * (Round-7 bench recorded 13.5s for this gate; it re-measures at
+    * 1.4s on a quiet machine with 4.3× repeat spread — contention, not
+    * plan cost; the bench artifact now carries per-query load/GC
+    * evidence so that state is decidable from the artifact.) */
   def decontaminateBloom(spark: SparkSession, docs: DataFrame,
       fpp: Double = 0.01): DataFrame = {
     val split = docs
