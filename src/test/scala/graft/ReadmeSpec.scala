@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** README truthfulness gate — rounds 6 AND 7 both shipped a stale README
+  * (hand-written bench total one round, a stale gate count plus an EMPTY
+  * generated-bench block the next). This spec runs in `sbt test`, which
+  * every round executes, so the staleness class cannot ship silently
+  * again: the claimed gate count must equal the live registry, the
+  * BENCH:BEGIN/END block must be non-empty, and — when bench_out.json is
+  * present — the block must actually be derived from it (same gate count
+  * and total), proving `tools/readme_bench.py` ran against the artifact
+  * of record rather than being hand-edited or skipped.
+  */
+class ReadmeSpec extends AnyFunSuite {
+
+  private def repoFile(name: String): java.nio.file.Path = {
+    // sbt may or may not fork tests; resolve from user.dir and walk up
+    var d = java.nio.file.Paths.get(sys.props("user.dir")).toAbsolutePath
+    while (d != null && !java.nio.file.Files.exists(d.resolve(name)))
+      d = d.getParent
+    require(d != null, s"$name not found above ${sys.props("user.dir")}")
+    d.resolve(name)
+  }
+
+  private lazy val readme =
+    new String(java.nio.file.Files.readAllBytes(repoFile("README.md")), "UTF-8")
+
+  test("claimed gate count equals the live query registry") {
+    val m = """Current gate: \*\*(\d+) queries""".r.findFirstMatchIn(readme)
+    assert(m.isDefined, "README 'Current gate: **N queries' line missing")
+    val claimed = m.get.group(1).toInt
+    val actual = SparkEntry.allQueries.size
+    assert(claimed == actual,
+      s"README claims $claimed gate queries but SparkEntry registers $actual — " +
+        "update the 'Current gate' line (and the coverage tables) for the new gates")
+  }
+
+  test("registry has no duplicate names and every gate carries an oracle") {
+    val names = SparkEntry.allQueries.map(_.name)
+    val dups = names.groupBy(identity).collect { case (n, g) if g.size > 1 => n }
+    assert(dups.isEmpty, s"duplicate gate names: ${dups.mkString(", ")}")
+    val noOracle = SparkEntry.allQueries.filter(_.oracle.isEmpty).map(_.name)
+    assert(noOracle.isEmpty,
+      s"gates without a DuckDB oracle (README claims none remain): ${noOracle.mkString(", ")}")
+  }
+
+  test("BENCH block is non-empty and derived from bench_out.json") {
+    val begin = readme.indexOf("<!-- BENCH:BEGIN")
+    val end = readme.indexOf("<!-- BENCH:END -->")
+    assert(begin >= 0 && end > begin, "BENCH:BEGIN/END markers missing")
+    val afterMarkerLine = readme.indexOf('\n', begin) + 1
+    val block = readme.substring(afterMarkerLine, end).trim
+    assert(block.nonEmpty,
+      "BENCH block is EMPTY — run `python3 tools/readme_bench.py` against a fresh bench_out.json")
+    val counted = """over the (\d+) registered""".r.findFirstMatchIn(block)
+    assert(counted.isDefined, "BENCH block lacks the generated 'over the N registered gates' phrase")
+    val out = repoFile("bench_out.json")
+    val benchJson =
+      new String(java.nio.file.Files.readAllBytes(out), "UTF-8")
+    // count gate timings in the artifact without a JSON dep: the
+    // "queries" object's keys are exactly the timed gates
+    val qObj = """"queries":\{(.*?)\}""".r.findFirstMatchIn(benchJson)
+    assert(qObj.isDefined, "bench_out.json has no queries object")
+    val nBench = """"q\d+[a-z0-9_]*":""".r.findAllIn(qObj.get.group(1)).size
+    assert(counted.get.group(1).toInt == nBench,
+      s"BENCH block says ${counted.get.group(1)} gates but bench_out.json timed $nBench — " +
+        "regenerate the block from the current artifact")
+  }
+}

@@ -67,6 +67,30 @@ def main():
             n_bad += 1; continue
         print(f"OK     {name}: rows={len(g)}")
         n_ok += 1
+    # README staleness gate (round-7 verdict: shipped "141 queries" with
+    # 144 gates and an EMPTY generated-bench block). Enforced only on a
+    # FULL verify run (subset dev-loop runs have fewer results than
+    # oracles and skip it): the claimed count and the generated bench
+    # block's count must both equal the live registry size.
+    if n_ok + n_bad >= len(oracles):
+        import re
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        readme = open(os.path.join(root, "README.md")).read()
+        n_reg = n_ok + n_bad
+        m = re.search(r"Current gate: \*\*(\d+) queries", readme)
+        if not m or int(m.group(1)) != n_reg:
+            print(f"FAIL README: claims {m and m.group(1)} gate queries, registry has {n_reg}")
+            n_bad += 1
+        block = re.search(r"<!-- BENCH:BEGIN[^\n]*\n(.*?)<!-- BENCH:END -->",
+                          readme, re.S)
+        body = block.group(1).strip() if block else ""
+        bm = re.search(r"over the (\d+) registered", body)
+        if not body:
+            print("FAIL README: BENCH block empty — run tools/readme_bench.py")
+            n_bad += 1
+        elif not bm or int(bm.group(1)) != n_reg:
+            print(f"FAIL README: BENCH block covers {bm and bm.group(1)} gates, registry has {n_reg} — rerun bench + tools/readme_bench.py")
+            n_bad += 1
     print(f"\n{n_ok} ok, {n_bad} bad")
     sys.exit(1 if n_bad else 0)
 
