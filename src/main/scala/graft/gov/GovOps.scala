@@ -138,9 +138,21 @@ object GovOps {
   val q46 = Q.sql("q46_xml_roundtrip", GovOracle.q46) { (s, _) =>
     import s.implicits._
     val ds = Gov.toIahx(Gov.fixtureLanding(s), Fixtures.lookups, 2026)
-    val dir = java.nio.file.Files.createTempDirectory("graft_xml")
+    // deterministic repo-local path (the returned DF parses the file
+    // LAZILY, so it can't be deleted here; a fixed name overwritten per
+    // run bounds the footprint to one file instead of one per invocation)
+    val dir = java.nio.file.Paths.get(sys.env.getOrElse("GRAFT_TMP",
+      s"${System.getProperty("user.dir")}/.tmp"), "graft_q46_xml")
+    java.nio.file.Files.createDirectories(dir)
     val file = dir.resolve("export.xml").toString
-    SolrXml.writeSingleFile(ds, file)
+    // pid-staged + atomic replace: a concurrent bench/verify pair writes
+    // byte-identical content, so a reader sees a complete old or new
+    // file, never a mid-write truncation
+    val stage = dir.resolve(s"export.xml.stage-${ProcessHandle.current().pid()}")
+    SolrXml.writeSingleFile(ds, stage.toString)
+    java.nio.file.Files.move(stage, java.nio.file.Paths.get(file),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     graft.ingest.XmlSource.read(s, file)
       .map(d => (d.id, d.fields.valuesIterator.map(_.size).sum.toLong))
       .toDF("id", "n_fields")
@@ -169,7 +181,12 @@ object GovOps {
     val ds = Gov.toIahx(Gov.fixtureLanding(s), Fixtures.lookups, 2026)
       .repartition(3, col("id"))
       .sortWithinPartitions("id")
+    // the gate's result rows are fully materialized below (local Seq →
+    // toDF), so the export tree can be deleted before returning — every
+    // gate/verify/bench invocation used to leak a full XML tree in the
+    // system tmpdir
     val tmp = java.nio.file.Files.createTempDirectory("graft_shardgate")
+    try {
     val dir = tmp.resolve("xml").toString
     SolrXml.writeSharded(ds, dir)
     SolrXml.writeHandoffManifest(ds, dir)
@@ -194,6 +211,7 @@ object GovOps {
         concatEq, manifestOk)
     }.toDF("shard", "n_docs", "concat_equals_single", "manifest_matches")
       .orderBy("shard")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
   }
 
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q46, q144)

@@ -585,6 +585,11 @@ object Similarity {
         s"${System.getProperty("user.dir")}/.tmp")
       val target = java.nio.file.Paths.get(base, s"graft_ivf_$key")
       if (!java.nio.file.Files.exists(target)) {
+        // sweep stage dirs orphaned by crashed builds: their names are
+        // pid-keyed, so no future run would ever reclaim them
+        Option(target.getParent.toFile.listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.startsWith(s"graft_ivf_$key.stage-"))
+          .foreach(org.apache.commons.io.FileUtils.deleteDirectory)
         val staging = java.nio.file.Paths.get(base,
           s"graft_ivf_$key.stage-${java.lang.ProcessHandle.current().pid()}")
         val e = Tables.embeddings(spark, dataDir)
@@ -595,11 +600,16 @@ object Similarity {
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         catch {
           // another process completed the rename first: its index is
-          // byte-identical (deterministic build); discard the staging
-          case _: java.nio.file.FileAlreadyExistsException |
+          // byte-identical (deterministic build); discard the staging.
+          // AccessDenied can ALSO be a genuine permission failure (not a
+          // lost race) — distinguishable by whether the target exists:
+          // if it doesn't, swallowing here would defer the error to a
+          // confusing parquet-read failure downstream, so rethrow
+          case race @ (_: java.nio.file.FileAlreadyExistsException |
                _: java.nio.file.AccessDeniedException |
-               _: java.nio.file.DirectoryNotEmptyException =>
+               _: java.nio.file.DirectoryNotEmptyException) =>
             org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
+            if (!java.nio.file.Files.exists(target)) throw race
         }
       }
       target.toString
