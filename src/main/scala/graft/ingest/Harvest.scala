@@ -42,6 +42,37 @@ object Harvest {
     Map("updated_time__gte" ->
       today.minusDays(days.toLong).format(DateTimeFormatter.ISO_LOCAL_DATE))
 
+  /** X28 — the DATE_PARAM bounded-window mode (reference
+    * `01_date_param_update.py` + `tasks_for_01.py:120-123`, the backfill
+    * shape): explicit start/end dates become full-day-inclusive bounds —
+    * the reference appends "T00:00:00" to start and "T23:59:59" to end,
+    * so both endpoint DAYS are included but a sub-second instant after
+    * end 23:59:59 is not. Emitted exactly as the reference sends them. */
+  def dateParamParams(startDate: LocalDate, endDate: LocalDate): Map[String, String] =
+    Map(
+      "updated_time__gte" ->
+        s"${startDate.format(DateTimeFormatter.ISO_LOCAL_DATE)}T00:00:00",
+      "updated_time__lte" ->
+        s"${endDate.format(DateTimeFormatter.ISO_LOCAL_DATE)}T23:59:59")
+
+  /** The server-side filter the DATE_PARAM (or INCREMENTAL) params ask
+    * the API to apply, replayed engine-side: `__gte`/`__lte` are
+    * INCLUSIVE timestamp comparisons. Used to bound a re-harvest plan to
+    * the window's documents and by gates/specs to pin the semantics. */
+  def applyDateWindow(df: DataFrame, tsCol: String,
+      params: Map[String, String]): DataFrame = {
+    // bound literals are cast to the COLUMN's own timestamp type
+    // (events.parquet loads as TIMESTAMP or TIMESTAMP_NTZ depending on
+    // the writer's nanos encoding — see Tables.loadEvents; session TZ is
+    // UTC so the two agree) rather than to_timestamp's session-TZ type
+    def bound(b: String) =
+      lit(b.replace("T", " ")).cast(df.schema(tsCol).dataType)
+    val withGte = params.get("updated_time__gte").fold(df)(b =>
+      df.filter(col(tsCol) >= bound(b)))
+    params.get("updated_time__lte").fold(withGte)(b =>
+      withGte.filter(col(tsCol) <= bound(b)))
+  }
+
   /** The page plan as a DataFrame — the distributed fetch skeleton:
     * `.repartition(workers)` then mapPartitions(httpFetch) at runtime. */
   def planDf(spark: SparkSession, total: Int, limit: Int = 100,

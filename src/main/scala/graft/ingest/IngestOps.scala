@@ -133,5 +133,36 @@ object IngestOps {
         .toDF("param", "cutoff")
   }
 
-  val all: Seq[Q] = Seq(q92, q93, q94, q96, q97)
+  /** X28 DATE_PARAM mode — the bounded backfill window
+    * (01_date_param_update.py): the gate pins BOTH the param strings the
+    * reference sends (gte = start T00:00:00, lte = end T23:59:59) and
+    * their server-side inclusive semantics applied to a real timestamp
+    * column (events in/outside the window, replayed by DuckDB over the
+    * same bounds). */
+  val q145 = Q.sql("q145_date_param_window",
+    """WITH w AS (
+      |  SELECT count(*) FILTER (WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      |                            AND ts <= TIMESTAMP '2024-01-12 23:59:59') AS inside,
+      |         count(*) AS total
+      |  FROM events)
+      |SELECT k, v FROM (
+      |  SELECT 'updated_time__gte' AS k, '2024-01-10T00:00:00' AS v FROM w
+      |  UNION ALL
+      |  SELECT 'updated_time__lte', '2024-01-12T23:59:59' FROM w
+      |  UNION ALL SELECT 'events_in_window', CAST(inside AS VARCHAR) FROM w
+      |  UNION ALL SELECT 'events_outside', CAST(total - inside AS VARCHAR) FROM w)
+      |ORDER BY k""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val params = Harvest.dateParamParams(
+      java.time.LocalDate.of(2024, 1, 10), java.time.LocalDate.of(2024, 1, 12))
+    val ev = graft.Tables.events(s, d)
+    val total = ev.count()
+    val inside = Harvest.applyDateWindow(ev, "ts", params).count()
+    (params.toSeq ++ Seq(
+      "events_in_window" -> inside.toString,
+      "events_outside" -> (total - inside).toString))
+      .toDF("k", "v").orderBy("k")
+  }
+
+  val all: Seq[Q] = Seq(q92, q93, q94, q96, q97, q145)
 }

@@ -28,6 +28,44 @@ class HarvestSpec extends AnyFunSuite {
       Map("updated_time__gte" -> "2026-07-05"))
   }
 
+  test("DATE_PARAM mode: full-day-inclusive bounds, exactly as the reference sends them") {
+    // tasks_for_01.py:120-123 — start_date + "T00:00:00", end_date + "T23:59:59"
+    assert(Harvest.dateParamParams(
+      LocalDate.of(2024, 1, 10), LocalDate.of(2024, 1, 12)) ==
+      Map("updated_time__gte" -> "2024-01-10T00:00:00",
+        "updated_time__lte" -> "2024-01-12T23:59:59"))
+    // single-day backfill: both bounds on the same date
+    assert(Harvest.dateParamParams(
+      LocalDate.of(2026, 2, 1), LocalDate.of(2026, 2, 1)) ==
+      Map("updated_time__gte" -> "2026-02-01T00:00:00",
+        "updated_time__lte" -> "2026-02-01T23:59:59"))
+  }
+
+  test("DATE_PARAM window semantics: inclusive endpoints, sub-second after lte excluded") {
+    val spark = SparkSession.builder().master("local[2]")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      (1L, "2024-01-09 23:59:59.999"), // before gte — out
+      (2L, "2024-01-10 00:00:00"),     // exactly gte — IN (inclusive)
+      (3L, "2024-01-11 12:00:00"),     // interior — in
+      (4L, "2024-01-12 23:59:59"),     // exactly lte — IN (inclusive)
+      (5L, "2024-01-12 23:59:59.500")  // sub-second past lte — out
+    ).toDF("id", "s").select(col("id"), col("s").cast("timestamp").as("ts"))
+    val params = Harvest.dateParamParams(
+      LocalDate.of(2024, 1, 10), LocalDate.of(2024, 1, 12))
+    val kept = Harvest.applyDateWindow(rows, "ts", params)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(2L, 3L, 4L))
+    // gte-only param map (the INCREMENTAL mode) applies only the lower bound
+    val gteOnly = Harvest.applyDateWindow(rows,
+      "ts", Map("updated_time__gte" -> "2024-01-12T00:00:00"))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(gteOnly == Seq(4L, 5L))
+  }
+
   test("S2 retry: backoff on retryable statuses, dead-letter on exhaustion") {
     // flaky transport: fails twice with 503, then succeeds
     var calls = 0
