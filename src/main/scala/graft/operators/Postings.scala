@@ -274,5 +274,30 @@ object Postings {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(q130, q141, q142, q143)
+  private val Phrase3 = Seq("fast", "data", "scan")
+
+  /** Three-term phrase through the SAME join-reduce — q143 pins only the
+    * 2-term path (a single join); this exercises the multi-join chain,
+    * where joins 2..n land on an intermediate already partitioned on
+    * (doc_id, base) and add no exchange (PlanSpec pins that). Oracle:
+    * per-doc adjacent-triple lambda scan, same shape as q143's. */
+  val q146 = Q.sql("q146_phrase3_search",
+    s"""WITH d AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(list_filter(range(1, len(toks) - 1),
+       |    i -> toks[i] = '${Phrase3(0)}' AND toks[i + 1] = '${Phrase3(1)}'
+       |         AND toks[i + 2] = '${Phrase3(2)}')) AS BIGINT)
+       |    AS n_occurrences
+       |FROM d
+       |WHERE len(list_filter(range(1, len(toks) - 1),
+       |    i -> toks[i] = '${Phrase3(0)}' AND toks[i + 1] = '${Phrase3(1)}'
+       |         AND toks[i + 2] = '${Phrase3(2)}')) > 0
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    phraseSearch(positionalIndex(Tables.documents(s, d)), Phrase3)
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(q130, q141, q142, q143, q146)
 }

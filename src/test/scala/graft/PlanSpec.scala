@@ -321,4 +321,29 @@ class PlanSpec extends AnyFunSuite {
       _.collectFirst { case a: Aggregate => a }.isDefined)),
       "no aggregate below the range join — point rows flow raw into the pair stream")
   }
+
+  test("phrase joins 2..n reuse the (doc_id, base) partitioning — one exchange per slot") {
+    // a 3-term phrase is two chained equi-joins on (doc_id, base); the
+    // second join's left input is the first join's output, which is
+    // ALREADY hash-partitioned on exactly those keys — so the plan must
+    // carry one (doc_id, base) exchange per phrase SLOT (each slot's
+    // posting stream), never one per JOIN, plus the single doc_id
+    // exchange for the occurrence count
+    val phrase = Seq("fast", "data", "scan")
+    val df = operators.Postings.phraseSearch(
+      operators.Postings.positionalIndex(Tables.documents(spark, sf)), phrase)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==")(0)
+    val exchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    val onDocBase = exchanges.count(l =>
+      l.contains("doc_id") && l.contains("base"))
+    assert(onDocBase == phrase.size,
+      s"expected ${phrase.size} (doc_id, base) exchanges (one per slot, " +
+        s"joins reuse the partitioning), got $onDocBase\n$p")
+    // the groupBy(doc_id) partial-aggregates then re-keys once; nothing
+    // else may shuffle
+    assert(exchanges.size == phrase.size + 1,
+      s"expected ${phrase.size + 1} total exchanges, got ${exchanges.size}\n$p")
+  }
 }
