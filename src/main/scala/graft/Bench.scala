@@ -122,8 +122,16 @@ object Bench {
     val load = loadEvidence.map { case (k, v) => s"${Jsonl.str(k)}:$v" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // methodology note travels WITH the numbers: the first repeat of a
+    // stateful/streaming gate carries cold state-store + codegen warmup
+    // (q98 recorded 92s cold vs 12.6s warm in round 8) — min-of-N is the
+    // steady-state cost by construction, and the per-repeat arrays above
+    // preserve the cold number for anyone auditing the spread
+    val note = Jsonl.str(
+      s"value=sum of per-query min-of-$repeats; first repeats include " +
+        "cold state-store/codegen warmup (see repeats arrays)")
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"repeats":$reps,"spread_warnings":$spr,"load":$load,"errors":$errs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","note":$note,"queries":$qs,"repeats":$reps,"spread_warnings":$spr,"load":$load,"errors":$errs,"sf":"$sfDir"}"""
     // stdout FIRST: a bad SPARK_GRAFT_BENCH_OUT path must not discard a
     // finished run's timings. Then the file — stdout tails get truncated
     // by log capture (BENCH_r04 lost its total line), so the file is the
@@ -137,6 +145,30 @@ object Bench {
     } catch {
       case e: java.io.IOException =>
         System.err.println(s"[bench] result file write failed: $e")
+    }
+    // FULL-suite runs regenerate the README's BENCH block as a side
+    // effect (rounds 6-8 each shipped a stale block because the regen
+    // was a separate manual step): the block structurally cannot lag the
+    // artifact it cites. Subset dev-loop runs skip this — a 3-gate
+    // artifact must not overwrite the full-suite block.
+    if (args.isEmpty && errors.isEmpty) {
+      try {
+        val script = java.nio.file.Paths.get("tools/readme_bench.py")
+        val readmeP = java.nio.file.Paths.get("README.md")
+        if (java.nio.file.Files.exists(script) &&
+            java.nio.file.Files.exists(readmeP)) {
+          val outPath =
+            sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+          val rc = new ProcessBuilder(
+            "python3", script.toString, outPath, readmeP.toString)
+            .inheritIO().start().waitFor()
+          if (rc != 0)
+            System.err.println(s"[bench] readme_bench.py exited $rc — README BENCH block NOT regenerated")
+        }
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] README regen skipped: $e")
+      }
     }
     if (errors.nonEmpty)
       System.err.println(s"[bench] ${errors.size} of ${picked.size} queries FAILED: ${errors.keys.mkString(", ")}")

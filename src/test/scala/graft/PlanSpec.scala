@@ -329,11 +329,31 @@ class PlanSpec extends AnyFunSuite {
     // carry one (doc_id, base) exchange per phrase SLOT (each slot's
     // posting stream), never one per JOIN, plus the single doc_id
     // exchange for the occurrence count
+    // At gate scale AQE broadcast-joins the tiny filtered posting streams
+    // (a fine plan, but not the one this pin is about) — force the
+    // shuffle-join path so the partitioning-reuse claim is actually
+    // exercised, as it would be at 100 TB where no posting stream fits a
+    // broadcast.
+    val prevAuto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqeAuto =
+      spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    val p =
+      try {
+        val phrase = Seq("fast", "data", "scan")
+        val df = operators.Postings.phraseSearch(
+          operators.Postings.positionalIndex(Tables.documents(spark, sf)), phrase)
+        df.collect()
+        plan(df).split("== Initial Plan ==")(0)
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
+        prevAqeAuto.foreach(
+          spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", _))
+        if (prevAqeAuto.isEmpty)
+          spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
     val phrase = Seq("fast", "data", "scan")
-    val df = operators.Postings.phraseSearch(
-      operators.Postings.positionalIndex(Tables.documents(spark, sf)), phrase)
-    df.collect()
-    val p = plan(df).split("== Initial Plan ==")(0)
     val exchanges = p.linesIterator
       .filter(_.contains("Exchange hashpartitioning")).toSeq
     val onDocBase = exchanges.count(l =>
@@ -341,9 +361,12 @@ class PlanSpec extends AnyFunSuite {
     assert(onDocBase == phrase.size,
       s"expected ${phrase.size} (doc_id, base) exchanges (one per slot, " +
         s"joins reuse the partitioning), got $onDocBase\n$p")
-    // the groupBy(doc_id) partial-aggregates then re-keys once; nothing
-    // else may shuffle
-    assert(exchanges.size == phrase.size + 1,
-      s"expected ${phrase.size + 1} total exchanges, got ${exchanges.size}\n$p")
+    // each slot additionally carries ONE (token, doc_id) exchange from the
+    // positional-index collect_list aggregation (inherent to building the
+    // index inline; a persisted index table would drop these), and the
+    // final groupBy(doc_id) re-keys once — nothing else may shuffle, and
+    // in particular no join may add a re-exchange between slots 2..n
+    assert(exchanges.size == 2 * phrase.size + 1,
+      s"expected ${2 * phrase.size + 1} total exchanges, got ${exchanges.size}\n$p")
   }
 }

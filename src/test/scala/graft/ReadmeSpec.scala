@@ -14,17 +14,17 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class ReadmeSpec extends AnyFunSuite {
 
-  private def repoFile(name: String): java.nio.file.Path = {
+  private lazy val repoRoot: java.nio.file.Path = {
     // sbt may or may not fork tests; resolve from user.dir and walk up
     var d = java.nio.file.Paths.get(sys.props("user.dir")).toAbsolutePath
-    while (d != null && !java.nio.file.Files.exists(d.resolve(name)))
+    while (d != null && !java.nio.file.Files.exists(d.resolve("README.md")))
       d = d.getParent
-    require(d != null, s"$name not found above ${sys.props("user.dir")}")
-    d.resolve(name)
+    require(d != null, s"README.md not found above ${sys.props("user.dir")}")
+    d
   }
 
   private lazy val readme =
-    new String(java.nio.file.Files.readAllBytes(repoFile("README.md")), "UTF-8")
+    new String(java.nio.file.Files.readAllBytes(repoRoot.resolve("README.md")), "UTF-8")
 
   test("claimed gate count equals the live query registry") {
     val m = """Current gate: \*\*(\d+) queries""".r.findFirstMatchIn(readme)
@@ -55,7 +55,14 @@ class ReadmeSpec extends AnyFunSuite {
       "BENCH block is EMPTY — run `python3 tools/readme_bench.py` against a fresh bench_out.json")
     val counted = """over the (\d+) registered""".r.findFirstMatchIn(block)
     assert(counted.isDefined, "BENCH block lacks the generated 'over the N registered gates' phrase")
-    val out = repoFile("bench_out.json")
+    // bench_out.json is gitignored: on a fresh clone the artifact-derivation
+    // assertions have nothing to derive from — skip them (the non-empty
+    // block + gate-count checks above still ran). Resolve it next to the
+    // README that was actually checked, never via an independent walk-up
+    // that could latch onto an unrelated artifact above the repo.
+    val out = repoRoot.resolve("bench_out.json")
+    assume(java.nio.file.Files.exists(out),
+      "bench_out.json absent (fresh clone) — artifact-derivation checks skipped")
     val benchJson =
       new String(java.nio.file.Files.readAllBytes(out), "UTF-8")
     // count gate timings in the artifact without a JSON dep: the
