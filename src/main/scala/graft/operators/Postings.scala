@@ -118,10 +118,10 @@ object Postings {
     * aggregator — no window over the candidate stream, so the plan is
     * q141's plus one broadcast join regardless of how many queries ride
     * the batch. Shared terms are scored once (term_micro is
-    * query-independent). Ranking passes through double (exact for
-    * micros < 2^53 — per-term scores are bounded by ~4N·10⁶, so a batch
-    * would need ~10⁹ hit terms per doc to graze the edge); the OUTPUT
-    * scores are the exact integers, joined back by (query_id, doc_id). */
+    * query-independent). Selection ranks on the exact integer micros
+    * via [[Similarity.TopKSimLong]] — batch and single-query ranking
+    * are the same integer order by construction (no double seam); the
+    * join-back recovers n_terms_hit for the selected rows. */
   def bm25Batch(documents: DataFrame, queries: Seq[(Long, Seq[String])],
       topK: Int): DataFrame = {
     val spark = documents.sparkSession
@@ -135,9 +135,9 @@ object Postings {
         count(lit(1)).as("n_terms_hit"))
       // selection pass + exact join-back both read this: materialize once
       .localCheckpoint(true)
-    val top = Similarity.topKPerQuery(
+    val top = Similarity.topKPerQueryLong(
       perQuery.select(col("query_id"), col("doc_id").as("neighbor_id"),
-        col("score_micro").cast("double").as("sim")), topK)
+        col("score_micro").cast("long").as("score")), topK)
       .select(col("query_id"), col("neighbor_id").as("doc_id"))
     perQuery.join(broadcast(top), Seq("query_id", "doc_id"))
       .orderBy(col("query_id"), col("score_micro").desc, col("doc_id"))
@@ -299,5 +299,85 @@ object Postings {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(q130, q141, q142, q143, q146)
+  /** Proximity-aware ranked retrieval: BM25 term scores plus an exact
+    * integer bonus per phrase occurrence from the positional index —
+    * the engine-side equivalent of what the reference gets by shipping
+    * documents to Solr for ranked+phrase retrieval
+    * (/root/reference/dags/data_governance/04_export_xml.py:82-142
+    * ships the fields Solr's default config stores positions for).
+    * Everything stays in the integer-micro domain, so DuckDB replays
+    * the combined score bit-for-bit: score = Σ term_micro +
+    * n_phrase · bonusMicro. A doc that matches the phrase outranks a
+    * bag-of-words tie by construction (bonus > 0); docs missing the
+    * phrase keep their plain BM25 rank (n_phrase = 0).
+    *
+    * Scale shape: q141's two corpus scans plus the positional-index
+    * scan (slot filters push below the per-(token, doc) aggregate; a
+    * persisted index drops the third scan entirely), then a join on
+    * doc_id — no window, no driver loop. */
+  def bm25Proximity(documents: DataFrame, queryTerms: Seq[String],
+      phrase: Seq[String], bonusMicro: Long, topK: Int): DataFrame = {
+    val base = termScores(documents, queryTerms)
+      .groupBy("doc_id")
+      .agg(sum("term_micro").as("base_micro"),
+        count(lit(1)).as("n_terms_hit"))
+    val occ = phraseSearch(positionalIndex(documents), phrase)
+      .withColumnRenamed("n_occurrences", "n_phrase")
+    base.join(occ, Seq("doc_id"), "left")
+      .withColumn("n_phrase", coalesce(col("n_phrase"), lit(0L)))
+      .withColumn("score_micro",
+        (col("base_micro") + col("n_phrase") * lit(bonusMicro)).cast("long"))
+      .select("doc_id", "score_micro", "n_terms_hit", "n_phrase")
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(topK)
+  }
+
+  /** The phrase bonus in micros — worth a quarter of a typical
+    * strong-term hit, so proximity breaks ties and boosts without
+    * drowning term relevance. */
+  private[operators] val PhraseBonusMicro = 250000L
+
+  /** q141's terms with q143's phrase riding the same corpus: the gate
+    * pins the combined integer score (BM25 micros + phrase bonus), the
+    * hit count, and the per-doc phrase count in one ranked output. */
+  val q147 = Q.sql("q147_bm25_proximity",
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+       |  FROM documents),
+       |lens AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY 1),
+       |tot AS (SELECT count(*) AS n, CAST(sum(len) AS BIGINT) AS s FROM lens),
+       |df AS (
+       |  SELECT token, count(DISTINCT doc_id) AS df FROM toks
+       |  WHERE token IN (${Terms.map("'" + _ + "'").mkString(",")}) GROUP BY 1),
+       |tf AS (
+       |  SELECT doc_id, token, count(*) AS tf FROM toks
+       |  WHERE token IN (${Terms.map("'" + _ + "'").mkString(",")}) GROUP BY 1, 2),
+       |t AS (
+       |  SELECT tf.doc_id,
+       |    CAST((CAST(2*n - 2*df + 1 AS HUGEINT) * 22 * s * tf * 1000000) //
+       |         (CAST(2*df + 1 AS HUGEINT) *
+       |          (CAST(10 AS HUGEINT)*s*tf + CAST(3 AS HUGEINT)*s
+       |           + CAST(9 AS HUGEINT)*len*n)) AS BIGINT) AS term_micro
+       |  FROM tf JOIN df USING (token) JOIN lens USING (doc_id) CROSS JOIN tot),
+       |base AS (
+       |  SELECT doc_id, CAST(sum(term_micro) AS BIGINT) AS base_micro,
+       |    count(*) AS n_terms_hit
+       |  FROM t GROUP BY 1),
+       |ph AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(range(1, len(tk)),
+       |      i -> tk[i] = '${Phrase(0)}' AND tk[i + 1] = '${Phrase(1)}')) AS BIGINT)
+       |      AS n_phrase
+       |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+       |        FROM documents) z)
+       |SELECT b.doc_id,
+       |  CAST(b.base_micro + p.n_phrase * $PhraseBonusMicro AS BIGINT) AS score_micro,
+       |  b.n_terms_hit, p.n_phrase
+       |FROM base b JOIN ph p USING (doc_id)
+       |ORDER BY score_micro DESC, doc_id LIMIT 10""".stripMargin) { (s, d) =>
+    bm25Proximity(Tables.documents(s, d), Terms, Phrase,
+      PhraseBonusMicro, topK = 10)
+  }
+
+  val all: Seq[Q] = Seq(q130, q141, q142, q143, q146, q147)
 }

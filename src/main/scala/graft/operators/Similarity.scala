@@ -60,6 +60,50 @@ object Similarity {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Hit]]()
   }
 
+  /** One ranked neighbor with an exact integer score: the output
+    * element of [[TopKSimLong]]. */
+  case class LongHit(neighbor_id: Long, score: Long)
+
+  /** [[TopKSim]] over exact Long scores — for rankings whose key is an
+    * integer (BM25 micros): no double round-trip, so the selection
+    * order is the integer order by construction at ANY magnitude, not
+    * just below 2^53. Same mergeable bounded-buffer shape. */
+  class TopKSimLong(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (Long, Long), Seq[(Long, Long)], Seq[LongHit]] {
+    private def better(a: (Long, Long), b: (Long, Long)): Boolean =
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+    private def trim(s: Seq[(Long, Long)]): Seq[(Long, Long)] =
+      s.distinctBy(_._2).sortWith(better).take(k)
+    override def zero: Seq[(Long, Long)] = Vector.empty
+    override def reduce(b: Seq[(Long, Long)],
+        x: (Long, Long)): Seq[(Long, Long)] =
+      if (b.size == k && better(b.last, x)) b else trim(b :+ x)
+    override def merge(a: Seq[(Long, Long)],
+        b: Seq[(Long, Long)]): Seq[(Long, Long)] = trim(a ++ b)
+    override def finish(b: Seq[(Long, Long)]): Seq[LongHit] =
+      b.map { case (s, n) => LongHit(n, s) }
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Seq[(Long, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long)]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[LongHit]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[LongHit]]()
+  }
+
+  /** Top-k per query on an exact integer score column — the Long twin
+    * of [[topKPerQuery]]. Input: (query_id, neighbor_id, score: Long). */
+  private[operators] def topKPerQueryLong(pairs: org.apache.spark.sql.DataFrame,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    val agg = udaf(new TopKSimLong(k),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong))
+    pairs.groupBy("query_id")
+      .agg(agg(col("score"), col("neighbor_id")).as("top"))
+      .select(col("query_id"), explode(col("top")).as("h"))
+      .select(col("query_id"), col("h.neighbor_id").as("neighbor_id"),
+        col("h.score").as("score"))
+  }
+
   /** Top-k rows per query from a (query_id, neighbor_id, sim) pair
     * stream via [[TopKSim]] — one partial-aggregated exchange, no
     * window sort over the pairs. */

@@ -259,6 +259,29 @@ class WebPipelineSpec extends AnyFunSuite {
     assert(hits(Seq("x", "z")).isEmpty)                     // adjacency, not co-occurrence
   }
 
+  test("proximity ranking: a phrase match outranks an identical bag of words") {
+    import graft.operators.Postings
+    // docs 1 and 2 carry the SAME bag of words (plain BM25 ties them
+    // exactly); only doc 1 has the adjacency — the phrase bonus must
+    // break the tie toward it and leave every other score untouched
+    val d = docs(
+      1L -> "spark table x y",
+      2L -> "table spark x y",
+      3L -> "spark z w v")
+    val terms = Seq("spark", "table")
+    val plain = Postings.bm25(d, terms, topK = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("score_micro")).toMap
+    assert(plain(1L) == plain(2L), s"bag-of-words tie expected: $plain")
+    val prox = Postings.bm25Proximity(d, terms, Seq("spark", "table"),
+      bonusMicro = 250000L, topK = 3).collect()
+    assert(prox.head.getAs[Long]("doc_id") == 1L,
+      s"phrase doc must rank first: ${prox.mkString(";")}")
+    val p = prox.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("score_micro")).toMap
+    assert(p(1L) == plain(1L) + 250000L, s"bonus not one exact increment: $p vs $plain")
+    assert(p(2L) == plain(2L) && p(3L) == plain(3L),
+      s"non-phrase scores perturbed: $p vs $plain")
+  }
+
   test("bm25 batch: each query's slice equals the query served alone, in order") {
     import graft.operators.Postings
     // cross-query independence: batching N queries (with shared terms)
