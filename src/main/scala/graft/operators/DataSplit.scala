@@ -317,5 +317,30 @@ object DataSplit {
       .orderBy("source")
   }
 
-  val all: Seq[Q] = Seq(q59, q60, q67, q77, q83, q105, q133)
+  /** Zipfian stress for the source cap: 30% of the corpus is remapped
+    * onto ONE hot source (doc_id % 10 < 3 → 'hot' — deterministic, so
+    * DuckDB replays the same skew), and the cap runs through the
+    * heavy-hitter-safe two-phase rule. The oracle states the
+    * single-window semantics over the same remap: the pre-cap must be
+    * invisible in the result even when one window holds a double-digit
+    * share of the corpus. ScaleSpec additionally pins that the guard
+    * ENGAGES — the pre-cap window keys bound the hot source's rows to
+    * ~|hot|/buckets per partition. */
+  val q148 = Q.sql("q148_skew_source_cap",
+    """SELECT doc_id, source, CAST(rk AS BIGINT) AS rk FROM (
+      |  SELECT doc_id, source,
+      |    row_number() OVER (PARTITION BY source
+      |                       ORDER BY md5('cap:' || text), doc_id) AS rk
+      |  FROM (SELECT doc_id, text,
+      |          CASE WHEN doc_id % 10 < 3 THEN 'hot' ELSE source END AS source
+      |        FROM documents) z) t
+      |WHERE rk <= 10 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val skew = Tables.documents(s, d)
+      .withColumn("source",
+        when(pmod(col("doc_id"), lit(10)) < 3, lit("hot"))
+          .otherwise(col("source")))
+    sourceCapTwoPhase(skew, k = 10, buckets = 8).orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(q59, q60, q67, q77, q83, q105, q133, q148)
 }

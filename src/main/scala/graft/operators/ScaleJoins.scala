@@ -139,5 +139,49 @@ object ScaleJoins {
       .orderBy("o_orderkey")
   }
 
-  val all: Seq[Q] = Seq(q101, q102)
+  /** Zipfian stress for the salted join: ~25% of lineitem is remapped
+    * onto ONE hot key (l_orderkey % 4 = 0 → 0 — deterministic, DuckDB
+    * replays it), the dim side collapses to unique keys under the same
+    * remap, and the join runs salted. The oracle is the PLAIN join over
+    * the remapped relations: salting must be invisible in the result
+    * under adversarial skew, not just the mild natural kind q101 sees.
+    * (At gate scale the planner may broadcast the small dim anyway;
+    * the salt-spread bound itself — max rows per (key, salt) ≈
+    * |hot|/salts — is pinned by ScaleSpec directly on the salted
+    * stream, planner-independently.) */
+  val q149 = Q.sql("q149_skew_salted_join",
+    """WITH f AS (
+      |  SELECT CASE WHEN l_orderkey % 4 = 0 THEN 0 ELSE l_orderkey END AS hk,
+      |         l_extendedprice, l_discount
+      |  FROM lineitem),
+      |dim AS (
+      |  SELECT CASE WHEN o_orderkey % 4 = 0 THEN 0 ELSE o_orderkey END AS hk,
+      |         min(o_orderpriority) AS pr
+      |  FROM orders GROUP BY 1)
+      |SELECT pr, count(*) AS n_items,
+      |  CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM f JOIN dim USING (hk)
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val fact = Tables.lineitem(s, d)
+      .withColumn("hk",
+        when(pmod(col("l_orderkey"), lit(4)) === 0, lit(0L))
+          .otherwise(col("l_orderkey")))
+      .select(col("hk"), col("l_extendedprice"), col("l_discount"),
+        col("l_orderkey"), col("l_linenumber"))
+    val dim = Tables.orders(s, d)
+      .withColumn("hk",
+        when(pmod(col("o_orderkey"), lit(4)) === 0, lit(0L))
+          .otherwise(col("o_orderkey")))
+      .groupBy("hk").agg(min("o_orderpriority").as("pr"))
+    saltedJoin(fact, dim, key = "hk", salts = 8,
+      saltOn = Seq("l_orderkey", "l_linenumber"))
+      .groupBy("pr")
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"))
+      .orderBy("pr")
+  }
+
+  val all: Seq[Q] = Seq(q101, q102, q149)
 }

@@ -260,6 +260,46 @@ class ScaleSpec extends AnyFunSuite {
     assert(oneBucket == single)
   }
 
+  test("zipfian stress: the guards ENGAGE — hot key bounded per partition on the hot path") {
+    // the q148/q149 gates pin oracle-equality under skew; this pins the
+    // other half of the story: the guard actually spreads the hot
+    // key, bounding the max rows any single task sees. Both bounds are
+    // asserted on the GUARDED intermediate (pre-cap window keys / the
+    // salted join keys), planner-independently.
+    import spark.implicits._
+
+    // source cap: doc_id % 10 < 3 → 'hot' holds ~30% of the corpus;
+    // the two-phase pre-cap windows on (source, hash(doc_id) % buckets)
+    val buckets = 8
+    val docs = Tables.documents(spark, sf)
+      .withColumn("source",
+        when(pmod($"doc_id", lit(10)) < 3, lit("hot")).otherwise($"source"))
+    val hotDocs = docs.filter($"source" === "hot").count()
+    val capWindows = docs
+      .groupBy($"source", pmod(hash($"doc_id"), lit(buckets)).as("b"))
+      .count().agg(max("count")).as[Long].head()
+    assert(hotDocs > docs.count() / 4, s"fixture lost its skew: $hotDocs hot")
+    assert(capWindows <= hotDocs / buckets * 2,
+      s"pre-cap window still holds $capWindows rows (hot=$hotDocs, " +
+        s"buckets=$buckets) — the guard is not engaging")
+
+    // salted join: l_orderkey % 4 = 0 → hk 0 holds ~25% of lineitem;
+    // saltedJoin scatters over pmod(xxhash64(orderkey, linenumber), 8)
+    val salts = 8
+    val fact = Tables.lineitem(spark, sf)
+      .withColumn("hk",
+        when(pmod($"l_orderkey", lit(4)) === 0, lit(0L)).otherwise($"l_orderkey"))
+    val hotFact = fact.filter($"hk" === 0L).count()
+    val saltCells = fact
+      .withColumn("salt",
+        pmod(xxhash64($"l_orderkey", $"l_linenumber"), lit(salts)).cast("int"))
+      .groupBy("hk", "salt").count().agg(max("count")).as[Long].head()
+    assert(hotFact > fact.count() / 5, s"fixture lost its skew: $hotFact hot")
+    assert(saltCells <= hotFact / salts * 2,
+      s"salted cell still holds $saltCells rows (hot=$hotFact, salts=$salts) " +
+        "— the hot key is not spreading")
+  }
+
   test("minhash-estimate bucket cap bounds a template mega-cluster deterministically") {
     import spark.implicits._
     // 600 byte-identical docs: every band's bucket holds all 600 —
