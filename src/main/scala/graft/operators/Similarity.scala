@@ -630,9 +630,22 @@ object Similarity {
       val target = java.nio.file.Paths.get(base, s"graft_ivf_$key")
       if (!java.nio.file.Files.exists(target)) {
         // sweep stage dirs orphaned by crashed builds: their names are
-        // pid-keyed, so no future run would ever reclaim them
+        // pid-keyed, so no future run would ever reclaim them. A LIVE
+        // concurrent JVM's in-progress staging dir must survive the
+        // sweep (concurrent bench+verify on one data dir is supported —
+        // deleting it would crash the victim's write/move with
+        // NoSuchFileException, which the rename-race catch below does
+        // not cover), so only dirs whose owner process is dead are
+        // swept; an unparseable suffix is left in place.
         Option(target.getParent.toFile.listFiles()).getOrElse(Array.empty)
           .filter(_.getName.startsWith(s"graft_ivf_$key.stage-"))
+          .filter { f =>
+            f.getName.stripPrefix(s"graft_ivf_$key.stage-").toLongOption
+              .exists { pid =>
+                !java.lang.ProcessHandle.of(pid)
+                  .map[java.lang.Boolean](_.isAlive).orElse(false)
+              }
+          }
           .foreach(org.apache.commons.io.FileUtils.deleteDirectory)
         val staging = java.nio.file.Paths.get(base,
           s"graft_ivf_$key.stage-${java.lang.ProcessHandle.current().pid()}")

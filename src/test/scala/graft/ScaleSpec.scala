@@ -300,6 +300,44 @@ class ScaleSpec extends AnyFunSuite {
         "— the hot key is not spreading")
   }
 
+  test("IVF stage-dir sweep spares a live owner's staging dir, reaps dead ones") {
+    // concurrent bench+verify on one data dir is supported: the orphan
+    // sweep must only reap stage dirs whose owner process is DEAD —
+    // deleting a live peer's in-progress staging crashes its write/move
+    import java.nio.file.{Files, Paths}
+    // fresh dataDir key (the per-JVM memo skips the build for dirs it
+    // has already served): a symlink to the same data reads identically
+    // but keys differently
+    val link = Paths.get("/tmp/graft_ivfspec_data")
+    Files.deleteIfExists(link)
+    Files.createSymbolicLink(link, Paths.get(sf))
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(link.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val base = Paths.get(sys.env.getOrElse("GRAFT_TMP",
+      s"${System.getProperty("user.dir")}/.tmp"))
+    Files.createDirectories(base)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      base.resolve(s"graft_ivf_$key").toFile)
+    // pid 1 is always alive; 999999999 exceeds pid_max → no such process
+    val live = base.resolve(s"graft_ivf_$key.stage-1")
+    val dead = base.resolve(s"graft_ivf_$key.stage-999999999")
+    val odd = base.resolve(s"graft_ivf_$key.stage-notapid")
+    Seq(live, dead, odd).foreach(Files.createDirectories(_))
+    try {
+      SparkEntry.queries("q139_ann_index_serve")(spark, link.toString).collect()
+      assert(Files.exists(live), "live owner's staging dir was reaped")
+      assert(!Files.exists(dead), "dead owner's staging dir survived the sweep")
+      assert(Files.exists(odd), "unparseable stage suffix should be left in place")
+      assert(Files.exists(base.resolve(s"graft_ivf_$key")), "index not built")
+    } finally {
+      Seq(live, dead, odd).foreach(p =>
+        org.apache.commons.io.FileUtils.deleteDirectory(p.toFile))
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        base.resolve(s"graft_ivf_$key").toFile)
+      Files.deleteIfExists(link)
+    }
+  }
+
   test("minhash-estimate bucket cap bounds a template mega-cluster deterministically") {
     import spark.implicits._
     // 600 byte-identical docs: every band's bucket holds all 600 —
