@@ -13,7 +13,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - rounded (`round(x, n)`) before any threshold compare or ranking;
   *  - ties in top-k broken by a unique key column;
   *  - output columns only primitive types, names identical in both
-  *    dialects (the driver's compare hashes by sorted column name).
+  *    dialects (the driver's compare hashes by sorted column name);
+  *  - a DECIMAL sum that can exceed ~15 significant digits must reach
+  *    DOUBLE via `CAST(CAST(s AS VARCHAR) AS DOUBLE)` on the ORACLE
+  *    side: DuckDB 1.0's decimal→double cast (int128 ÷ 10^scale, two
+  *    roundings) is not correctly rounded, Spark's BigDecimal path is —
+  *    the 5× sweep caught q01 diverging in the 17th digit (SWEEP_r9).
   */
 final case class Q(
     name: String,

@@ -26,11 +26,11 @@ object Relational {
     * Decimal-exact sums, double at the boundary. */
   val q01 = Q.sql("q01_pricing_summary",
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-      |  CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-      |  CAST(sum(CAST(l_extendedprice*(1.0-l_discount)*(1.0+l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
-      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)/count(*) AS avg_qty,
+      |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+      |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+      |  CAST(CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+      |  CAST(CAST(sum(CAST(l_extendedprice*(1.0-l_discount)*(1.0+l_tax) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+      |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)/count(*) AS avg_qty,
       |  count(*) AS count_order
       |FROM lineitem
       |GROUP BY l_returnflag, l_linestatus
@@ -63,7 +63,7 @@ object Relational {
   val q03 = Q.sql("q03_conditional_sum",
     """SELECT CAST(ts AS DATE) AS day, count(*) AS total,
       |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
-      |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |  CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
     Tables.events(s, d)
       .groupBy(to_date(col("ts")).as("day"))
@@ -91,7 +91,7 @@ object Relational {
   /** J1-class: fact scan + chain of broadcast dimension joins. */
   val q05 = Q.sql("q05_star_join",
     """SELECT r_name, n_name, count(*) AS cnt,
-      |  CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |  CAST(CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS revenue
       |FROM lineitem
       |JOIN supplier ON l_suppkey = s_suppkey
       |JOIN nation ON s_nationkey = n_nationkey
@@ -112,7 +112,7 @@ object Relational {
   /** J3-class: left join + coalesce fallback precedence. */
   val q06 = Q.sql("q06_left_join_coalesce",
     """SELECT coalesce(n_name, 'unknown') AS nation_name, count(*) AS cnt,
-      |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+      |  CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_bal
       |FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
     Tables.customer(s, d)
@@ -188,7 +188,7 @@ object Relational {
     * scope-exploded aggregation pass. */
   val q11 = Q.sql("q11_scope_explode",
     """SELECT scope, count(*) AS cnt,
-      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_price
       |FROM (SELECT unnest(['GLOBAL', o_orderstatus]) AS scope, o_totalprice
       |      FROM orders) t
       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
@@ -215,7 +215,7 @@ object Relational {
   /** S9: multi-source union with provenance tag. */
   val q13 = Q.sql("q13_union_provenance",
     """SELECT _source, count(*) AS cnt,
-      |  CAST(sum(CAST(acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+      |  CAST(CAST(sum(CAST(acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_bal
       |FROM (SELECT c_acctbal AS acctbal, 'customer' AS _source FROM customer
       |      UNION ALL
       |      SELECT s_acctbal, 'supplier' FROM supplier) t

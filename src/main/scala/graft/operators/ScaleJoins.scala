@@ -80,7 +80,7 @@ object ScaleJoins {
     * PLAIN join — salting must be invisible in the result. */
   val q101 = Q.sql("q101_salted_join",
     """SELECT o_orderpriority, count(*) AS n_items,
-      |  CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |  CAST(CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS revenue
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
     saltedJoin(
@@ -159,7 +159,7 @@ object ScaleJoins {
       |         min(o_orderpriority) AS pr
       |  FROM orders GROUP BY 1)
       |SELECT pr, count(*) AS n_items,
-      |  CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |  CAST(CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS revenue
       |FROM f JOIN dim USING (hk)
       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
     val fact = Tables.lineitem(s, d)

@@ -390,7 +390,7 @@ object Similarity {
        |  FROM e CROSS JOIN $cin c),
        |$m AS (
        |  SELECT cent_id, r.i AS pos,
-       |    CAST(sum(CAST(emb[r.i] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS v
+       |    CAST(CAST(sum(CAST(emb[r.i] AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE) / count(*) AS v
        |  FROM $asg, range(1, $DIM + 1) r(i) WHERE crn = 1
        |  GROUP BY cent_id, r.i),
        |$cout AS (
