@@ -169,6 +169,45 @@ object Similarity {
       .limit(20)
   }
 
+  /** Contrastive hard-negative mining: for every vector, the k most
+    * cosine-similar vectors carrying a DIFFERENT label — the pair set a
+    * contrastive/embedding-training pipeline feeds as hard negatives
+    * (similar in space, different in class). Same pair-stream plan as
+    * [[q30]] (broadcast neighbor side, codegen cosine kernel, mergeable
+    * [[TopKSim]] — no window over the pair stream) plus one label
+    * inequality in the join condition; at 100 TB the neighbor side
+    * comes from the SRP/IVF candidate router (q31/q32) instead of a
+    * broadcast, with the same label filter applied pre-rank. */
+  def hardNegatives(e: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame = {
+    val a = e.repartition(e.sparkSession.sparkContext.defaultParallelism)
+      .select(col("vec_id").as("query_id"), col("embedding").as("va"),
+        col("label").as("la"))
+    val b = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("vb"),
+      col("label").as("lb"))
+    val pairs = a.join(broadcast(b),
+      col("query_id") =!= col("neighbor_id") && col("la") =!= col("lb"))
+      .withColumn("sim", round(Exprs.cosine_sim(col("va"), col("vb")), 4))
+    topKPerQuery(pairs, k)
+      .orderBy(col("query_id"), col("sim").desc, col("neighbor_id"))
+  }
+
+  /** Top-2 hard negatives per vector; oracle replays the brute ranking
+    * with the label-inequality predicate. */
+  val q150 = Q.sql("q150_hard_negatives",
+    """WITH pairs AS (
+      |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+      |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS sim
+      |  FROM embeddings a JOIN embeddings b
+      |    ON a.vec_id <> b.vec_id AND a.label <> b.label)
+      |SELECT query_id, neighbor_id, sim FROM (
+      |  SELECT query_id, neighbor_id, sim,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+      |  FROM pairs) t
+      |WHERE rn <= 2
+      |ORDER BY query_id, sim DESC, neighbor_id""".stripMargin) { (s, d) =>
+    hardNegatives(Tables.embeddings(s, d), k = 2)
+  }
+
   private val SRP_BITS = 12
   private val DIM = 64
 
@@ -681,5 +720,52 @@ object Similarity {
     probeIvfIndex(s, e, e, ivfIndexDirFor(s, d))
   }
 
-  val all: Seq[Q] = Seq(q29, q30, q31, q32, q62, q74, q139)
+  /** Cluster-balanced sampling: k-means the embedding space (the q62
+    * Lloyd chain), then cap every cluster at `cap` vectors chosen by
+    * salted-hash rank — the semantic-diversity counterpart of the
+    * per-source cap (q77): a training mixture where no embedding-space
+    * region dominates, selected deterministically and order-free.
+    * Plan: the map-side literal argmax assignment (zero Exchange — the
+    * q30-family PlanSpec pin) followed by ONE window per cluster; a
+    * heavy cluster at 100 TB takes the q148 two-phase pre-cap, same
+    * rule. */
+  def clusterBalancedSample(e: org.apache.spark.sql.DataFrame,
+      cap: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centArr = localCents(kmeansCentroids(e))
+    val assigned = ivfAssign(
+      e.select(col("vec_id"), col("embedding").as("v")),
+      centArr, "vec_id", "v", "cluster", 1)
+      .select(col("vec_id"), col("cluster"))
+    val w = Window.partitionBy("cluster")
+      .orderBy(md5(concat(lit("bal:"), col("vec_id").cast("string")).cast("binary")),
+        col("vec_id"))
+    assigned
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= cap)
+      .select("vec_id", "cluster", "rk")
+  }
+
+  /** Per-cluster cap of 10 over the 2-step Lloyd clusters; oracle
+    * replays the full chain (q62's CTEs) plus the capped window. */
+  val q151 = Q.sql("q151_cluster_sample",
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |c0 AS (SELECT vec_id AS cent_id, emb AS cvec FROM e ORDER BY vec_id LIMIT $IVF_LISTS),
+       |${lloydStepSql("c0", "a1", "m1", "c1")},
+       |${lloydStepSql("c1", "a2", "m2", "c2")},
+       |asg AS (
+       |  SELECT e.vec_id, c.cent_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY round(list_cosine_similarity(e.emb, c.cvec), 4) DESC, c.cent_id) AS crn
+       |  FROM e CROSS JOIN c2 c)
+       |SELECT vec_id, cluster, CAST(rk AS BIGINT) AS rk FROM (
+       |  SELECT vec_id, cent_id AS cluster,
+       |    row_number() OVER (PARTITION BY cent_id
+       |      ORDER BY md5('bal:' || CAST(vec_id AS VARCHAR)), vec_id) AS rk
+       |  FROM asg WHERE crn = 1) t
+       |WHERE rk <= 10 ORDER BY vec_id""".stripMargin) { (s, d) =>
+    clusterBalancedSample(Tables.embeddings(s, d), cap = 10).orderBy("vec_id")
+  }
+
+  val all: Seq[Q] = Seq(q29, q30, q31, q32, q62, q74, q139, q150, q151)
 }
