@@ -358,7 +358,9 @@ object Similarity {
         round(Exprs.cosine_sim(col(vecCol), typedlit(cv)), 4).as("csim"),
         lit(-cid).as("negid"))
     }: _*)
-    df.select(col(idCol), col(vecCol),
+    // pass every input column through (not just id + vector): callers
+    // like the routed hard-negative miner ride labels alongside
+    df.select(col("*"),
         explode(slice(sort_array(cands, asc = false), 1, keep)).as("cand"))
       .withColumn(outCol, -col("cand.negid"))
       .drop("cand")
@@ -746,6 +748,61 @@ object Similarity {
       .select("vec_id", "cluster", "rk")
   }
 
+  /** The scale path for [[hardNegatives]]: candidates come from the IVF
+    * probe (each query probes its `probes` nearest lists — first-C
+    * centroids, q32's routing) instead of the all-pairs broadcast, with
+    * the label inequality applied on the candidate stream before the
+    * exact rerank. Approximate in the same sense as q32 (a negative in
+    * an unprobed list is missed) and exactly as deterministic: the
+    * oracle replays routing + filter + rerank verbatim, so the gate
+    * hash-pins the whole contract, not a recall statistic. */
+  def hardNegativesRouted(e: org.apache.spark.sql.DataFrame, k: Int,
+      probes: Int = IVF_PROBES): org.apache.spark.sql.DataFrame = {
+    val centArr = localCents(e.orderBy("vec_id").limit(IVF_LISTS)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec")))
+    val assigned = ivfAssign(
+      e.select(col("vec_id").as("neighbor_id"), col("embedding").as("vb"),
+        col("label").as("lb")),
+      centArr, "neighbor_id", "vb", "nlist", 1)
+    val qprobes = ivfAssign(
+      e.select(col("vec_id").as("query_id"), col("embedding").as("va"),
+        col("label").as("la")),
+      centArr, "query_id", "va", "qlist", probes)
+    val pairs = qprobes.join(assigned, col("qlist") === col("nlist"))
+      .filter(col("query_id") =!= col("neighbor_id") &&
+        col("la") =!= col("lb"))
+      .withColumn("sim", round(Exprs.cosine_sim(col("va"), col("vb")), 4))
+    topKPerQuery(pairs, k)
+      .orderBy(col("query_id"), col("sim").desc, col("neighbor_id"))
+  }
+
+  /** IVF-routed top-2 hard negatives; the oracle is q32's routing CTEs
+    * plus the label inequality. */
+  val q152 = Q.sql("q152_hard_negatives_ivf",
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |cents AS (SELECT vec_id AS cent_id, emb AS cvec FROM e ORDER BY vec_id LIMIT $IVF_LISTS),
+       |asg AS (
+       |  SELECT e.vec_id, c.cent_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY round(list_cosine_similarity(e.emb, c.cvec), 4) DESC, c.cent_id) AS crn
+       |  FROM e CROSS JOIN cents c),
+       |nlist AS (SELECT vec_id AS neighbor_id, cent_id AS lst FROM asg WHERE crn = 1),
+       |qlist AS (SELECT vec_id AS query_id, cent_id AS lst FROM asg WHERE crn <= $IVF_PROBES),
+       |scored AS (
+       |  SELECT DISTINCT q.query_id, n.neighbor_id,
+       |    round(list_cosine_similarity(qe.emb, ne.emb), 4) AS sim
+       |  FROM qlist q JOIN nlist n USING (lst)
+       |  JOIN e qe ON qe.vec_id = q.query_id
+       |  JOIN e ne ON ne.vec_id = n.neighbor_id
+       |  WHERE q.query_id <> n.neighbor_id AND qe.label <> ne.label)
+       |SELECT query_id, neighbor_id, sim FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+       |  FROM scored) t
+       |WHERE rn <= 2
+       |ORDER BY query_id, sim DESC, neighbor_id""".stripMargin) { (s, d) =>
+    hardNegativesRouted(Tables.embeddings(s, d), k = 2)
+  }
+
   /** Per-cluster cap of 10 over the 2-step Lloyd clusters; oracle
     * replays the full chain (q62's CTEs) plus the capped window. */
   val q151 = Q.sql("q151_cluster_sample",
@@ -767,5 +824,5 @@ object Similarity {
     clusterBalancedSample(Tables.embeddings(s, d), cap = 10).orderBy("vec_id")
   }
 
-  val all: Seq[Q] = Seq(q29, q30, q31, q32, q62, q74, q139, q150, q151)
+  val all: Seq[Q] = Seq(q29, q30, q31, q32, q62, q74, q139, q150, q151, q152)
 }
