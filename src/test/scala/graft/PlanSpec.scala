@@ -369,4 +369,51 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges.size == 2 * phrase.size + 1,
       s"expected ${2 * phrase.size + 1} total exchanges, got ${exchanges.size}\n$p")
   }
+
+  test("cluster-balanced sample: map-side argmax adds no exchange — two total") {
+    // q151's assignment is the literal-centroid argmax (projection +
+    // explode, no join, no shuffle); the ONLY exchanges are the
+    // per-cluster cap window's hashpartitioning(cluster) and the final
+    // orderBy range partition. An assignment that regressed to a
+    // join/window would add a third.
+    val df = SparkEntry.queries("q151_cluster_sample")(spark, sf)
+    df.collect()
+    val p1 = plan(df).split("== Initial Plan ==")(0)
+    val exchanges = p1.linesIterator
+      .filter(l => l.contains("Exchange") && !l.contains("Broadcast")).toSeq
+    assert(exchanges.size == 2, s"expected 2 exchanges, got ${exchanges.size}\n$p1")
+    assert(exchanges.exists(_.contains("cluster")),
+      s"no hashpartitioning(cluster) exchange — cap window lost its key\n$p1")
+    assert(p1.contains("WindowGroupLimit"),
+      s"cap window lost its group-limit pushdown\n$p1")
+  }
+
+  test("IVF-routed hard negatives: list join broadcasts, no cartesian, two exchanges") {
+    // q152's candidate stream is an equi-join on the probed list id —
+    // broadcastable (one row per vector) and never a cartesian/BNLJ;
+    // the top-k aggregator re-keys once on query_id and the final sort
+    // ranges once. The label filter must ride the join, not a
+    // post-join filter stage over a wider stream.
+    val df = SparkEntry.queries("q152_hard_negatives_ivf")(spark, sf)
+    df.collect()
+    val p1 = plan(df).split("== Initial Plan ==")(0)
+    assert(!p1.contains("CartesianProduct") && !p1.contains("BroadcastNestedLoopJoin"),
+      s"routed path degraded to an all-pairs join\n$p1")
+    val exchanges = p1.linesIterator
+      .filter(l => l.contains("Exchange") && !l.contains("Broadcast")).toSeq
+    assert(exchanges.size <= 2, s"expected <=2 non-broadcast exchanges, got ${exchanges.size}\n$p1")
+  }
+
+  test("brute hard negatives: the all-pairs side is broadcast, not shuffled") {
+    // q150 IS the designed brute path: a non-equi self-join must come
+    // out as BroadcastNestedLoopJoin over the broadcast neighbor side
+    // (the deliberate gate-scale plan) — a shuffle-based cartesian
+    // would move the corpus instead of the 26 MB vector table
+    val df = SparkEntry.queries("q150_hard_negatives")(spark, sf)
+    df.collect()
+    val p1 = plan(df).split("== Initial Plan ==")(0)
+    assert(p1.contains("BroadcastNestedLoopJoin"),
+      s"brute pair stream is not the broadcast nested-loop plan\n$p1")
+    assert(!p1.contains("CartesianProduct"), s"cartesian shuffle crept in\n$p1")
+  }
 }
