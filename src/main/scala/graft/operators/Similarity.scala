@@ -15,9 +15,10 @@ import graft.functions.Exprs
   * 25M-pair bench inside one codegen stage).
   *
   * Scale paths:
-  *  - SRP-LSH: 16 random-hyperplane sign bits → bucket join; candidates
-  *    only within bucket (multi-probe over 1-bit flips would extend
-  *    recall; kept single-probe here and measured in tests).
+  *  - SRP-LSH: 16 random-hyperplane sign bits → bucket join; q31 probes
+  *    the home bucket only, q153 adds the 16 one-bit-flip probes per
+  *    query (multi-probe — recall is a superset by construction, pinned
+  *    in ScaleSpec).
   *  - IVF: deterministic coarse centroids (first C vectors by id —
   *    k-means would need MLlib's nondeterministic init), assign each
   *    vector to nearest centroid, probe the query's 2 nearest lists.
@@ -264,6 +265,64 @@ object Similarity {
     val a = e.select(col("bucket"), col("vec_id").as("query_id"), col("embedding").as("va"))
     val b = e.select(col("bucket"), col("vec_id").as("neighbor_id"), col("embedding").as("vb"))
     val pairs = a.join(b, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(Exprs.cosine_sim(col("va"), col("vb")), 4))
+    topKPerQuery(pairs, 3)
+      .orderBy(col("query_id"), col("sim").desc, col("neighbor_id"))
+  }
+
+  /** Multi-probe SRP-LSH: q31's single-bucket probe misses any true
+    * neighbor that lands one sign-bit away; here each QUERY additionally
+    * probes the [[SRP_BITS]] one-bit-flip buckets (the classic
+    * multi-probe extension — perturb the hash, not the index), while
+    * neighbors stay indexed once at their own bucket. Candidate cost is
+    * bits+1 probes per query — at 100 TB that is a fan-out knob, not a
+    * second index — and every probed (query, neighbor) pair is produced
+    * exactly once (flip buckets are pairwise distinct and never equal
+    * the home bucket), so no dedup pass precedes the exact rerank. */
+  val q153 = Q.sql("q153_ann_srp_multiprobe",
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |planes(bit, w) AS (VALUES
+       |  ${srpPlanesSql()}),
+       |b AS (
+       |  SELECT e.vec_id, e.emb,
+       |    CAST(sum(CASE WHEN list_inner_product(e.emb, p.w) >= 0
+       |             THEN 1 << (${SRP_BITS - 1} - p.bit) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM e CROSS JOIN planes p GROUP BY e.vec_id, e.emb),
+       |probes AS (
+       |  SELECT vec_id AS query_id, emb AS qemb, bucket AS pbucket FROM b
+       |  UNION ALL
+       |  SELECT vec_id, emb, xor(bucket, CAST(1 AS BIGINT) << j.j)
+       |  FROM b CROSS JOIN range(0, $SRP_BITS) j(j)),
+       |pairs AS (
+       |  SELECT p.query_id, n.vec_id AS neighbor_id,
+       |    round(list_cosine_similarity(p.qemb, n.emb), 4) AS sim
+       |  FROM probes p JOIN b n ON p.pbucket = n.bucket AND p.query_id <> n.vec_id)
+       |SELECT query_id, neighbor_id, sim FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+       |  FROM pairs) t
+       |WHERE rn <= 3
+       |ORDER BY query_id, sim DESC, neighbor_id""".stripMargin) { (s, d) =>
+    val planes = typedlit(srpPlanes())
+    val e = Tables.embeddings(s, d)
+      .withColumn("bucket",
+        aggregate(
+          sequence(lit(0), lit(SRP_BITS - 1)),
+          lit(0L),
+          (acc, i) => acc * 2 + when(
+            Exprs.dot_f(col("embedding"), element_at(planes, i + lit(1))) >= 0, 1L
+          ).otherwise(0L)))
+      // signature table computed ONCE (24 dot products per vector);
+      // the probe explode and the neighbor side both read it
+      .localCheckpoint(true)
+    val b = e.select(col("bucket"), col("vec_id").as("neighbor_id"),
+      col("embedding").as("vb"))
+    val probes = e
+      .select(col("vec_id").as("query_id"), col("embedding").as("va"),
+        explode(expr(
+          s"concat(array(bucket), transform(sequence(0, ${SRP_BITS - 1}), " +
+            "j -> bucket ^ shiftleft(cast(1 as bigint), j)))")).as("bucket"))
+    val pairs = probes.join(b, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", round(Exprs.cosine_sim(col("va"), col("vb")), 4))
     topKPerQuery(pairs, 3)
@@ -824,5 +883,5 @@ object Similarity {
     clusterBalancedSample(Tables.embeddings(s, d), cap = 10).orderBy("vec_id")
   }
 
-  val all: Seq[Q] = Seq(q29, q30, q31, q32, q62, q74, q139, q150, q151, q152)
+  val all: Seq[Q] = Seq(q29, q30, q31, q32, q62, q74, q139, q150, q151, q152, q153)
 }

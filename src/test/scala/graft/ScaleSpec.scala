@@ -300,6 +300,24 @@ class ScaleSpec extends AnyFunSuite {
         "— the hot key is not spreading")
   }
 
+  test("multi-probe SRP strictly dominates single-probe: superset queries, no worse top-1") {
+    // q153's candidate set is a superset of q31's by construction (the
+    // home bucket is always probed) — so every query q31 answers, q153
+    // answers, and q153's best similarity per query is never lower
+    val single = SparkEntry.queries("q31_ann_srp_lsh")(spark, sf).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Double]("sim")).max }
+    val multi = SparkEntry.queries("q153_ann_srp_multiprobe")(spark, sf).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Double]("sim")).max }
+    val lost = single.keySet -- multi.keySet
+    assert(lost.isEmpty, s"multi-probe lost queries single-probe answered: ${lost.take(5)}")
+    val worse = single.collect { case (q, s1) if multi(q) < s1 => (q, s1, multi(q)) }
+    assert(worse.isEmpty, s"multi-probe top-1 below single-probe: ${worse.take(5)}")
+    assert(multi.size > single.size,
+      s"multi-probe answered ${multi.size} queries vs ${single.size} — the extra probes found nothing")
+  }
+
   test("IVF stage-dir sweep spares a live owner's staging dir, reaps dead ones") {
     // concurrent bench+verify on one data dir is supported: the orphan
     // sweep must only reap stage dirs whose owner process is DEAD —
