@@ -18,7 +18,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    DOUBLE via `CAST(CAST(s AS VARCHAR) AS DOUBLE)` on the ORACLE
   *    side: DuckDB 1.0's decimal→double cast (int128 ÷ 10^scale, two
   *    roundings) is not correctly rounded, Spark's BigDecimal path is —
-  *    the 5× sweep caught q01 diverging in the 17th digit (SWEEP_r9).
+  *    the 5× sweep caught q01 diverging in the 17th digit (SWEEP_r9);
+  *  - any rounded DOUBLE output column whose value can be negative must
+  *    add `+ 0.0` on the ORACLE side: DuckDB's `round` preserves the
+  *    sign of tiny negatives (`-0.0`), Spark's BigDecimal round
+  *    normalizes to `+0.0` — value-equal but byte-distinct, and the
+  *    driver hashes bytes (r9: q153 shipped hash-red this way).
   */
 final case class Q(
     name: String,

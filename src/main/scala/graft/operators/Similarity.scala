@@ -15,10 +15,10 @@ import graft.functions.Exprs
   * 25M-pair bench inside one codegen stage).
   *
   * Scale paths:
-  *  - SRP-LSH: 16 random-hyperplane sign bits → bucket join; q31 probes
-  *    the home bucket only, q153 adds the 16 one-bit-flip probes per
-  *    query (multi-probe — recall is a superset by construction, pinned
-  *    in ScaleSpec).
+  *  - SRP-LSH: [[SRP_BITS]] (12) random-hyperplane sign bits → bucket
+  *    join; q31 probes the home bucket only, q153 adds the 12
+  *    one-bit-flip probes per query (multi-probe — recall is a superset
+  *    by construction, pinned in ScaleSpec).
   *  - IVF: deterministic coarse centroids (first C vectors by id —
   *    k-means would need MLlib's nondeterministic init), assign each
   *    vector to nearest centroid, probe the query's 2 nearest lists.
@@ -129,7 +129,7 @@ object Similarity {
   val q30 = Q.sql("q30_cosine_topk",
     """WITH pairs AS (
       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-      |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS sim
+      |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) + 0.0 AS sim
       |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)
       |SELECT query_id, neighbor_id, sim FROM (
       |  SELECT query_id, neighbor_id, sim,
@@ -155,7 +155,7 @@ object Similarity {
   val q29 = Q.sql("q29_embedding_neardup",
     """WITH pairs AS (
       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-      |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS sim
+      |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) + 0.0 AS sim
       |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
       |SELECT id_a, id_b, sim FROM pairs
       |ORDER BY sim DESC, id_a, id_b LIMIT 20""".stripMargin) { (s, d) =>
@@ -170,15 +170,18 @@ object Similarity {
       .limit(20)
   }
 
-  /** Contrastive hard-negative mining: for every vector, the k most
-    * cosine-similar vectors carrying a DIFFERENT label — the pair set a
-    * contrastive/embedding-training pipeline feeds as hard negatives
-    * (similar in space, different in class). Same pair-stream plan as
-    * [[q30]] (broadcast neighbor side, codegen cosine kernel, mergeable
-    * [[TopKSim]] — no window over the pair stream) plus one label
-    * inequality in the join condition; at 100 TB the neighbor side
-    * comes from the SRP/IVF candidate router (q31/q32) instead of a
-    * broadcast, with the same label filter applied pre-rank. */
+  /** BRUTE-FORCE hard-negative mining — the ORACLE-ANCHORED REFERENCE
+    * formulation, not the production path. For every vector, the k most
+    * cosine-similar vectors carrying a DIFFERENT label (the contrastive
+    * hard-negative pair set). The plan is an exhaustive broadcast
+    * nested-loop self-join (like [[q30]]'s brute baseline: codegen
+    * cosine kernel, mergeable [[TopKSim]] — no window over the pair
+    * stream) plus one label inequality in the join condition. That is
+    * O(n²) by construction and exists only so DuckDB can replay it
+    * exactly; it is excluded from the 5× sweep for the same reason
+    * (SWEEP_r9). **The deployable 100 TB form is [[q152]]**: the same
+    * label filter applied pre-rank over IVF probe-routed candidates —
+    * ScaleSpec pins its candidate count ≪ all-pairs. */
   def hardNegatives(e: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame = {
     val a = e.repartition(e.sparkSession.sparkContext.defaultParallelism)
       .select(col("vec_id").as("query_id"), col("embedding").as("va"),
@@ -192,12 +195,13 @@ object Similarity {
       .orderBy(col("query_id"), col("sim").desc, col("neighbor_id"))
   }
 
-  /** Top-2 hard negatives per vector; oracle replays the brute ranking
-    * with the label-inequality predicate. */
+  /** Top-2 hard negatives per vector, brute reference only (see
+    * [[hardNegatives]]); the oracle replays the exhaustive ranking with
+    * the label-inequality predicate. Production path: [[q152]]. */
   val q150 = Q.sql("q150_hard_negatives",
     """WITH pairs AS (
       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-      |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS sim
+      |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) + 0.0 AS sim
       |  FROM embeddings a JOIN embeddings b
       |    ON a.vec_id <> b.vec_id AND a.label <> b.label)
       |SELECT query_id, neighbor_id, sim FROM (
@@ -246,7 +250,7 @@ object Similarity {
        |  FROM e CROSS JOIN planes p GROUP BY e.vec_id, e.emb),
        |pairs AS (
        |  SELECT a.vec_id AS query_id, bb.vec_id AS neighbor_id,
-       |    round(list_cosine_similarity(a.emb, bb.emb), 4) AS sim
+       |    round(list_cosine_similarity(a.emb, bb.emb), 4) + 0.0 AS sim
        |  FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id <> bb.vec_id)
        |SELECT query_id, neighbor_id, sim FROM (
        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
@@ -296,7 +300,7 @@ object Similarity {
        |  FROM b CROSS JOIN range(0, $SRP_BITS) j(j)),
        |pairs AS (
        |  SELECT p.query_id, n.vec_id AS neighbor_id,
-       |    round(list_cosine_similarity(p.qemb, n.emb), 4) AS sim
+       |    round(list_cosine_similarity(p.qemb, n.emb), 4) + 0.0 AS sim
        |  FROM probes p JOIN b n ON p.pbucket = n.bucket AND p.query_id <> n.vec_id)
        |SELECT query_id, neighbor_id, sim FROM (
        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
@@ -459,7 +463,7 @@ object Similarity {
        |qlist AS (SELECT vec_id AS query_id, cent_id AS lst FROM asg WHERE crn <= $IVF_PROBES),
        |scored AS (
        |  SELECT DISTINCT q.query_id, n.neighbor_id,
-       |    round(list_cosine_similarity(qe.emb, ne.emb), 4) AS sim
+       |    round(list_cosine_similarity(qe.emb, ne.emb), 4) + 0.0 AS sim
        |  FROM qlist q JOIN nlist n USING (lst)
        |  JOIN e qe ON qe.vec_id = q.query_id
        |  JOIN e ne ON ne.vec_id = n.neighbor_id
@@ -520,7 +524,7 @@ object Similarity {
        |qlist AS (SELECT vec_id AS query_id, cent_id AS lst FROM asg WHERE crn <= $IVF_PROBES),
        |scored AS (
        |  SELECT DISTINCT q.query_id, n.neighbor_id,
-       |    round(list_cosine_similarity(qe.emb, ne.emb), 4) AS sim
+       |    round(list_cosine_similarity(qe.emb, ne.emb), 4) + 0.0 AS sim
        |  FROM qlist q JOIN nlist n USING (lst)
        |  JOIN e qe ON qe.vec_id = q.query_id
        |  JOIN e ne ON ne.vec_id = n.neighbor_id
@@ -849,7 +853,7 @@ object Similarity {
        |qlist AS (SELECT vec_id AS query_id, cent_id AS lst FROM asg WHERE crn <= $IVF_PROBES),
        |scored AS (
        |  SELECT DISTINCT q.query_id, n.neighbor_id,
-       |    round(list_cosine_similarity(qe.emb, ne.emb), 4) AS sim
+       |    round(list_cosine_similarity(qe.emb, ne.emb), 4) + 0.0 AS sim
        |  FROM qlist q JOIN nlist n USING (lst)
        |  JOIN e qe ON qe.vec_id = q.query_id
        |  JOIN e ne ON ne.vec_id = n.neighbor_id

@@ -150,7 +150,7 @@ object Timeseries {
       |          ELSE -((-2 * sm + 100 * n_prev) // (200 * n_prev)) END)
       |      / 10000.0 AS mean_i,
       |    round(CASE WHEN var0 > 1e-12 THEN (x - mean_prev) / sqrt(var0) END,
-      |          3) AS z
+      |          3) + 0.0 AS z
       |  FROM c)
       |SELECT event_id, user_id, n_prev, mean_i AS mean_prev, z,
       |  coalesce(abs(z) > 3, false) AS anomaly

@@ -14,12 +14,18 @@ import pandas as pd
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    # normalize dtypes: datetimes → iso strings, decimals/floats → repr
+    # normalize dtypes: datetimes → iso strings, floats → round-trip repr
+    # strings. The repr form matches the DRIVER's semantics (it hashes
+    # bytes): repr distinguishes -0.0 from 0.0, which pandas' float
+    # equality does not — r9 shipped q153 hash-red while this script's
+    # old value-compare said green.
     out = {}
     for c in df.columns:
         s = df[c]
         if str(s.dtype).startswith("datetime"):
             s = s.astype(str)
+        elif str(s.dtype) in ("float32", "float64"):
+            s = s.map(lambda v: v if pd.isna(v) else repr(float(v)))
         out[c] = s
     df = pd.DataFrame(out)
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
@@ -33,10 +39,12 @@ def main():
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracles = json.load(open(os.path.join(outdir, "oracle_sql.json")))
     n_ok = n_bad = 0
+    names_seen = []
     for name in sorted(os.listdir(outdir)):
         rdir = os.path.join(outdir, name)
         if not os.path.isdir(rdir):
             continue
+        names_seen.append(name)
         files = glob.glob(os.path.join(rdir, "*.parquet"))
         if not files:
             print(f"FAIL {name}: no parquet output"); n_bad += 1; continue
@@ -91,19 +99,48 @@ def main():
         # the registry and we warn instead of demanding the impossible.
         bench_path = os.path.join(root, "bench_out.json")
         n_truth = n_reg
+        bench_timed, bench_errors = set(), {}
         if os.path.exists(bench_path):
             try:
-                n_truth = len(json.load(open(bench_path)).get("queries", {}))
+                bench = json.load(open(bench_path))
+                bench_timed = set(bench.get("queries", {}))
+                bench_errors = bench.get("errors", {}) or {}
+                n_truth = len(bench_timed)
             except Exception:
                 pass
         if n_truth < n_reg:
-            print(f"WARN README: bench artifact timed {n_truth} of {n_reg} registered gates — some gates errored during bench")
+            # A smaller artifact is only legitimate when the artifact
+            # itself NAMES the gates that errored during bench; otherwise
+            # it predates registry growth and a matching BENCH block is
+            # stale, not truthful (round-7 stale-README class).
+            missing = sorted(set(names_seen) - bench_timed)
+            unexplained = [n for n in missing if n not in bench_errors]
+            if unexplained:
+                print(f"FAIL README: bench artifact timed {n_truth} of {n_reg} registered gates and does not name {unexplained[:5]}{'...' if len(unexplained) > 5 else ''} in its errors field — stale artifact, rerun bench")
+                n_bad += 1
+            else:
+                print(f"WARN README: bench artifact timed {n_truth} of {n_reg} registered gates — the artifact's errors field names the missing gates")
         if not body:
             print("FAIL README: BENCH block empty — run tools/readme_bench.py")
             n_bad += 1
         elif not bm or int(bm.group(1)) != n_truth:
             print(f"FAIL README: BENCH block covers {bm and bm.group(1)} gates, bench artifact timed {n_truth} — rerun bench + tools/readme_bench.py")
             n_bad += 1
+        # Correctness-claim gate (round-9 verdict: README said "all green"
+        # while the shipped driver artifact had q153 hash-red). The claim
+        # must be checked against the NEWEST driver correctness artifact:
+        # every red row there must be named in the README, or the claim
+        # is an overclaim and this check fails.
+        cfiles = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+        if cfiles and "all green" in readme:
+            rows = json.load(open(cfiles[-1]))
+            red = sorted(n for n, r in rows.items()
+                         if not (r.get("rows_match") and r.get("schema_match")
+                                 and r.get("hash_match")) or r.get("err"))
+            unacknowledged = [n for n in red if n not in readme]
+            if unacknowledged:
+                print(f"FAIL README: claims 'all green' but {os.path.basename(cfiles[-1])} has red rows not acknowledged in the README: {unacknowledged}")
+                n_bad += 1
     print(f"\n{n_ok} ok, {n_bad} bad")
     sys.exit(1 if n_bad else 0)
 
