@@ -821,6 +821,19 @@ object Similarity {
     * hash-pins the whole contract, not a recall statistic. */
   def hardNegativesRouted(e: org.apache.spark.sql.DataFrame, k: Int,
       probes: Int = IVF_PROBES): org.apache.spark.sql.DataFrame = {
+    val pairs = routedNegativeCandidates(e, probes)
+      .withColumn("sim", round(Exprs.cosine_sim(col("va"), col("vb")), 4))
+    topKPerQuery(pairs, k)
+      .orderBy(col("query_id"), col("sim").desc, col("neighbor_id"))
+  }
+
+  /** The routed candidate stream [[hardNegativesRouted]] reranks —
+    * exposed so ScaleSpec can pin its volume ≪ all-pairs (the whole
+    * point of routing: q150's brute reference scores n·(n−1) label-
+    * mismatched pairs, this streams ~probes/lists of that). */
+  private[graft] def routedNegativeCandidates(
+      e: org.apache.spark.sql.DataFrame,
+      probes: Int = IVF_PROBES): org.apache.spark.sql.DataFrame = {
     val centArr = localCents(e.orderBy("vec_id").limit(IVF_LISTS)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cvec")))
     val assigned = ivfAssign(
@@ -831,12 +844,9 @@ object Similarity {
       e.select(col("vec_id").as("query_id"), col("embedding").as("va"),
         col("label").as("la")),
       centArr, "query_id", "va", "qlist", probes)
-    val pairs = qprobes.join(assigned, col("qlist") === col("nlist"))
+    qprobes.join(assigned, col("qlist") === col("nlist"))
       .filter(col("query_id") =!= col("neighbor_id") &&
         col("la") =!= col("lb"))
-      .withColumn("sim", round(Exprs.cosine_sim(col("va"), col("vb")), 4))
-    topKPerQuery(pairs, k)
-      .orderBy(col("query_id"), col("sim").desc, col("neighbor_id"))
   }
 
   /** IVF-routed top-2 hard negatives; the oracle is q32's routing CTEs

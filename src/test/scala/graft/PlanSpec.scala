@@ -174,6 +174,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("quality report co-aggregates: one scan per table outside the FK joins (q55 pin)") {
+    // the whole co-aggregable battery (uniqueness/completeness/range)
+    // folds into ONE agg pass per table; only the two FK anti-joins add
+    // scans. customer: 1 agg + 2 FK sides; orders: 1 agg + 1 FK child;
+    // lineitem: 1 agg; nation: 1 FK parent = 7 total. The round-9 shape
+    // was 10 (one scan PER CHECK: orders 3×, lineitem 2×).
+    val p = plan(SparkEntry.queries("q55_data_quality")(spark, sf))
+    val scans = p.linesIterator.count(l =>
+      l.contains("FileScan") || l.contains("BatchScan"))
+    assert(scans == 7, s"expected 7 scans (3 agg + 4 FK-join sides), got $scans\n$p")
+    // every aggregate runs partial (map-side) before its exchange
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+  }
+
   test("sketch gates materialize their corpus pass once (q25/q27 scan pin)") {
     // same regression class as q54: banding, bucket pairing, and the
     // exact verify all branch off one checkpointed frame — a dropped

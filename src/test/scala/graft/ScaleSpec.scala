@@ -318,6 +318,19 @@ class ScaleSpec extends AnyFunSuite {
       s"multi-probe answered ${multi.size} queries vs ${single.size} — the extra probes found nothing")
   }
 
+  test("IVF-routed hard negatives score a fraction of the brute pair volume (q152 vs q150)") {
+    // q150 is the ORACLE-ANCHORED brute reference: it scores every
+    // label-mismatched ordered pair, n·(n−1) upper bound. q152's IVF
+    // routing (2 of 16 probed lists) must stream well under that —
+    // this is the claim that makes it the deployable 100 TB form.
+    val e = Tables.embeddings(spark, sf)
+    val n = e.count()
+    val routed = graft.operators.Similarity.routedNegativeCandidates(e).count()
+    assert(routed > 0, "routing produced no candidates")
+    assert(routed * 4 < n * (n - 1),
+      s"routed candidate volume $routed is not ≪ all-pairs ${n * (n - 1)}")
+  }
+
   test("IVF stage-dir sweep spares a live owner's staging dir, reaps dead ones") {
     // concurrent bench+verify on one data dir is supported: the orphan
     // sweep must only reap stage dirs whose owner process is DEAD —
