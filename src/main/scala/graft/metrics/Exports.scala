@@ -232,6 +232,420 @@ object Exports {
   /** The reference's slider floor (dag_03_export_html.py YEAR_FROM). */
   val YearFrom = 1950
 
+  // ------------------------------------------------------- K4 chart JS
+  // The 12 `let <pfx>_chart = Highcharts.chart(...)` constructor blocks
+  // plus update functions of tmgl_regions/tasks_for_export/*.py,
+  // templated from shared fragments (the reference repeats the frame /
+  // exporting / noData boilerplate verbatim in every module). Data
+  // series start empty; the updaters fill them from the embedded pivot
+  // JSON on slider/region events, exactly the reference's split between
+  // page-build time (engine) and render time (browser).
+
+  /** Shared chart frame (every tasks_for_export module repeats it). */
+  private def chartFrame(typ: Option[String], spacingTop: Int, height: Int,
+      inverted: Boolean = false): String = {
+    val t = typ.map(t => s"type: '$t',\n            ").getOrElse("")
+    val inv = if (inverted) "inverted: true,\n            " else ""
+    s"""chart: {
+       |            $t${inv}backgroundColor: '#F7F7F8',
+       |            borderRadius: 16,
+       |            borderColor: '#C7C6C0',
+       |            borderWidth: 2,
+       |            spacingTop: $spacingTop,
+       |            height: $height
+       |        }""".stripMargin
+  }
+
+  private val ExportingJs =
+    """exporting: {
+      |            buttons: { contextButton: { theme: { fill: '#F7F7F8' } } }
+      |        }""".stripMargin
+
+  private val NoDataJs =
+    """lang: { noData: 'No data to display for this filter combination' },
+      |        noData: { style: { fontSize: '15px' } }""".stripMargin
+
+  /** The reference's blue ramp (studytype/subject/region/dimention/
+    * therapies use a prefix of it). */
+  private val Blues = Seq("#003b58", "#005881", "#0074a9", "#0093d5",
+    "#00aaf5", "#6fc0ff", "#a7d3ff", "#d8eaff", "#ecf4ff")
+
+  private def colorsJs(n: Int): String =
+    Blues.take(n).map(c => s"\"$c\"").mkString("colors: [", ", ", "]")
+
+  /** Bar-family x axis (language/journal/complementary). */
+  private val BarXAxisJs =
+    """xAxis: {
+      |            title: { text: null },
+      |            labels: { rotation: 0, step: 1, style: { fontSize: '14px' } }
+      |        }""".stripMargin
+
+  private def yAxisJs(min: Int, title: String, log: Boolean): String =
+    s"""yAxis: {
+       |            min: $min,
+       |            title: { text: "$title" }${if (log) ",\n            type: \"logarithmic\"" else ""}
+       |        }""".stripMargin
+
+  private val NumDocsSeriesJs =
+    """series: [{ name: "Number of documents", data: [], color: "#0093d5" }]"""
+
+  /** Pie charts with a one-level drilldown (region/therapies). */
+  private def drillPieJs(pfx: String, container: String, seriesName: String) =
+    s"""let ${pfx}_chart = Highcharts.chart("$container", {
+       |        ${chartFrame(Some("pie"), 20, 325)},
+       |        ${colorsJs(9)},
+       |        $ExportingJs,
+       |        title: { text: "" },
+       |        $NoDataJs,
+       |        plotOptions: {
+       |            pie: {
+       |                borderRadius: 5,
+       |                dataLabels: [{
+       |                    enabled: true,
+       |                    distance: 15,
+       |                    format: '{point.name}'
+       |                }, {
+       |                    enabled: true,
+       |                    distance: '-30%',
+       |                    filter: { property: 'percentage', operator: '>', value: 5 },
+       |                    format: '{point.percentage:.1f}%',
+       |                    style: { fontSize: '0.9em', textOutline: 'none' }
+       |                }]
+       |            }
+       |        },
+       |        tooltip: {
+       |            headerFormat: '',
+       |            pointFormat: '<b>{point.name}</b><br>' +
+       |                'Number of documents: <b>{point.y}</b><br/>' +
+       |                '<b>{point.percentage:.2f}%</b> of total<br/>'
+       |        },
+       |        series: [{ name: "$seriesName", data: [] }],
+       |        drilldown: { series: [] }
+       |    });""".stripMargin
+
+  /** Simple bar chart (language log-scale; journal/complementary linear). */
+  private def barChartJs(pfx: String, container: String, log: Boolean,
+      noData: Boolean) =
+    s"""let ${pfx}_chart = Highcharts.chart("$container", {
+       |        ${chartFrame(Some("bar"), 20, 325)},
+       |        $ExportingJs,
+       |        title: { text: "" },${if (noData) s"\n        $NoDataJs," else ""}
+       |        legend: { enabled: false },
+       |        $BarXAxisJs,
+       |        ${yAxisJs(if (log) 1 else 0, "Number of documents", log)},
+       |        plotOptions: { bar: { dataLabels: { enabled: true } } },
+       |        $NumDocsSeriesJs
+       |    });""".stripMargin
+
+  /** The per-section chart constructor block, matching the reference
+    * module for that container (tasks_for_export/<module>.py). The
+    * indicator section has no chart — it writes two DOM counters. */
+  def chartConfigJs(pfx: String, container: String, yearFrom: Int): String =
+    pfx match {
+      case "indicators" => ""
+      case "lang" =>
+        // language.py also pins the global thousands separator
+        s"""Highcharts.setOptions({ lang: { thousandsSep: ' ' } });
+           |    ${barChartJs("lang", container, log = true, noData = false)}""".stripMargin
+      case "timeline" =>
+        s"""let timeline_chart = Highcharts.chart("$container", {
+           |        ${chartFrame(Some("line"), 30, 325)},
+           |        $ExportingJs,
+           |        title: { text: "" },
+           |        xAxis: {
+           |            title: { text: "Year" },
+           |            labels: {
+           |                formatter: function() {
+           |                    if (this.value === $yearFrom) { return "+" + this.value; }
+           |                    return this.value;
+           |                }
+           |            }
+           |        },
+           |        ${yAxisJs(0, "Total", log = false)},
+           |        plotOptions: { line: { dataLabels: { enabled: true } } },
+           |        series: [
+           |            { name: "Total Documents", data: [], color: "#0093d5" },
+           |            { name: "Full Texts", data: [], color: "#005881" }
+           |        ]
+           |    });""".stripMargin
+      case "journal" => barChartJs("journal", container, log = false, noData = true)
+      case "complementary" => barChartJs("complementary", container, log = false, noData = true)
+      case "doctype" =>
+        s"""let doctype_chart = Highcharts.chart("$container", {
+           |        ${chartFrame(Some("column"), 20, 325)},
+           |        $ExportingJs,
+           |        title: { text: "" },
+           |        legend: { enabled: false },
+           |        $NoDataJs,
+           |        ${yAxisJs(1, "Number of documents", log = true)},
+           |        plotOptions: { column: { dataLabels: { enabled: true } } },
+           |        $NumDocsSeriesJs
+           |    });""".stripMargin
+      case "studytype" =>
+        s"""let studytype_chart = Highcharts.chart("$container", {
+           |        ${chartFrame(Some("pie"), 20, 700)},
+           |        ${colorsJs(9)},
+           |        $ExportingJs,
+           |        title: { text: "" },
+           |        $NoDataJs,
+           |        plotOptions: {
+           |            pie: {
+           |                allowPointSelect: true,
+           |                cursor: 'pointer',
+           |                dataLabels: {
+           |                    enabled: true,
+           |                    format: '<b>{point.name}</b>: {point.percentage:.2f}%'
+           |                }
+           |            }
+           |        },
+           |        series: [{ name: "Number of documents", data: [], colorByPoint: true }]
+           |    });""".stripMargin
+      case "subject" =>
+        s"""let subject_chart = Highcharts.chart("$container", {
+           |        ${chartFrame(Some("wordcloud"), 20, 325)},
+           |        ${colorsJs(7)},
+           |        $ExportingJs,
+           |        title: { text: "" },
+           |        $NoDataJs,
+           |        plotOptions: {
+           |            wordcloud: {
+           |                rotation: { from: -30, to: 30, orientations: 5 },
+           |                minFontSize: 16,
+           |                maxFontSize: 50,
+           |                dataLabels: { enabled: true }
+           |            }
+           |        },
+           |        series: [{ type: 'wordcloud', name: "Number of documents", data: [], colorByPoint: true }]
+           |    });""".stripMargin
+      case "region" => drillPieJs("region", container, "WHO Regions")
+      case "therapy" =>
+        drillPieJs("therapy", container, "Therapeutic Methods and Therapies")
+      case "dimention" =>
+        s"""let dimention_chart = Highcharts.chart("$container", {
+           |        ${chartFrame(None, 20, 700)},
+           |        ${colorsJs(9)},
+           |        $ExportingJs,
+           |        title: { text: "" },
+           |        $NoDataJs,
+           |        tooltip: {
+           |            pointFormat: '<b>{point.name}</b><br>' +
+           |                'Number of documents: <b>{point.value}</b>'
+           |        },
+           |        series: [{
+           |            type: 'treemap',
+           |            name: 'Traditional Medicine Dimension',
+           |            allowTraversingTree: true,
+           |            alternateStartingDirection: true,
+           |            dataLabels: { format: '{point.name}', style: { textOutline: 'none' } },
+           |            borderRadius: 3,
+           |            nodeSizeBy: 'leaf',
+           |            levels: [
+           |                {
+           |                    level: 1,
+           |                    layoutAlgorithm: 'sliceAndDice',
+           |                    groupPadding: 3,
+           |                    dataLabels: {
+           |                        headers: true,
+           |                        enabled: true,
+           |                        style: {
+           |                            fontSize: '0.6em',
+           |                            fontWeight: 'normal',
+           |                            textTransform: 'uppercase',
+           |                            color: 'var(--highcharts-neutral-color-100, #000)'
+           |                        }
+           |                    },
+           |                    borderRadius: 3,
+           |                    borderWidth: 1,
+           |                    colorByPoint: true
+           |                },
+           |                { level: 2, dataLabels: { enabled: true, inside: false } }
+           |            ],
+           |            data: []
+           |        }]
+           |    });""".stripMargin
+      case "traditional" =>
+        s"""let traditional_chart = Highcharts.chart("$container", {
+           |        ${chartFrame(Some("lollipop"), 20, 700, inverted = true)},
+           |        $ExportingJs,
+           |        title: { text: "" },
+           |        legend: { enabled: false },
+           |        xAxis: { type: 'category' },
+           |        ${yAxisJs(1, "Number of documents", log = true)},
+           |        $NoDataJs,
+           |        $NumDocsSeriesJs
+           |    });""".stripMargin
+      case other => sys.error(s"unknown chart section: $other")
+    }
+
+  /** Shared updater prelude: year-range + region filter over the
+    * embedded pivots (every tasks_for_export updater opens with this,
+    * verbatim; `srcPfx` lets the indicator read the timeline data). */
+  private def updaterPrelude(srcPfx: String, yearFrom: Int): String =
+    s"""        const year_range = slider.noUiSlider.get(true);
+       |        const yearFrom = parseInt(year_range[0]);
+       |        const yearTo = parseInt(year_range[1]);
+       |        if (yearFrom > yearTo) return;
+       |        const selectedRegion = regionSelect.value;
+       |        let year_from = $yearFrom;
+       |        let filtered;
+       |        if (selectedRegion === "Todas") {
+       |            filtered = Object.values(${srcPfx}_year_json).flat();
+       |        } else {
+       |            filtered = ${srcPfx}_region_year_json[selectedRegion];
+       |        }
+       |        if (yearFrom === year_from) {
+       |            filtered = filtered.filter((d) => d.ano <= yearTo);
+       |        } else {
+       |            filtered = filtered.filter((d) => d.ano >= yearFrom && d.ano <= yearTo);
+       |        }""".stripMargin
+
+  /** Rollup shared by the category renders: sum each non-`ano` key over
+    * the filtered years into (name, <valueKey>) pairs, sorted desc. */
+  private def rollupJs(pfx: String, valueKey: String, topN: Int): String = {
+    val slice =
+      if (topN > 0) s"\n        sorted = sorted.slice(0, $topN);" else ""
+    s"""        const names = [...new Set(filtered.flatMap(obj => Object.keys(obj)))].filter(key => key !== "ano");
+       |        const total = {};
+       |        filtered.forEach((d) => {
+       |            names.forEach((name) => { total[name] = (total[name] || 0) + (d[name] || 0); });
+       |        });
+       |        let sorted = names.map((name) => ({ name: name, $valueKey: total[name] }));
+       |        sorted.sort((a, b) => b.$valueKey - a.$valueKey);$slice""".stripMargin
+  }
+
+  /** The per-section update function + slider/region wiring. */
+  def chartUpdaterJs(pfx: String, yearFrom: Int): String = {
+    val cap = pfx.capitalize
+    // (fnName, srcPfx, body)
+    val (fn, src, body) = pfx match {
+      case "indicators" =>
+        // indicator.py: two DOM counters summed from the timeline pivot
+        ("updateIndicators", "timeline",
+          """        if (!filtered || filtered.length === 0) {
+            |            document.getElementById("indicator_total_documents").innerText = 0;
+            |            document.getElementById("indicator_total_fulltext").innerText = 0;
+            |            return;
+            |        }
+            |        const total_documents = filtered.reduce((acc, d) => acc + (d.total_documents || 0), 0);
+            |        const total_fulltext = filtered.reduce((acc, d) => acc + (d.total_fulltext || 0), 0);
+            |        document.getElementById("indicator_total_documents").innerText = total_documents.toLocaleString('fr-FR');
+            |        document.getElementById("indicator_total_fulltext").innerText = total_fulltext.toLocaleString('fr-FR');""".stripMargin)
+      case "timeline" =>
+        ("updateTimelineChart", "timeline",
+          s"""        if (!filtered || filtered.length === 0) {
+             |            timeline_chart.series[0].setData([]);
+             |            timeline_chart.series[1].setData([]);
+             |            timeline_chart.update({ xAxis: { categories: [] } });
+             |            return;
+             |        }
+             |        const grouped = {};
+             |        filtered.forEach(d => {
+             |            const year = d.ano < year_from ? year_from : d.ano;
+             |            if (!grouped[year]) {
+             |                grouped[year] = { ano: year, total_documents: 0, total_fulltext: 0 };
+             |            }
+             |            grouped[year].total_documents += d.total_documents || 0;
+             |            grouped[year].total_fulltext += d.total_fulltext || 0;
+             |        });
+             |        filtered = Object.values(grouped);
+             |        filtered.sort((a, b) => a.ano - b.ano);
+             |        timeline_chart.series[0].setData(filtered.map(d => d.total_documents));
+             |        timeline_chart.series[1].setData(filtered.map(d => d.total_fulltext));
+             |        timeline_chart.update({ xAxis: { categories: filtered.map(d => d.ano) } });""".stripMargin)
+      case "lang" | "journal" | "doctype" | "complementary" =>
+        // bar/column renders: values + category labels
+        // (language.py top 10, journal 10, doctype 20, complementary 40)
+        val topN = pfx match {
+          case "doctype" => 20; case "complementary" => 40; case _ => 10
+        }
+        (s"update${cap}Chart", pfx,
+          s"""        if (!filtered || filtered.length === 0) {
+             |            ${pfx}_chart.series[0].setData([]);
+             |            ${pfx}_chart.update({ xAxis: { categories: [] } });
+             |            return;
+             |        }
+             |${rollupJs(pfx, "value", topN)}
+             |        ${pfx}_chart.series[0].setData(sorted.map(item => item.value));
+             |        ${pfx}_chart.update({ xAxis: { categories: sorted.map(item => item.name) } });""".stripMargin)
+      case "studytype" | "subject" | "traditional" =>
+        // point renders: setData of {name, y|weight} objects
+        // (studytype.py top 20, subject.py 100, traditional.py 30)
+        val (key, topN) = pfx match {
+          case "studytype" => ("y", 20)
+          case "subject" => ("weight", 100)
+          case _ => ("y", 30)
+        }
+        (s"update${cap}Chart", pfx,
+          s"""        if (!filtered || filtered.length === 0) {
+             |            ${pfx}_chart.series[0].setData([]);
+             |            return;
+             |        }
+             |${rollupJs(pfx, key, topN)}
+             |        ${pfx}_chart.series[0].setData(sorted);""".stripMargin)
+      case "region" | "therapy" =>
+        // drilldown renders: level1/level2 split on '/', pie + sub-series
+        (s"update${cap}Chart", pfx,
+          s"""        if (!filtered || filtered.length === 0) {
+             |            ${pfx}_chart.series[0].setData([]);
+             |            return;
+             |        }
+             |${rollupJs(pfx, "y", 0)}
+             |        const dataMap = {};
+             |        const drilldownMap = {};
+             |        sorted.forEach(({name, y}) => {
+             |            const [level1, level2] = name.split('/');
+             |            if (!dataMap[level1]) {
+             |                dataMap[level1] = 0;
+             |                drilldownMap[level1] = { name: level1, id: level1, data: [] };
+             |            }
+             |            dataMap[level1] += y;
+             |            drilldownMap[level1].data.push([level2, y]);
+             |        });
+             |        const data = Object.entries(dataMap).map(([level1, sum]) => ({
+             |            name: level1.toUpperCase(), y: sum, drilldown: level1
+             |        }));
+             |        ${pfx}_chart.update({ drilldown: { series: Object.values(drilldownMap) } }, false);
+             |        ${pfx}_chart.series[0].setData(data);""".stripMargin)
+      case "dimention" =>
+        // treemap render: lettered parent nodes + child leaves
+        ("updateDimentionChart", "dimention",
+          s"""        if (!filtered || filtered.length === 0) {
+             |            dimention_chart.series[0].setData([]);
+             |            dimention_chart.showNoData();
+             |            return;
+             |        } else {
+             |            dimention_chart.hideNoData();
+             |        }
+             |${rollupJs("dimention", "y", 0)}
+             |        const parentMap = {};
+             |        let idCounter = 1;
+             |        sorted.forEach(item => {
+             |            const [parent] = item.name.split('/');
+             |            if (!parentMap[parent]) {
+             |                parentMap[parent] = String.fromCharCode(64 + idCounter);
+             |                idCounter++;
+             |            }
+             |        });
+             |        const data = [];
+             |        for (const parent in parentMap) {
+             |            data.push({ id: parentMap[parent], name: parent });
+             |        }
+             |        sorted.forEach(item => {
+             |            const [parent, child] = item.name.split('/');
+             |            data.push({ name: child, parent: parentMap[parent], value: item.y });
+             |        });
+             |        dimention_chart.series[0].setData(data);""".stripMargin)
+      case other => sys.error(s"unknown chart section: $other")
+    }
+    s"""function $fn() {
+       |${updaterPrelude(src, yearFrom)}
+       |$body
+       |    }
+       |    const debounced$cap = debounce($fn, 100);
+       |    slider.noUiSlider.on("update", debounced$cap);
+       |    regionSelect.addEventListener("change", debounced$cap);""".stripMargin
+  }
+
   private def jsonStr(s: String): String =
     "\"" + s.flatMap {
       case '"' => "\\\""
@@ -270,23 +684,33 @@ object Exports {
     val regionOptions = regions
       .map(r => s"""<option value="${esc(r)}">${esc(r)}</option>""").mkString("\n")
 
+    // timeline.py:146-147 renames the stored cell names when building
+    // the embedded JSON — the updaters key on the renamed fields
+    def jsName(t: String, n: String): String = (t, n) match {
+      case ("timeline", "total") => "total_documents"
+      case ("timeline", "with_fulltext") => "total_fulltext"
+      case _ => n
+    }
     def metricRows(t: String, reg: Option[String]) = rows.collect {
-      case (`t`, `reg`, n, y, c) => (n, y, c)
+      case (`t`, `reg`, n, y, c) => (jsName(t, n), y, c)
     }.toSeq
-    val dataBlocks = ChartSections.map { case (t, container, pfx) =>
+    // the indicator section reads the timeline pivot (indicator.py embeds
+    // no data of its own) and noUiSlider fires "update" at bind time, so
+    // its block must come after the timeline consts — emit it last
+    val (indicatorSections, dataSections) =
+      ChartSections.partition(_._3 == "indicators")
+    val dataBlocks = (dataSections.map { case (t, container, pfx) =>
       val global = pivotRowsJson(metricRows(t, None))
       val byRegion = regions.map { r =>
         s"${jsonStr(r)}: ${pivotRowsJson(metricRows(t, Some(r)))}"
       }.mkString("{", ",", "}")
       s"""    const ${pfx}_year_json = $global;
          |    const ${pfx}_region_year_json = $byRegion;
-         |    function update${pfx.capitalize}Chart() {
-         |      // year-range + region filter → rollup → redraw #$container
-         |      // (browser-side; the engine ships the filtered pivots above)
-         |    }
-         |    slider.noUiSlider.on("update", debounce(update${pfx.capitalize}Chart, 100));
-         |    regionSelect.addEventListener("change", debounce(update${pfx.capitalize}Chart, 100));""".stripMargin
-    }.mkString("\n\n")
+         |    ${chartConfigJs(pfx, container, yearFrom)}
+         |    ${chartUpdaterJs(pfx, yearFrom)}""".stripMargin
+    } ++ indicatorSections.map { case (_, _, pfx) =>
+      "    " + chartUpdaterJs(pfx, yearFrom)
+    }).mkString("\n\n")
 
     val assetRefs = Seq("highcharts.js", "no-data-to-display.js", "wordcloud.js",
       "drilldown.js", "treemap.js", "highcharts-more.js", "dumbbell.js",
