@@ -152,22 +152,38 @@ object Bench {
     // artifact it cites. Subset dev-loop runs skip this — a 3-gate
     // artifact must not overwrite the full-suite block.
     if (args.isEmpty && errors.isEmpty) {
-      try {
-        val script = java.nio.file.Paths.get("tools/readme_bench.py")
-        val readmeP = java.nio.file.Paths.get("README.md")
-        if (java.nio.file.Files.exists(script) &&
-            java.nio.file.Files.exists(readmeP)) {
-          val outPath =
-            sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-          val rc = new ProcessBuilder(
-            "python3", script.toString, outPath, readmeP.toString)
-            .inheritIO().start().waitFor()
-          if (rc != 0)
-            System.err.println(s"[bench] readme_bench.py exited $rc — README BENCH block NOT regenerated")
+      // a failed regen is recorded IN the artifact (not only stderr):
+      // the README block claims derivation from this artifact, so the
+      // artifact must carry the evidence when that derivation failed
+      val regenFailure: Option[String] =
+        try {
+          val script = java.nio.file.Paths.get("tools/readme_bench.py")
+          val readmeP = java.nio.file.Paths.get("README.md")
+          if (java.nio.file.Files.exists(script) &&
+              java.nio.file.Files.exists(readmeP)) {
+            val outPath =
+              sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+            val rc = new ProcessBuilder(
+              "python3", script.toString, outPath, readmeP.toString)
+              .inheritIO().start().waitFor()
+            if (rc != 0) Some(s"readme_bench.py exited $rc")
+            else None
+          } else None
+        } catch {
+          case e: Throwable => Some(s"readme regen failed to launch: $e")
         }
-      } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] README regen skipped: $e")
+      regenFailure.foreach { msg =>
+        System.err.println(s"[bench] $msg — README BENCH block NOT regenerated")
+        try {
+          val out = java.nio.file.Paths.get(
+            sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
+          val amended = json.dropRight(1) +
+            s""","warnings":{"readme_regen":${Jsonl.str(msg)}}}"""
+          java.nio.file.Files.write(out, amended.getBytes("UTF-8"))
+        } catch {
+          case e: java.io.IOException =>
+            System.err.println(s"[bench] artifact warning write failed: $e")
+        }
       }
     }
     if (errors.nonEmpty)

@@ -77,8 +77,12 @@ def main() -> int:
         return 2
     block = render(bench, os.path.getmtime(bench_path))
     out = (head + BEGIN + marker_line + "\n" + block + "\n" + END + tail)
-    with open(readme_path, "w") as f:
+    # atomic: a concurrent bench or a mid-write crash must never leave a
+    # half-regenerated README (same-directory temp + rename)
+    tmp = readme_path + ".tmp"
+    with open(tmp, "w") as f:
         f.write(out)
+    os.replace(tmp, readme_path)
     print(f"README bench block regenerated from {bench_path}: "
           f"{bench['value']:.1f}s / {len(bench['queries'])} queries")
     return 0
