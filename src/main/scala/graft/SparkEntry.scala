@@ -30,7 +30,9 @@ object SparkEntry {
       graft.operators.TextStats.all ++ graft.operators.Profiling.all ++
       graft.operators.Weighting.all ++ graft.operators.Bpe.all ++
       graft.operators.IncrementalDedup.all ++ graft.operators.WebQuality.all ++
-      graft.operators.Postings.all ++ graft.operators.MinhashEstimate.all
+      graft.operators.Postings.all ++ graft.operators.MinhashEstimate.all ++
+      graft.operators.Pq.all ++ graft.operators.Hybrid.all ++
+      graft.operators.Mmr.all
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. Star join +
     * agg + top-k window — exercises scan, broadcast join, partial agg,

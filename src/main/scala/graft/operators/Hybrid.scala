@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Exprs
+
+/** Hybrid retrieval: reciprocal-rank fusion (RRF, Cormack et al. 2009)
+  * of a lexical BM25 list and a semantic cosine list over the same
+  * corpus (documents.doc_id ≡ embeddings.vec_id). This is the standard
+  * RAG retrieval shape: two rankers that fail differently, fused by
+  * rank position only — no score calibration across rankers needed.
+  *
+  * Determinism: each list is ranked by its own exact key (BM25 integer
+  * micros; rounded cosine with id tie-break), and the fused score is
+  * the integer ⌊10⁹/(60+rank)⌋ summed over the lists a doc appears in —
+  * all-integer, so DuckDB replays it bit-for-bit.
+  *
+  * Scale shape: each ranker keeps its own scale story (BM25: one token
+  * shuffle + broadcast df; cosine: TakeOrderedAndProject over a
+  * broadcast query — or any ANN route from Similarity, the fusion only
+  * consumes (doc_id, rank)); fusion itself touches 2·topN rows per
+  * query. Nothing about RRF sees a vector or a posting list.
+  */
+object Hybrid {
+
+  /** RRF constant (Cormack et al.'s k = 60). */
+  val RrfK = 60
+
+  /** Per-list depth and fused cut used by the gate. */
+  val ListDepth = 20
+  val FusedTopK = 10
+
+  /** Fuse ranked lists: input frames each carry (doc_id, rank) with
+    * rank 1-based; output (doc_id, rrf, <name>_rank…) with absent-list
+    * ranks as 0. */
+  def rrfFuse(lists: Seq[(String, DataFrame)], topK: Int): DataFrame = {
+    val tagged = lists.map { case (name, df) =>
+      df.select(col("doc_id"),
+        expr(s"1000000000 div ($RrfK + rank)").as("c"),
+        lit(name).as("src"), col("rank"))
+    }.reduce(_.unionByName(_))
+    val rankCols = lists.map { case (name, _) =>
+      max(when(col("src") === name, col("rank")).otherwise(0L))
+        .cast("long").as(s"${name}_rank")
+    }
+    tagged.groupBy("doc_id")
+      .agg(sum("c").cast("long").as("rrf"), rankCols: _*)
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(topK)
+  }
+
+  /** Lexical list: BM25 top-N for the fixed terms, ranked on the exact
+    * integer micros (window runs over ≤N already-selected rows). */
+  private def lexList(documents: DataFrame, terms: Seq[String],
+      depth: Int): DataFrame =
+    Postings.bm25(documents, terms, depth)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score_micro").desc, col("doc_id"))).cast("long"))
+      .select("doc_id", "rank")
+
+  /** Semantic list: rounded-cosine top-N of the query vector against
+    * the corpus (self excluded), ranked sim DESC / id ASC. The brute
+    * scorer here is the oracle-anchored form — swap in any Similarity
+    * ANN route at scale, fusion only reads (doc_id, rank). */
+  private def semList(e: DataFrame, queryId: Long, depth: Int): DataFrame = {
+    val qv = e.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qv"))
+    e.crossJoin(broadcast(qv))
+      .filter(col("vec_id") =!= queryId)
+      .withColumn("sim", round(Exprs.cosine_sim(col("embedding"), col("qv")), 4))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(depth)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("sim").desc, col("vec_id"))).cast("long"))
+      .select(col("vec_id").as("doc_id"), col("rank"))
+  }
+
+  /** Gate query: fuse BM25(spark, table, fast) with cosine-to-doc-0. */
+  private val Terms = Seq("spark", "table", "fast")
+  private val QueryVec = 0L
+
+  val q155 = Q.sql("q155_hybrid_rrf",
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+       |  FROM documents),
+       |lens AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY 1),
+       |tot AS (SELECT count(*) AS n, CAST(sum(len) AS BIGINT) AS s FROM lens),
+       |df AS (
+       |  SELECT token, count(DISTINCT doc_id) AS df FROM toks
+       |  WHERE token IN (${Terms.map("'" + _ + "'").mkString(",")}) GROUP BY 1),
+       |tf AS (
+       |  SELECT doc_id, token, count(*) AS tf FROM toks
+       |  WHERE token IN (${Terms.map("'" + _ + "'").mkString(",")}) GROUP BY 1, 2),
+       |t AS (
+       |  SELECT tf.doc_id,
+       |    CAST((CAST(2*n - 2*df + 1 AS HUGEINT) * 22 * s * tf * 1000000) //
+       |         (CAST(2*df + 1 AS HUGEINT) *
+       |          (CAST(10 AS HUGEINT)*s*tf + CAST(3 AS HUGEINT)*s
+       |           + CAST(9 AS HUGEINT)*len*n)) AS BIGINT) AS term_micro
+       |  FROM tf JOIN df USING (token) JOIN lens USING (doc_id) CROSS JOIN tot),
+       |bm AS (SELECT doc_id, CAST(sum(term_micro) AS BIGINT) AS score_micro
+       |       FROM t GROUP BY 1),
+       |lex AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY score_micro DESC, doc_id) AS r
+       |  FROM bm ORDER BY score_micro DESC, doc_id LIMIT $ListDepth),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |qv AS (SELECT emb FROM e WHERE vec_id = $QueryVec),
+       |sims AS (
+       |  SELECT vec_id AS doc_id,
+       |    round(list_cosine_similarity(e.emb, qv.emb), 4) + 0.0 AS sim
+       |  FROM e, qv WHERE vec_id <> $QueryVec),
+       |sem AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id) AS r
+       |  FROM sims ORDER BY sim DESC, doc_id LIMIT $ListDepth),
+       |contrib AS (
+       |  SELECT doc_id, 1000000000 // ($RrfK + r) AS c, r AS lex_rank,
+       |    CAST(0 AS BIGINT) AS sem_rank
+       |  FROM lex
+       |  UNION ALL
+       |  SELECT doc_id, 1000000000 // ($RrfK + r), CAST(0 AS BIGINT), r FROM sem)
+       |SELECT doc_id, CAST(sum(c) AS BIGINT) AS rrf,
+       |  CAST(max(lex_rank) AS BIGINT) AS lex_rank,
+       |  CAST(max(sem_rank) AS BIGINT) AS sem_rank
+       |FROM contrib GROUP BY 1
+       |ORDER BY rrf DESC, doc_id LIMIT $FusedTopK""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val e = Tables.embeddings(s, d)
+    rrfFuse(Seq(
+      "lex" -> lexList(docs, Terms, ListDepth),
+      "sem" -> semList(e, QueryVec, ListDepth)), FusedTopK)
+  }
+
+  val all: Seq[Q] = Seq(q155)
+}

@@ -188,6 +188,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count") || p.contains("partial_sum"), p)
   }
 
+  test("PQ encode is a pure projection; ADC broadcasts the query batch (q154 pin)") {
+    import graft.operators.Pq
+    val e = Tables.embeddings(spark, sf)
+    val en = Pq.normalized(e)
+    val codes = Pq.encode(en, Pq.seedCodebook(en))
+    // encode: literal-codebook argmax per subspace — no join, no shuffle
+    val pEnc = plan(codes)
+    assert(!pEnc.contains("Exchange"), pEnc)
+    assert(!pEnc.contains("Join"), pEnc)
+    // the ADC stage joins the (tiny) query batch INTO the codes stream
+    // as a broadcast — the codes side must never shuffle for the join
+    val pAdc = plan(Pq.adcShortlist(e))
+    assert(pAdc.contains("BroadcastExchange"), pAdc)
+    assert(!pAdc.contains("SortMergeJoin"), pAdc)
+  }
+
   test("sketch gates materialize their corpus pass once (q25/q27 scan pin)") {
     // same regression class as q54: banding, bucket pairing, and the
     // exact verify all branch off one checkpointed frame — a dropped

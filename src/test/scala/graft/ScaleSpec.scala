@@ -331,6 +331,43 @@ class ScaleSpec extends AnyFunSuite {
       s"routed candidate volume $routed is not ≪ all-pairs ${n * (n - 1)}")
   }
 
+  test("PQ shortlist carries the brute top-5 at >=0.75 recall (q154)") {
+    // the ADC shortlist is the stage that replaces exact scans at scale
+    // (codes are 8 B/vector vs 256 B of floats) — it must still contain
+    // most of the true neighbors for the exact re-rank to recover them.
+    // Floor measured 0.79-0.90 across sf0.001/0.01/0.1.
+    import graft.operators.Pq
+    val e = Tables.embeddings(spark, sf)
+    val brute = SparkEntry.queries("q30_cosine_topk")(spark, sf).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    val short = Pq.adcShortlist(e).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    val qs = brute.keySet.intersect(short.keySet)
+    assert(qs.nonEmpty)
+    val hits = qs.toSeq.map(q => (brute(q) & short(q)).size).sum
+    val total = qs.toSeq.map(q => brute(q).size).sum
+    val recall = hits.toDouble / total
+    assert(recall >= 0.75, f"PQ shortlist recall@5 = $recall%.3f < 0.75")
+  }
+
+  test("PQ codes table is codes-only: no vector column survives encode") {
+    import graft.operators.Pq
+    val en = Pq.normalized(Tables.embeddings(spark, sf))
+    val codes = Pq.encode(en, Pq.seedCodebook(en))
+    // 8 B of codes per vector in place of 256 B of floats — the 32x
+    // memory claim depends on the embedding NOT riding along
+    assert(codes.columns.toSet ==
+      (Set("vec_id") ++ (0 until Pq.M).map(m => s"code$m")), codes.columns.mkString(","))
+    assert(!codes.schema.exists(_.dataType.typeName.startsWith("array")),
+      "an array column survived encode")
+    val mx = codes.select((0 until Pq.M).map(m => max(col(s"code$m"))): _*)
+      .collect()(0)
+    (0 until Pq.M).foreach(m =>
+      assert(mx.getInt(m) < Pq.K, s"code$m out of codebook range"))
+  }
+
   test("IVF stage-dir sweep spares a live owner's staging dir, reaps dead ones") {
     // concurrent bench+verify on one data dir is supported: the orphan
     // sweep must only reap stage dirs whose owner process is DEAD —
