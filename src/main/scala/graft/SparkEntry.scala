@@ -32,7 +32,8 @@ object SparkEntry {
       graft.operators.IncrementalDedup.all ++ graft.operators.WebQuality.all ++
       graft.operators.Postings.all ++ graft.operators.MinhashEstimate.all ++
       graft.operators.Pq.all ++ graft.operators.Hybrid.all ++
-      graft.operators.Mmr.all
+      graft.operators.Mmr.all ++ graft.operators.RankEval.all ++
+      graft.operators.IvfPq.all
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. Star join +
     * agg + top-k window — exercises scan, broadcast join, partial agg,

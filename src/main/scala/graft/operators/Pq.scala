@@ -182,7 +182,7 @@ object Pq {
     * decimal means per (m, code, pos), REAL-quantized recentre with
     * empty cells kept from the previous table (the q62 lloydStepSql
     * shape, per-subspace). */
-  private def pqLloydSql(cin: String, asg: String, mean: String,
+  private[operators] def pqLloydSql(cin: String, asg: String, mean: String,
       cout: String): String =
     s"""$asg AS MATERIALIZED (
        |  SELECT vec_id, m, k AS code, sub FROM (

@@ -333,8 +333,8 @@ object Similarity {
       .orderBy(col("query_id"), col("sim").desc, col("neighbor_id"))
   }
 
-  private val IVF_LISTS = 16
-  private val IVF_PROBES = 2
+  private[operators] val IVF_LISTS = 16
+  private[operators] val IVF_PROBES = 2
 
   /** IVF-style ANN: coarse quantize to the nearest of 16 deterministic
     * centroids (first 16 vectors by id), probe the 2 nearest lists.
@@ -382,7 +382,7 @@ object Similarity {
     * 64 floats, the bounded-materialization pattern the rest of the
     * codebase uses for lookup tables. Sorted by cent_id so downstream
     * literal construction is order-stable. */
-  private def localCents(
+  private[operators] def localCents(
       cents: org.apache.spark.sql.DataFrame): Seq[(Long, Seq[Float])] =
     cents.select(col("cent_id"), col("cvec")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toVector))
@@ -390,7 +390,7 @@ object Similarity {
 
   /** A driver-held centroid table back as a DataFrame (LocalRelation —
     * free to re-read, nothing to re-execute). */
-  private def centsDf(spark: org.apache.spark.sql.SparkSession,
+  private[operators] def centsDf(spark: org.apache.spark.sql.SparkSession,
       cents: Seq[(Long, Seq[Float])]): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
     cents.toDF("cent_id", "cvec")
@@ -413,7 +413,7 @@ object Similarity {
     * (Spark's round never produces −0.0 — it rounds through BigDecimal,
     * which has no signed zero — so the DESC double compare and the
     * oracle's agree on ties.) */
-  private def ivfAssign(df: org.apache.spark.sql.DataFrame,
+  private[operators] def ivfAssign(df: org.apache.spark.sql.DataFrame,
       cents: Seq[(Long, Seq[Float])], idCol: String,
       vecCol: String, outCol: String, keep: Int): org.apache.spark.sql.DataFrame = {
     val cands = array(cents.map { case (cid, cv) =>
@@ -485,7 +485,7 @@ object Similarity {
     * determinism rules), then per-dimension means as exact
     * DECIMAL(28,12) sums cast to double, divided, and squeezed through
     * REAL — the bit-identical replay of [[kmeansCentroids]]'s step. */
-  private def lloydStepSql(cin: String, asg: String, m: String,
+  private[operators] def lloydStepSql(cin: String, asg: String, m: String,
       cout: String): String =
     s"""$asg AS (
        |  SELECT e.vec_id, c.cent_id, e.emb,

@@ -352,6 +352,31 @@ class ScaleSpec extends AnyFunSuite {
     assert(recall >= 0.75, f"PQ shortlist recall@5 = $recall%.3f < 0.75")
   }
 
+  test("IVF-PQ loses (almost) nothing on top of IVF-flat routing (q158)") {
+    // the composition claim: PQ's 8 B codes + exact re-rank must track
+    // the IVF-flat recall (routing is the recall bound on this corpus;
+    // PQ only compresses WHAT the probed lists score). Measured: IVF-PQ
+    // 0.378 vs IVF-flat(kmeans) at sf0.001 — the shortlist-20 + exact
+    // re-rank recovers routing's candidates nearly losslessly.
+    import graft.operators.{IvfPq, Similarity}
+    val e = Tables.embeddings(spark, sf)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val flat = pairs(Similarity.ivfTopK(e, Similarity.kmeansCentroids(e)))
+    val exact = pairs(SparkEntry.queries("q30_cosine_topk")(spark, sf)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("sim").desc, col("neighbor_id"))))
+      .filter(col("rn") <= 3).drop("rn"))
+    val ivfpq = pairs(IvfPq.ivfPqTopK(e))
+    val flatRecall = exact.count(flat).toDouble / exact.size
+    val pqRecall = exact.count(ivfpq).toDouble / exact.size
+    info(f"recall@3: ivf-flat=$flatRecall%.3f ivf-pq=$pqRecall%.3f")
+    assert(pqRecall >= flatRecall - 0.1,
+      f"PQ compression cost too much recall: $pqRecall%.3f vs flat $flatRecall%.3f")
+  }
+
   test("PQ codes table is codes-only: no vector column survives encode") {
     import graft.operators.Pq
     val en = Pq.normalized(Tables.embeddings(spark, sf))
