@@ -55,7 +55,7 @@ object IvfPq {
       .join(codes, "neighbor_id")
       .join(qn, "query_id")
     val adc = (0 until Pq.M).map { m =>
-      val cv = element_at(typedlit(cb(m)), col(s"code$m") + 1)
+      val cv = element_at(typedlit(cb(m)), Pq.unpack(col("codes"), m) + 1)
       round(round(Exprs.dot_f(slice(col("qn"), m * Pq.SUB + 1, Pq.SUB), cv), 4)
         * 10000).cast("long")
     }.reduce(_ + _)

@@ -80,11 +80,11 @@ object Pq {
       seeds.map(v => v.slice(m * SUB, (m + 1) * SUB)): IndexedSeq[IndexedSeq[Float]]).toVector
   }
 
-  /** Encode: one code column per subspace, each the argmax of the
-    * rounded key ⟨x_m,c⟩ − ‖c‖²/2 over the literal codebook (ties to
-    * the smaller code) — a pure projection, no join, no shuffle; the
-    * embedding column is dropped (the codes-only table IS the point). */
-  def encode(en: DataFrame, cb: Codebook): DataFrame =
+  /** Per-subspace code columns: each the argmax of the rounded key
+    * ⟨x_m,c⟩ − ‖c‖²/2 over the literal codebook (ties to the smaller
+    * code) — a pure projection, no join, no shuffle. Training reads
+    * this wide form; the served table packs it ([[encode]]). */
+  private[graft] def encodeWide(en: DataFrame, cb: Codebook): DataFrame =
     (0 until M).foldLeft(en.select(col("vec_id"), col("ne"))) { (df, m) =>
       val cands = array(cb(m).zipWithIndex.map { case (cv, k) =>
         struct(
@@ -96,6 +96,20 @@ object Pq {
         -element_at(sort_array(cands, asc = false), 1).getField("negk"))
     }.drop("ne")
 
+  /** Encode to the SERVED form: all M 4-bit codes bit-packed into ONE
+    * BIGINT (M·log₂K = 16·4 = exactly 64 bits) — the codes table is
+    * literally (vec_id, codes), 16 B/row, vs 256 B of floats. */
+  def encode(en: DataFrame, cb: Codebook): DataFrame =
+    encodeWide(en, cb).select(col("vec_id"),
+      (0 until M).map(m =>
+        shiftleft(col(s"code$m").cast("long"), 4 * m)).reduce(_.bitwiseOR(_))
+        .as("codes"))
+
+  /** Unpack subspace m's code from the packed BIGINT. */
+  private[graft] def unpack(codes: org.apache.spark.sql.Column,
+      m: Int): org.apache.spark.sql.Column =
+    shiftright(codes, 4 * m).bitwiseAND(lit(15L)).cast("int")
+
   /** Lloyd refinement: encode, then recentre every (m, code) cell on
     * the exact-decimal mean of its members (empty cells keep their
     * previous centroid), float-quantized — collected per iteration so
@@ -103,7 +117,7 @@ object Pq {
   def trainCodebook(en: DataFrame, iters: Int = ITERS): Codebook = {
     var cb = seedCodebook(en)
     for (_ <- 1 to iters) {
-      val coded = encode(en, cb)
+      val coded = encodeWide(en, cb)
       val withSubs = en.join(coded, "vec_id")
       val stacked = withSubs.select(col("vec_id"), explode(array(
         (0 until M).map(m => struct(lit(m).as("m"), col(s"code$m").as("k"),
@@ -136,7 +150,7 @@ object Pq {
     val pairs = codes.join(broadcast(qs),
       col("query_id") =!= col("neighbor_id"))
     val adc = (0 until M).map { m =>
-      val cv = element_at(typedlit(cb(m)), col(s"code$m") + 1)
+      val cv = element_at(typedlit(cb(m)), unpack(col("codes"), m) + 1)
       round(round(Exprs.dot_f(slice(col("qn"), m * SUB + 1, SUB), cv), 4)
         * 10000).cast("long")
     }.reduce(_ + _)
@@ -169,7 +183,7 @@ object Pq {
     val pairs = codes.join(broadcast(qs),
       col("query_id") =!= col("neighbor_id"))
     val adc = (0 until M).map { m =>
-      val cv = element_at(typedlit(cb(m)), col(s"code$m") + 1)
+      val cv = element_at(typedlit(cb(m)), unpack(col("codes"), m) + 1)
       round(round(Exprs.dot_f(slice(col("qn"), m * SUB + 1, SUB), cv), 4)
         * 10000).cast("long")
     }.reduce(_ + _)

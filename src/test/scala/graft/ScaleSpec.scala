@@ -377,17 +377,23 @@ class ScaleSpec extends AnyFunSuite {
       f"PQ compression cost too much recall: $pqRecall%.3f vs flat $flatRecall%.3f")
   }
 
-  test("PQ codes table is codes-only: no vector column survives encode") {
+  test("PQ codes table is one packed BIGINT per vector; unpack round-trips") {
     import graft.operators.Pq
     val en = Pq.normalized(Tables.embeddings(spark, sf))
-    val codes = Pq.encode(en, Pq.seedCodebook(en))
-    // 8 B of codes per vector in place of 256 B of floats — the 32x
-    // memory claim depends on the embedding NOT riding along
-    assert(codes.columns.toSet ==
-      (Set("vec_id") ++ (0 until Pq.M).map(m => s"code$m")), codes.columns.mkString(","))
-    assert(!codes.schema.exists(_.dataType.typeName.startsWith("array")),
-      "an array column survived encode")
-    val mx = codes.select((0 until Pq.M).map(m => max(col(s"code$m"))): _*)
+    val cb = Pq.seedCodebook(en)
+    // served form: exactly (vec_id, codes) — 16 B/row in place of 256 B
+    // of floats; the 32x memory claim depends on nothing else riding
+    val codes = Pq.encode(en, cb)
+    assert(codes.columns.toSeq == Seq("vec_id", "codes"), codes.columns.mkString(","))
+    assert(codes.schema("codes").dataType.typeName == "long")
+    // unpacking the packed word recovers every wide code column exactly
+    val wide = Pq.encodeWide(en, cb)
+    val mismatches = codes.join(wide, "vec_id")
+      .filter((0 until Pq.M).map(m =>
+        Pq.unpack(col("codes"), m) =!= col(s"code$m")).reduce(_ || _))
+      .count()
+    assert(mismatches == 0, s"$mismatches vectors unpack differently")
+    val mx = wide.select((0 until Pq.M).map(m => max(col(s"code$m"))): _*)
       .collect()(0)
     (0 until Pq.M).foreach(m =>
       assert(mx.getInt(m) < Pq.K, s"code$m out of codebook range"))
