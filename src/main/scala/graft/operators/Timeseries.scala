@@ -266,5 +266,49 @@ object Timeseries {
       .orderBy("user_id", "ver")
   }
 
-  val all: Seq[Q] = Seq(q115, q116, q121, q137)
+  /** Exponentially-decayed counters with a one-day half-life, EXACT:
+    * an event d days before the reference date (the stream's max day)
+    * contributes 2^−d — a dyadic rational — held in Q40 fixed point, so
+    * the contribution is the INTEGER `1 << (40 − d)` (0 beyond d = 40,
+    * where the weight is below one Q40 ulp anyway). The decayed count
+    * is then an exact BIGINT sum: order-independent, overflow-safe
+    * (count·2^40 needs count < 2^23 per group — raise the ulp floor to
+    * shrink Q for bigger groups), and both engines replay it
+    * bit-for-bit — no pow(), no float accumulation.
+    *
+    * This is the recency-weighting a curation pipeline uses for
+    * trending-source stats, and it maintains additively like A1/q140:
+    * decayed(T+1 day) = (decayed(T) >> 1) + today's raw count · 2^40 —
+    * one shift and one add per refresh, no rescan (pinned in
+    * EngineSpec; exact while no group holds ≥2 events AT the 40-day
+    * ulp floor, whose unit weights can carry into the shift — they are
+    * dropped a day later either way). Scale: stateless map + one
+    * partial-aggregated groupBy; the reference date is a 1-row
+    * broadcast. */
+  def decayedCounts(events: DataFrame): DataFrame = {
+    val ref = events.agg(max(to_date(col("ts"))).as("ref_day"))
+    events.select(col("event_type"), to_date(col("ts")).as("day"))
+      .crossJoin(broadcast(ref))
+      .withColumn("d", datediff(col("ref_day"), col("day")))
+      .withColumn("w",
+        when(col("d") <= 40, expr("shiftleft(1L, 40 - d)"))
+          .otherwise(0L))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum("w").cast("long").as("decayed_q40"))
+  }
+
+  val q159 = Q.sql("q159_decayed_counts",
+    """WITH ref AS (SELECT max(CAST(ts AS DATE)) AS ref_day FROM events),
+      |w AS (
+      |  SELECT event_type,
+      |    date_diff('day', CAST(ts AS DATE), ref.ref_day) AS d
+      |  FROM events, ref)
+      |SELECT event_type, count(*) AS n_events,
+      |  CAST(sum(CASE WHEN d <= 40 THEN 1::BIGINT << (40 - d) ELSE 0 END) AS BIGINT) AS decayed_q40
+      |FROM w GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    decayedCounts(Tables.events(s, d)).orderBy("event_type")
+  }
+
+  val all: Seq[Q] = Seq(q115, q116, q121, q137, q159)
 }

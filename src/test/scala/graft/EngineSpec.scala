@@ -23,6 +23,30 @@ class EngineSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("decayed counters maintain additively: next-day = (prev >> 1) + today<<40") {
+    // the q159 refresh identity — one shift and one add per day, no
+    // rescan; exactness is the point of the dyadic Q40 weighting
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf)
+    val maxDay = ev.agg(max(to_date(col("ts")))).collect()(0).getDate(0)
+    val prevEv = ev.filter(to_date(col("ts")) < lit(maxDay))
+    // the identity needs yesterday present so prev's own ref = T−1
+    val prevMax = prevEv.agg(max(to_date(col("ts")))).collect()(0).getDate(0)
+    assume(prevMax.toLocalDate == maxDay.toLocalDate.minusDays(1),
+      "fixture lacks a day-before-max event; identity untestable")
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("decayed_q40")).toMap
+    val full = toMap(graft.operators.Timeseries.decayedCounts(ev))
+    val prev = toMap(graft.operators.Timeseries.decayedCounts(prevEv))
+    val today = ev.filter(to_date(col("ts")) === lit(maxDay))
+      .groupBy("event_type").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n")).toMap
+    for ((t, v) <- full) {
+      val expected = (prev.getOrElse(t, 0L) >> 1) + (today.getOrElse(t, 0L) << 40)
+      assert(v == expected, s"$t: full $v != (prev>>1)+today<<40 $expected")
+    }
+  }
+
   test("MinHash-LSH candidates cover all high-Jaccard pairs (recall=1 at J>=0.8)") {
     import org.apache.spark.sql.functions._
     // exact pairs at the q24 threshold
