@@ -94,13 +94,24 @@ object Exports {
       today: String = java.time.LocalDate.now().toString): String = {
     val maxYear = math.max(yearFrom + 1,
       if (cells.isEmpty) yearFrom else cells.map(_._3).max)
+    // same chart constructors as the regions page (the tmgl_countries
+    // tasks_for_export modules repeat them byte-identically); updaters
+    // are the slider-only variant (no region select on this page) and
+    // the indicator reads its own embedded const
     val dataBlocks = CountryChartSections.map { case (t, container, pfx) =>
-      val rows = cells.collect { case (`t`, n, y, c) => (n, y, c) }
-      s"""    const ${pfx}_year_json = ${pivotRowsJson(rows)};
-         |    function update${pfx.capitalize}Chart() {
-         |      // year-range filter → rollup → redraw #$container
-         |    }
-         |    slider.noUiSlider.on("update", debounce(update${pfx.capitalize}Chart, 100));""".stripMargin
+      val rows = cells.collect { case (`t`, n, y, c) =>
+        (if (t == "timeline" && n == "total") "total_documents"
+         else if (t == "timeline" && n == "with_fulltext") "total_fulltext"
+         else n, y, c)
+      }
+      val config = chartConfigJs(pfx, container, yearFrom) match {
+        case "" => ""
+        case c => s"    $c\n"
+      }
+      s"    const ${pfx}_year_json = ${pivotRowsJson(rows)};\n" +
+        config +
+        "    " + chartUpdaterJs(pfx, yearFrom, hasRegion = false,
+          indicatorSrc = "indicators")
     }.mkString("\n\n")
     s"""<!DOCTYPE html>
        |<html lang="pt-br">
@@ -477,27 +488,37 @@ object Exports {
       case other => sys.error(s"unknown chart section: $other")
     }
 
-  /** Shared updater prelude: year-range + region filter over the
-    * embedded pivots (every tasks_for_export updater opens with this,
-    * verbatim; `srcPfx` lets the indicator read the timeline data). */
-  private def updaterPrelude(srcPfx: String, yearFrom: Int): String =
+  /** Shared updater prelude: year-range (+ region, on the regions page)
+    * filter over the embedded pivots (every tasks_for_export updater
+    * opens with this, verbatim; `srcPfx` lets the indicator read the
+    * timeline data; the countries modules have no region select). */
+  private def updaterPrelude(srcPfx: String, yearFrom: Int,
+      hasRegion: Boolean = true): String = {
+    val pick =
+      if (hasRegion)
+        s"""        const selectedRegion = regionSelect.value;
+           |        let year_from = $yearFrom;
+           |        let filtered;
+           |        if (selectedRegion === "Todas") {
+           |            filtered = Object.values(${srcPfx}_year_json).flat();
+           |        } else {
+           |            filtered = ${srcPfx}_region_year_json[selectedRegion];
+           |        }""".stripMargin
+      else
+        s"""        let year_from = $yearFrom;
+           |        let filtered;
+           |        filtered = Object.values(${srcPfx}_year_json).flat();""".stripMargin
     s"""        const year_range = slider.noUiSlider.get(true);
        |        const yearFrom = parseInt(year_range[0]);
        |        const yearTo = parseInt(year_range[1]);
        |        if (yearFrom > yearTo) return;
-       |        const selectedRegion = regionSelect.value;
-       |        let year_from = $yearFrom;
-       |        let filtered;
-       |        if (selectedRegion === "Todas") {
-       |            filtered = Object.values(${srcPfx}_year_json).flat();
-       |        } else {
-       |            filtered = ${srcPfx}_region_year_json[selectedRegion];
-       |        }
+       |$pick
        |        if (yearFrom === year_from) {
        |            filtered = filtered.filter((d) => d.ano <= yearTo);
        |        } else {
        |            filtered = filtered.filter((d) => d.ano >= yearFrom && d.ano <= yearTo);
        |        }""".stripMargin
+  }
 
   /** Rollup shared by the category renders: sum each non-`ano` key over
     * the filtered years into (name, <valueKey>) pairs, sorted desc. */
@@ -514,13 +535,14 @@ object Exports {
   }
 
   /** The per-section update function + slider/region wiring. */
-  def chartUpdaterJs(pfx: String, yearFrom: Int): String = {
+  def chartUpdaterJs(pfx: String, yearFrom: Int,
+      hasRegion: Boolean = true, indicatorSrc: String = "timeline"): String = {
     val cap = pfx.capitalize
     // (fnName, srcPfx, body)
     val (fn, src, body) = pfx match {
       case "indicators" =>
         // indicator.py: two DOM counters summed from the timeline pivot
-        ("updateIndicators", "timeline",
+        ("updateIndicators", indicatorSrc,
           """        if (!filtered || filtered.length === 0) {
             |            document.getElementById("indicator_total_documents").innerText = 0;
             |            document.getElementById("indicator_total_fulltext").innerText = 0;
@@ -637,13 +659,16 @@ object Exports {
              |        dimention_chart.series[0].setData(data);""".stripMargin)
       case other => sys.error(s"unknown chart section: $other")
     }
+    val regionWire =
+      if (hasRegion)
+        s"""\n    regionSelect.addEventListener("change", debounced$cap);"""
+      else ""
     s"""function $fn() {
-       |${updaterPrelude(src, yearFrom)}
+       |${updaterPrelude(src, yearFrom, hasRegion)}
        |$body
        |    }
        |    const debounced$cap = debounce($fn, 100);
-       |    slider.noUiSlider.on("update", debounced$cap);
-       |    regionSelect.addEventListener("change", debounced$cap);""".stripMargin
+       |    slider.noUiSlider.on("update", debounced$cap);""".stripMargin + regionWire
   }
 
   private def jsonStr(s: String): String =

@@ -159,4 +159,32 @@ class DashboardSpec extends AnyFunSuite {
   test("the About pane stamps the injected date") {
     assert(page.contains("Last data update: 2026-01-01"))
   }
+
+  test("country pages carry the 8 chart constructors and slider-only updaters") {
+    import graft.metrics.Metrics
+    val cc = Metrics.countryCells(spark,
+      {
+        import spark.implicits._
+        spark.createDataset(MetricsOps.fixtureDocs).toDF()
+      },
+      MetricsOps.fixtureCountries, MetricsOps.fixtureDecsLabels,
+      MetricsOps.fixtureAreaLabels)
+    val pages = Exports.countryPages(cc, today = "2026-01-01")
+    assert(pages.nonEmpty)
+    val cp = pages.values.head
+    // 8 chart constructors (no language/timeline/journal section; the
+    // indicator section has no chart), byte-compatible with the regions
+    // configs — the tmgl_countries modules repeat them verbatim
+    for (pfx <- Seq("doctype", "studytype", "subject", "region",
+        "dimention", "therapy", "complementary", "traditional"))
+      assert(cp.contains(s"let ${pfx}_chart = Highcharts.chart("), s"$pfx chart")
+    assert(!cp.contains("let lang_chart"), "country page must not render lang")
+    // slider-only: no region select exists on this page, so neither the
+    // filter branch nor the change wiring may appear
+    assert(!cp.contains("regionSelect"), "country page leaked regionSelect JS")
+    assert(cp.contains("function updateIndicators()"))
+    assert(cp.contains("const indicators_year_json"))
+    // the timeline rename applies on this page's indicator data too
+    assert(cp.contains("total_documents"), "indicator data not renamed")
+  }
 }

@@ -24,6 +24,16 @@ object DumpPage {
       MetricsOps.fixtureAreaLabels)
     java.nio.file.Files.write(java.nio.file.Paths.get(args(0)),
       Exports.dashboardPage(cells, today = "2026-01-01").getBytes("UTF-8"))
+    // optional second arg: one per-country page from the fixture
+    if (args.length > 1) {
+      val cc = Metrics.countryCells(spark,
+        spark.createDataset(MetricsOps.fixtureDocs).toDF(),
+        MetricsOps.fixtureCountries, MetricsOps.fixtureDecsLabels,
+        MetricsOps.fixtureAreaLabels)
+      val pages = Exports.countryPages(cc, today = "2026-01-01")
+      java.nio.file.Files.write(java.nio.file.Paths.get(args(1)),
+        pages.values.head.getBytes("UTF-8"))
+    }
     spark.stop()
   }
 }

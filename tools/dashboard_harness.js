@@ -51,7 +51,8 @@ const docs = elements['indicator_total_documents'].innerText;
 console.log('indicator_total_documents =', docs);
 console.log('indicator_total_fulltext =',
   elements['indicator_total_fulltext'].innerText);
-if (bad || docs === null || Object.keys(charts).length !== 11) {
+const expected = parseInt(process.argv[3] || '11', 10);
+if (bad || docs === null || Object.keys(charts).length !== expected) {
   console.log('FAIL'); process.exit(1);
 }
 console.log('ALL_UPDATERS_RAN');
