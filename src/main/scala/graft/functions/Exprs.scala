@@ -291,6 +291,42 @@ object Exprs {
       copy(child = c)
   }
 
+  /** All M PQ codes of a normalized vector, packed 4 bits each into
+    * one long — a single kernel call per row in place of M·K unrolled
+    * candidate expressions (whose per-plan codegen compile dominated
+    * the PQ gates). The codebook ships as a codegen reference object. */
+  case class PqPack(child: Expression, cb: Array[Float],
+      m: Int, sub: Int, k: Int) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(v: Any): Any =
+      TextKernels.pqPack(
+        v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        cb, m, sub, k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("pqcb", cb, "float[]")
+      defineCodeGen(ctx, ev, c => s"$K.pqPack($c, $ref, $m, $sub, $k)")
+    }
+    override protected def withNewChildInternal(c: Expression): PqPack =
+      copy(child = c)
+  }
+
+  /** PQ asymmetric-distance score of a query vector against a packed
+    * code word, exact integer ten-thousandths. */
+  case class PqAdc(left: Expression, right: Expression, cb: Array[Float],
+      m: Int, sub: Int, k: Int) extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(q: Any, codes: Any): Any =
+      TextKernels.pqAdc(
+        q.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        codes.asInstanceOf[Long], cb, m, sub, k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("pqcb", cb, "float[]")
+      defineCodeGen(ctx, ev, (q, c) => s"$K.pqAdc($q, $c, $ref, $m, $sub, $k)")
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdc =
+      copy(left = l, right = r)
+  }
+
   // ---- Column-API wrappers ------------------------------------------------
 
   private def c(e: Expression): Column = Shim.column(e)
@@ -308,6 +344,11 @@ object Exprs {
     c(Winnow(e(tokens), k, w))
   def cosine_sim(a: Column, b: Column): Column = c(CosineSim(e(a), e(b)))
   def dot_f(a: Column, b: Column): Column = c(DotF(e(a), e(b)))
+  def pq_pack(v: Column, cb: Array[Float], m: Int, sub: Int, k: Int): Column =
+    c(PqPack(e(v), cb, m, sub, k))
+  def pq_adc(q: Column, codes: Column, cb: Array[Float],
+      m: Int, sub: Int, k: Int): Column =
+    c(PqAdc(e(q), e(codes), cb, m, sub, k))
   def sorted_intersect_count(a: Column, b: Column): Column =
     c(SortedIntersectCount(e(a), e(b)))
   def sorted_intersect_count_long(a: Column, b: Column): Column =

@@ -258,6 +258,89 @@ object TextKernels {
     if (d == 0.0) 0.0 else dot / d
   }
 
+  /** Exact half-up decimal rounding of x to 4 places, as integer
+    * ten-thousandths — the value `BigDecimal(x).setScale(4, HALF_UP)`
+    * denotes (what Spark's `round(col, 4)` computes on doubles),
+    * without a BigDecimal allocation on the hot path. The double
+    * detour x·10⁴ carries ≤ ~3e-12 absolute error for the |x| ≤ 2
+    * cosines/keys here, so any computed fraction more than 1e-9 from
+    * the .5 boundary decides the exact result; only the knife-edge
+    * falls back to BigDecimal (which also owns the half-up-vs-half-
+    * toward-+inf distinction for negative exact halves). */
+  def round4l(x: Double): Long = {
+    val scaled = x * 1e4
+    val fl = Math.floor(scaled)
+    val frac = scaled - fl
+    if (frac >= 0.5 + 1e-9) fl.toLong + 1L
+    else if (frac <= 0.5 - 1e-9) fl.toLong
+    else scala.math.BigDecimal(x)
+      .setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP)
+      .bigDecimal.movePointRight(4).longValueExact()
+  }
+
+  /** PQ encode — all M codes in one call, packed 4 bits each into a
+    * long. Key per (m,k) = round₄(⟨x_m,c_mk⟩ − ‖c_mk‖²/2), with the dot
+    * and norm folded sequentially (the dotF order) and round₄ the exact
+    * BigDecimal-HALF_UP value Spark's `round` applies to doubles (via
+    * [[round4l]], compared as integer ten-thousandths — the map n ↦
+    * n·10⁻⁴ is strictly monotone over this range, so long order ≡ the
+    * rounded-double order); argmax with strict > keeps the smallest
+    * code on ties — identical to the oracle's ORDER BY key DESC, k ASC.
+    * Codebook layout: flat floats, (m·K + k)·SUB + i. One kernel call
+    * per row replaces M·K unrolled expressions, whose per-plan janino
+    * compile dominated the gate. */
+  def pqPack(ne: ArrayData, cb: Array[Float], m: Int, sub: Int, kk: Int): Long = {
+    var packed = 0L
+    var mi = 0
+    while (mi < m) {
+      var best = Long.MinValue
+      var bestK = 0
+      var ki = 0
+      while (ki < kk) {
+        val base = (mi * kk + ki) * sub
+        var dot = 0.0; var cc = 0.0
+        var i = 0
+        while (i < sub) {
+          val x = ne.getFloat(mi * sub + i).toDouble
+          val c = cb(base + i).toDouble
+          dot += x * c; cc += c * c
+          i += 1
+        }
+        val key = round4l(dot - cc / 2.0)
+        if (key > best) { best = key; bestK = ki }
+        ki += 1
+      }
+      packed |= bestK.toLong << (4 * mi)
+      mi += 1
+    }
+    packed
+  }
+
+  /** PQ asymmetric-distance score: Σ_m ⌊round₄(⟨q_m, cb[m][code_m]⟩)·10⁴⌉
+    * as an exact long, codes unpacked from the packed word — the same
+    * value as the unrolled round/×10⁴/cast chain (the double that
+    * `round(dot, 4)` emits re-scales to within 1e-11 of the integer n,
+    * so the second rounding always returns n itself — [[round4l]]
+    * computes n directly), one call per (query, neighbor) row. */
+  def pqAdc(qn: ArrayData, codes: Long, cb: Array[Float],
+      m: Int, sub: Int, kk: Int): Long = {
+    var total = 0L
+    var mi = 0
+    while (mi < m) {
+      val code = ((codes >>> (4 * mi)) & 15L).toInt
+      val base = (mi * kk + code) * sub
+      var dot = 0.0
+      var i = 0
+      while (i < sub) {
+        dot += qn.getFloat(mi * sub + i).toDouble * cb(base + i).toDouble
+        i += 1
+      }
+      total += round4l(dot)
+      mi += 1
+    }
+    total
+  }
+
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 

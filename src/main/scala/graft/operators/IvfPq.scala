@@ -54,11 +54,8 @@ object IvfPq {
       .filter(col("query_id") =!= col("neighbor_id"))
       .join(codes, "neighbor_id")
       .join(qn, "query_id")
-    val adc = (0 until Pq.M).map { m =>
-      val cv = element_at(typedlit(cb(m)), Pq.unpack(col("codes"), m) + 1)
-      round(round(Exprs.dot_f(slice(col("qn"), m * Pq.SUB + 1, Pq.SUB), cv), 4)
-        * 10000).cast("long")
-    }.reduce(_ + _)
+    val adc = Exprs.pq_adc(col("qn"), col("codes"), Pq.flatCb(cb),
+      Pq.M, Pq.SUB, Pq.K)
     val short = Similarity.topKPerQueryLong(
       pairs.select(col("query_id"), col("neighbor_id"), adc.as("score")),
       shortlist)

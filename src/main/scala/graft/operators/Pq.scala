@@ -63,13 +63,6 @@ object Pq {
         v => (v.cast("double") / norm).cast("float")).as("ne"))
   }
 
-  /** The in-JVM twin of the sequential double dot fold (dotF). */
-  private def dotSeq(a: IndexedSeq[Float], b: IndexedSeq[Float]): Double = {
-    var acc = 0.0; var i = 0
-    while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
-    acc
-  }
-
   /** Seed codebook: subvectors of the K smallest vec_ids (normalized) —
     * a bounded K×64-float collect. */
   def seedCodebook(en: DataFrame): Codebook = {
@@ -80,30 +73,27 @@ object Pq {
       seeds.map(v => v.slice(m * SUB, (m + 1) * SUB)): IndexedSeq[IndexedSeq[Float]]).toVector
   }
 
-  /** Per-subspace code columns: each the argmax of the rounded key
-    * ⟨x_m,c⟩ − ‖c‖²/2 over the literal codebook (ties to the smaller
-    * code) — a pure projection, no join, no shuffle. Training reads
-    * this wide form; the served table packs it ([[encode]]). */
-  private[graft] def encodeWide(en: DataFrame, cb: Codebook): DataFrame =
-    (0 until M).foldLeft(en.select(col("vec_id"), col("ne"))) { (df, m) =>
-      val cands = array(cb(m).zipWithIndex.map { case (cv, k) =>
-        struct(
-          round(Exprs.dot_f(slice(col("ne"), m * SUB + 1, SUB),
-            typedlit(cv)) - lit(dotSeq(cv, cv) / 2.0), 4).as("key"),
-          lit(-k).as("negk"))
-      }: _*)
-      df.withColumn(s"code$m",
-        -element_at(sort_array(cands, asc = false), 1).getField("negk"))
-    }.drop("ne")
+  /** Codebook flattened to the kernel layout: (m·K + k)·SUB + i. */
+  private[graft] def flatCb(cb: Codebook): Array[Float] =
+    cb.flatten.flatten.toArray
 
   /** Encode to the SERVED form: all M 4-bit codes bit-packed into ONE
     * BIGINT (M·log₂K = 16·4 = exactly 64 bits) — the codes table is
-    * literally (vec_id, codes), 16 B/row, vs 256 B of floats. */
+    * literally (vec_id, codes), 16 B/row, vs 256 B of floats. One
+    * codegen'd kernel call per row ([[Exprs.pq_pack]]) computes every
+    * subspace argmax of round₄(⟨x_m,c⟩ − ‖c‖²/2) with code-ascending
+    * ties — the same key arithmetic the oracle replays — in place of
+    * M·K unrolled expressions (whose per-plan janino compile, repeated
+    * across the training jobs, dominated the gate's wall time). */
   def encode(en: DataFrame, cb: Codebook): DataFrame =
-    encodeWide(en, cb).select(col("vec_id"),
-      (0 until M).map(m =>
-        shiftleft(col(s"code$m").cast("long"), 4 * m)).reduce(_.bitwiseOR(_))
-        .as("codes"))
+    en.select(col("vec_id"),
+      Exprs.pq_pack(col("ne"), flatCb(cb), M, SUB, K).as("codes"))
+
+  /** The per-subspace code columns, unpacked from the served form —
+    * training reads this wide shape. */
+  private[graft] def encodeWide(en: DataFrame, cb: Codebook): DataFrame =
+    encode(en, cb).select(col("vec_id") +:
+      (0 until M).map(m => unpack(col("codes"), m).as(s"code$m")): _*)
 
   /** Unpack subspace m's code from the packed BIGINT. */
   private[graft] def unpack(codes: org.apache.spark.sql.Column,
@@ -149,11 +139,7 @@ object Pq {
       .select(col("vec_id").as("query_id"), col("ne").as("qn"))
     val pairs = codes.join(broadcast(qs),
       col("query_id") =!= col("neighbor_id"))
-    val adc = (0 until M).map { m =>
-      val cv = element_at(typedlit(cb(m)), unpack(col("codes"), m) + 1)
-      round(round(Exprs.dot_f(slice(col("qn"), m * SUB + 1, SUB), cv), 4)
-        * 10000).cast("long")
-    }.reduce(_ + _)
+    val adc = Exprs.pq_adc(col("qn"), col("codes"), flatCb(cb), M, SUB, K)
     val short = Similarity.topKPerQueryLong(
       pairs.select(col("query_id"), col("neighbor_id"),
         adc.as("score")), shortlist)
@@ -182,11 +168,7 @@ object Pq {
       .select(col("vec_id").as("query_id"), col("ne").as("qn"))
     val pairs = codes.join(broadcast(qs),
       col("query_id") =!= col("neighbor_id"))
-    val adc = (0 until M).map { m =>
-      val cv = element_at(typedlit(cb(m)), unpack(col("codes"), m) + 1)
-      round(round(Exprs.dot_f(slice(col("qn"), m * SUB + 1, SUB), cv), 4)
-        * 10000).cast("long")
-    }.reduce(_ + _)
+    val adc = Exprs.pq_adc(col("qn"), col("codes"), flatCb(cb), M, SUB, K)
     Similarity.topKPerQueryLong(
       pairs.select(col("query_id"), col("neighbor_id"), adc.as("score")),
       shortlist)

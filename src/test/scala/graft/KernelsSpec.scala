@@ -181,4 +181,28 @@ class KernelsSpec extends AnyFunSuite {
     assert(TextKernels.dotF(farr(1f, 2f, 3f), farr(4f, 5f, 6f)) == 32.0)
     assert(TextKernels.cosineF(farr(0f, 0f), farr(1f, 1f)) == 0.0)
   }
+
+  test("round4l equals the BigDecimal HALF_UP reference everywhere") {
+    def ref(x: Double): Long = scala.math.BigDecimal(x)
+      .setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP)
+      .bigDecimal.movePointRight(4).longValueExact()
+    // exact dyadic halves hit the fallback and must round AWAY from 0
+    assert(TextKernels.round4l(0.03125) == 313L)   // 312.5 -> 313
+    assert(TextKernels.round4l(-0.03125) == -313L) // -312.5 -> -313
+    assert(TextKernels.round4l(0.0) == 0L)
+    assert(TextKernels.round4l(-0.00002) == 0L)    // Spark round -> +0
+    val rnd = new scala.util.Random(42)
+    (1 to 20000).foreach { _ =>
+      val x = (rnd.nextDouble() - 0.5) * 4.0 // the |x| <= 2 kernel range
+      assert(TextKernels.round4l(x) == ref(x), s"x=$x")
+    }
+    // near-boundary values around every representable n/1e4 knife-edge
+    (1 to 2000).foreach { _ =>
+      val n = rnd.nextInt(40001) - 20000
+      Seq(-1e-12, 0.0, 1e-12, -1e-10, 1e-10).foreach { eps =>
+        val x = (n + 0.5) / 1e4 + eps
+        assert(TextKernels.round4l(x) == ref(x), s"x=$x n=$n eps=$eps")
+      }
+    }
+  }
 }
