@@ -576,5 +576,172 @@ object Sketches {
       .groupBy("event_type", "reg_id").agg(max("rho").as("rho")))
   }
 
-  val all: Seq[Q] = Seq(q91, q103, q104, q113, q114, q131)
+  /** The AMS sign-hash multipliers: the four CMS rows plus the KMV
+    * uniformizer — five independent ±1 families from one poly hash,
+    * sign_j(h) = 1 − 2·((h·Gⱼ mod M) mod 2). */
+  val AmsGs: Array[Long] = Cms.Gs :+ Kmv.G
+
+  /** AMS second-frequency-moment sketch (Alon-Matias-Szegedy, STOC'96
+    * "tug-of-war"): five counters per group, each Zⱼ = Σ_rows signⱼ(key);
+    * every Zⱼ² is an unbiased F₂ = Σ_key f(key)² estimate and their
+    * floored mean damps the variance to √(2/5)·F₂ (a MEDIAN of single
+    * squares would sit at the χ²₁ median ≈ 0.455·F₂ — measured exactly
+    * that on this stream — so the mean, not the median, is the right
+    * 5-register combine; median-of-means needs d ≥ 3 groups). F₂ IS the
+    * self-join size — the quantity a planner wants before deciding to
+    * salt a skewed key — and this sketch reads it from five integers per
+    * group: constant state, merged by addition, riding the
+    * partial-aggregate tree with no per-key shuffle (the exact answer
+    * needs groupBy(key), which at 100 TB is the very shuffle being
+    * avoided; long Z² saturates around |Z| ~ 3·10⁹ — beyond that,
+    * promote the squares to decimal). The all-integer registers (sign =
+    * one hash bit) are what DuckDB replays; the gate emits the five Z's,
+    * the mean-of-squares estimate, and the exact F₂ side by side. */
+  val q160 = Q.sql("q160_ams_f2",
+    """WITH k AS (
+      |  SELECT event_type,
+      |    CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+      |      list_transform(range(1, length(u) + 1),
+      |                     c -> CAST(ascii(substr(u, c, 1)) AS HUGEINT))),
+      |      (a, b) -> (a * 131 + b) % 2305843009213693951) AS BIGINT) AS h,
+      |    cnt
+      |  FROM (SELECT event_type, CAST(user_id AS VARCHAR) AS u,
+      |               count(*) AS cnt
+      |        FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2)),
+      |g AS (SELECT * FROM (VALUES
+      |  (0, 2177342782468422681), (1, 2258633747088074174),
+      |  (2, 1499779743744070127), (3, 1650849331375898009),
+      |  (4, 1752450205419405103)) t(j, g)),
+      |z AS (
+      |  SELECT event_type, j,
+      |    CAST(sum(cnt * (1 - 2 * CAST(CAST(h AS HUGEINT) * CAST(g.g AS HUGEINT)
+      |      % 2305843009213693951 % 2 AS BIGINT))) AS BIGINT) AS z
+      |  FROM k CROSS JOIN g GROUP BY 1, 2),
+      |zz AS (
+      |  SELECT event_type,
+      |    max(CASE WHEN j = 0 THEN z END) AS z0,
+      |    max(CASE WHEN j = 1 THEN z END) AS z1,
+      |    max(CASE WHEN j = 2 THEN z END) AS z2,
+      |    max(CASE WHEN j = 3 THEN z END) AS z3,
+      |    max(CASE WHEN j = 4 THEN z END) AS z4,
+      |    CAST(sum(z * z) // 5 AS BIGINT) AS est_f2
+      |  FROM z GROUP BY 1),
+      |x AS (SELECT event_type, CAST(sum(cnt * cnt) AS BIGINT) AS exact_f2
+      |      FROM k GROUP BY 1)
+      |SELECT zz.event_type, z0, z1, z2, z3, z4, est_f2, exact_f2
+      |FROM zz JOIN x USING (event_type)
+      |ORDER BY event_type""".stripMargin) { (s, d) =>
+    import graft.functions.Exprs.{mulmod61, poly_hash}
+    val hashed = Tables.events(s, d)
+      .filter(col("user_id").isNotNull)
+      .select(col("event_type"), col("user_id"),
+        poly_hash(col("user_id").cast("string")).as("h"))
+    val zCols = AmsGs.toSeq.zipWithIndex.map { case (g, j) =>
+      sum(lit(1L) - lit(2L) * (mulmod61(col("h"), g) % 2)).as(s"z$j")
+    }
+    val zs = hashed.groupBy("event_type").agg(zCols.head, zCols.tail: _*)
+    val exact = hashed
+      .groupBy("event_type", "user_id").agg(count(lit(1)).as("c"))
+      .groupBy("event_type").agg(sum(col("c") * col("c")).as("exact_f2"))
+    zs.join(exact, "event_type")
+      .select(col("event_type"), col("z0"), col("z1"), col("z2"),
+        col("z3"), col("z4"),
+        expr(s"(${(0 to 4).map(j => s"z$j * z$j").mkString(" + ")}) div 5")
+          .as("est_f2"),
+        col("exact_f2"))
+      .orderBy("event_type")
+  }
+
+  /** CMS-inner-product join-size estimation (AGMS/Cormode-Muthukrishnan
+    * §4.2): sketch each side's join key into the [[CountMin]] grid, and
+    * Σ_cells rowA·rowB — min over the depth rows — estimates
+    * |A ⋈ B| = Σ_key fA(key)·fB(key) without touching the join. This is
+    * the planner's pre-shuffle question ("can this date-aligned join
+    * explode?") answered from two 8 KiB register arrays: each side is
+    * one map-side-combined pass, the inner product is a 1×1-row join
+    * over array columns, and the estimate only ever OVERestimates
+    * (collision mass is nonnegative, E[over] = N_A·N_B/width). The gate
+    * pins all four per-row inner products, their min, and the exact
+    * join size, replayed register-by-register in DuckDB. */
+  val q161 = Q.sql("q161_cms_join_size",
+    """WITH lk AS (
+      |  SELECT CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+      |      list_transform(range(1, length(u) + 1),
+      |                     c -> CAST(ascii(substr(u, c, 1)) AS HUGEINT))),
+      |      (a, b) -> (a * 131 + b) % 2305843009213693951) AS BIGINT) AS h,
+      |    cnt
+      |  FROM (SELECT CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS u,
+      |               count(*) AS cnt
+      |        FROM lineitem GROUP BY 1)),
+      |ok AS (
+      |  SELECT CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+      |      list_transform(range(1, length(u) + 1),
+      |                     c -> CAST(ascii(substr(u, c, 1)) AS HUGEINT))),
+      |      (a, b) -> (a * 131 + b) % 2305843009213693951) AS BIGINT) AS h,
+      |    cnt
+      |  FROM (SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS u,
+      |               count(*) AS cnt
+      |        FROM orders GROUP BY 1)),
+      |d AS (SELECT * FROM (VALUES
+      |  (0, 2177342782468422681), (1, 2258633747088074174),
+      |  (2, 1499779743744070127), (3, 1650849331375898009)) t(i, g)),
+      |lr AS (
+      |  SELECT i, CAST(CAST(h AS HUGEINT) * CAST(g AS HUGEINT)
+      |         % 2305843009213693951 % 256 AS BIGINT) AS cell,
+      |         CAST(sum(cnt) AS BIGINT) AS reg
+      |  FROM lk CROSS JOIN d GROUP BY 1, 2),
+      |orr AS (
+      |  SELECT i, CAST(CAST(h AS HUGEINT) * CAST(g AS HUGEINT)
+      |         % 2305843009213693951 % 256 AS BIGINT) AS cell,
+      |         CAST(sum(cnt) AS BIGINT) AS reg
+      |  FROM ok CROSS JOIN d GROUP BY 1, 2),
+      |ip AS (
+      |  SELECT lr.i, CAST(sum(lr.reg * orr.reg) AS BIGINT) AS est
+      |  FROM lr JOIN orr USING (i, cell) GROUP BY 1),
+      |e AS (
+      |  SELECT max(CASE WHEN i = 0 THEN est END) AS est0,
+      |         max(CASE WHEN i = 1 THEN est END) AS est1,
+      |         max(CASE WHEN i = 2 THEN est END) AS est2,
+      |         max(CASE WHEN i = 3 THEN est END) AS est3,
+      |         CAST(min(est) AS BIGINT) AS est_join
+      |  FROM ip),
+      |x AS (
+      |  SELECT CAST(coalesce(sum(l.cnt * o.cnt), 0) AS BIGINT) AS exact_join
+      |  FROM (SELECT CAST(l_shipdate AS DATE) AS dt, count(*) AS cnt
+      |        FROM lineitem GROUP BY 1) l
+      |  JOIN (SELECT CAST(o_orderdate AS DATE) AS dt, count(*) AS cnt
+      |        FROM orders GROUP BY 1) o USING (dt)),
+      |n AS (
+      |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_l,
+      |         (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_o)
+      |SELECT n_l, n_o, est0, est1, est2, est3, est_join, exact_join
+      |FROM n CROSS JOIN e CROSS JOIN x""".stripMargin) { (s, d) =>
+    import graft.functions.Exprs.poly_hash
+    val cms = udaf(new CountMin, Encoders.scalaLong)
+    def keyed(df: DataFrame, dateCol: String): DataFrame =
+      df.select(col(dateCol).cast("date").as("dt"),
+        poly_hash(col(dateCol).cast("date").cast("string")).as("h"))
+    val li = keyed(Tables.lineitem(s, d), "l_shipdate")
+    val or = keyed(Tables.orders(s, d), "o_orderdate")
+    val lSk = li.agg(cms(col("h")).as("rl"), count(lit(1)).as("n_l"))
+    val oSk = or.agg(cms(col("h")).as("ro"), count(lit(1)).as("n_o"))
+    val prod = zip_with(col("rl"), col("ro"), (a, b) => a * b)
+    val withEsts = (0 until Cms.Depth).foldLeft(
+      lSk.crossJoin(oSk).withColumn("prod", prod)) { (df, i) =>
+      df.withColumn(s"est$i",
+        aggregate(slice(col("prod"), i * Cms.Width + 1, Cms.Width),
+          lit(0L), (acc, x) => acc + x))
+    }
+    val exact = li.groupBy("dt").agg(count(lit(1)).as("cl"))
+      .join(or.groupBy("dt").agg(count(lit(1)).as("co")), "dt")
+      .agg(coalesce(sum(col("cl") * col("co")), lit(0L)).as("exact_join"))
+    withEsts
+      .withColumn("est_join",
+        least((0 until Cms.Depth).map(i => col(s"est$i")): _*))
+      .crossJoin(exact)
+      .select("n_l", "n_o", "est0", "est1", "est2", "est3",
+        "est_join", "exact_join")
+  }
+
+  val all: Seq[Q] = Seq(q91, q103, q104, q113, q114, q131, q160, q161)
 }

@@ -353,4 +353,41 @@ class WebPipelineSpec extends AnyFunSuite {
         s"n=$n1→$n2 rate ratio ${p2 / p1} vs sqrt ${expected}")
     }
   }
+
+  // ---- AMS F2 / CMS join size ------------------------------------------
+
+  test("ams f2: emitted estimate is the floored mean of the emitted " +
+      "registers' squares and tracks exact on the deterministic stream") {
+    val rows = SparkEntry.queries("q160_ams_f2")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val zs = (0 to 4).map(j => r.getAs[Long](s"z$j"))
+      val est = r.getAs[Long]("est_f2")
+      val exact = r.getAs[Long]("exact_f2")
+      assert(est == zs.map(z => z * z).sum / 5,
+        s"est_f2 != mean of emitted Z²: $r")
+      assert(exact > 0)
+      // the mean of 5 unbiased tug-of-war squares has sd = √(2/5)·F2;
+      // this deterministic draw must land within a 4x envelope of exact
+      // (catches sign-hash or register plumbing breakage — measured
+      // ratios on this stream are 0.73..1.22)
+      assert(est >= exact / 4 && est <= 4 * exact,
+        s"mean-of-5 AMS estimate off: est=$est exact=$exact")
+    }
+  }
+
+  test("cms join size: every row inner product over-counts the exact " +
+      "join size and the min is their floor") {
+    val r = SparkEntry.queries("q161_cms_join_size")(spark, sf).head()
+    val exact = r.getAs[Long]("exact_join")
+    val ests = (0 to 3).map(i => r.getAs[Long](s"est$i"))
+    val est = r.getAs[Long]("est_join")
+    assert(est == ests.min)
+    // collision mass is nonnegative: each row's inner product ≥ exact
+    ests.foreach(e => assert(e >= exact, s"CMS inner product $e < exact $exact"))
+    // expectation bound E[over] = N_A·N_B/width; allow 8× slack on one draw
+    val nl = r.getAs[Long]("n_l"); val no = r.getAs[Long]("n_o")
+    assert(est - exact <= 8L * nl * no / 256L,
+      s"over=${est - exact} beyond 8x the N_A*N_B/width expectation")
+  }
 }
