@@ -1,0 +1,181 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Distributed linear algebra over the embedding column — the two
+  * primitives an embedding-whitening / PCA stage needs before
+  * similarity work (decorrelated dims make cosine thresholds
+  * meaningful, and the top principal component is the classic
+  * "remove the dominant direction" denoiser for sentence embeddings):
+  *
+  *  - [[covariance]]: the d×d covariance matrix as ONE map-side-light
+  *    pass — explode to (vec, dim, value), broadcast-self-join per
+  *    vector (the per-vector 64-row slice never shuffles), partial-agg
+  *    the d(d+1)/2 upper-triangle sums. Elements are FLOOR-QUANTIZED to
+  *    integer 10⁻⁸ units first (`floor(x·10⁸)` — the multiply and floor
+  *    are the same IEEE ops on the same double in both engines, and
+  *    floor has no tie cases), because NO decimal cast of a raw float
+  *    is cross-engine safe: floats populate every dyadic scale, so some
+  *    element always lands exactly on a .5 boundary where Spark rounds
+  *    HALF_UP and DuckDB half-even (found empirically: sf0.01's vec 264
+  *    dim 33 = −0.27392578125 at scale 10). The quantized sums are
+  *    exact integers (products ride DECIMAL(38,0)), the quantization
+  *    bias (< 10⁻⁸ per element) is orders below covariance's own 1/√n
+  *    sampling noise, and the final unit re-scaling is one identical
+  *    IEEE division chain per cell.
+  *  - [[q163]]: 8 power-iteration steps toward the top eigenvector,
+  *    every floating-point operation an IDENTICAL IEEE sequence in both
+  *    engines (fixed-order left folds, one sqrt — correctly rounded by
+  *    IEEE 754 everywhere — one division per component), so the oracle
+  *    replays the iteration bit-for-bit with no rounding tricks, the
+  *    q121 z-score pattern scaled up to a matrix recurrence.
+  *
+  * At 100 TB the covariance pass is the scale path (explode factor d²/2
+  * per vector is traded against zero driver state; the alternative — a
+  * mapPartitions accumulator matrix — is faster but its merge order
+  * makes the sums unpinnable). The iteration itself is driver-cheap by
+  * construction: the matrix is d×d = 64×64 regardless of corpus size,
+  * so each step is a bounded 64-row job (the BPE-argmax precedent).
+  */
+object Linalg {
+
+  val D = 64
+
+  /** Quantization: 10⁻⁸ units. Bias < 10⁻⁸ per element; products fit
+    * long (|xq| ≤ 2·10⁸ → xq² ≤ 4·10¹⁶), sums ride DECIMAL(38,0). */
+  val QScale = 1e8
+
+  /** (i, j, n, cov) for 1 ≤ i ≤ j ≤ D, cov = E[x_i x_j] − E[x_i]E[x_j]
+    * over the floor-quantized elements. */
+  def covariance(s: SparkSession, d: String): DataFrame = {
+    val x = Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "xf")))
+      .select(col("vec_id"), (col("p") + 1).cast("long").as("i"),
+        floor(col("xf").cast("double") * QScale).as("xq"))
+    val a = x.toDF("vec_id", "i", "xa")
+    val b = x.toDF("vec_id", "j", "xb")
+    // broadcast the (n·64)-row side: the pair build is shuffle-free and
+    // the only exchange in the plan is the 2080-group partial agg
+    val prods = a.join(broadcast(b), "vec_id")
+      .filter(col("i") <= col("j"))
+      .groupBy("i", "j")
+      .agg(sum((col("xa") * col("xb")).cast("decimal(38,0)")).as("sxx"))
+    val mu = x.groupBy("i")
+      .agg(sum("xq").as("si"), count(lit(1)).as("n"))
+    val mi = mu.select(col("i"), col("si"), col("n"))
+    val mj = mu.select(col("i").as("j"), col("si").as("sj"))
+    prods.join(mi, "i").join(mj, "j")
+      .select(col("i").as("dim_i"), col("j").as("dim_j"), col("n"),
+        ((col("sxx").cast("double") / col("n") / lit(QScale * QScale))
+          - ((col("si").cast("double") / col("n") / lit(QScale))
+            * (col("sj").cast("double") / col("n") / lit(QScale)))).as("cov"))
+  }
+
+  /** The shared oracle prefix. floor(CAST(f AS DOUBLE) · 10⁸) is the
+    * same IEEE multiply + floor Spark runs — no rounding, no ties (a
+    * raw float→DECIMAL cast is NOT safe: exact-half elements exist at
+    * every scale and the engines' tie rules differ; nor is DuckDB's
+    * FLOAT→DECIMAL, which scales in float32 — operators.Q rules). The
+    * integer sums exceed 15 digits, so they reach DOUBLE through the
+    * VARCHAR bridge. */
+  private val CovSql =
+    """x AS MATERIALIZED (
+      |  SELECT vec_id, CAST(g.i AS BIGINT) AS i,
+      |         CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 100000000.0)
+      |              AS BIGINT) AS xq
+      |  FROM embeddings CROSS JOIN
+      |       (SELECT unnest(range(1, 65)) AS i) g),
+      |mu AS MATERIALIZED (
+      |  SELECT i, CAST(sum(xq) AS BIGINT) AS si, count(*) AS n
+      |  FROM x GROUP BY 1),
+      |p AS MATERIALIZED (
+      |  SELECT a.i AS i, b.i AS j, sum(CAST(a.xq * b.xq AS HUGEINT)) AS sxx
+      |  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+      |  GROUP BY 1, 2),
+      |cov AS MATERIALIZED (
+      |  SELECT p.i AS dim_i, p.j AS dim_j, CAST(mi.n AS BIGINT) AS n,
+      |    CAST(CAST(p.sxx AS VARCHAR) AS DOUBLE) / mi.n / 1e16
+      |      - ((CAST(mi.si AS DOUBLE) / mi.n / 1e8)
+      |         * (CAST(mj.si AS DOUBLE) / mj.n / 1e8)) AS cov
+      |  FROM p JOIN mu mi ON mi.i = p.i JOIN mu mj ON mj.i = p.j)""".stripMargin
+
+  val q162 = Q.sql("q162_embed_covariance",
+    s"""WITH $CovSql
+      |SELECT dim_i, dim_j, n, cov FROM cov
+      |ORDER BY dim_i, dim_j""".stripMargin) { (s, d) =>
+    covariance(s, d).orderBy("dim_i", "dim_j")
+  }
+
+  /** One DuckDB power-iteration layer: w = C·v (per-row fixed-order
+    * fold), λ = √Σw² (i-order fold), v' = w/λ. `it0` must provide
+    * column `v`; emits `it$t(v, lam)`. */
+  private def layer(t: Int): String = {
+    val prev = if (t == 1) "it0" else s"it${t - 1}"
+    s"""w$t AS MATERIALIZED (
+       |  SELECT m.i, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list_transform(list_zip(m.row, $prev.v),
+       |                   q -> q[1] * q[2])),
+       |    (acc, e) -> acc + e) AS w
+       |  FROM m, $prev),
+       |n$t AS MATERIALIZED (
+       |  SELECT sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list_transform(list(w ORDER BY i), e -> e * e)),
+       |    (acc, e) -> acc + e)) AS lam,
+       |    list(w ORDER BY i) AS wl
+       |  FROM w$t),
+       |it$t AS MATERIALIZED (
+       |  SELECT list_transform(wl, e -> e / lam) AS v, lam FROM n$t)""".stripMargin
+  }
+
+  val Iters = 8
+
+  val q163 = Q.sql("q163_power_iteration",
+    s"""WITH $CovSql,
+      |full_m AS MATERIALIZED (
+      |  SELECT dim_i AS i, dim_j AS j, cov FROM cov
+      |  UNION ALL
+      |  SELECT dim_j AS i, dim_i AS j, cov FROM cov WHERE dim_i <> dim_j),
+      |m AS MATERIALIZED (
+      |  SELECT i, list(cov ORDER BY j) AS row FROM full_m GROUP BY 1),
+      |it0 AS (SELECT list_transform(range(1, 65),
+      |                              e -> CAST(0.125 AS DOUBLE)) AS v),
+      |${(1 to Iters).map(layer).mkString(",\n")}
+      |SELECT CAST(g.i AS BIGINT) AS dim_i, it$Iters.v[g.i] AS v_i,
+      |       it$Iters.lam AS lam
+      |FROM (SELECT unnest(range(1, 65)) AS i) g, it$Iters
+      |ORDER BY dim_i""".stripMargin) { (s, d) =>
+    val cov = covariance(s, d)
+    val full = cov.select(col("dim_i").as("i"), col("dim_j").as("j"), col("cov"))
+      .union(cov.filter(col("dim_i") =!= col("dim_j"))
+        .select(col("dim_j").as("i"), col("dim_i").as("j"), col("cov")))
+    // 64 rows: (i, dense row ordered by j) — pinned once so the 8 tiny
+    // per-iteration jobs don't re-run the corpus covariance pass
+    val m = full.groupBy("i")
+      .agg(transform(array_sort(collect_list(struct(col("j"), col("cov")))),
+        e => e.getField("cov")).as("row"))
+      .localCheckpoint(true)
+    var v = Array.fill(D)(0.125)
+    var lam = 0.0
+    for (_ <- 1 to Iters) {
+      // w = C·v: fixed-order left fold inside the plan (zip_with keeps
+      // j order; aggregate starts at 0.0 like the oracle's prepend)
+      val w = m.select(col("i"),
+        aggregate(zip_with(col("row"), lit(v), (a, b) => a * b),
+          lit(0.0), (acc, e) => acc + e).as("w"))
+        .orderBy("i").collect().map(_.getDouble(1))
+      val sumsq = w.foldLeft(0.0)((acc, e) => acc + e * e)
+      lam = math.sqrt(sumsq)
+      v = w.map(_ / lam)
+    }
+    import s.implicits._
+    v.toSeq.zipWithIndex
+      .map { case (vi, p) => ((p + 1).toLong, vi, lam) }
+      .toDF("dim_i", "v_i", "lam")
+      .orderBy("dim_i")
+  }
+
+  val all: Seq[Q] = Seq(q162, q163)
+}

@@ -23,7 +23,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    add `+ 0.0` on the ORACLE side: DuckDB's `round` preserves the
   *    sign of tiny negatives (`-0.0`), Spark's BigDecimal round
   *    normalizes to `+0.0` — value-equal but byte-distinct, and the
-  *    driver hashes bytes (r9: q153 shipped hash-red this way).
+  *    driver hashes bytes (r9: q153 shipped hash-red this way);
+  *  - a FLOAT column entering a DECIMAL sum must be cast
+  *    `CAST(CAST(f AS DOUBLE) AS DECIMAL(p,s))` on the ORACLE side:
+  *    DuckDB 1.0's direct FLOAT→DECIMAL cast scales in float32 and
+  *    loses ~2e-9 per element (caught building q162); Spark's
+  *    float→decimal rounds the exact binary value.
   */
 final case class Q(
     name: String,

@@ -390,4 +390,49 @@ class WebPipelineSpec extends AnyFunSuite {
     assert(est - exact <= 8L * nl * no / 256L,
       s"over=${est - exact} beyond 8x the N_A*N_B/width expectation")
   }
+
+  // ---- Embedding covariance + power iteration ----------------------------
+
+  test("covariance gate matches a naive driver recompute within the " +
+      "1e-8 quantization budget") {
+    val cov = SparkEntry.queries("q162_embed_covariance")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("dim_i").toInt, r.getAs[Long]("dim_j").toInt) ->
+        r.getAs[Double]("cov")).toMap
+    assert(cov.size == 64 * 65 / 2)
+    val vecs = Tables.embeddings(spark, sf).orderBy("vec_id").collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val n = vecs.length.toDouble
+    def naive(i: Int, j: Int): Double = {
+      val sxx = vecs.map(v => v(i - 1) * v(j - 1)).sum
+      val si = vecs.map(_(i - 1)).sum; val sj = vecs.map(_(j - 1)).sum
+      sxx / n - (si / n) * (sj / n)
+    }
+    for ((i, j) <- Seq((1, 1), (1, 2), (5, 9), (64, 64), (33, 33)))
+      assert(math.abs(cov((i, j)) - naive(i, j)) < 1e-7,
+        s"cov($i,$j)=${cov((i, j))} vs naive ${naive(i, j)}")
+    // diagonal entries are variances
+    (1 to 64).foreach(i => assert(cov((i, i)) > 0))
+  }
+
+  test("power iteration: unit vector, positive eigenvalue, small residual") {
+    val cov = SparkEntry.queries("q162_embed_covariance")(spark, sf).collect()
+    val c = Array.ofDim[Double](64, 64)
+    cov.foreach { r =>
+      val i = r.getAs[Long]("dim_i").toInt - 1
+      val j = r.getAs[Long]("dim_j").toInt - 1
+      c(i)(j) = r.getAs[Double]("cov"); c(j)(i) = c(i)(j)
+    }
+    val rows = SparkEntry.queries("q163_power_iteration")(spark, sf)
+      .orderBy("dim_i").collect()
+    val v = rows.map(_.getAs[Double]("v_i"))
+    val lam = rows.head.getAs[Double]("lam")
+    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-9, "v not unit norm")
+    assert(lam > 0)
+    // 8 iterations on a nearly-degenerate random spectrum: measured
+    // residual/λ is 0.04–0.07 across SFs — pin an order-of-magnitude cap
+    val w = c.map(row => row.zip(v).map { case (a, b) => a * b }.sum)
+    val res = math.sqrt(w.zip(v).map { case (wi, vi) =>
+      val d = wi - lam * vi; d * d }.sum)
+    assert(res / lam < 0.25, s"residual ${res / lam} — iteration diverged?")
+  }
 }
