@@ -342,5 +342,52 @@ object DataSplit {
     sourceCapTwoPhase(skew, k = 10, buckets = 8).orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(q59, q60, q67, q77, q83, q105, q133, q148)
+  /** Dedup-AWARE split: the near-dup COMPONENT (DedupClusters' q54
+    * machinery, J ≥ 0.9) is the split unit, and the q59 hash recipe is
+    * applied to the component representative — so two near-duplicate
+    * docs can never straddle train/test, the leakage a per-doc content
+    * hash only prevents for EXACT dups (same text → same md5 → same
+    * split) while a 95%-identical pair splits independently. This is
+    * the grouped-split every dedup-then-split pipeline needs; at 100 TB
+    * the component labels come from the same banded-candidate machinery
+    * q54 runs, and the split itself adds one stateless hash on the
+    * label. Oracle nests q54's brute component SQL — like q157 it is
+    * EXCLUDED from the 5× scaled sweeps (the nested reference check is
+    * quadratic; the engine path is not). */
+  val q165 = Q.sql("q165_group_split",
+    """WITH RECURSIVE
+      |s AS (
+      |  SELECT doc_id, list_sort(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS ts
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |  WHERE 1.0*len(list_intersect(a.ts, b.ts)) / len(list_distinct(a.ts || b.ts)) >= 0.9),
+      |edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION SELECT id_b, id_a FROM pairs),
+      |lp(id, label) AS (
+      |  SELECT doc_id, doc_id FROM s
+      |  UNION
+      |  SELECT edges.src, lp.label FROM lp JOIN edges ON lp.id = edges.dst),
+      |final AS (
+      |  SELECT id, min(label) AS component FROM lp GROUP BY id),
+      |dec AS (
+      |  SELECT s.doc_id, coalesce(f.component, s.doc_id) AS component
+      |  FROM s LEFT JOIN final f ON s.doc_id = f.id)
+      |SELECT doc_id, component,
+      |  CASE WHEN substr(md5(CAST(component AS VARCHAR)), 1, 1) < 'c' THEN 'train'
+      |       WHEN substr(md5(CAST(component AS VARCHAR)), 1, 1) < 'e' THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM dec ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val compMd5 = md5(col("component").cast("string").cast("binary"))
+    DedupClusters.decisions(s, d, 0.9)
+      .select(col("doc_id"), col("component"),
+        when(substring(compMd5, 1, 1) < "c", "train")
+          .when(substring(compMd5, 1, 1) < "e", "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(q59, q60, q67, q77, q83, q105, q133, q148, q165)
 }

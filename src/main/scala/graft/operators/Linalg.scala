@@ -132,9 +132,9 @@ object Linalg {
 
   val Iters = 8
 
-  val q163 = Q.sql("q163_power_iteration",
-    s"""WITH $CovSql,
-      |full_m AS MATERIALIZED (
+  /** The oracle's iteration chain, from the cov CTE to `it$Iters(v, lam)`. */
+  private val IterSql =
+    s"""full_m AS MATERIALIZED (
       |  SELECT dim_i AS i, dim_j AS j, cov FROM cov
       |  UNION ALL
       |  SELECT dim_j AS i, dim_i AS j, cov FROM cov WHERE dim_i <> dim_j),
@@ -142,11 +142,12 @@ object Linalg {
       |  SELECT i, list(cov ORDER BY j) AS row FROM full_m GROUP BY 1),
       |it0 AS (SELECT list_transform(range(1, 65),
       |                              e -> CAST(0.125 AS DOUBLE)) AS v),
-      |${(1 to Iters).map(layer).mkString(",\n")}
-      |SELECT CAST(g.i AS BIGINT) AS dim_i, it$Iters.v[g.i] AS v_i,
-      |       it$Iters.lam AS lam
-      |FROM (SELECT unnest(range(1, 65)) AS i) g, it$Iters
-      |ORDER BY dim_i""".stripMargin) { (s, d) =>
+      |${(1 to Iters).map(layer).mkString(",\n")}""".stripMargin
+
+  /** Run the 8 power-iteration steps: (top eigenvector, its norm λ).
+    * Each step is one bounded 64-row job over the localCheckpointed
+    * matrix; the corpus is scanned exactly once (the covariance pass). */
+  def topEigen(s: SparkSession, d: String): (Array[Double], Double) = {
     val cov = covariance(s, d)
     val full = cov.select(col("dim_i").as("i"), col("dim_j").as("j"), col("cov"))
       .union(cov.filter(col("dim_i") =!= col("dim_j"))
@@ -170,6 +171,17 @@ object Linalg {
       lam = math.sqrt(sumsq)
       v = w.map(_ / lam)
     }
+    (v, lam)
+  }
+
+  val q163 = Q.sql("q163_power_iteration",
+    s"""WITH $CovSql,
+      |$IterSql
+      |SELECT CAST(g.i AS BIGINT) AS dim_i, it$Iters.v[g.i] AS v_i,
+      |       it$Iters.lam AS lam
+      |FROM (SELECT unnest(range(1, 65)) AS i) g, it$Iters
+      |ORDER BY dim_i""".stripMargin) { (s, d) =>
+    val (v, lam) = topEigen(s, d)
     import s.implicits._
     v.toSeq.zipWithIndex
       .map { case (vi, p) => ((p + 1).toLong, vi, lam) }
@@ -177,5 +189,46 @@ object Linalg {
       .orderBy("dim_i")
   }
 
-  val all: Seq[Q] = Seq(q162, q163)
+  /** Principal-component projection — the "remove the dominant
+    * direction" denoiser (Arora et al.'s all-but-the-top shape): every
+    * vector's scalar projection onto the q163 eigenvector plus its
+    * off-component residual norm. One corpus scan with the 64-double
+    * eigenvector as a plan literal; score and residual are fixed-order
+    * IEEE folds the oracle replays exactly (no rounding anywhere in the
+    * chain, like q163). */
+  val q164 = Q.sql("q164_pca_projection",
+    s"""WITH $CovSql,
+      |$IterSql,
+      |e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+      |       FROM embeddings),
+      |sc AS MATERIALIZED (
+      |  SELECT vec_id, e,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(list_zip(e, it$Iters.v), q -> q[1] * q[2])),
+      |      (acc, x) -> acc + x) AS score
+      |  FROM e2, it$Iters)
+      |SELECT sc.vec_id, sc.score,
+      |  sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |    list_transform(list_zip(sc.e, it$Iters.v),
+      |      q -> (q[1] - sc.score * q[2]) * (q[1] - sc.score * q[2]))),
+      |    (acc, x) -> acc + x)) AS resid
+      |FROM sc, it$Iters
+      |ORDER BY sc.vec_id""".stripMargin) { (s, d) =>
+    val (v, _) = topEigen(s, d)
+    val vLit = lit(v)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("e"))
+    e.withColumn("score",
+        aggregate(zip_with(col("e"), vLit, (a, b) => a * b),
+          lit(0.0), (acc, x) => acc + x))
+      .withColumn("resid",
+        sqrt(aggregate(zip_with(col("e"), vLit,
+          (a, b) => (a - col("score") * b) * (a - col("score") * b)),
+          lit(0.0), (acc, x) => acc + x)))
+      .select("vec_id", "score", "resid")
+      .orderBy("vec_id")
+  }
+
+  val all: Seq[Q] = Seq(q162, q163, q164)
 }

@@ -435,4 +435,35 @@ class WebPipelineSpec extends AnyFunSuite {
       val d = wi - lam * vi; d * d }.sum)
     assert(res / lam < 0.25, s"residual ${res / lam} — iteration diverged?")
   }
+
+  test("pca projection: score and residual are a Pythagorean split of " +
+      "each vector's norm") {
+    val rows = SparkEntry.queries("q164_pca_projection")(spark, sf).collect()
+    val norms = Tables.embeddings(spark, sf).orderBy("vec_id").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](1).map(x => x.toDouble * x.toDouble).sum).toMap
+    assert(rows.length == norms.size)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      val sc = r.getAs[Double]("score"); val rs = r.getAs[Double]("resid")
+      assert(rs >= 0)
+      // v is unit-norm, so score² + resid² = ‖e‖² exactly (up to fp)
+      assert(math.abs(sc * sc + rs * rs - norms(id)) < 1e-9,
+        s"vec $id: ${sc * sc + rs * rs} vs ${norms(id)}")
+    }
+  }
+
+  test("group split: a near-dup component never straddles splits") {
+    val rows = SparkEntry.queries("q165_group_split")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("component"),
+        r.getAs[String]("split")))
+    assert(rows.nonEmpty)
+    val splitsPerComp = rows.groupBy(_._2).map { case (_, g) =>
+      g.map(_._3).distinct.size }
+    assert(splitsPerComp.forall(_ == 1), "component straddles splits")
+    // sf0.001 has actual dup clusters: at least one multi-doc component,
+    // and all three splits occur across components
+    assert(rows.groupBy(_._2).exists(_._2.length > 1))
+    assert(rows.map(_._3).distinct.toSet == Set("train", "val", "test"))
+  }
 }
