@@ -446,4 +446,21 @@ class PlanSpec extends AnyFunSuite {
       s"brute pair stream is not the broadcast nested-loop plan\n$p1")
     assert(!p1.contains("CartesianProduct"), s"cartesian shuffle crept in\n$p1")
   }
+
+  test("covariance: pair build is broadcast — dim slices never shuffle") {
+    // q162's per-vector self-join must be a broadcast hash join (the
+    // exploded side is n·64 compact rows); the only non-broadcast
+    // exchanges are the 2080-group partial agg, the tiny mean agg, and
+    // the output sort. A shuffle-based self-join would move the corpus
+    // twice per covariance pass.
+    val df = graft.operators.Linalg.covariance(spark, sf)
+    df.collect()
+    val p1 = plan(df).split("== Initial Plan ==")(0)
+    assert(p1.contains("BroadcastHashJoin"),
+      s"pair build lost its broadcast join\n$p1")
+    assert(p1.contains("HashAggregate"), s"partial agg missing\n$p1")
+    val shuffles = p1.linesIterator
+      .filter(l => l.contains("Exchange") && !l.contains("Broadcast")).size
+    assert(shuffles <= 4, s"covariance plan grew to $shuffles shuffles\n$p1")
+  }
 }
