@@ -141,5 +141,31 @@ object StreamOps {
     Streams.hllSketch(s, d, qn("hll"))
   }
 
-  val all: Seq[Q] = Seq(q50, q51, q57, q63, q71, q72, q76, q84, q135)
+  /** Streaming Count-Min register maintenance ≡ the batch grid (q104's
+    * register CTE): additive counters under Complete-mode streaming sum. */
+  val q166 = Q.sql("q166_stream_countmin",
+    """WITH k AS (
+      |  SELECT user_id,
+      |    CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+      |      list_transform(range(1, length(u) + 1),
+      |                     c -> CAST(ascii(substr(u, c, 1)) AS HUGEINT))),
+      |      (a, b) -> (a * 131 + b) % 2305843009213693951) AS BIGINT) AS h,
+      |    cnt
+      |  FROM (SELECT user_id, CAST(user_id AS VARCHAR) AS u,
+      |               count(*) AS cnt
+      |        FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2)),
+      |d AS (SELECT * FROM (VALUES
+      |  (0, 2177342782468422681), (1, 2258633747088074174),
+      |  (2, 1499779743744070127), (3, 1650849331375898009)) t(i, g)),
+      |r AS (
+      |  SELECT CAST(i AS BIGINT) AS i,
+      |    CAST(CAST(h AS HUGEINT) * CAST(g AS HUGEINT)
+      |         % 2305843009213693951 % 256 AS BIGINT) AS cell,
+      |    CAST(sum(cnt) AS BIGINT) AS reg
+      |  FROM k CROSS JOIN d GROUP BY 1, 2)
+      |SELECT i, cell, reg FROM r ORDER BY i, cell""".stripMargin) { (s, d) =>
+    Streams.cmsSketch(s, d, qn("cms"))
+  }
+
+  val all: Seq[Q] = Seq(q50, q51, q57, q63, q71, q72, q76, q84, q135, q166)
 }

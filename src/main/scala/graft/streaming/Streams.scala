@@ -358,4 +358,37 @@ object Streams {
     // (≤ 5·64-row) state to give the finish plan fresh leaves.
     Sketches.hllFinish(spark.table(queryName).localCheckpoint(true))
   }
+
+  /** Streaming Count-Min registers: each event contributes one
+    * increment to `Depth` cells; a Complete-mode SUM aggregation over
+    * (row, cell) IS the incrementally-maintained sketch — additive
+    * counters are to sum-state what HLL's rho is to max-state
+    * ([[hllSketch]]), so the streaming engine's state store does the
+    * merging and the final registers equal the batch grid exactly
+    * (the DuckDB oracle replays them from grouped exact counts). State
+    * is bounded by depth×width regardless of stream length — the
+    * always-on frequency monitor shape. */
+  /** The register aggregation itself — one definition serving both the
+    * batch recompute (spec) and the Complete-mode stream ([[cmsSketch]]). */
+  def cmsRegisters(events: DataFrame): DataFrame = {
+    import graft.operators.Sketches.Cms
+    import graft.functions.Exprs
+    events
+      .filter(col("user_id").isNotNull)
+      .select(Exprs.poly_hash(col("user_id").cast("string")).as("h"))
+      .select(explode(array((0 until Cms.Depth).map { i =>
+        struct(lit(i.toLong).as("i"),
+          pmod(Exprs.mulmod61(col("h"), Cms.Gs(i)), lit(Cms.Width.toLong))
+            .as("cell"))
+      }: _*)).as("rc"))
+      .select(col("rc.i").as("i"), col("rc.cell").as("cell"))
+      .groupBy("i", "cell").agg(count(lit(1)).as("reg"))
+  }
+
+  def cmsSketch(spark: SparkSession, dir: String, queryName: String): DataFrame = {
+    runToCompletion(spark, cmsRegisters(eventStream(spark, dir)).writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory").queryName(queryName))
+    spark.table(queryName).orderBy("i", "cell")
+  }
 }

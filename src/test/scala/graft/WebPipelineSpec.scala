@@ -198,6 +198,15 @@ class WebPipelineSpec extends AnyFunSuite {
     assert(batch.sameElements(stream))
   }
 
+  test("cms: streaming register state equals the batch grid exactly") {
+    val batch = graft.streaming.Streams
+      .cmsRegisters(Tables.events(spark, sf))
+      .collect().map(_.toString).sorted
+    val stream = SparkEntry.queries("q166_stream_countmin")(spark, sf)
+      .collect().map(_.toString).sorted
+    assert(batch.sameElements(stream))
+  }
+
   // ---- MinHash coordinate estimation -----------------------------------
 
   test("minhash estimate tracks exact shingle-jaccard on planted near-dups") {
