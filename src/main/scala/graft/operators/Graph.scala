@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -241,5 +241,116 @@ object Graph {
     kcore(edges, k = 2, rounds = 6).orderBy("node")
   }
 
-  val all: Seq[Q] = Seq(q106, q110, q138)
+  /** Alternating large-star/small-star connected components (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond") — THE
+    * 100 TB-scale CC algorithm, and the fully-distributed scale twin of
+    * [[DedupClusters.connectedComponents]]'s min-label propagation:
+    * label propagation needs O(diameter) rounds, while star contraction
+    * converges in O(log² n) rounds regardless of diameter, each round
+    * two (groupBy-min + join) passes over the shrinking edge set.
+    *
+    * Edges ride as (a, b) with a > b throughout (every emission below
+    * preserves the orientation, so no per-round re-sort). Per round:
+    *
+    *  - large-star: over the symmetrized adjacency, every neighbor v of
+    *    u with v > u re-attaches to m = min(Γ(u) ∪ {u});
+    *  - small-star: every smaller-neighbor of u (and u itself)
+    *    re-attaches to m = min(Γ⁻(u)).
+    *
+    * The round count is FIXED (q106/q138's bounded-loop pattern) so the
+    * oracle replays the identical pure-integer relational program.
+    * Resolved depth DOUBLES per alternation — a path of 2^rounds hops
+    * converges in `rounds` rounds (EngineSpec pins this exactly), so
+    * rounds = ⌈log₂ diameter⌉ suffices where propagation needs
+    * diameter rounds; at the pinned count the gate graph has converged
+    * to star graphs — one (node → min-of-component) edge per non-root
+    * node — which EngineSpec asserts against exact driver union-find. */
+  def twoPhaseCC(edges0: DataFrame, rounds: Int): DataFrame = {
+    val nodes = edges0.select(col("a").as("node"))
+      .unionByName(edges0.select(col("b").as("node")))
+      .distinct().localCheckpoint(true)
+    // materialize once: each round re-reads e twice (both directions)
+    var e = edges0.select("a", "b").distinct().localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val nb = e.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(e.select(col("b").as("u"), col("a").as("v")))
+      val mn = nb.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+      val ls = nb.join(mn, "u").filter(col("v") > col("u"))
+        .select(col("v").as("a"), col("m").as("b"))
+        .distinct().localCheckpoint(true)
+      val sm = ls.groupBy(col("a").as("u")).agg(min(col("b")).as("m"))
+      e = ls.join(sm, ls("a") === sm("u")).filter(col("b") =!= col("m"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .unionByName(sm.select(col("u").as("a"), col("m").as("b")))
+        .distinct().localCheckpoint(true)
+    }
+    nodes.join(e, nodes("node") === e("a"), "left")
+      .groupBy("node")
+      .agg(coalesce(min(col("b")), first(col("node"))).as("comp"))
+  }
+
+  /** The q167 edge base: hub-star edges over event co-presence — within
+    * each (event_type, hour) bucket every user links to the bucket's
+    * min user. The star form keeps the edge count LINEAR in distinct
+    * (bucket, user) rows (the all-pairs clique would be quadratic per
+    * bucket) while inducing exactly the same components — the standard
+    * trick for "connect everything that shares a key" edge building. */
+  private[graft] def eventCopresenceEdges(s: SparkSession, d: String): DataFrame = {
+    val b = Tables.events(s, d)
+      .filter(col("user_id").isNotNull)
+      .select(col("event_type").as("et"), date_trunc("hour", col("ts")).as("h"),
+        col("user_id").as("u"))
+      .distinct()
+    val hub = b.groupBy("et", "h").agg(min(col("u")).as("mu"))
+    b.join(hub, Seq("et", "h"))
+      .filter(col("u") > col("mu"))
+      .select(col("u").as("a"), col("mu").as("b"))
+      .distinct()
+  }
+
+  val CcRounds = 5
+
+  /** The unrolled oracle: per round, large-star (nb/mn/ls) then
+    * small-star (sm/e). nb/ls/e are each read twice per round →
+    * MATERIALIZED. */
+  private def ccOracle(rounds: Int): String = {
+    val base =
+      """b AS MATERIALIZED (
+        |  SELECT DISTINCT event_type AS et, date_trunc('hour', ts) AS h,
+        |                  user_id AS u
+        |  FROM events WHERE user_id IS NOT NULL),
+        |hub AS (SELECT et, h, min(u) AS mu FROM b GROUP BY 1, 2),
+        |e0 AS MATERIALIZED (
+        |  SELECT DISTINCT b.u AS a, hub.mu AS b
+        |  FROM b JOIN hub USING (et, h) WHERE b.u > hub.mu)""".stripMargin
+    val round = (t: Int) => {
+      val p = s"e${t - 1}"
+      s"""nb$t AS MATERIALIZED (
+         |  SELECT a AS u, b AS v FROM $p UNION SELECT b, a FROM $p),
+         |mn$t AS (SELECT u, least(min(v), u) AS m FROM nb$t GROUP BY u),
+         |ls$t AS MATERIALIZED (
+         |  SELECT DISTINCT n.v AS a, mn$t.m AS b
+         |  FROM nb$t n JOIN mn$t USING (u) WHERE n.v > n.u),
+         |sm$t AS (SELECT a AS u, min(b) AS m FROM ls$t GROUP BY a),
+         |e$t AS MATERIALIZED (
+         |  SELECT x.b AS a, sm$t.m AS b
+         |  FROM ls$t x JOIN sm$t ON x.a = sm$t.u WHERE x.b <> sm$t.m
+         |  UNION SELECT u, m FROM sm$t)""".stripMargin
+    }
+    s"""WITH $base,
+       |${(1 to rounds).map(round).mkString(",\n")},
+       |nodes AS (SELECT a AS node FROM e0 UNION SELECT b FROM e0)
+       |SELECT n.node, coalesce(min(f.b), n.node) AS comp
+       |FROM nodes n LEFT JOIN e$rounds f ON f.a = n.node
+       |GROUP BY n.node ORDER BY n.node""".stripMargin
+  }
+
+  /** Two-phase CC gate: components of the event co-presence graph after
+    * `CcRounds` large-star/small-star alternations, oracle = the same
+    * program unrolled. */
+  val q167 = Q.sql("q167_cc_twophase", ccOracle(CcRounds)) { (s, d) =>
+    twoPhaseCC(eventCopresenceEdges(s, d), CcRounds).orderBy("node")
+  }
+
+  val all: Seq[Q] = Seq(q106, q110, q138, q167)
 }

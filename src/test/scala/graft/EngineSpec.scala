@@ -1138,6 +1138,39 @@ class EngineSpec extends AnyFunSuite {
       "hub of the star must carry the max rank")
   }
 
+  test("two-phase CC: converges past propagation depth, equals union-find") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Graph
+    // chain of diameter 2^CcRounds (star contraction DOUBLES resolved
+    // depth per alternation — 5 rounds of plain min-label propagation
+    // would reach only depth 5 of this 32-chain), plus a clique and a
+    // 2-node component
+    val depth = 1 << Graph.CcRounds
+    val chain = (1 to depth).map(i => (i.toLong, i.toLong - 1))
+    val clique = for (i <- 100L to 105L; j <- 100L until i) yield (i, j)
+    val duo = Seq((201L, 200L))
+    val edges = spark.createDataFrame(chain ++ clique ++ duo).toDF("a", "b")
+    val got = Graph.twoPhaseCC(edges, Graph.CcRounds).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val want = got.map(_._1).map { n =>
+      (n, if (n <= depth) 0L else if (n <= 105) 100L else 200L)
+    }
+    assert(got === want, "star contraction must resolve every component to its min")
+    // partition invariance: pure relational integer program
+    val got7 = Graph.twoPhaseCC(edges.repartition(7), Graph.CcRounds).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(got7 === got)
+    // fixture graph: agrees with the exact union-find path of
+    // DedupClusters.connectedComponents on the same edge set
+    val fe = Graph.eventCopresenceEdges(spark, sf)
+    val viaStars = Graph.twoPhaseCC(fe, Graph.CcRounds).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val viaUf = graft.operators.DedupClusters.connectedComponents(spark,
+        fe.select(col("a").as("id_a"), col("b").as("id_b"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(viaStars === viaUf, "two-phase CC must equal exact components")
+  }
+
   test("fuzzy self-join banding is lossless vs the naive all-pairs scan") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
