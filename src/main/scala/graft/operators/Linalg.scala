@@ -230,5 +230,82 @@ object Linalg {
       .orderBy("vec_id")
   }
 
-  val all: Seq[Q] = Seq(q162, q163, q164)
+  /** Johnson–Lindenstrauss sign projection: project the 64-dim
+    * embeddings onto JlK = 16 ±1 random-sign directions (Achlioptas'
+    * database-friendly JL variant — signs, not Gaussians, so the
+    * transform is pure integer arithmetic over the q162 floor-quantized
+    * elements and the gate is hash-exact with no rounding anywhere).
+    * E[‖y_a − y_b‖²] = JlK·‖x_a − x_b‖², so distances survive within
+    * the JL distortion envelope (EngineSpec measures it) at a quarter
+    * of the storage/compute — the standard pre-shrink before a
+    * brute-force rerank or a disk-resident index build.
+    *
+    * The sign matrix is NOT data: each cell is the sketch family's
+    * poly-131 → ×G-uniformizer hash of the cell's "i_j" key, computed
+    * once on the driver with the SAME kernels the engine uses
+    * ([[graft.functions.TextKernels]]) and inlined as 16 plan-literal
+    * arrays — so executors touch no hash at all, and the oracle replays
+    * the identical family in SQL (q166's CTE shape). The projection
+    * itself is 16 fixed-order integer folds per vector: stateless,
+    * shuffle-free, whole-stage-codegen'd — the 100 TB cost is exactly
+    * one corpus scan. */
+  val JlK = 16
+
+  /** jlSigns(j)(i): the ±1 sign for input dim i+1 → output dim j+1. */
+  private[graft] val jlSigns: Array[Array[Long]] = {
+    import graft.functions.TextKernels
+    import graft.operators.Sketches.Kmv
+    Array.tabulate(JlK, D) { (j, i) =>
+      val h = TextKernels.polyHash131(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"${i + 1}_${j + 1}"))
+      1L - 2L * (TextKernels.mulMod61(h, Kmv.G) % 2L)
+    }
+  }
+
+  /** (vec_id, dim_j, y): the projected integer coordinates, one row per
+    * vector × output dim. */
+  def jlProject(s: SparkSession, d: String): DataFrame = {
+    val xq = transform(col("embedding"),
+      e => floor(e.cast("double") * lit(QScale)).cast("long"))
+    val ys = (0 until JlK).map { j =>
+      aggregate(zip_with(col("xq"), lit(jlSigns(j)), (a, b) => a * b),
+        lit(0L), (acc, e) => acc + e)
+    }
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), xq.as("xq"))
+      .select(col("vec_id"), posexplode(array(ys: _*)).as(Seq("p", "y")))
+      .select(col("vec_id"), (col("p") + 1).cast("long").as("dim_j"), col("y"))
+  }
+
+  val q168 = Q.sql("q168_jl_projection",
+    """WITH x AS MATERIALIZED (
+      |  SELECT vec_id, CAST(g.i AS BIGINT) AS i,
+      |         CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 100000000.0)
+      |              AS BIGINT) AS xq
+      |  FROM embeddings CROSS JOIN
+      |       (SELECT unnest(range(1, 65)) AS i) g),
+      |dims AS (
+      |  SELECT CAST(a.i AS BIGINT) AS i, CAST(b.j AS BIGINT) AS j,
+      |         CAST(a.i AS VARCHAR) || '_' || CAST(b.j AS VARCHAR) AS k
+      |  FROM (SELECT unnest(range(1, 65)) AS i) a
+      |  CROSS JOIN (SELECT unnest(range(1, 17)) AS j) b),
+      |sgn AS MATERIALIZED (
+      |  SELECT i, j,
+      |    1 - 2 * CAST(CAST(h AS HUGEINT) * 1752450205419405103
+      |                 % 2305843009213693951 % 2 AS BIGINT) AS s
+      |  FROM (
+      |    SELECT i, j,
+      |      CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+      |        list_transform(range(1, length(k) + 1),
+      |                       c -> CAST(ascii(substr(k, c, 1)) AS HUGEINT))),
+      |        (a, b) -> (a * 131 + b) % 2305843009213693951) AS BIGINT) AS h
+      |    FROM dims))
+      |SELECT x.vec_id, sgn.j AS dim_j,
+      |       CAST(sum(sgn.s * x.xq) AS BIGINT) AS y
+      |FROM x JOIN sgn ON sgn.i = x.i
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    jlProject(s, d).orderBy("vec_id", "dim_j")
+  }
+
+  val all: Seq[Q] = Seq(q162, q163, q164, q168)
 }

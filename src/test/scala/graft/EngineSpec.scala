@@ -1171,6 +1171,39 @@ class EngineSpec extends AnyFunSuite {
     assert(viaStars === viaUf, "two-phase CC must equal exact components")
   }
 
+  test("JL sign projection preserves pairwise distances within the k=16 envelope") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Linalg
+    // projected coords from the gate itself
+    val y = Linalg.jlProject(spark, sf).collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) =>
+        id -> rs.sortBy(_.getLong(1)).map(_.getLong(2))
+      }
+    // quantized originals, same floor-1e-8 units
+    val x = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), transform(col("embedding"),
+        e => floor(e.cast("double") * lit(1e8)).cast("long")).as("xq"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    val ids = x.keys.toArray.sorted
+    val n = ids.length
+    def d2(a: Array[Long], b: Array[Long]): Double =
+      a.zip(b).map { case (p, q) => val t = (p - q).toDouble; t * t }.sum
+    // E[|Δy|²] = k·|Δx|²: the per-pair ratio concentrates around 1
+    val ratios = (0 until n).flatMap { i =>
+      val (ia, ib) = (ids(i), ids((i + 37) % n))
+      val dx = d2(x(ia), x(ib))
+      if (dx < 1e12) None // skip planted near-dup pairs (ratio is 0/0 noise)
+      else Some(d2(y(ia), y(ib)) / (Linalg.JlK * dx))
+    }.sorted
+    assert(ratios.nonEmpty)
+    val med = ratios(ratios.length / 2)
+    assert(med > 0.7 && med < 1.4, s"median distortion $med outside envelope")
+    assert(ratios.head > 0.05 && ratios.last < 5.0,
+      s"distortion tails [${ratios.head}, ${ratios.last}] outside envelope")
+  }
+
   test("fuzzy self-join banding is lossless vs the naive all-pairs scan") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
