@@ -115,5 +115,55 @@ object Mining {
       .orderBy("src", "dst")
   }
 
-  val all: Seq[Q] = Seq(q107, q109, q111)
+  /** Association lift over document token pairs — the normalized form
+    * of q107's raw support (lift = P(x,y)/(P(x)P(y))), which is what a
+    * curation pipeline actually ranks by: high-support pairs of
+    * independently-common tokens score ~1, genuine collocations score
+    * ≫ 1. Held INTEGER-exact: lift is scaled to ten-thousandths with
+    * one positive-operand floor division (Spark `div` ≡ DuckDB `//`),
+    * so ranking and output both hash-match with no float anywhere.
+    *
+    * Scale shape: the pair build shuffles on doc_id only (per-doc
+    * token-set size bounds the blowup, q107's argument); the per-token
+    * document frequencies are a vocab-sized table joined in BROADCAST
+    * (two hash lookups per surviving pair), and the doc count is a
+    * 1-row literal join. The support floor collapses the long tail
+    * map-side before any of that. */
+  val q169 = Q.sql("q169_pair_lift",
+    """WITH t AS MATERIALIZED (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      |  FROM documents),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |cx AS MATERIALIZED (SELECT tok, count(*) AS c FROM t GROUP BY 1),
+      |p AS (
+      |  SELECT a.tok AS x, b.tok AS y, count(*) AS support
+      |  FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.tok < b.tok
+      |  GROUP BY 1, 2 HAVING count(*) >= 5)
+      |SELECT x, y, support,
+      |  CAST((support * n.n_docs * 10000) // (cx1.c * cx2.c) AS BIGINT)
+      |    AS lift_q4
+      |FROM p
+      |JOIN cx cx1 ON cx1.tok = p.x
+      |JOIN cx cx2 ON cx2.tok = p.y
+      |CROSS JOIN n
+      |ORDER BY lift_q4 DESC, x, y LIMIT 100""".stripMargin) { (s, d) =>
+    import graft.functions.Text
+    val docs = Tables.documents(s, d)
+    val t = docs
+      .select(col("doc_id"), explode(array_distinct(Text.tokens(col("text")))).as("tok"))
+    val nDf = docs.agg(count(lit(1)).as("n_docs"))
+    val cx = t.groupBy("tok").agg(count(lit(1)).as("c"))
+    val pairs = cooccur(t, "doc_id", "tok", 5L)
+    pairs
+      .join(broadcast(cx.select(col("tok").as("p1"), col("c").as("c1"))), "p1")
+      .join(broadcast(cx.select(col("tok").as("p2"), col("c").as("c2"))), "p2")
+      .crossJoin(broadcast(nDf))
+      .select(col("p1").as("x"), col("p2").as("y"), col("support"),
+        expr("(support * n_docs * 10000) div (c1 * c2)").as("lift_q4"))
+      .orderBy(col("lift_q4").desc, col("x"), col("y"))
+      .limit(100)
+  }
+
+  val all: Seq[Q] = Seq(q107, q109, q111, q169)
 }

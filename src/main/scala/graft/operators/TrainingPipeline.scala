@@ -258,5 +258,67 @@ object TrainingPipeline {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(q80, q85, q86, q136)
+  /** Preference-pair construction — the DPO/RLHF data shape: within
+    * each (lang, source) stratum, pair the highest-quality document
+    * (chosen) with the lowest (rejected), quality = the q22 scorer.
+    * Ties broken by doc_id on the chosen side and doc_id DESC on the
+    * rejected side, so equal-quality strata still pair two DISTINCT
+    * docs whenever the stratum has ≥ 2; single-doc (or fully-degenerate)
+    * strata drop via the inequality filter. The margin is one identical
+    * IEEE subtraction of two already-rounded doubles — no re-rounding,
+    * so no signed-zero seam (equal operands give +0.0 in both engines).
+    *
+    * Scale: one stateless scoring scan, then two row_number windows
+    * over the same (lang, source) shuffle — rank-1 rows only; the
+    * stratum count, not the corpus, bounds the join. */
+  val q170 = Q.sql("q170_preference_pairs",
+    """WITH q AS (
+      |  SELECT doc_id, lang, source,
+      |    round(0.4 * least(length(text)/500.0, 1.0)
+      |        + 0.3 * (1.0 - least(5.0*(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))) / greatest(length(text), 1), 1.0))
+      |        + 0.3 * least(4.0*len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> list_contains(['the','and','of','to','in','is','a'], x))) / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1), 1.0)
+      |    , 4) AS quality
+      |  FROM documents WHERE text IS NOT NULL),
+      |r AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY lang, source
+      |                       ORDER BY quality DESC, doc_id) AS rc,
+      |    row_number() OVER (PARTITION BY lang, source
+      |                       ORDER BY quality ASC, doc_id DESC) AS rr
+      |  FROM q)
+      |SELECT c.lang, c.source,
+      |  c.doc_id AS chosen_id, j.doc_id AS rejected_id,
+      |  c.quality AS chosen_q, j.quality AS rejected_q,
+      |  c.quality - j.quality AS margin
+      |FROM (SELECT * FROM r WHERE rc = 1) c
+      |JOIN (SELECT * FROM r WHERE rr = 1) j USING (lang, source)
+      |WHERE c.doc_id <> j.doc_id
+      |ORDER BY lang, source""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Text
+    val q = Tables.documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"), col("source"),
+        Text.qualityScore(col("text")).as("quality"))
+    val byStratum = Window.partitionBy("lang", "source")
+    val r = q
+      .withColumn("rc", row_number().over(
+        byStratum.orderBy(col("quality").desc, col("doc_id"))))
+      .withColumn("rr", row_number().over(
+        byStratum.orderBy(col("quality").asc, col("doc_id").desc)))
+    val c = r.filter(col("rc") === 1)
+      .select(col("lang"), col("source"),
+        col("doc_id").as("chosen_id"), col("quality").as("chosen_q"))
+    val j = r.filter(col("rr") === 1)
+      .select(col("lang"), col("source"),
+        col("doc_id").as("rejected_id"), col("quality").as("rejected_q"))
+    c.join(j, Seq("lang", "source"))
+      .filter(col("chosen_id") =!= col("rejected_id"))
+      .select(col("lang"), col("source"), col("chosen_id"), col("rejected_id"),
+        col("chosen_q"), col("rejected_q"),
+        (col("chosen_q") - col("rejected_q")).as("margin"))
+      .orderBy("lang", "source")
+  }
+
+  val all: Seq[Q] = Seq(q80, q85, q86, q136, q170)
 }
