@@ -298,7 +298,9 @@ object Timeseries {
         sum("w").cast("long").as("decayed_q40"))
   }
 
-  val q159 = Q.sql("q159_decayed_counts",
+  /** Shared by q159 (batch) and q171 (streaming maintenance of the
+    * same registers). */
+  val DecayOracle: String =
     """WITH ref AS (SELECT max(CAST(ts AS DATE)) AS ref_day FROM events),
       |w AS (
       |  SELECT event_type,
@@ -306,7 +308,9 @@ object Timeseries {
       |  FROM events, ref)
       |SELECT event_type, count(*) AS n_events,
       |  CAST(sum(CASE WHEN d <= 40 THEN 1::BIGINT << (40 - d) ELSE 0 END) AS BIGINT) AS decayed_q40
-      |FROM w GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      |FROM w GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val q159 = Q.sql("q159_decayed_counts", DecayOracle) { (s, d) =>
     decayedCounts(Tables.events(s, d)).orderBy("event_type")
   }
 

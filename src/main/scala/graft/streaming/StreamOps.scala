@@ -167,5 +167,14 @@ object StreamOps {
     Streams.cmsSketch(s, d, qn("cms"))
   }
 
-  val all: Seq[Q] = Seq(q50, q51, q57, q63, q71, q72, q76, q84, q135, q166)
+  /** Streaming decayed-counter maintenance ≡ q159's batch registers:
+    * per-(type, day) Complete-mode counts are the stream state, the
+    * dyadic Q40 weighting is a bounded fold over the sink — oracle
+    * shared verbatim with the batch gate. */
+  val q171 = Q.sql("q171_stream_decay",
+    graft.operators.Timeseries.DecayOracle) { (s, d) =>
+    Streams.decayedSketch(s, d, qn("decay"))
+  }
+
+  val all: Seq[Q] = Seq(q50, q51, q57, q63, q71, q72, q76, q84, q135, q166, q171)
 }

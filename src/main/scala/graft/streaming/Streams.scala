@@ -391,4 +391,33 @@ object Streams {
       .format("memory").queryName(queryName))
     spark.table(queryName).orderBy("i", "cell")
   }
+
+  /** Streaming maintenance of q159's dyadic decayed counters: the
+    * stream keeps ONE additive register pair per (event_type, day) —
+    * a Complete-mode count, the state a day's refresh shifts-and-adds —
+    * and the decay weighting is the bounded batch fold over the sink
+    * table (state-sized, ≤ types × days rows), where the reference day
+    * is whatever the stream has seen. Counters stay exact integers end
+    * to end, so the gate shares q159's oracle verbatim. */
+  def decayedSketch(spark: SparkSession, dir: String, queryName: String): DataFrame = {
+    val daily = eventStream(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n"))
+    runToCompletion(spark, daily.writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory").queryName(queryName))
+    // localCheckpoint: the sink table feeds both the max-day scalar and
+    // the weighting join (the memory-sink self-reference gotcha)
+    val t = spark.table(queryName).localCheckpoint(true)
+    val ref = t.agg(max(col("day")).as("ref_day"))
+    t.crossJoin(broadcast(ref))
+      .withColumn("d", datediff(col("ref_day"), col("day")))
+      .withColumn("w",
+        when(col("d") <= 40, expr("n * shiftleft(1L, 40 - d)")).otherwise(0L))
+      .groupBy("event_type")
+      .agg(sum("n").cast("long").as("n_events"),
+        sum("w").cast("long").as("decayed_q40"))
+      .orderBy("event_type")
+  }
 }
