@@ -363,5 +363,86 @@ object Multimodal {
     windowEnergy(wavTable(s, d)).toDF().orderBy("doc_id", "win_idx")
   }
 
-  val all: Seq[Q] = Seq(q52, q53, q58, q79, q90, q134)
+  case class DHashRow(doc_id: Long, width: Int, height: Int,
+      dhash_hi: Long, dhash_lo: Long)
+
+  /** Perceptual difference-hash (dHash) over the REAL decoded images:
+    * sample a 9×8 grayscale grid by nearest neighbor (sx = x·w/9,
+    * sy = y·h/8 — the standard dHash shrink), then bit (y·8+x) is set
+    * iff gray(x,y) < gray(x+1,y). All integer (gray = (r+g+b)/3 floor),
+    * so the 64 bits are exact; they ride as two BIGINT halves because
+    * bit 63 would wrap a signed sum. Runs through the same batch-shaped
+    * partitions as the other decode gates — one stateless scan, the
+    * canonical candidate key for image near-dup (Hamming-close hashes
+    * bucket together; q27's SimHash banding applies unchanged). */
+  def dhashAll(media: Dataset[MediaRow]): Dataset[DHashRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(BATCH_SIZE).flatMap(_.iterator.map { row =>
+        val img = Ppm.decode(row.payload)
+        val (w, h) = (img.width, img.height)
+        var hi = 0L
+        var lo = 0L
+        var y = 0
+        while (y < 8) {
+          val gray = Array.tabulate(9) { x =>
+            val base = ((y * h / 8) * w + (x * w / 9)) * 3
+            ((img.raster(base) & 0xff) + (img.raster(base + 1) & 0xff) +
+              (img.raster(base + 2) & 0xff)) / 3
+          }
+          var x = 0
+          while (x < 8) {
+            if (gray(x) < gray(x + 1)) {
+              val idx = y * 8 + x
+              if (idx >= 32) hi |= 1L << (idx - 32) else lo |= 1L << idx
+            }
+            x += 1
+          }
+          y += 1
+        }
+        DHashRow(row.doc_id, w, h, hi, lo)
+      })
+    }
+  }
+
+  /** dHash gate: the oracle replays the generator arithmetic through
+    * the dHash sampling grid — every grid gray value is predicted from
+    * raster byte j = (doc_id·7 + j·31) mod 256 without parsing PPM, so
+    * a header-offset or stride bug in the real decode path lands on
+    * wrong bytes and flips bits. */
+  val q172 = Q.sql("q172_image_dhash",
+    """WITH t AS (
+      |  SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+      |dims AS (SELECT doc_id, 64 + n % 64 AS w, 64 + n % 48 AS h FROM t),
+      |g AS (
+      |  SELECT doc_id, w, h, x.x, y.y,
+      |    ((doc_id*7 + (((y.y*h//8)*w + (x.x*w//9))*3    )*31) % 256
+      |   + (doc_id*7 + (((y.y*h//8)*w + (x.x*w//9))*3 + 1)*31) % 256
+      |   + (doc_id*7 + (((y.y*h//8)*w + (x.x*w//9))*3 + 2)*31) % 256) // 3 AS gray
+      |  FROM dims
+      |  CROSS JOIN (SELECT unnest(range(0, 9)) AS x) x
+      |  CROSS JOIN (SELECT unnest(range(0, 8)) AS y) y),
+      |b AS (
+      |  SELECT doc_id, w, h, x, y,
+      |    CASE WHEN gray < lead(gray) OVER (PARTITION BY doc_id, y ORDER BY x)
+      |         THEN 1 ELSE 0 END AS bit
+      |  FROM g QUALIFY x < 8)
+      |SELECT doc_id, CAST(max(w) AS BIGINT) AS width,
+      |  CAST(max(h) AS BIGINT) AS height,
+      |  CAST(sum(CASE WHEN y*8+x >= 32
+      |           THEN bit::BIGINT << CAST(y*8+x-32 AS INTEGER)
+      |           ELSE 0 END) AS BIGINT) AS dhash_hi,
+      |  CAST(sum(CASE WHEN y*8+x < 32
+      |           THEN bit::BIGINT << CAST(y*8+x AS INTEGER)
+      |           ELSE 0 END) AS BIGINT) AS dhash_lo
+      |FROM b GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    dhashAll(ppmTable(s, d))
+      .toDF()
+      .select(col("doc_id"), col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("dhash_hi"), col("dhash_lo"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(q52, q53, q58, q79, q90, q134, q172)
 }
