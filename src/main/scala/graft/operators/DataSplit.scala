@@ -389,5 +389,77 @@ object DataSplit {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(q59, q60, q67, q77, q83, q105, q133, q148, q165)
+  /** Water-filling token-budget allocation — the mixture question q77's
+    * per-source doc cap doesn't answer: given a TOKEN budget B for the
+    * whole mix, find the unique level C such that granting every source
+    * min(tokens, C) spends ≤ B with C maximal (small sources keep
+    * everything, big sources are levelled — max-min fairness). Closed
+    * form, no search: sort sources by token count ascending; the level
+    * lands in the first segment i where p_i + c_i·r_i > B (p_i =
+    * tokens below i, r_i = sources from i on), and there
+    * C = (B − p_i) div r_i. All BIGINT — prefix sums, one floor
+    * division of positive operands — so the gate is hash-exact.
+    *
+    * Scale: the only corpus-sized work is the per-source token count
+    * (one partial-agg'd scan); everything after runs on the
+    * sources-sized aggregate, where a global window over ≤ thousands of
+    * source rows is a non-issue (and the downstream enforcement of the
+    * cap is q105/q148's weighted-sample machinery, not this gate). */
+  val q173 = Q.sql("q173_token_budget",
+    """WITH tok AS (
+      |  SELECT source,
+      |    CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS tokens
+      |  FROM documents GROUP BY 1),
+      |b AS (SELECT CAST(sum(tokens) // 2 AS BIGINT) AS budget FROM tok),
+      |o AS (
+      |  SELECT source, tokens,
+      |    CAST(coalesce(sum(tokens) OVER (ORDER BY tokens, source
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS p,
+      |    count(*) OVER () AS n,
+      |    row_number() OVER (ORDER BY tokens, source) AS i
+      |  FROM tok),
+      |seg AS (
+      |  SELECT CAST((budget - p) // (n - i + 1) AS BIGINT) AS c
+      |  FROM o, b WHERE p + tokens * (n - i + 1) > budget
+      |  ORDER BY i LIMIT 1),
+      |cap AS (
+      |  SELECT coalesce((SELECT c FROM seg),
+      |                  (SELECT max(tokens) FROM tok)) AS c)
+      |SELECT t.source, t.tokens, least(t.tokens, cap.c) AS alloc,
+      |  CAST(cap.c AS BIGINT) AS cap
+      |FROM tok t, cap ORDER BY t.source""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Text
+    val tok = Tables.documents(s, d)
+      .select(col("source"), size(Text.tokens(col("text"))).cast("long").as("nt"))
+      .groupBy("source").agg(sum("nt").as("tokens"))
+      .localCheckpoint(true) // sources-sized; read by 4 branches below
+    val b = tok.agg(expr("sum(tokens) div 2").as("budget"))
+    val n = tok.agg(count(lit(1)).as("n"))
+    // global window over the SOURCES aggregate (≤ thousands of rows,
+    // never the corpus) — the single-partition sort is bounded
+    val w = Window.orderBy("tokens", "source")
+    val o = tok
+      .withColumn("p", coalesce(
+        sum("tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(n))
+      .crossJoin(broadcast(b))
+    val seg = o
+      .filter(col("p") + col("tokens") * (col("n") - col("i") + 1) > col("budget"))
+      .orderBy("i").limit(1)
+      .select(expr("(budget - p) div (n - i + 1)").as("c"))
+    // 1-row cap either way: min() over the ≤1-row segment is null when
+    // the budget covers everything, and coalesce falls back to "no cap"
+    val segAgg = seg.agg(min("c").as("segc"))
+    val cap = tok.agg(max("tokens").as("maxtok"))
+      .crossJoin(broadcast(segAgg))
+      .select(coalesce(col("segc"), col("maxtok")).as("c"))
+    tok.crossJoin(broadcast(cap))
+      .select(col("source"), col("tokens"),
+        least(col("tokens"), col("c")).as("alloc"), col("c").as("cap"))
+      .orderBy("source")
+  }
+
+  val all: Seq[Q] = Seq(q59, q60, q67, q77, q83, q105, q133, q148, q165, q173)
 }
