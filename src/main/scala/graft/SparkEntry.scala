@@ -33,7 +33,8 @@ object SparkEntry {
       graft.operators.Postings.all ++ graft.operators.MinhashEstimate.all ++
       graft.operators.Pq.all ++ graft.operators.Hybrid.all ++
       graft.operators.Mmr.all ++ graft.operators.RankEval.all ++
-      graft.operators.IvfPq.all ++ graft.operators.Linalg.all
+      graft.operators.IvfPq.all ++ graft.operators.Linalg.all ++
+      graft.operators.SuffixArray.all
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. Star join +
     * agg + top-k window — exercises scan, broadcast join, partial agg,

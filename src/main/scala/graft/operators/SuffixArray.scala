@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+import graft.Tables
+import graft.functions.Text
+
+/** Token-level suffix array by prefix doubling (Manber–Myers, in the
+  * distributed form of Flick & Aluru's MPI construction): rank every
+  * per-document token suffix globally, doubling the compared prefix
+  * length each round — the EXACT index behind suffix-array substring
+  * dedup (Lee et al.'s exact counterpart to q99's hashed spans: with
+  * the corpus suffix-sorted, every repeated span is a run of adjacent
+  * suffixes sharing a prefix).
+  *
+  * Round k refines rank r_k(doc, off) = dense rank of the suffix's
+  * first 2^k tokens, as the pair (r_{k−1}(off), r_{k−1}(off + 2^{k−1})
+  * | −1): one self-equi-join on (doc, off+gap) plus one dense rank per
+  * round. Suffixes never cross document boundaries (the missing half
+  * ranks −1, so a proper prefix sorts first — the classic sentinel).
+  * [[SaRounds]] = 7 covers 2^7 = 128 > the corpus' 99-token max doc;
+  * EngineSpec asserts the result equals a brute in-memory suffix sort.
+  *
+  * Scale shape: dense ranks are NOT a global window (which would be one
+  * partition) — each round sorts the DISTINCT key table with Spark's
+  * range-partitioned sort and zips contiguous indices per partition
+  * (offset by partition prefix counts), then hash-joins ranks back:
+  * every step is a distributed sort or shuffle join, nothing driver- or
+  * single-partition-bound, which is exactly how the MPI construction
+  * maps onto a cluster. Rounds are localCheckpointed so lineage stays
+  * flat across the 7 iterations.
+  */
+object SuffixArray {
+
+  val SaRounds = 7
+
+  /** Distributed dense rank: distinct keys, range-sorted, contiguous
+    * 1-based ranks via per-partition zip + partition offset, joined
+    * back. Equal keys get equal ranks (they collapse in distinct). */
+  private def denseRankBy(df: DataFrame, keys: Seq[String], out: String): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.select(keys.map(col): _*).distinct()
+      .orderBy(keys.map(col): _*)
+    val withIdx = sorted.rdd.zipWithIndex.map { case (row, i) =>
+      Row.fromSeq(row.toSeq :+ (i + 1L))
+    }
+    val schema = StructType(sorted.schema.fields :+ StructField(out, LongType, nullable = false))
+    spark.createDataFrame(withIdx, schema).join(df, keys)
+  }
+
+  /** (doc_id, off, r): the global dense suffix rank after
+    * [[SaRounds]] doubling rounds — off is 0-based token offset. */
+  def suffixRanks(spark: SparkSession, dir: String): DataFrame = {
+    val tk = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(Text.tokens(col("text"))).as(Seq("off", "tok")))
+      .select(col("doc_id"), col("off").cast("long").as("off"), col("tok"))
+    var r = denseRankBy(tk, Seq("tok"), "r")
+      .select("doc_id", "off", "r").localCheckpoint(true)
+    for (k <- 1 to SaRounds) {
+      val g = 1L << (k - 1)
+      val nxt = r.select(col("doc_id"), (col("off") - g).as("off"), col("r").as("rn"))
+      val paired = r.join(nxt, Seq("doc_id", "off"), "left")
+        .na.fill(-1L, Seq("rn"))
+      r = denseRankBy(paired, Seq("r", "rn"), "r2")
+        .select(col("doc_id"), col("off"), col("r2").as("r"))
+        .localCheckpoint(true)
+    }
+    r
+  }
+
+  /** One DuckDB doubling layer over r{t−1}. */
+  private def layer(t: Int): String = {
+    val g = 1L << (t - 1)
+    s"""r$t AS MATERIALIZED (
+       |  SELECT a.doc_id, a.off,
+       |    dense_rank() OVER (ORDER BY a.r, coalesce(b.r, -1)) AS r
+       |  FROM r${t - 1} a LEFT JOIN r${t - 1} b
+       |    ON b.doc_id = a.doc_id AND b.off = a.off + $g)""".stripMargin
+  }
+
+  val q174 = Q.sql("q174_suffix_array",
+    s"""WITH tk AS MATERIALIZED (
+       |  SELECT doc_id, CAST(u.i AS BIGINT) AS off, toks[u.i + 1] AS tok
+       |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |        FROM documents) d,
+       |  LATERAL unnest(range(0, len(toks))) AS u(i)),
+       |r0 AS MATERIALIZED (
+       |  SELECT doc_id, off, dense_rank() OVER (ORDER BY tok) AS r FROM tk),
+       |${(1 to SaRounds).map(layer).mkString(",\n")}
+       |SELECT doc_id, off, CAST(r AS BIGINT) AS r FROM r$SaRounds
+       |ORDER BY doc_id, off""".stripMargin) { (s, d) =>
+    suffixRanks(s, d).orderBy("doc_id", "off")
+  }
+
+  /** The dedup read of the index: suffixes with EQUAL final rank are
+    * identical token sequences (2^[[SaRounds]] exceeds every doc), so a
+    * rank group spanning ≥ 2 documents is an exact repeated span
+    * running to end-of-doc — the suffix-array analogue of what q99
+    * detects by hashing, with zero collision risk. Emits each such
+    * group's size, distinct-doc count, and its (min doc, min off)
+    * witness; one groupBy over the rank table. */
+  val q175 = Q.sql("q175_repeated_suffixes",
+    s"""WITH tk AS MATERIALIZED (
+       |  SELECT doc_id, CAST(u.i AS BIGINT) AS off, toks[u.i + 1] AS tok
+       |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |        FROM documents) d,
+       |  LATERAL unnest(range(0, len(toks))) AS u(i)),
+       |r0 AS MATERIALIZED (
+       |  SELECT doc_id, off, dense_rank() OVER (ORDER BY tok) AS r FROM tk),
+       |${(1 to SaRounds).map(layer).mkString(",\n")}
+       |SELECT CAST(r AS BIGINT) AS r, count(*) AS n_suffixes,
+       |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  min(doc_id) AS min_doc,
+       |  CAST(min(CASE WHEN doc_id = md THEN off END) AS BIGINT) AS min_off
+       |FROM (SELECT *, min(doc_id) OVER (PARTITION BY r) AS md FROM r$SaRounds) t
+       |GROUP BY r HAVING count(DISTINCT doc_id) >= 2
+       |ORDER BY r""".stripMargin) { (s, d) =>
+    val r = suffixRanks(s, d)
+    val md = r.groupBy("r").agg(min(col("doc_id")).as("md"))
+    r.join(md, "r")
+      .groupBy("r")
+      .agg(count(lit(1)).as("n_suffixes"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("min_doc"),
+        min(when(col("doc_id") === col("md"), col("off"))).as("min_off"))
+      .filter(col("n_docs") >= 2)
+      .orderBy("r")
+  }
+
+  val all: Seq[Q] = Seq(q174, q175)
+}

@@ -1171,6 +1171,25 @@ class EngineSpec extends AnyFunSuite {
     assert(viaStars === viaUf, "two-phase CC must equal exact components")
   }
 
+  test("prefix-doubling suffix ranks equal a brute in-memory suffix sort") {
+    import org.apache.spark.sql.functions._
+    val got = graft.operators.SuffixArray.suffixRanks(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // brute: materialize every suffix as its token list, sort, dense-rank
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq)
+    val suffixes = docs.flatMap { case (id, toks) =>
+      toks.indices.map(off => ((id, off.toLong), toks.drop(off)))
+    }
+    implicit val ord: Ordering[Seq[String]] = Ordering.Implicits.seqOrdering
+    val ranks = suffixes.map(_._2).distinct.sorted.zipWithIndex
+      .map { case (s, i) => s -> (i + 1L) }.toMap
+    val want = suffixes.map { case (k, s) => k -> ranks(s) }.toMap
+    assert(got.size === want.size)
+    val diff = want.collect { case (k, v) if got(k) != v => (k, v, got(k)) }
+    assert(diff.isEmpty, s"rank mismatches: ${diff.take(5).mkString(", ")}")
+  }
+
   test("JL sign projection preserves pairwise distances within the k=16 envelope") {
     import org.apache.spark.sql.functions._
     import graft.operators.Linalg
