@@ -72,5 +72,74 @@ object Layout {
       .orderBy("zbucket")
   }
 
-  val all: Seq[Q] = Seq(q117)
+  /** Bucketed tables for the shuffle-free join gate, written once per
+    * (JVM, data dir): lineitem and orders hash-bucketed AND sorted by
+    * their join key into the same bucket count, via the catalog
+    * (`bucketBy` needs `saveAsTable` — bucket metadata lives in the
+    * table definition, not the files). Overwrite mode makes the write
+    * idempotent across JVMs sharing one warehouse dir (the catalog is
+    * per-session, so each JVM re-registers; file content is
+    * deterministic). */
+  private val bucketMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  val BucketCount = 8
+
+  private[graft] def bucketedPair(spark: org.apache.spark.sql.SparkSession,
+      d: String): (String, String) =
+    bucketMemo.computeIfAbsent(d, dir => {
+      val key = java.lang.Integer.toHexString(dir.hashCode).replace('-', 'm')
+      val li = s"graft_bk_li_$key"
+      val ord = s"graft_bk_ord_$key"
+      // the catalog is per-JVM but the warehouse dir persists: drop any
+      // same-session registration AND sweep an orphaned location left by
+      // a previous JVM, or CTAS refuses the managed-table path
+      Seq(li, ord).foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        val wh = java.net.URI.create(
+          spark.conf.get("spark.sql.warehouse.dir")).getPath
+        val loc = new java.io.File(wh, t)
+        if (loc.exists()) org.apache.commons.io.FileUtils.deleteDirectory(loc)
+      }
+      Tables.lineitem(spark, dir)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .write.mode("overwrite")
+        .bucketBy(BucketCount, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable(li)
+      Tables.orders(spark, dir)
+        .select("o_orderkey", "o_orderpriority")
+        .write.mode("overwrite")
+        .bucketBy(BucketCount, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable(ord)
+      (li, ord)
+    })
+
+  /** Bucket-co-located join: per-order revenue over lineitem ⋈ orders
+    * with BOTH sides bucketed+sorted on the join key — the join (and
+    * the per-order aggregation, whose keys the bucket hash clusters)
+    * runs with ZERO exchanges: the only shuffle in the executed plan is
+    * the final presentation sort. This is THE 100 TB fact-to-fact join
+    * answer — q101/q149 handle skew when you must shuffle; bucketing
+    * removes the shuffle for the joins you run every day (both engines
+    * agree on the arithmetic; the oracle doesn't care about layout).
+    * PlanSpec pins the no-exchange-under-the-join shape. */
+  val q177 = Q.sql("q177_bucketed_join",
+    """SELECT l_orderkey AS o_orderkey, o_orderpriority,
+      |  count(*) AS n_items,
+      |  CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4)))
+      |       AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1, 2 ORDER BY 1""".stripMargin) { (s, d) =>
+    val (li, ord) = bucketedPair(s, d)
+    s.table(li).join(s.table(ord), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"))
+      .select(col("l_orderkey").as("o_orderkey"), col("o_orderpriority"),
+        col("n_items"), col("revenue"))
+      .orderBy("o_orderkey")
+  }
+
+  val all: Seq[Q] = Seq(q117, q177)
 }

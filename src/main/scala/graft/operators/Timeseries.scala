@@ -314,5 +314,52 @@ object Timeseries {
     decayedCounts(Tables.events(s, d)).orderBy("event_type")
   }
 
-  val all: Seq[Q] = Seq(q115, q116, q121, q137, q159)
+  /** Snapshot diff — the audit companion to q93's upsert and q137's
+    * SCD2: given two versions of a keyed table, classify every key as
+    * added / removed / changed / unchanged by full outer join on the
+    * key with a content digest compare. The v2 fixture derives from v1
+    * by deterministic rules (drop ≡0 mod 17, rewrite ≡0 mod 13, insert
+    * a shifted copy for ≡0 mod 19) so both engines build the identical
+    * pair of versions; the gate emits the non-unchanged rows plus their
+    * status. One shuffle on the key, digest computed in the scan —
+    * at 100 TB this is the standard "what did this delivery change"
+    * pass, and the md5 compare keeps the join payload at 32 bytes/row
+    * regardless of document size. */
+  val q176 = Q.sql("q176_snapshot_diff",
+    """WITH v1 AS (SELECT doc_id, md5(text) AS dig FROM documents),
+      |v2 AS (
+      |  SELECT doc_id,
+      |    md5(CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END) AS dig
+      |  FROM documents WHERE doc_id % 17 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, md5(text || ' new') AS dig
+      |  FROM documents WHERE doc_id % 19 = 0)
+      |SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+      |  CASE WHEN v1.doc_id IS NULL THEN 'added'
+      |       WHEN v2.doc_id IS NULL THEN 'removed'
+      |       ELSE 'changed' END AS status
+      |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+      |WHERE v1.doc_id IS NULL OR v2.doc_id IS NULL OR v1.dig <> v2.dig
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val v1 = docs.select(col("doc_id"), md5(col("text").cast("binary")).as("dig"))
+    val v2 = docs.filter(col("doc_id") % 17 =!= 0)
+      .select(col("doc_id"),
+        md5(when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).cast("binary")).as("dig"))
+      .unionByName(docs.filter(col("doc_id") % 19 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          md5(concat(col("text"), lit(" new")).cast("binary")).as("dig")))
+    v1.select(col("doc_id").as("k1"), col("dig").as("d1"))
+      .join(v2.select(col("doc_id").as("k2"), col("dig").as("d2")),
+        col("k1") === col("k2"), "full_outer")
+      .filter(col("k1").isNull || col("k2").isNull || col("d1") =!= col("d2"))
+      .select(coalesce(col("k1"), col("k2")).as("doc_id"),
+        when(col("k1").isNull, "added")
+          .when(col("k2").isNull, "removed")
+          .otherwise("changed").as("status"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(q115, q116, q121, q137, q159, q176)
 }

@@ -463,4 +463,32 @@ class PlanSpec extends AnyFunSuite {
       .filter(l => l.contains("Exchange") && !l.contains("Broadcast")).size
     assert(shuffles <= 4, s"covariance plan grew to $shuffles shuffles\n$p1")
   }
+
+  test("bucketed join: zero exchanges below the presentation sort (q177)") {
+    // both sides bucketed+sorted on the join key into the same bucket
+    // count: the join AND the per-order aggregation must run on the
+    // bucketed scan's distribution — the ONLY shuffle allowed in the
+    // whole plan is the final orderBy's range exchange. A second
+    // exchange means bucketing metadata was lost and the fact-to-fact
+    // join would re-shuffle the corpus at scale.
+    // disable auto-broadcast: at fixture scale the optimizer would
+    // broadcast the orders side (fine, and also exchange-free), but the
+    // property this spec pins is the FACT-TO-FACT case where broadcast
+    // is off the table and only bucket co-location avoids the shuffle
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("q177_bucketed_join")(spark, sf)
+      df.collect()
+      val p1 = plan(df).split("== Initial Plan ==")(0)
+      val shuffles = p1.linesIterator
+        .filter(l => l.contains("Exchange") && !l.contains("Broadcast")).toSeq
+      assert(shuffles.size == 1 && shuffles.head.contains("rangepartitioning"),
+        s"bucketed join must shuffle only for the output sort; got\n" +
+          s"${shuffles.mkString("\n")}\n$p1")
+      assert(p1.contains("SortMergeJoin"), s"expected a sort-merge join\n$p1")
+      assert(p1.contains("SelectedBucketsCount"),
+        s"scan is not bucket-aware\n$p1")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
