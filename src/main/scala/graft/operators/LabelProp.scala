@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Semi-supervised label propagation (Zhu & Ghahramani's hard-label
+  * variant) — the data-LABELING operator of the pipeline: a small seed
+  * set carries trusted labels, and every unlabeled vector takes the
+  * weighted majority vote of its k nearest neighbors, iterated so
+  * labels flow outward one hop per round. This is how a curation stack
+  * turns 2% human labels into corpus-wide weak labels for filtering or
+  * stratification.
+  *
+  * Determinism is by construction, not rounding: similarity is the
+  * INTEGER dot product of the q162-quantized embeddings (floor(x·10⁸);
+  * |dot| ≤ 64·4·10¹⁶ fits a long), the kNN edge is (dot DESC, nb ASC)
+  * row-numbered, votes are integer weight sums with (sum DESC, label
+  * ASC) tie-breaks — no float ever aggregates, so the oracle replays
+  * every round exactly. Dot-product affinity (not cosine) is the
+  * standard MIPS formulation; only positive-affinity neighbors vote.
+  *
+  * Scale: the gate's pair build is the brute broadcast all-pairs (the
+  * q30 precedent — the oracle-anchored reference); at 100 TB the
+  * candidate stage swaps to the q31/q32 banded/routed generators
+  * unchanged, because propagation only consumes (id, nb, w) edges. Each
+  * round is one join + one partial-agg'd vote on the k·n edge table,
+  * seeds ride as a broadcast. */
+object LabelProp {
+
+  val K = 3
+  val Rounds = 3
+  val SeedMod = 5
+
+  private def quantized(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(col("vec_id"),
+      transform(col("embedding"),
+        v => floor(v.cast("double") * lit(1e8)).cast("long")).as("xq"),
+      col("label").cast("long").as("label"))
+
+  /** (id, nb, w): each vector's K nearest positive-affinity neighbors
+    * by quantized dot product. */
+  def knnEdges(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = quantized(s, d)
+    val a = e.select(col("vec_id").as("id"), col("xq").as("xa"))
+    val b = e.select(col("vec_id").as("nb"), col("xq").as("xb"))
+    val pairs = a.join(broadcast(b), col("id") =!= col("nb"))
+      .withColumn("w", aggregate(zip_with(col("xa"), col("xb"), (p, q) => p * q),
+        lit(0L), (acc, x) => acc + x))
+      .filter(col("w") > 0)
+    pairs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("id").orderBy(col("w").desc, col("nb"))))
+      .filter(col("rn") <= K)
+      .select("id", "nb", "w")
+  }
+
+  /** Hard-label propagation: seeds (vec_id ≡ 0 mod [[SeedMod]]) are
+    * clamped; everyone else takes the weighted vote of its neighbors'
+    * current labels each round, −1 = still unlabeled. */
+  def propagate(s: SparkSession, d: String): DataFrame = {
+    val e = quantized(s, d)
+    val nodes = e.select(col("vec_id").as("id"),
+      when(col("vec_id") % SeedMod === 0, col("label")).as("seed"))
+      .localCheckpoint(true)
+    val edges = knnEdges(s, d).localCheckpoint(true)
+    var lab = nodes.select(col("id"), col("seed").as("lab"))
+    for (_ <- 1 to Rounds) {
+      import org.apache.spark.sql.expressions.Window
+      val votes = edges
+        .join(lab.select(col("id").as("nb"), col("lab").as("nlab")), "nb")
+        .filter(col("nlab").isNotNull)
+        .groupBy("id", "nlab").agg(sum("w").as("sw"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("id").orderBy(col("sw").desc, col("nlab"))))
+        .filter(col("rn") === 1)
+        .select(col("id"), col("nlab").as("vote"))
+      lab = nodes.join(votes, Seq("id"), "left")
+        .select(col("id"), coalesce(col("seed"), col("vote")).as("lab"))
+        .localCheckpoint(true)
+    }
+    lab.select(col("id").as("vec_id"), coalesce(col("lab"), lit(-1L)).as("lab"))
+  }
+
+  /** One oracle vote layer over l{t-1}. */
+  private def layer(t: Int): String =
+    s"""v$t AS MATERIALIZED (
+       |  SELECT n.id, coalesce(n.seed, w.vote) AS lab
+       |  FROM nodes n LEFT JOIN (
+       |    SELECT id, nlab AS vote FROM (
+       |      SELECT k.id, l.lab AS nlab, sum(k.w) AS sw,
+       |        row_number() OVER (PARTITION BY k.id
+       |                           ORDER BY sum(k.w) DESC, l.lab) AS rn
+       |      FROM knn k JOIN v${t - 1} l ON l.id = k.nb
+       |      WHERE l.lab IS NOT NULL
+       |      GROUP BY k.id, l.lab)
+       |    WHERE rn = 1) w ON w.id = n.id)""".stripMargin
+
+  val q178 = Q.sql("q178_label_propagation",
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |                   v -> CAST(floor(v * 100000000.0) AS BIGINT)) AS xq,
+       |    CAST(label AS BIGINT) AS label
+       |  FROM embeddings),
+       |nodes AS MATERIALIZED (
+       |  SELECT vec_id AS id,
+       |    CASE WHEN vec_id % $SeedMod = 0 THEN label END AS seed
+       |  FROM e),
+       |p AS MATERIALIZED (
+       |  SELECT a.vec_id AS id, b.vec_id AS nb,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(list_zip(a.xq, b.xq), q -> q[1] * q[2])),
+       |      (x, y) -> x + y) AS w
+       |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+       |knn AS MATERIALIZED (
+       |  SELECT id, nb, w FROM (
+       |    SELECT id, nb, w,
+       |      row_number() OVER (PARTITION BY id ORDER BY w DESC, nb) AS rn
+       |    FROM p WHERE w > 0)
+       |  WHERE rn <= $K),
+       |v0 AS (SELECT id, seed AS lab FROM nodes),
+       |${(1 to Rounds).map(layer).mkString(",\n")}
+       |SELECT id AS vec_id, coalesce(lab, -1) AS lab FROM v$Rounds
+       |ORDER BY vec_id""".stripMargin) { (s, d) =>
+    propagate(s, d).orderBy("vec_id")
+  }
+
+  val all: Seq[Q] = Seq(q178)
+}
