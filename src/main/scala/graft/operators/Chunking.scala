@@ -189,5 +189,85 @@ object Chunking {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(q68, q69, q73)
+  /** T5-style span corruption — the denoising-objective example
+    * builder: ~20% of tokens are masked by a deterministic hash,
+    * CONSECUTIVE masked tokens collapse into one span, the input keeps
+    * a numbered sentinel per span and the target lists each sentinel
+    * followed by the tokens it hides. The mask decision is the sketch
+    * family's poly-131·G hash of "doc:off" (mod 10 < 2), so both
+    * engines derive the identical noise without any RNG; span
+    * numbering is a running count of span STARTS (lag + prefix sum),
+    * string assembly is order-pinned by token offset.
+    *
+    * Scale: windows partition by doc_id (never global), assembly is one
+    * partial-agg'd groupBy — the whole thing is two passes over the
+    * token stream, the same shape as q68's chunking. */
+  val q180 = Q.sql("q180_span_corruption",
+    """WITH tk AS (
+      |  SELECT doc_id, CAST(u.i AS BIGINT) AS off, toks[u.i + 1] AS tok
+      |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      |        FROM documents) d,
+      |  LATERAL unnest(range(0, len(toks))) AS u(i)),
+      |m AS (
+      |  SELECT doc_id, off, tok,
+      |    (list_reduce(list_prepend(CAST(0 AS HUGEINT),
+      |        list_transform(range(1, length(k) + 1),
+      |                       c -> CAST(ascii(substr(k, c, 1)) AS HUGEINT))),
+      |        (a, b) -> (a * 131 + b) % 2305843009213693951)
+      |      * 1752450205419405103 % 2305843009213693951 % 10 < 2) AS masked
+      |  FROM (SELECT *, CAST(doc_id AS VARCHAR) || ':' || CAST(off AS VARCHAR) AS k
+      |        FROM tk)),
+      |sp AS (
+      |  SELECT *,
+      |    CASE WHEN masked AND NOT coalesce(
+      |      lag(masked) OVER (PARTITION BY doc_id ORDER BY off), FALSE)
+      |      THEN 1 ELSE 0 END AS st
+      |  FROM m),
+      |sk AS (
+      |  SELECT *,
+      |    sum(st) OVER (PARTITION BY doc_id ORDER BY off
+      |                  ROWS UNBOUNDED PRECEDING) - 1 AS span_k
+      |  FROM sp)
+      |SELECT doc_id,
+      |  string_agg(CASE WHEN NOT masked THEN tok
+      |                  WHEN st = 1 THEN '<extra_id_' || span_k || '>' END,
+      |             ' ' ORDER BY off) AS input_text,
+      |  coalesce(string_agg(CASE WHEN masked AND st = 1
+      |                  THEN '<extra_id_' || span_k || '> ' || tok
+      |                  WHEN masked THEN tok END,
+      |             ' ' ORDER BY off), '') AS target_text,
+      |  CAST(sum(st) AS BIGINT) AS n_spans
+      |FROM sk GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.{Exprs, Text}
+    val tk = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(Text.tokens(col("text"))).as(Seq("off", "tok")))
+      .select(col("doc_id"), col("off").cast("long").as("off"), col("tok"))
+    val m = tk.withColumn("masked",
+      pmod(Exprs.mulmod61(Exprs.poly_hash(
+        concat(col("doc_id").cast("string"), lit(":"), col("off").cast("string"))),
+        graft.operators.Sketches.Kmv.G), lit(10L)) < 2)
+    val byDoc = Window.partitionBy("doc_id").orderBy("off")
+    val sp = m.withColumn("st",
+      when(col("masked") && !coalesce(lag(col("masked"), 1).over(byDoc), lit(false)),
+        1L).otherwise(0L))
+    val sk = sp.withColumn("span_k",
+      sum("st").over(byDoc.rowsBetween(Window.unboundedPreceding, 0)) - 1)
+    val sent = concat(lit("<extra_id_"), col("span_k").cast("string"), lit(">"))
+    val pieces = sk.select(col("doc_id"), col("off"), col("st"),
+      when(!col("masked"), col("tok"))
+        .when(col("st") === 1, sent).as("ip"),
+      when(col("masked") && col("st") === 1, concat(sent, lit(" "), col("tok")))
+        .when(col("masked"), col("tok")).as("tp"))
+    pieces.groupBy("doc_id")
+      .agg(
+        array_join(expr("transform(array_sort(collect_list(struct(off, ip)))," +
+          " x -> x.ip)"), " ").as("input_text"),
+        array_join(expr("transform(array_sort(collect_list(struct(off, tp)))," +
+          " x -> x.tp)"), " ").as("target_text"),
+        sum("st").as("n_spans"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(q68, q69, q73, q180)
 }

@@ -128,5 +128,65 @@ object LabelProp {
     propagate(s, d).orderBy("vec_id")
   }
 
-  val all: Seq[Q] = Seq(q178)
+  /** Mutual-nearest-neighbor pair mining (the margin-free core of
+    * bitext/parallel-corpus mining, Artetxe & Schwenk's shape): split
+    * the space into two sides (label parity stands in for the two
+    * languages), take each vector's top-1 cross-side neighbor by the
+    * same integer dot product, and keep exactly the pairs where the
+    * choice is MUTUAL — the standard high-precision alignment rule,
+    * because a one-directional hub match fails the reverse test.
+    * Integer affinities end to end (q178's quantization), ties by
+    * neighbor id; the oracle replays both argmax directions. Scale:
+    * candidate generation swaps to the routed/banded generators like
+    * q178; the mutual filter is one self-join on the two top-1 tables. */
+  val q179 = Q.sql("q179_mutual_nn",
+    """WITH e AS MATERIALIZED (
+      |  SELECT vec_id,
+      |    list_transform(CAST(embedding AS DOUBLE[]),
+      |                   v -> CAST(floor(v * 100000000.0) AS BIGINT)) AS xq,
+      |    label % 2 AS side
+      |  FROM embeddings),
+      |p AS MATERIALIZED (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(list_zip(a.xq, b.xq), q -> q[1] * q[2])),
+      |      (x, y) -> x + y) AS w
+      |  FROM e a JOIN e b ON a.side = 0 AND b.side = 1),
+      |ab AS (
+      |  SELECT id_a, id_b, w FROM (
+      |    SELECT id_a, id_b, w,
+      |      row_number() OVER (PARTITION BY id_a ORDER BY w DESC, id_b) AS rn
+      |    FROM p) WHERE rn = 1),
+      |ba AS (
+      |  SELECT id_a, id_b FROM (
+      |    SELECT id_a, id_b,
+      |      row_number() OVER (PARTITION BY id_b ORDER BY w DESC, id_a) AS rn
+      |    FROM p) WHERE rn = 1)
+      |SELECT ab.id_a AS id_a, ab.id_b AS id_b, ab.w AS w
+      |FROM ab JOIN ba ON ab.id_a = ba.id_a AND ab.id_b = ba.id_b
+      |ORDER BY ab.id_a""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, d).select(col("vec_id"),
+      transform(col("embedding"),
+        v => floor(v.cast("double") * lit(1e8)).cast("long")).as("xq"),
+      (col("label") % 2).as("side"))
+    val a = e.filter(col("side") === 0).select(col("vec_id").as("id_a"), col("xq").as("xa"))
+    val b = e.filter(col("side") === 1).select(col("vec_id").as("id_b"), col("xq").as("xb"))
+    val p = a.join(broadcast(b), lit(true))
+      .withColumn("w", aggregate(zip_with(col("xa"), col("xb"), (x, y) => x * y),
+        lit(0L), (acc, x) => acc + x))
+      .select("id_a", "id_b", "w")
+      .localCheckpoint(true) // both argmax directions read the pair table
+    val ab = p.withColumn("rn", row_number().over(
+        Window.partitionBy("id_a").orderBy(col("w").desc, col("id_b"))))
+      .filter(col("rn") === 1).select("id_a", "id_b", "w")
+    val ba = p.withColumn("rn", row_number().over(
+        Window.partitionBy("id_b").orderBy(col("w").desc, col("id_a"))))
+      .filter(col("rn") === 1).select(col("id_a").as("ba_a"), col("id_b").as("ba_b"))
+    ab.join(ba, col("id_a") === col("ba_a") && col("id_b") === col("ba_b"))
+      .select("id_a", "id_b", "w")
+      .orderBy("id_a")
+  }
+
+  val all: Seq[Q] = Seq(q178, q179)
 }
