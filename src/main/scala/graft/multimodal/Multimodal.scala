@@ -405,13 +405,10 @@ object Multimodal {
     }
   }
 
-  /** dHash gate: the oracle replays the generator arithmetic through
-    * the dHash sampling grid — every grid gray value is predicted from
-    * raster byte j = (doc_id·7 + j·31) mod 256 without parsing PPM, so
-    * a header-offset or stride bug in the real decode path lands on
-    * wrong bytes and flips bits. */
-  val q172 = Q.sql("q172_image_dhash",
-    """WITH t AS (
+  /** dHash ORACLE prefix (the q172 pipeline as a CTE chain, emitting
+    * doc_id + the two hash halves) — shared by q172 and q182. */
+  private val DhashSql =
+    """t AS (
       |  SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
       |dims AS (SELECT doc_id, 64 + n % 64 AS w, 64 + n % 48 AS h FROM t),
       |g AS (
@@ -426,16 +423,27 @@ object Multimodal {
       |  SELECT doc_id, w, h, x, y,
       |    CASE WHEN gray < lead(gray) OVER (PARTITION BY doc_id, y ORDER BY x)
       |         THEN 1 ELSE 0 END AS bit
-      |  FROM g QUALIFY x < 8)
-      |SELECT doc_id, CAST(max(w) AS BIGINT) AS width,
-      |  CAST(max(h) AS BIGINT) AS height,
-      |  CAST(sum(CASE WHEN y*8+x >= 32
-      |           THEN bit::BIGINT << CAST(y*8+x-32 AS INTEGER)
-      |           ELSE 0 END) AS BIGINT) AS dhash_hi,
-      |  CAST(sum(CASE WHEN y*8+x < 32
-      |           THEN bit::BIGINT << CAST(y*8+x AS INTEGER)
-      |           ELSE 0 END) AS BIGINT) AS dhash_lo
-      |FROM b GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      |  FROM g QUALIFY x < 8),
+      |dh AS MATERIALIZED (
+      |  SELECT doc_id, CAST(max(w) AS BIGINT) AS width,
+      |    CAST(max(h) AS BIGINT) AS height,
+      |    CAST(sum(CASE WHEN y*8+x >= 32
+      |             THEN bit::BIGINT << CAST(y*8+x-32 AS INTEGER)
+      |             ELSE 0 END) AS BIGINT) AS dhash_hi,
+      |    CAST(sum(CASE WHEN y*8+x < 32
+      |             THEN bit::BIGINT << CAST(y*8+x AS INTEGER)
+      |             ELSE 0 END) AS BIGINT) AS dhash_lo
+      |  FROM b GROUP BY 1)""".stripMargin
+
+  /** dHash gate: the oracle replays the generator arithmetic through
+    * the dHash sampling grid — every grid gray value is predicted from
+    * raster byte j = (doc_id·7 + j·31) mod 256 without parsing PPM, so
+    * a header-offset or stride bug in the real decode path lands on
+    * wrong bytes and flips bits. */
+  val q172 = Q.sql("q172_image_dhash",
+    s"""WITH $DhashSql
+      |SELECT doc_id, width, height, dhash_hi, dhash_lo
+      |FROM dh ORDER BY doc_id""".stripMargin) { (s, d) =>
     dhashAll(ppmTable(s, d))
       .toDF()
       .select(col("doc_id"), col("width").cast("long").as("width"),
@@ -444,5 +452,51 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(q52, q53, q58, q79, q90, q134, q172)
+  val HammingMax = 3
+
+  /** Image near-dup: pairs of images whose dHashes differ in ≤
+    * [[HammingMax]] bits. The engine runs the Manku banded form — the
+    * 64 bits split into 4 16-bit bands, and any pair within Hamming 3
+    * must agree EXACTLY on ≥ 1 band (pigeonhole), so candidates come
+    * from 4 equi-joins on (band index, band value) instead of all
+    * pairs, then one xor+popcount verifies. The oracle is the brute
+    * quadratic ground truth over the same replayed hashes: the gate
+    * therefore PINS the banding's losslessness at the driver, q25/q27
+    * style. Scale: candidate volume rides band-bucket sizes (bounded
+    * for near-uniform hashes); the verify is 2 codegen'd bit ops. */
+  val q182 = Q.sql("q182_image_neardup",
+    s"""WITH $DhashSql
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(bit_count(xor(a.dhash_hi, b.dhash_hi))
+      |     + bit_count(xor(a.dhash_lo, b.dhash_lo)) AS BIGINT) AS hamming
+      |FROM dh a JOIN dh b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.dhash_hi, b.dhash_hi))
+      |    + bit_count(xor(a.dhash_lo, b.dhash_lo)) <= $HammingMax
+      |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    val dh = dhashAll(ppmTable(s, d)).toDF()
+      .select(col("doc_id"), col("dhash_hi"), col("dhash_lo"))
+      .localCheckpoint(true) // band explode + both verify sides reuse it
+    val bands = dh.select(col("doc_id"), col("dhash_hi"), col("dhash_lo"),
+      explode(array(
+        struct(lit(0).as("bi"), (col("dhash_lo") % 65536).as("bv")),
+        struct(lit(1).as("bi"), (shiftright(col("dhash_lo"), 16) % 65536).as("bv")),
+        struct(lit(2).as("bi"), (col("dhash_hi") % 65536).as("bv")),
+        struct(lit(3).as("bi"), (shiftright(col("dhash_hi"), 16) % 65536).as("bv"))))
+        .as("band"))
+      .select(col("doc_id"), col("dhash_hi"), col("dhash_lo"),
+        col("band.bi").as("bi"), col("band.bv").as("bv"))
+    val cand = bands.toDF("id_a", "hi_a", "lo_a", "bi", "bv")
+      .join(bands.toDF("id_b", "hi_b", "lo_b", "bi", "bv"), Seq("bi", "bv"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "hi_a", "lo_a", "hi_b", "lo_b")
+      .distinct()
+    cand
+      .withColumn("hamming",
+        (expr("bit_count(hi_a ^ hi_b)") + expr("bit_count(lo_a ^ lo_b)")).cast("long"))
+      .filter(col("hamming") <= HammingMax)
+      .select("id_a", "id_b", "hamming")
+      .orderBy("id_a", "id_b")
+  }
+
+  val all: Seq[Q] = Seq(q52, q53, q58, q79, q90, q134, q172, q182)
 }

@@ -118,5 +118,69 @@ object TextStats {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(q119, q120)
+  /** Bigram LM surprisal — the perplexity-filter shape (CCNet/KenLM's
+    * role): train a bigram model ON the corpus (context count c1 =
+    * occurrences of w1 as a bigram head, joint count cxy), then score
+    * every document's cross-entropy under it: surprisal of a bigram =
+    * log2(c1/cxy) bits, so bits/token sits near the corpus' natural
+    * rate and spikes on out-of-distribution token sequences — the
+    * outlier tail is what a quality pass drops.
+    *
+    * Exactness via q119's quantized-log device: logs are taken ONLY of
+    * integer counts, pre-rounded to micro-bits (round(log2(n)·10⁶) —
+    * the same double in both engines, quantized far above ulp noise),
+    * so every aggregation is an exact BIGINT sum and the one final
+    * division is identical IEEE. Scale: two count tables (vocab- and
+    * bigram-sized, broadcast-joinable), one token-stream pass to score;
+    * the model tables are the only state — the daily-refresh shape. */
+  val q181 = Q.sql("q181_lm_surprisal",
+    """WITH tk AS MATERIALIZED (
+      |  SELECT doc_id, CAST(u.i AS BIGINT) AS off, toks[u.i + 1] AS tok
+      |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      |        FROM documents) d,
+      |  LATERAL unnest(range(0, len(toks))) AS u(i)),
+      |bg AS MATERIALIZED (
+      |  SELECT a.doc_id, a.off, a.tok AS w1, b.tok AS w2
+      |  FROM tk a JOIN tk b ON b.doc_id = a.doc_id AND b.off = a.off + 1),
+      |cxy AS MATERIALIZED (
+      |  SELECT w1, w2, count(*) AS n FROM bg GROUP BY 1, 2),
+      |c1 AS MATERIALIZED (
+      |  SELECT w1, CAST(sum(n) AS BIGINT) AS n FROM cxy GROUP BY 1),
+      |sc AS (
+      |  SELECT bg.doc_id,
+      |    CAST(round(log2(c1.n) * 1000000) AS BIGINT)
+      |      - CAST(round(log2(cxy.n) * 1000000) AS BIGINT) AS ub
+      |  FROM bg
+      |  JOIN cxy ON cxy.w1 = bg.w1 AND cxy.w2 = bg.w2
+      |  JOIN c1 ON c1.w1 = bg.w1)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |  CAST(sum(ub) AS BIGINT) AS surprisal_ub,
+      |  round(CAST(sum(ub) AS DOUBLE) / (count(*) * 1000000.0), 4)
+      |    AS bits_per_token
+      |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import graft.functions.Text
+    val qlog = (c: org.apache.spark.sql.Column) =>
+      round(log2(c) * 1000000).cast("long")
+    val tk = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(Text.tokens(col("text"))).as(Seq("off", "tok")))
+      .select(col("doc_id"), col("off").cast("long").as("off"), col("tok"))
+    val bg = tk.select(col("doc_id"), col("off"), col("tok").as("w1"))
+      .join(tk.select(col("doc_id"), (col("off") - 1).as("off"), col("tok").as("w2")),
+        Seq("doc_id", "off"))
+      .localCheckpoint(true) // model build + scoring both read the stream
+    val cxy = bg.groupBy("w1", "w2").agg(count(lit(1)).as("nxy"))
+    val c1 = cxy.groupBy("w1").agg(sum("nxy").as("n1"))
+    bg.join(broadcast(cxy), Seq("w1", "w2"))
+      .join(broadcast(c1), Seq("w1"))
+      .select(col("doc_id"), (qlog(col("n1")) - qlog(col("nxy"))).as("ub"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum("ub").cast("long").as("surprisal_ub"))
+      .withColumn("bits_per_token",
+        round(col("surprisal_ub").cast("double") /
+          (col("n_bigrams") * lit(1000000.0)), 4))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(q119, q120, q181)
 }
