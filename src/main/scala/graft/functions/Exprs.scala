@@ -117,6 +117,21 @@ object Exprs {
       copy(left = l, right = r)
   }
 
+  /** Quantized integer dot of two array<float>
+    * ([[TextKernels.qdotF]]): Σ floor(aᵢ·10⁸)·floor(bᵢ·10⁸) as long. */
+  case class QDotF(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      TextKernels.qdotF(
+        a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"$K.qdotF($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): QDotF =
+      copy(left = l, right = r)
+  }
+
   /** Dot product of two array<float>, double-accumulated. */
   case class DotF(left: Expression, right: Expression)
       extends BinaryExpression {
@@ -343,6 +358,7 @@ object Exprs {
   def winnow_fingerprints(tokens: Column, k: Int, w: Int): Column =
     c(Winnow(e(tokens), k, w))
   def cosine_sim(a: Column, b: Column): Column = c(CosineSim(e(a), e(b)))
+  def qdot(a: Column, b: Column): Column = c(QDotF(e(a), e(b)))
   def dot_f(a: Column, b: Column): Column = c(DotF(e(a), e(b)))
   def pq_pack(v: Column, cb: Array[Float], m: Int, sub: Int, k: Int): Column =
     c(PqPack(e(v), cb, m, sub, k))

@@ -243,6 +243,24 @@ object TextKernels {
     acc
   }
 
+  /** Quantized integer dot product of two float vectors: each element
+    * floor(x·10⁸) (the q162 quantization — same IEEE multiply+floor in
+    * both engines, no tie cases), products summed in a long. |x| ≤ 2 →
+    * |element| ≤ 2·10⁸ → |dot| ≤ 64·4·10¹⁶, comfortably in range. The
+    * codegen'd single-call form of the zip_with/aggregate HOF chain,
+    * which stays outside whole-stage codegen and allocates per pair. */
+  def qdotF(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += math.floor(a.getFloat(i).toDouble * 1e8).toLong *
+        math.floor(b.getFloat(i).toDouble * 1e8).toLong
+      i += 1
+    }
+    acc
+  }
+
   /** Cosine similarity of two float vectors in double precision. */
   def cosineF(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())

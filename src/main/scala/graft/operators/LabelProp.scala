@@ -35,20 +35,20 @@ object LabelProp {
 
   private def quantized(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).select(col("vec_id"),
-      transform(col("embedding"),
-        v => floor(v.cast("double") * lit(1e8)).cast("long")).as("xq"),
+      col("embedding").as("xq"),
       col("label").cast("long").as("label"))
 
   /** (id, nb, w): each vector's K nearest positive-affinity neighbors
-    * by quantized dot product. */
+    * by quantized dot product ([[graft.functions.Exprs.qdot]] — the
+    * codegen kernel; the zip_with/aggregate HOF form of the same sum
+    * ran 40 s at sf0.1 against ~2 s with the kernel). */
   def knnEdges(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = quantized(s, d)
     val a = e.select(col("vec_id").as("id"), col("xq").as("xa"))
     val b = e.select(col("vec_id").as("nb"), col("xq").as("xb"))
     val pairs = a.join(broadcast(b), col("id") =!= col("nb"))
-      .withColumn("w", aggregate(zip_with(col("xa"), col("xb"), (p, q) => p * q),
-        lit(0L), (acc, x) => acc + x))
+      .withColumn("w", graft.functions.Exprs.qdot(col("xa"), col("xb")))
       .filter(col("w") > 0)
     pairs
       .withColumn("rn", row_number().over(
@@ -167,14 +167,11 @@ object LabelProp {
       |ORDER BY ab.id_a""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
     val e = Tables.embeddings(s, d).select(col("vec_id"),
-      transform(col("embedding"),
-        v => floor(v.cast("double") * lit(1e8)).cast("long")).as("xq"),
-      (col("label") % 2).as("side"))
+      col("embedding").as("xq"), (col("label") % 2).as("side"))
     val a = e.filter(col("side") === 0).select(col("vec_id").as("id_a"), col("xq").as("xa"))
     val b = e.filter(col("side") === 1).select(col("vec_id").as("id_b"), col("xq").as("xb"))
     val p = a.join(broadcast(b), lit(true))
-      .withColumn("w", aggregate(zip_with(col("xa"), col("xb"), (x, y) => x * y),
-        lit(0L), (acc, x) => acc + x))
+      .withColumn("w", graft.functions.Exprs.qdot(col("xa"), col("xb")))
       .select("id_a", "id_b", "w")
       .localCheckpoint(true) // both argmax directions read the pair table
     val ab = p.withColumn("rn", row_number().over(
