@@ -498,5 +498,80 @@ object Multimodal {
       .orderBy("id_a", "id_b")
   }
 
-  val all: Seq[Q] = Seq(q52, q53, q58, q79, q90, q134, q172, q182)
+  case class AudioFp(doc_id: Long, win_idx: Long, fp: Long)
+
+  val FpBands = 8
+
+  /** Audio fingerprint (the Haitsma–Kalker comparative-energy shape on
+    * time-domain bands): each q134 window splits into [[FpBands]]
+    * 32-sample bands, bit b of the window's fingerprint is set iff
+    * band b carries more energy than band b+1 — a 7-bit robust hash
+    * per window, all integer (energies are exact s² sums over the REAL
+    * decoded samples). Same batch-shaped decode pass as q134; the
+    * fingerprint column is what an audio near-dup stage would band on,
+    * exactly as q182 does for images. */
+  def audioFingerprint(media: Dataset[MediaRow]): Dataset[AudioFp] = {
+    import media.sparkSession.implicits._
+    val bandW = AudioWindow / FpBands
+    media.mapPartitions { it =>
+      it.grouped(BATCH_SIZE).flatMap(_.iterator.flatMap { row =>
+        val a = Wav.decode(row.payload)
+        val n = a.samples.length
+        val nWin = if (n < AudioWindow) 0 else (n - AudioWindow) / AudioHop + 1
+        (0 until nWin).iterator.map { w =>
+          val bands = Array.tabulate(FpBands) { b =>
+            var e = 0L
+            var j = w * AudioHop + b * bandW
+            val until = j + bandW
+            while (j < until) {
+              val s = a.samples(j).toLong
+              e += s * s
+              j += 1
+            }
+            e
+          }
+          var fp = 0L
+          var b = 0
+          while (b < FpBands - 1) {
+            if (bands(b) > bands(b + 1)) fp |= 1L << b
+            b += 1
+          }
+          AudioFp(row.doc_id, w.toLong, fp)
+        }
+      })
+    }
+  }
+
+  /** Audio fingerprint gate: oracle = the generator arithmetic pushed
+    * through the band index ranges (q134's device one level deeper —
+    * a band-boundary or hop error flips comparison bits). */
+  val q183 = Q.sql("q183_audio_fingerprint",
+    s"""WITH t AS (
+       |  SELECT doc_id, 256 + octet_length(encode(text)) % 512 AS n
+       |  FROM documents),
+       |w AS (
+       |  SELECT doc_id, n,
+       |    unnest(range(0, (n - $AudioWindow) // $AudioHop + 1)) AS win
+       |  FROM t),
+       |bands AS (
+       |  SELECT doc_id, win, b.b,
+       |    list_sum(list_transform(
+       |      range(win*$AudioHop + b.b*${AudioWindow / FpBands},
+       |            win*$AudioHop + (b.b + 1)*${AudioWindow / FpBands}),
+       |      j -> ((doc_id*11 + j*17) % 65536 - 32768)
+       |         * ((doc_id*11 + j*17) % 65536 - 32768))) AS e
+       |  FROM w CROSS JOIN (SELECT unnest(range(0, $FpBands)) AS b) b),
+       |fp AS (
+       |  SELECT doc_id, win,
+       |    CAST(sum(CASE WHEN e > en THEN 1::BIGINT << CAST(b AS INTEGER)
+       |             ELSE 0 END) AS BIGINT) AS fp
+       |  FROM (SELECT *, lead(e) OVER (PARTITION BY doc_id, win ORDER BY b) AS en
+       |        FROM bands)
+       |  WHERE b < ${FpBands - 1} GROUP BY 1, 2)
+       |SELECT doc_id, CAST(win AS BIGINT) AS win_idx, fp
+       |FROM fp ORDER BY doc_id, win_idx""".stripMargin) { (s, d) =>
+    audioFingerprint(wavTable(s, d)).toDF().orderBy("doc_id", "win_idx")
+  }
+
+  val all: Seq[Q] = Seq(q52, q53, q58, q79, q90, q134, q172, q182, q183)
 }
