@@ -464,15 +464,9 @@ object Multimodal {
     * therefore PINS the banding's losslessness at the driver, q25/q27
     * style. Scale: candidate volume rides band-bucket sizes (bounded
     * for near-uniform hashes); the verify is 2 codegen'd bit ops. */
-  val q182 = Q.sql("q182_image_neardup",
-    s"""WITH $DhashSql
-      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-      |  CAST(bit_count(xor(a.dhash_hi, b.dhash_hi))
-      |     + bit_count(xor(a.dhash_lo, b.dhash_lo)) AS BIGINT) AS hamming
-      |FROM dh a JOIN dh b ON a.doc_id < b.doc_id
-      |WHERE bit_count(xor(a.dhash_hi, b.dhash_hi))
-      |    + bit_count(xor(a.dhash_lo, b.dhash_lo)) <= $HammingMax
-      |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+  /** The banded Hamming pair build of q182, reusable: (id_a, id_b,
+    * hamming) with id_a < id_b and hamming ≤ [[HammingMax]]. */
+  def dhashPairs(s: SparkSession, d: String): DataFrame = {
     val dh = dhashAll(ppmTable(s, d)).toDF()
       .select(col("doc_id"), col("dhash_hi"), col("dhash_lo"))
       .localCheckpoint(true) // band explode + both verify sides reuse it
@@ -495,7 +489,18 @@ object Multimodal {
         (expr("bit_count(hi_a ^ hi_b)") + expr("bit_count(lo_a ^ lo_b)")).cast("long"))
       .filter(col("hamming") <= HammingMax)
       .select("id_a", "id_b", "hamming")
-      .orderBy("id_a", "id_b")
+  }
+
+  val q182 = Q.sql("q182_image_neardup",
+    s"""WITH $DhashSql
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(bit_count(xor(a.dhash_hi, b.dhash_hi))
+      |     + bit_count(xor(a.dhash_lo, b.dhash_lo)) AS BIGINT) AS hamming
+      |FROM dh a JOIN dh b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.dhash_hi, b.dhash_hi))
+      |    + bit_count(xor(a.dhash_lo, b.dhash_lo)) <= $HammingMax
+      |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    dhashPairs(s, d).orderBy("id_a", "id_b")
   }
 
   case class AudioFp(doc_id: Long, win_idx: Long, fp: Long)
@@ -573,5 +578,63 @@ object Multimodal {
     audioFingerprint(wavTable(s, d)).toDF().orderBy("doc_id", "win_idx")
   }
 
-  val all: Seq[Q] = Seq(q52, q53, q58, q79, q90, q134, q172, q182, q183)
+  /** Multimodal curation report — the composition gate that joins all
+    * three modalities into one per-document decision row: text quality
+    * (the q22 scorer), image geometry + near-dup status (q172/q182 —
+    * the non-canonical side of any Hamming-close pair is flagged), and
+    * audio coverage (window count), with the keep rule a pipeline would
+    * apply (quality floor AND not an image dup). Every input is an
+    * already-gated operator; what this pins is the JOIN seams — id
+    * alignment, dup-side convention, null-free composition — which is
+    * where multimodal pipelines actually break. All modality scans run
+    * once each; the dup flag is a semi-join against the banded pair
+    * table. */
+  val q184 = Q.sql("q184_multimodal_report",
+    s"""WITH $DhashSql,
+      |dup AS (
+      |  SELECT DISTINCT b.doc_id AS id_b
+      |  FROM dh a JOIN dh b ON a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.dhash_hi, b.dhash_hi))
+      |      + bit_count(xor(a.dhash_lo, b.dhash_lo)) <= $HammingMax),
+      |qy AS (
+      |  SELECT doc_id,
+      |    round(0.4 * least(length(text)/500.0, 1.0)
+      |        + 0.3 * (1.0 - least(5.0*(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))) / greatest(length(text), 1), 1.0))
+      |        + 0.3 * least(4.0*len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> list_contains(['the','and','of','to','in','is','a'], x))) / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1), 1.0)
+      |    , 4) AS quality
+      |  FROM documents),
+      |au AS (
+      |  SELECT doc_id,
+      |    CAST((octet_length(encode(text)) % 512) // $AudioHop + 1 AS BIGINT)
+      |      AS n_audio_win
+      |  FROM documents)
+      |SELECT qy.doc_id, qy.quality, dh.width, dh.height, au.n_audio_win,
+      |  dup.id_b IS NOT NULL AS dup_image,
+      |  qy.quality >= 0.45 AND dup.id_b IS NULL AS keep
+      |FROM qy
+      |JOIN dh ON dh.doc_id = qy.doc_id
+      |JOIN au ON au.doc_id = qy.doc_id
+      |LEFT JOIN dup ON dup.id_b = qy.doc_id
+      |ORDER BY qy.doc_id""".stripMargin) { (s, d) =>
+    import graft.functions.Text
+    val qy = graft.Tables.documents(s, d)
+      .select(col("doc_id"), Text.qualityScore(col("text")).as("quality"))
+    val dh = dhashAll(ppmTable(s, d)).toDF()
+      .select(col("doc_id"), col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"))
+    val au = audioFingerprint(wavTable(s, d)).toDF()
+      .groupBy("doc_id").agg(count(lit(1)).as("n_audio_win"))
+    val dup = dhashPairs(s, d).select(col("id_b").as("doc_id")).distinct()
+      .withColumn("dup_image", lit(true))
+    qy.join(dh, "doc_id").join(au, "doc_id")
+      .join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("quality"), col("width"), col("height"),
+        col("n_audio_win"),
+        coalesce(col("dup_image"), lit(false)).as("dup_image"),
+        (col("quality") >= 0.45 && coalesce(col("dup_image"), lit(false)) === false)
+          .as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(q52, q53, q58, q79, q90, q134, q172, q182, q183, q184)
 }
