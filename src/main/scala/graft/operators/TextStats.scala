@@ -126,13 +126,20 @@ object TextStats {
     * rate and spikes on out-of-distribution token sequences — the
     * outlier tail is what a quality pass drops.
     *
-    * Exactness via q119's quantized-log device: logs are taken ONLY of
-    * integer counts, pre-rounded to micro-bits (round(log2(n)·10⁶) —
-    * the same double in both engines, quantized far above ulp noise),
-    * so every aggregation is an exact BIGINT sum and the one final
-    * division is identical IEEE. Scale: two count tables (vocab- and
-    * bigram-sized, broadcast-joinable), one token-stream pass to score;
-    * the model tables are the only state — the daily-refresh shape. */
+    * Exactness: the log is the INTEGER piecewise-linear log2 —
+    * qlog2(n) = (blen−1)·1024 + n·1024 div 2^(blen−1) − 1024 with
+    * blen = length(bin(n)) — exact in both engines (bit ops and one
+    * floor division, no transcendental call), monotone, and within
+    * 0.086 bits of true log2, which is noise for a filter score. The
+    * first build used round(log2(n)·10⁶) (q119's device) and the 5×
+    * sweep caught it: Java's log/log(2) and DuckDB's log2 disagree by
+    * an ulp on some counts, and one crossing flips a micro-bit —
+    * transcendental quantization is only PROBABLY deterministic, the
+    * integer form is so by construction. Every aggregation is then an
+    * exact BIGINT sum and the one final division is identical IEEE.
+    * Scale: two count tables (vocab- and bigram-sized,
+    * broadcast-joinable), one token-stream pass to score; the model
+    * tables are the only state — the daily-refresh shape. */
   val q181 = Q.sql("q181_lm_surprisal",
     """WITH tk AS MATERIALIZED (
       |  SELECT doc_id, CAST(u.i AS BIGINT) AS off, toks[u.i + 1] AS tok
@@ -148,19 +155,23 @@ object TextStats {
       |  SELECT w1, CAST(sum(n) AS BIGINT) AS n FROM cxy GROUP BY 1),
       |sc AS (
       |  SELECT bg.doc_id,
-      |    CAST(round(log2(c1.n) * 1000000) AS BIGINT)
-      |      - CAST(round(log2(cxy.n) * 1000000) AS BIGINT) AS ub
+      |    ((length(bin(c1.n)) - 1) * 1024
+      |      + c1.n * 1024 // (1::BIGINT << (length(bin(c1.n)) - 1)) - 1024)
+      |    - ((length(bin(cxy.n)) - 1) * 1024
+      |      + cxy.n * 1024 // (1::BIGINT << (length(bin(cxy.n)) - 1)) - 1024)
+      |      AS ub
       |  FROM bg
       |  JOIN cxy ON cxy.w1 = bg.w1 AND cxy.w2 = bg.w2
       |  JOIN c1 ON c1.w1 = bg.w1)
       |SELECT doc_id, count(*) AS n_bigrams,
-      |  CAST(sum(ub) AS BIGINT) AS surprisal_ub,
-      |  round(CAST(sum(ub) AS DOUBLE) / (count(*) * 1000000.0), 4)
+      |  CAST(sum(ub) AS BIGINT) AS surprisal_qb,
+      |  round(CAST(sum(ub) AS DOUBLE) / (count(*) * 1024.0), 4)
       |    AS bits_per_token
       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
     import graft.functions.Text
-    val qlog = (c: org.apache.spark.sql.Column) =>
-      round(log2(c) * 1000000).cast("long")
+    val qlog = (name: String) =>
+      expr(s"(length(bin($name)) - 1) * 1024" +
+        s" + $name * 1024 div shiftleft(1L, length(bin($name)) - 1) - 1024")
     val tk = Tables.documents(s, d)
       .select(col("doc_id"), posexplode(Text.tokens(col("text"))).as(Seq("off", "tok")))
       .select(col("doc_id"), col("off").cast("long").as("off"), col("tok"))
@@ -172,13 +183,13 @@ object TextStats {
     val c1 = cxy.groupBy("w1").agg(sum("nxy").as("n1"))
     bg.join(broadcast(cxy), Seq("w1", "w2"))
       .join(broadcast(c1), Seq("w1"))
-      .select(col("doc_id"), (qlog(col("n1")) - qlog(col("nxy"))).as("ub"))
+      .select(col("doc_id"), (qlog("n1") - qlog("nxy")).as("ub"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
-        sum("ub").cast("long").as("surprisal_ub"))
+        sum("ub").cast("long").as("surprisal_qb"))
       .withColumn("bits_per_token",
-        round(col("surprisal_ub").cast("double") /
-          (col("n_bigrams") * lit(1000000.0)), 4))
+        round(col("surprisal_qb").cast("double") /
+          (col("n_bigrams") * lit(1024.0)), 4))
       .orderBy("doc_id")
   }
 

@@ -361,5 +361,52 @@ object Timeseries {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(q115, q116, q121, q137, q159, q176)
+  /** Incremental metric maintenance under the q176 snapshot diff —
+    * q140's additive-maintenance discipline applied to a delivery: the
+    * engine NEVER scans v2; it takes the v1 aggregate and applies the
+    * diff's deltas (removed rows subtract, changed rows contribute
+    * their token delta, added rows add), while the ORACLE aggregates
+    * the rebuilt v2 from scratch — so the gate IS the
+    * maintained-equals-recomputed equality, per (lang, source) cell.
+    * At 100 TB this is the difference between touching the delivery
+    * (∝ |diff|) and re-scanning the corpus; counts stay exact
+    * integers, so maintenance is associative and order-free. */
+  val q185 = Q.sql("q185_incremental_metrics",
+    """WITH v2 AS (
+      |  SELECT doc_id, lang, source,
+      |    CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 17 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, lang, source, text || ' new'
+      |  FROM documents WHERE doc_id % 19 = 0)
+      |SELECT lang, source, count(*) AS n_docs,
+      |  CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+      |    AS n_tokens
+      |FROM v2 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    import graft.functions.Text
+    val v1 = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+        size(Text.tokens(col("text"))).cast("long").as("nt"))
+      .localCheckpoint(true) // base agg + three delta scans share it
+    val base = v1.groupBy("lang", "source")
+      .agg(count(lit(1)).as("d_docs"), sum("nt").as("d_tokens"))
+    val removed = v1.filter(col("doc_id") % 17 === 0)
+      .groupBy("lang", "source")
+      .agg((-count(lit(1))).as("d_docs"), (-sum("nt")).as("d_tokens"))
+    // ' v2' appends exactly one token to a surviving changed row
+    val changed = v1.filter(col("doc_id") % 13 === 0 && col("doc_id") % 17 =!= 0)
+      .groupBy("lang", "source")
+      .agg(lit(0L).as("d_docs"), count(lit(1)).as("d_tokens"))
+    val added = v1.filter(col("doc_id") % 19 === 0)
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("d_docs"), (sum("nt") + count(lit(1))).as("d_tokens"))
+    base.unionByName(removed).unionByName(changed).unionByName(added)
+      .groupBy("lang", "source")
+      .agg(sum("d_docs").cast("long").as("n_docs"),
+        sum("d_tokens").cast("long").as("n_tokens"))
+      .filter(col("n_docs") > 0)
+      .orderBy("lang", "source")
+  }
+
+  val all: Seq[Q] = Seq(q115, q116, q121, q137, q159, q176, q185)
 }
