@@ -461,5 +461,51 @@ object DataSplit {
       .orderBy("source")
   }
 
-  val all: Seq[Q] = Seq(q59, q60, q67, q77, q83, q105, q133, q148, q165, q173)
+  /** Contrastive in-batch construction — the CLIP/DPO collation rule:
+    * pack items into fixed batches such that NO batch holds two items
+    * of the same label, so every other in-batch item is a valid
+    * negative. The assignment is pure ranking: items rank within their
+    * label by the salted content hash (q77's device, fresh salt), and
+    * rank r IS the batch id — labels collide with themselves never,
+    * and batch sizes stay |labels| until the longest label group runs
+    * out. Slot = the label's dense position inside the batch. One
+    * window per label group + one per batch: two shuffles, no driver
+    * state; the invariant (distinct labels per batch = batch size) is
+    * part of the output so the oracle pins it. */
+  val q186 = Q.sql("q186_contrastive_batches",
+    """WITH r AS (
+      |  SELECT vec_id, label,
+      |    row_number() OVER (PARTITION BY label
+      |                       ORDER BY md5('cb:' || CAST(vec_id AS VARCHAR)),
+      |                                vec_id) - 1 AS batch_id
+      |  FROM embeddings),
+      |s AS (
+      |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+      |    CAST(batch_id AS BIGINT) AS batch_id,
+      |    CAST(row_number() OVER (PARTITION BY batch_id ORDER BY label)
+      |         - 1 AS BIGINT) AS slot
+      |  FROM r)
+      |SELECT vec_id, label, batch_id, slot,
+      |  CAST(count(*) OVER (PARTITION BY batch_id) AS BIGINT) AS batch_size,
+      |  CAST(count(DISTINCT label) OVER (PARTITION BY batch_id) AS BIGINT)
+      |    AS batch_labels
+      |FROM s ORDER BY batch_id, slot""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val r = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+      .withColumn("batch_id",
+        (row_number().over(Window.partitionBy("label")
+          .orderBy(md5(concat(lit("cb:"), col("vec_id").cast("string")).cast("binary")),
+            col("vec_id"))) - 1).cast("long"))
+    val byBatch = Window.partitionBy("batch_id")
+    r.withColumn("slot",
+        (row_number().over(byBatch.orderBy("label")) - 1).cast("long"))
+      .withColumn("batch_size", count(lit(1)).over(byBatch))
+      .withColumn("batch_labels",
+        size(collect_set(col("label")).over(byBatch)).cast("long"))
+      .select("vec_id", "label", "batch_id", "slot", "batch_size", "batch_labels")
+      .orderBy("batch_id", "slot")
+  }
+
+  val all: Seq[Q] = Seq(q59, q60, q67, q77, q83, q105, q133, q148, q165, q173, q186)
 }
