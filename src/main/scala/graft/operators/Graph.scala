@@ -352,5 +352,80 @@ object Graph {
     twoPhaseCC(eventCopresenceEdges(s, d), CcRounds).orderBy("node")
   }
 
-  val all: Seq[Q] = Seq(q106, q110, q138, q167)
+  /** Personalized PageRank — q106's fixed-point machinery with the
+    * teleport restricted to a SEED set (all restart mass returns to
+    * the seeds), the standard "relevance to these nodes" ranking used
+    * for graph-based data selection: score every supplier/customer by
+    * proximity to a trusted seed cohort instead of global centrality.
+    * Same integer discipline as q106 (10¹² mass units, positive-operand
+    * floor divisions, 64-bit sums), so the oracle unrolls the identical
+    * program with a seed-conditional teleport term. Seeds here: the
+    * customer nodes with custkey ≡ 0 (mod 7) (node ids are 2·custkey,
+    * so node ≡ 0 mod 14). */
+  def personalizedPagerank(edges: DataFrame, seedCond: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      iters: Int): DataFrame = {
+    val e = edges.select("src", "dst").localCheckpoint()
+    val nodes = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+      .withColumn("seed", seedCond(col("node")))
+      .localCheckpoint()
+    val nS = nodes.filter(col("seed")).count()
+    require(nS > 0, "personalized pagerank needs a non-empty seed set")
+    val r0 = 1000000000000L / nS
+    val tp = 1000000000000L * 15 / 100 / nS
+    var ranks = nodes.withColumn("r", when(col("seed"), r0).otherwise(0L))
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(broadcast(ranks), e("src") === ranks("node"))
+        .select(col("dst").as("node"), expr("r div deg").as("c"))
+        .groupBy("node").agg(sum("c").as("s"))
+      ranks = nodes.join(broadcast(contrib), Seq("node"), "left")
+        .select(col("node"), col("deg"), col("seed"),
+          (when(col("seed"), tp).otherwise(0L)
+            + coalesce(expr("(85 * s) div 100"), lit(0L))).as("r"))
+        .localCheckpoint()
+    }
+    ranks.select("node", "r")
+  }
+
+  private def pprOracle(iters: Int): String = {
+    val head =
+      s"""WITH raw AS (
+         |  SELECT DISTINCT 2 * o_custkey AS c, 2 * l_suppkey + 1 AS sp
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |edges AS (
+         |  SELECT c AS src, sp AS dst FROM raw
+         |  UNION ALL SELECT sp AS src, c AS dst FROM raw),
+         |nodes AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1),
+         |ns AS (SELECT count(*) AS n FROM nodes WHERE node % 14 = 0),
+         |pr0 AS (SELECT node, deg,
+         |  CASE WHEN node % 14 = 0 THEN (SELECT $Ten12 // n FROM ns)
+         |       ELSE 0 END AS r FROM nodes)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""pr$i AS (
+         |  SELECT n.node, n.deg,
+         |    CASE WHEN n.node % 14 = 0
+         |         THEN (SELECT ($Ten12 * 15) // 100 // n FROM ns)
+         |         ELSE 0 END
+         |      + COALESCE((85 * s.s) // 100, 0) AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node, CAST(sum(p.r // p.deg) AS BIGINT) AS s
+         |    FROM pr${i - 1} p JOIN edges e ON e.src = p.node
+         |    GROUP BY 1) s ON n.node = s.node)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s"\nSELECT node, r FROM pr$iters ORDER BY node"
+  }
+
+  val q187 = Q.sql("q187_personalized_pagerank", pprOracle(10)) { (s, d) =>
+    val raw = Tables.orders(s, d)
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2L).as("c"), (col("l_suppkey") * 2L + 1L).as("sp"))
+      .distinct()
+    val edges = raw.select(col("c").as("src"), col("sp").as("dst"))
+      .unionByName(raw.select(col("sp").as("src"), col("c").as("dst")))
+    personalizedPagerank(edges, n => n % 14 === 0, 10).orderBy("node")
+  }
+
+  val all: Seq[Q] = Seq(q106, q110, q138, q167, q187)
 }

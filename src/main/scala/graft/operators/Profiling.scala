@@ -97,5 +97,97 @@ object Profiling {
       .orderBy("col_name")
   }
 
-  val all: Seq[Q] = Seq(q122)
+  /** Exact order-statistic selection per group — the EXACT counterpart
+    * of q114's binned approximation: the lower median and the p90 of
+    * `value` per event type, by POSITION (k-th smallest, k = ⌈n/2⌉ and
+    * ⌈0.9n⌉), with values floor-quantized to integer micro-units first
+    * (the q162 device) so no float compare or interpolation exists
+    * anywhere — selection by rank is deterministic even through value
+    * ties. One sort-shuffle per group set, then a rank filter; at
+    * 100 TB the same statement runs on range-partitioned sort, and the
+    * approximate path (q114) pre-shrinks when exactness isn't owed. */
+  val q188 = Q.sql("q188_exact_quantiles",
+    """WITH v AS (
+      |  SELECT event_type,
+      |    CAST(floor(value * 1000000.0) AS BIGINT) AS vq,
+      |    event_id
+      |  FROM events WHERE value IS NOT NULL),
+      |r AS (
+      |  SELECT event_type, vq,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY vq, event_id) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM v)
+      |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+      |  CAST(max(CASE WHEN rn = (n + 1) // 2 THEN vq END) AS BIGINT) AS med_q6,
+      |  CAST(max(CASE WHEN rn = (9 * n + 9) // 10 THEN vq END) AS BIGINT) AS p90_q6
+      |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val v = Tables.events(s, d)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"),
+        floor(col("value") * 1000000.0).cast("long").as("vq"), col("event_id"))
+    val byType = Window.partitionBy("event_type")
+    v.withColumn("rn", row_number().over(byType.orderBy("vq", "event_id")))
+      .withColumn("n", count(lit(1)).over(byType))
+      .groupBy("event_type")
+      .agg(max("n").cast("long").as("n"),
+        max(when(expr("rn = (n + 1) div 2"), col("vq"))).as("med_q6"),
+        max(when(expr("rn = (9 * n + 9) div 10"), col("vq"))).as("p90_q6"))
+      .orderBy("event_type")
+  }
+
+  /** Per-source data card — the datasheet row a corpus release ships:
+    * volume (docs, tokens), language spread, exact-duplicate mass
+    * (docs minus distinct digests), mean quality (q22 scores summed as
+    * DECIMAL — order-free — then one division), and the EXACT median
+    * document length (the q188 selection device with doc_id
+    * tie-break). One scan computes every per-doc feature; the card
+    * itself is a sources-sized aggregate. The judge of a data release
+    * reads exactly this table — making it a gate keeps the numbers
+    * honest against the engines' independent derivations. */
+  val q189 = Q.sql("q189_data_card",
+    """WITH f AS (
+      |  SELECT doc_id, source, lang, md5(text) AS dig,
+      |    len(regexp_split_to_array(trim(text), '\s+')) AS nt,
+      |    round(0.4 * least(length(text)/500.0, 1.0)
+      |        + 0.3 * (1.0 - least(5.0*(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))) / greatest(length(text), 1), 1.0))
+      |        + 0.3 * least(4.0*len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> list_contains(['the','and','of','to','in','is','a'], x))) / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1), 1.0)
+      |    , 4) AS quality
+      |  FROM documents),
+      |r AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY source ORDER BY nt, doc_id) AS rn,
+      |    count(*) OVER (PARTITION BY source) AS n
+      |  FROM f)
+      |SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+      |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+      |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+      |  CAST(max(n) - count(DISTINCT dig) AS BIGINT) AS dup_docs,
+      |  round(CAST(sum(CAST(quality AS DECIMAL(18,4))) AS DOUBLE) / max(n), 4)
+      |    AS mean_quality,
+      |  CAST(max(CASE WHEN rn = (n + 1) // 2 THEN nt END) AS BIGINT)
+      |    AS med_tokens
+      |FROM r GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Text
+    val f = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("lang"),
+        md5(col("text").cast("binary")).as("dig"),
+        size(Text.tokens(col("text"))).cast("long").as("nt"),
+        Text.qualityScore(col("text")).as("quality"))
+    val bySource = Window.partitionBy("source")
+    f.withColumn("rn", row_number().over(bySource.orderBy("nt", "doc_id")))
+      .withColumn("n", count(lit(1)).over(bySource))
+      .groupBy("source")
+      .agg(max("n").cast("long").as("n_docs"),
+        sum("nt").cast("long").as("n_tokens"),
+        countDistinct("lang").as("n_langs"),
+        (max("n") - countDistinct("dig")).cast("long").as("dup_docs"),
+        round(sum(col("quality").cast("decimal(18,4)")).cast("double")
+          / max("n"), 4).as("mean_quality"),
+        max(when(expr("rn = (n + 1) div 2"), col("nt"))).as("med_tokens"))
+      .orderBy("source")
+  }
+
+  val all: Seq[Q] = Seq(q122, q188, q189)
 }
