@@ -165,5 +165,41 @@ object Bpe {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(q125, q126)
+  /** BPE fertility per language — tokens-per-word under the learned
+    * vocabulary, THE statistic a tokenizer review reads per language
+    * (fertility ≫ 1 means the vocab under-serves that language and its
+    * documents pay more sequence length per word). Ratio held exact:
+    * fertility_q4 = ΣBPE·10⁴ div Σwords, one positive floor division.
+    * Reuses the q125/q126 training chain — the corpus is scanned once
+    * for word counts; everything else is vocab-sized. */
+  val q190 = Q.sql("q190_bpe_fertility", {
+    // assembled without stripMargin — see q125
+    s"WITH ${oracleIterations(MERGES)},\n" +
+      "wn AS (SELECT word,\n" +
+      "  CAST(len(string_split(trim(s, chr(31)), chr(31) || chr(31))) AS BIGINT) AS n\n" +
+      s"  FROM w$MERGES),\n" +
+      "pl AS (\n" +
+      "  SELECT d.lang, CAST(sum(wn.n) AS BIGINT) AS n_bpe,\n" +
+      "    CAST(count(*) AS BIGINT) AS n_words\n" +
+      "  FROM tok JOIN wn USING (word)\n" +
+      "  JOIN documents d USING (doc_id) GROUP BY 1)\n" +
+      "SELECT lang, n_bpe, n_words,\n" +
+      "  CAST((n_bpe * 10000) // n_words AS BIGINT) AS fertility_q4\n" +
+      "FROM pl ORDER BY lang"
+  }) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val (_, finalWords) = trainOn(wordFreqs(docs), MERGES)
+    val wn = finalWords.select(col("word"),
+      size(split(trim(col("s"), U), U + U)).cast("long").as("n"))
+    docs.select(col("doc_id"), col("lang"), explode(Text.tokens(col("text"))).as("word"))
+      .join(broadcast(wn), "word")
+      .groupBy("lang")
+      .agg(sum(col("n")).cast("long").as("n_bpe"),
+        count(lit(1)).as("n_words"))
+      .select(col("lang"), col("n_bpe"), col("n_words"),
+        expr("(n_bpe * 10000) div n_words").as("fertility_q4"))
+      .orderBy("lang")
+  }
+
+  val all: Seq[Q] = Seq(q125, q126, q190)
 }
