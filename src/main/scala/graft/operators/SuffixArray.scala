@@ -171,5 +171,61 @@ object SuffixArray {
       .orderBy("r")
   }
 
-  val all: Seq[Q] = Seq(q174, q175)
+  /** Minimum repeated-span length (tokens) before a tail is masked —
+    * Lee et al. mask repeats above a length floor, not every shared
+    * word. */
+  val MinSpan = 8
+
+  /** The consumption side of the index: per-document DEDUP MASKS.
+    * A suffix whose rank group spans ≥ 2 documents is a tail that
+    * occurs verbatim elsewhere; the union of all such tails of length
+    * ≥ [[MinSpan]] is the doc's masked region — and because suffixes
+    * nest, that union is exactly [first qualifying offset, end). Emits
+    * (doc, n_tokens, first_rep_off, masked_tokens); a training
+    * pipeline drops or down-weights the masked span (q99's decision,
+    * from the exact index instead of hashes). One join of the rank
+    * table against its cross-doc groups + one min per doc. */
+  val q191 = Q.sql("q191_suffix_dedup_mask",
+    s"""WITH tk AS MATERIALIZED (
+       |  SELECT doc_id, CAST(u.i AS BIGINT) AS off, toks[u.i + 1] AS tok,
+       |         CAST(len(toks) AS BIGINT) AS n
+       |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |        FROM documents) d,
+       |  LATERAL unnest(range(0, len(toks))) AS u(i)),
+       |r0 AS MATERIALIZED (
+       |  SELECT doc_id, off, dense_rank() OVER (ORDER BY tok) AS r FROM tk),
+       |${(1 to SaRounds).map(layer).mkString(",\n")},
+       |xd AS (
+       |  SELECT r FROM r$SaRounds GROUP BY r
+       |  HAVING count(DISTINCT doc_id) >= 2),
+       |nl AS (SELECT doc_id, max(n) AS n FROM tk GROUP BY 1),
+       |fr AS (
+       |  SELECT s.doc_id, min(s.off) AS first_rep_off
+       |  FROM r$SaRounds s JOIN xd USING (r) JOIN nl ON nl.doc_id = s.doc_id
+       |  WHERE s.off <= nl.n - $MinSpan
+       |  GROUP BY 1)
+       |SELECT nl.doc_id, nl.n AS n_tokens,
+       |  CAST(coalesce(fr.first_rep_off, -1) AS BIGINT) AS first_rep_off,
+       |  CAST(CASE WHEN fr.first_rep_off IS NULL THEN 0
+       |       ELSE nl.n - fr.first_rep_off END AS BIGINT) AS masked_tokens
+       |FROM nl LEFT JOIN fr USING (doc_id)
+       |ORDER BY nl.doc_id""".stripMargin) { (s, d) =>
+    import graft.functions.Text
+    val r = suffixRanks(s, d)
+    val nl = Tables.documents(s, d)
+      .select(col("doc_id"), size(Text.tokens(col("text"))).cast("long").as("n"))
+    val xd = r.groupBy("r").agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= 2).select("r")
+    val fr = r.join(xd, "r").join(nl, "doc_id")
+      .filter(col("off") <= col("n") - MinSpan)
+      .groupBy("doc_id").agg(min("off").as("first_rep_off"))
+    nl.join(fr, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        coalesce(col("first_rep_off"), lit(-1L)).as("first_rep_off"),
+        when(col("first_rep_off").isNull, 0L)
+          .otherwise(col("n") - col("first_rep_off")).as("masked_tokens"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(q174, q175, q191)
 }
