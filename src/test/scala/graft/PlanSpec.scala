@@ -464,6 +464,28 @@ class PlanSpec extends AnyFunSuite {
     assert(shuffles <= 4, s"covariance plan grew to $shuffles shuffles\n$p1")
   }
 
+  test("LM surprisal scores the token stream against BROADCAST model tables (q181)") {
+    // the bigram and context count tables are vocab-sized: scoring must
+    // be two broadcast hash joins over the stream, never a shuffle of
+    // the corpus onto the model keys
+    val df = SparkEntry.queries("q181_lm_surprisal")(spark, sf)
+    df.collect()
+    val p1 = plan(df).split("== Initial Plan ==")(0)
+    assert(p1.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2,
+      s"model join lost its broadcasts\n$p1")
+  }
+
+  test("pair lift joins document frequencies BROADCAST (q169)") {
+    val df = SparkEntry.queries("q169_pair_lift")(spark, sf)
+    df.collect()
+    val p1 = plan(df).split("== Initial Plan ==")(0)
+    assert(p1.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2,
+      s"df-table joins lost their broadcasts\n$p1")
+    // the pair build itself shuffles on doc_id only — a partial agg
+    // must sit below that exchange
+    assert(p1.contains("HashAggregate"), p1)
+  }
+
   test("bucketed join: zero exchanges below the presentation sort (q177)") {
     // both sides bucketed+sorted on the join key into the same bucket
     // count: the join AND the per-order aggregation must run on the
