@@ -60,12 +60,18 @@ object LabelProp {
   /** Hard-label propagation: seeds (vec_id ≡ 0 mod [[SeedMod]]) are
     * clamped; everyone else takes the weighted vote of its neighbors'
     * current labels each round, −1 = still unlabeled. */
-  def propagate(s: SparkSession, d: String): DataFrame = {
+  def propagate(s: SparkSession, d: String): DataFrame =
+    propagateOn(s, d, knnEdges(s, d))
+
+  /** The propagation rounds over a supplied (id, nb, w) edge table —
+    * shared by the brute (q178) and IVF-routed (q192) candidate
+    * generators. */
+  def propagateOn(s: SparkSession, d: String, edges0: DataFrame): DataFrame = {
     val e = quantized(s, d)
     val nodes = e.select(col("vec_id").as("id"),
       when(col("vec_id") % SeedMod === 0, col("label")).as("seed"))
       .localCheckpoint(true)
-    val edges = knnEdges(s, d).localCheckpoint(true)
+    val edges = edges0.localCheckpoint(true)
     var lab = nodes.select(col("id"), col("seed").as("lab"))
     for (_ <- 1 to Rounds) {
       import org.apache.spark.sql.expressions.Window
@@ -185,5 +191,96 @@ object LabelProp {
       .orderBy("id_a")
   }
 
-  val all: Seq[Q] = Seq(q178, q179)
+  val IvfLists = 8
+  val IvfProbes = 2
+
+  /** The SCALE twin of q178 (the q150→q152 discipline): identical
+    * propagation, sub-quadratic candidate generation. Vectors assign to
+    * [[IvfLists]] coarse lists by integer-dot argmax against the first
+    * 8 vectors (q139's deterministic centroid choice); each vector
+    * probes its top-[[IvfProbes]] lists and meets only co-listed
+    * vectors — candidate volume n²·probes/lists instead of n², and at
+    * 100 TB the list count grows ∝ √N so the per-list join stays flat.
+    * Everything stays integer (assignment, probe ranking, and edge
+    * weights are all the qdot kernel), so the oracle replays routing
+    * and votes exactly. Coverage loses only what routing hides
+    * (vectors whose true neighbors live in unprobed lists keep −1 a
+    * round longer) — the recall-for-cost trade every IVF stage makes. */
+  val q192 = Q.sql("q192_label_prop_ivf",
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |                   v -> CAST(floor(v * 100000000.0) AS BIGINT)) AS xq,
+       |    CAST(label AS BIGINT) AS label
+       |  FROM embeddings),
+       |nodes AS MATERIALIZED (
+       |  SELECT vec_id AS id,
+       |    CASE WHEN vec_id % $SeedMod = 0 THEN label END AS seed
+       |  FROM e),
+       |cents AS MATERIALIZED (
+       |  SELECT vec_id AS cent_id, xq AS cq FROM e ORDER BY vec_id LIMIT $IvfLists),
+       |ac AS MATERIALIZED (
+       |  SELECT e.vec_id, c.cent_id,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(list_zip(e.xq, c.cq), q -> q[1] * q[2])),
+       |      (x, y) -> x + y) AS w,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(list_zip(e.xq, c.cq), q -> q[1] * q[2])),
+       |        (x, y) -> x + y) DESC, c.cent_id) AS rn
+       |  FROM e CROSS JOIN cents c),
+       |asg AS (SELECT vec_id, cent_id AS lst FROM ac WHERE rn = 1),
+       |prb AS (SELECT vec_id, cent_id AS lst FROM ac WHERE rn <= $IvfProbes),
+       |p AS MATERIALIZED (
+       |  SELECT a.vec_id AS id, b.vec_id AS nb,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(list_zip(ea.xq, eb.xq), q -> q[1] * q[2])),
+       |      (x, y) -> x + y) AS w
+       |  FROM prb a JOIN asg b ON a.lst = b.lst AND a.vec_id <> b.vec_id
+       |  JOIN e ea ON ea.vec_id = a.vec_id
+       |  JOIN e eb ON eb.vec_id = b.vec_id),
+       |knn AS MATERIALIZED (
+       |  SELECT id, nb, w FROM (
+       |    SELECT id, nb, w,
+       |      row_number() OVER (PARTITION BY id ORDER BY w DESC, nb) AS rn
+       |    FROM (SELECT DISTINCT id, nb, w FROM p) WHERE w > 0)
+       |  WHERE rn <= $K),
+       |v0 AS (SELECT id, seed AS lab FROM nodes),
+       |${(1 to Rounds).map(layer).mkString(",\n")}
+       |SELECT id AS vec_id, coalesce(lab, -1) AS lab FROM v$Rounds
+       |ORDER BY vec_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Exprs
+    val e = quantized(s, d).localCheckpoint(true)
+    val cents = e.orderBy("vec_id").limit(IvfLists)
+      .select(col("vec_id").as("cent_id"), col("xq").as("cq"))
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Float](1).toArray)) // ≤8 rows — the q139 bounded collect
+    val ranked = array(cents.map { case (cid, cv) =>
+      struct(Exprs.qdot(col("xq"), typedlit(cv.toSeq)).as("w"),
+        lit(-cid).as("negid"))
+    }: _*)
+    def listsOf(keep: Int, out: String): DataFrame = e
+      .select(col("vec_id"),
+        explode(slice(sort_array(ranked, asc = false), 1, keep)).as("c"))
+      .select(col("vec_id"), (-col("c.negid")).as(out))
+    val asg = listsOf(1, "lst")
+    val prb = listsOf(IvfProbes, "lst")
+    val pairs = prb.select(col("vec_id").as("id"), col("lst"))
+      .join(asg.select(col("vec_id").as("nb"), col("lst")), "lst")
+      .filter(col("id") =!= col("nb"))
+      .select("id", "nb").distinct()
+      .join(e.select(col("vec_id").as("id"), col("xq").as("xa")), "id")
+      .join(e.select(col("vec_id").as("nb"), col("xq").as("xb")), "nb")
+      .withColumn("w", Exprs.qdot(col("xa"), col("xb")))
+      .filter(col("w") > 0)
+    val edges = pairs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("id").orderBy(col("w").desc, col("nb"))))
+      .filter(col("rn") <= K)
+      .select("id", "nb", "w")
+    propagateOn(s, d, edges).orderBy("vec_id")
+  }
+
+  val all: Seq[Q] = Seq(q178, q179, q192)
 }
