@@ -785,6 +785,80 @@ object Similarity {
     probeIvfIndex(s, e, e, ivfIndexDirFor(s, d))
   }
 
+  /** Gonzalez farthest-point (k-center) seeding — the 2-approximation
+    * that seeds a clustering with well-SPREAD centers (k-means++'s
+    * deterministic cousin, and the right initializer for the IVF coarse
+    * quantizers this file trains): start from the min-id vector, then
+    * repeatedly take the point FARTHEST from the chosen set (max of
+    * min-distance, ties to min id). Distances are exact integers —
+    * elements floor-quantized to 10⁻⁴ units so squared sums stay in
+    * long (64·(4·10⁴)² ≈ 10¹¹) — and each round is one scan with the
+    * new center as a plan literal plus a 1-row argmax collect (the BPE
+    * precedent): K bounded driver rows total, never a shuffle of
+    * pairs. Emits every vector's final min-distance and nearest center
+    * (the seeding trace a downstream Lloyd pass starts from). */
+  val KCenters = 8
+
+  val q193 = Q.sql("q193_kcenter_seeding", {
+    val dist = (a: String, c: String) =>
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(list_zip($a, $c), q -> (q[1]-q[2])*(q[1]-q[2]))),
+         |      (x, y) -> x + y)""".stripMargin
+    val steps = (2 to KCenters).map { t =>
+      s"""c$t AS MATERIALIZED (
+         |  SELECT vec_id, xq FROM d${t - 1} ORDER BY dmin DESC, vec_id LIMIT 1),
+         |d$t AS MATERIALIZED (
+         |  SELECT d.vec_id, d.xq,
+         |    least(d.dmin, ${dist("d.xq", "c.xq")}) AS dmin,
+         |    CASE WHEN ${dist("d.xq", "c.xq")} < d.dmin
+         |         THEN c.vec_id ELSE d.cent END AS cent
+         |  FROM d${t - 1} d, c$t c)""".stripMargin
+    }
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |                   v -> CAST(floor(v * 10000.0) AS BIGINT)) AS xq
+       |  FROM embeddings),
+       |c1 AS MATERIALIZED (
+       |  SELECT vec_id, xq FROM e ORDER BY vec_id LIMIT 1),
+       |d1 AS MATERIALIZED (
+       |  SELECT e.vec_id, e.xq, ${dist("e.xq", "c.xq")} AS dmin,
+       |    c.vec_id AS cent
+       |  FROM e, c1 c),
+       |${steps.mkString(",\n")}
+       |SELECT vec_id, CAST(cent AS BIGINT) AS cent,
+       |  CAST(dmin AS BIGINT) AS dmin
+       |FROM d$KCenters ORDER BY vec_id""".stripMargin
+  }) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          v => floor(v.cast("double") * lit(1e4)).cast("long")).as("xq"))
+      .localCheckpoint(true)
+    def d2(cv: Seq[Long]) =
+      aggregate(zip_with(col("xq"), typedlit(cv), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+    val first = e.orderBy("vec_id").limit(1)
+      .select("vec_id", "xq").collect()(0)
+    var cur = e.select(col("vec_id"), col("xq"),
+        d2(first.getSeq[Long](1)).as("dmin"),
+        lit(first.getLong(0)).as("cent"))
+      .localCheckpoint(true)
+    for (_ <- 2 to KCenters) {
+      // 1-row argmax collect per round — K·1 bounded driver rows
+      val c = cur.orderBy(col("dmin").desc, col("vec_id")).limit(1)
+        .select("vec_id", "xq").collect()(0)
+      val dNew = d2(c.getSeq[Long](1))
+      cur = cur.select(col("vec_id"), col("xq"),
+          least(col("dmin"), dNew).as("dmin2"),
+          when(dNew < col("dmin"), c.getLong(0)).otherwise(col("cent")).as("cent"))
+        .withColumnRenamed("dmin2", "dmin")
+        .localCheckpoint(true)
+    }
+    cur.select(col("vec_id"), col("cent"), col("dmin"))
+      .orderBy("vec_id")
+  }
+
   /** Cluster-balanced sampling: k-means the embedding space (the q62
     * Lloyd chain), then cap every cluster at `cap` vectors chosen by
     * salted-hash rank — the semantic-diversity counterpart of the
@@ -897,5 +971,5 @@ object Similarity {
     clusterBalancedSample(Tables.embeddings(s, d), cap = 10).orderBy("vec_id")
   }
 
-  val all: Seq[Q] = Seq(q29, q30, q31, q32, q62, q74, q139, q150, q151, q152, q153)
+  val all: Seq[Q] = Seq(q29, q30, q31, q32, q62, q74, q139, q150, q151, q152, q153, q193)
 }
