@@ -141,5 +141,105 @@ object Layout {
       .orderBy("o_orderkey")
   }
 
-  val all: Seq[Q] = Seq(q117, q177)
+  val RingNodes = 4
+  val RingVnodes = 4
+
+  /** Consistent-hash ring placement + the rebalancing delta — the data
+    * PLACEMENT story behind every shard map: each physical node owns
+    * [[RingVnodes]] virtual positions on the poly-131·G hash ring, a
+    * document lands on the first vnode clockwise of its own hash
+    * (wrapping to the ring minimum), and adding node n+1 must move
+    * ONLY the keys that fall into the new vnodes' arcs — ~1/(n+1) of
+    * the corpus, nothing else (EngineSpec pins the bound). Ring
+    * positions are config, not data: computed once on the driver with
+    * the engine's own hash kernels (the q168 sign-matrix precedent)
+    * and broadcast as a ≤20-row table; the assignment is one
+    * cross-join aggregate per ring. The gate emits per-node counts
+    * before/after the fifth node joins plus how many docs each node
+    * surrendered. */
+  val q194 = Q.sql("q194_consistent_hash", {
+    def keysSql(n: Int): String =
+      (0 until n).flatMap(k => (0 until RingVnodes).map(v =>
+        s"('n$k:$v', $k)")).mkString(", ")
+    val poly =
+      """CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+        |      list_transform(range(1, length(k) + 1),
+        |                     c -> CAST(ascii(substr(k, c, 1)) AS HUGEINT))),
+        |      (a, b) -> (a * 131 + b) % 2305843009213693951) AS HUGEINT)
+        |    * 1752450205419405103 % 2305843009213693951""".stripMargin
+    def ringSql(name: String, n: Int): String =
+      s"""$name AS MATERIALIZED (
+         |  SELECT node, CAST($poly AS BIGINT) AS pos
+         |  FROM (VALUES ${keysSql(n)}) t(k, node))""".stripMargin
+    def asgSql(name: String, ring: String): String =
+      s"""$name AS MATERIALIZED (
+         |  SELECT s.doc_id, r2.node FROM (
+         |    SELECT d.doc_id,
+         |      coalesce(min(CASE WHEN r.pos >= d.h THEN r.pos END),
+         |               min(r.pos)) AS sel
+         |    FROM docs d CROSS JOIN $ring r GROUP BY 1) s
+         |  JOIN $ring r2 ON r2.pos = s.sel)""".stripMargin
+    s"""WITH docs AS MATERIALIZED (
+       |  SELECT doc_id, CAST($poly AS BIGINT) AS h
+       |  FROM (SELECT doc_id, CAST(doc_id AS VARCHAR) AS k FROM documents)),
+       |${ringSql("ring_b", RingNodes)},
+       |${ringSql("ring_a", RingNodes + 1)},
+       |${asgSql("asg_b", "ring_b")},
+       |${asgSql("asg_a", "ring_a")},
+       |nodes AS (SELECT unnest(range(0, ${RingNodes + 1})) AS node),
+       |cb AS (SELECT node, count(*) AS n FROM asg_b GROUP BY 1),
+       |ca AS (SELECT node, count(*) AS n FROM asg_a GROUP BY 1),
+       |mv AS (
+       |  SELECT b.node, count(*) AS n
+       |  FROM asg_b b JOIN asg_a a USING (doc_id)
+       |  WHERE b.node <> a.node GROUP BY 1)
+       |SELECT CAST(n.node AS BIGINT) AS node,
+       |  CAST(coalesce(cb.n, 0) AS BIGINT) AS n_before,
+       |  CAST(coalesce(ca.n, 0) AS BIGINT) AS n_after,
+       |  CAST(coalesce(mv.n, 0) AS BIGINT) AS moved_away
+       |FROM nodes n
+       |LEFT JOIN cb ON cb.node = n.node
+       |LEFT JOIN ca ON ca.node = n.node
+       |LEFT JOIN mv ON mv.node = n.node
+       |ORDER BY node""".stripMargin
+  }) { (s, d) =>
+    import graft.functions.{Exprs, TextKernels}
+    import graft.operators.Sketches.Kmv
+    def ring(n: Int): Seq[(Long, Long)] =
+      for (k <- 0 until n; v <- 0 until RingVnodes) yield {
+        val h = TextKernels.polyHash131(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s"n$k:$v"))
+        (k.toLong, TextKernels.mulMod61(h, Kmv.G))
+      }
+    import s.implicits._
+    val docs = Tables.documents(s, d).select(col("doc_id"),
+        Exprs.mulmod61(Exprs.poly_hash(col("doc_id").cast("string")), Kmv.G).as("h"))
+      .localCheckpoint(true) // both ring assignments scan it
+    def assign(r: Seq[(Long, Long)], out: String) = {
+      val rdf = r.toDF("node", "pos")
+      val sel = docs.crossJoin(broadcast(rdf))
+        .groupBy("doc_id")
+        .agg(coalesce(min(when(col("pos") >= col("h"), col("pos"))),
+          min(col("pos"))).as("sel"))
+      sel.join(broadcast(rdf), col("pos") === col("sel"))
+        .select(col("doc_id"), col("node").as(out))
+    }
+    val b = assign(ring(RingNodes), "nb")
+    val a = assign(ring(RingNodes + 1), "na")
+    val j = b.join(a, "doc_id").localCheckpoint(true)
+    val nodes = (0L to RingNodes.toLong).toDF("node")
+    val cb = j.groupBy(col("nb").as("node")).agg(count(lit(1)).as("n_before"))
+    val ca = j.groupBy(col("na").as("node")).agg(count(lit(1)).as("n_after"))
+    val mv = j.filter(col("nb") =!= col("na"))
+      .groupBy(col("nb").as("node")).agg(count(lit(1)).as("moved_away"))
+    nodes.join(cb, Seq("node"), "left").join(ca, Seq("node"), "left")
+      .join(mv, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("n_before"), lit(0L)).as("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        coalesce(col("moved_away"), lit(0L)).as("moved_away"))
+      .orderBy("node")
+  }
+
+  val all: Seq[Q] = Seq(q117, q177, q194)
 }

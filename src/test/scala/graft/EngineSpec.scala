@@ -1190,6 +1190,22 @@ class EngineSpec extends AnyFunSuite {
     assert(diff.isEmpty, s"rank mismatches: ${diff.take(5).mkString(", ")}")
   }
 
+  test("consistent hashing moves only into the new node, bounded fraction") {
+    val rows = SparkEntry.queries("q194_consistent_hash")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val total = rows.map(_._2).sum
+    val moved = rows.map(_._4).sum
+    val newNodeGain = rows.find(_._1 == 4L).get._3
+    // minimal disruption: every surrendered doc lands on the joining
+    // node (old nodes never trade docs among themselves)...
+    assert(moved === newNodeGain, s"moved $moved != new-node gain $newNodeGain")
+    // ...and the moved mass stays near 1/(n+1) (loose 2x band — 4
+    // vnodes/node leaves real arc-length variance)
+    assert(moved.toDouble / total < 2.0 / 5.0,
+      s"moved fraction ${moved.toDouble / total} exceeds the rebalancing bound")
+    assert(moved > 0, "fixture must exercise the rebalance path")
+  }
+
   test("JL sign projection preserves pairwise distances within the k=16 envelope") {
     import org.apache.spark.sql.functions._
     import graft.operators.Linalg
