@@ -408,5 +408,67 @@ object Timeseries {
       .orderBy("lang", "source")
   }
 
-  val all: Seq[Q] = Seq(q115, q116, q121, q137, q159, q176, q185)
+  /** Token-frequency drift between snapshot versions — the monitoring
+    * read of the q176 delivery: which terms' corpus frequencies moved
+    * most when v2 landed, as exact integer deltas ranked by magnitude
+    * (the report a data-drift monitor publishes before anyone retrains
+    * on the new snapshot). The engine derives BOTH versions' counts
+    * from one v1 scan plus the delta rules (the q185 discipline —
+    * never materialize v2); at 100 TB the same two count tables come
+    * from the maintained metric store. Top-50 by (|Δ| DESC, token). */
+  val q195 = Q.sql("q195_token_drift",
+    """WITH v2 AS (
+      |  SELECT CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 17 <> 0
+      |  UNION ALL
+      |  SELECT text || ' new' FROM documents WHERE doc_id % 19 = 0),
+      |c1 AS (
+      |  SELECT tok, count(*) AS n FROM (
+      |    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      |    FROM documents) GROUP BY 1),
+      |c2 AS (
+      |  SELECT tok, count(*) AS n FROM (
+      |    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      |    FROM v2) GROUP BY 1)
+      |SELECT coalesce(c1.tok, c2.tok) AS tok,
+      |  CAST(coalesce(c1.n, 0) AS BIGINT) AS n_v1,
+      |  CAST(coalesce(c2.n, 0) AS BIGINT) AS n_v2,
+      |  CAST(coalesce(c2.n, 0) - coalesce(c1.n, 0) AS BIGINT) AS delta
+      |FROM c1 FULL OUTER JOIN c2 ON c1.tok = c2.tok
+      |ORDER BY abs(coalesce(c2.n, 0) - coalesce(c1.n, 0)) DESC, tok
+      |LIMIT 50""".stripMargin) { (s, d) =>
+    import graft.functions.Text
+    val t1 = Tables.documents(s, d)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+      .localCheckpoint(true) // v1 counts + all three delta terms reuse it
+    val c1 = t1.groupBy("tok").agg(count(lit(1)).as("n_v1"))
+    // v2 counts = v1 + deltas, never a v2 scan: removed docs subtract
+    // their tokens; changed docs add one 'v2'; added docs re-add their
+    // tokens plus one 'new'
+    val removed = t1.filter(col("doc_id") % 17 === 0)
+      .groupBy("tok").agg((-count(lit(1))).as("d"))
+    val changedTok = Tables.documents(s, d)
+      .filter(col("doc_id") % 13 === 0 && col("doc_id") % 17 =!= 0)
+      .agg(count(lit(1)).as("d")).select(lit("v2").as("tok"), col("d"))
+    val addedBase = t1.join(
+        Tables.documents(s, d).filter(col("doc_id") % 19 === 0).select("doc_id"),
+        "doc_id")
+      .groupBy("tok").agg(count(lit(1)).cast("long").as("d"))
+    val addedNew = Tables.documents(s, d).filter(col("doc_id") % 19 === 0)
+      .agg(count(lit(1)).as("d")).select(lit("new").as("tok"), col("d"))
+    val delta = removed.unionByName(changedTok).unionByName(addedBase)
+      .unionByName(addedNew)
+      .groupBy("tok").agg(sum("d").as("delta"))
+    c1.join(delta, Seq("tok"), "full_outer")
+      .select(col("tok"),
+        coalesce(col("n_v1"), lit(0L)).as("n_v1"),
+        (coalesce(col("n_v1"), lit(0L)) + coalesce(col("delta"), lit(0L)))
+          .as("n_v2"),
+        coalesce(col("delta"), lit(0L)).as("delta"))
+      .filter(col("n_v1") =!= 0 || col("n_v2") =!= 0)
+      .orderBy(abs(col("delta")).desc, col("tok"))
+      .limit(50)
+  }
+
+  val all: Seq[Q] = Seq(q115, q116, q121, q137, q159, q176, q185, q195)
 }
