@@ -1190,6 +1190,36 @@ class EngineSpec extends AnyFunSuite {
     assert(diff.isEmpty, s"rank mismatches: ${diff.take(5).mkString(", ")}")
   }
 
+  test("JL shortlist + exact rerank stays within the distance-ratio envelope") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q196_jl_ann_rerank")(spark, sf).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    // brute exact top-3 on the same 1e-4 quantization
+    val x = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), transform(col("embedding"),
+        e => floor(e.cast("double") * lit(1e4)).cast("long")).as("xq"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (p, q) => (p - q) * (p - q) }.sum
+    // identity-recall is the wrong yardstick here: the synthetic
+    // embeddings' pairwise distances CONCENTRATE (the 1st and 20th
+    // neighbor differ by a few percent), so JL's ±1/√k distortion
+    // reshuffles near-ties freely. The JL theorem's own currency is
+    // the DISTANCE RATIO — assert the composition's answers are
+    // near-optimal in distance, which is what an ANN stage owes.
+    val gotD = SparkEntry.queries("q196_jl_ann_rerank")(spark, sf).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(3)).max }
+    val ratios = got.keys.toSeq.map { q =>
+      val brute3 = x.keys.filter(_ != q).toSeq
+        .map(n => d2(x(q), x(n))).sorted.apply(2)
+      gotD(q).toDouble / brute3
+    }
+    val avg = ratios.sum / ratios.size
+    assert(ratios.max <= 1.30,
+      s"worst distance ratio ${ratios.max} — shortlist missed badly")
+    assert(avg <= 1.18, s"mean distance ratio $avg above the JL envelope")
+  }
+
   test("consistent hashing moves only into the new node, bounded fraction") {
     val rows = SparkEntry.queries("q194_consistent_hash")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
