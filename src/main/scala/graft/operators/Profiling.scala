@@ -189,5 +189,89 @@ object Profiling {
       .orderBy("source")
   }
 
-  val all: Seq[Q] = Seq(q122, q188, q189)
+  /** Poisson-bootstrap confidence intervals — the resampling that
+    * works at 100 TB: instead of drawing n rows with replacement
+    * (impossible distributed), every row enters replica b with
+    * multiplicity k ~ Poisson(1), so a replica is one weighted
+    * aggregation and all [[BootB]] replicas ride ONE map-side explode +
+    * one shuffle. Draws are deterministic: k inverts the Poisson(1)
+    * CDF (quantized to 1/10⁴) at u = poly-131·G hash of
+    * "event_id:replica" mod 10⁴ — both engines replay every draw, so
+    * the replica means (DECIMAL-exact weighted sums, one IEEE division,
+    * rounded) and the min/max envelope hash-match. */
+  val BootB = 16
+
+  /** Poisson(1) CDF cut points in 1/10⁴ units: P(K ≤ k) for k = 0.. */
+  private val PoisCdf = Seq(3679L, 7358L, 9197L, 9810L, 9963L, 9994L, 9999L)
+
+  val q197 = Q.sql("q197_bootstrap_ci", {
+    val kSql = PoisCdf.zipWithIndex
+      .map { case (c, k) => s"WHEN u < $c THEN $k" }
+      .mkString("CASE ", " ", s" ELSE ${PoisCdf.size} END")
+    s"""WITH r AS (
+       |  SELECT e.event_type, e.value, b.b,
+       |    CAST(CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+       |      list_transform(range(1, length(k) + 1),
+       |                     c -> CAST(ascii(substr(k, c, 1)) AS HUGEINT))),
+       |      (a, x) -> (a * 131 + x) % 2305843009213693951) AS HUGEINT)
+       |      * 1752450205419405103 % 2305843009213693951 % 10000 AS BIGINT)
+       |      AS u
+       |  FROM (SELECT event_type, value, event_id,
+       |               CAST(event_id AS VARCHAR) AS ks
+       |        FROM events WHERE value IS NOT NULL) e
+       |  CROSS JOIN (SELECT unnest(range(0, $BootB)) AS b) b
+       |  CROSS JOIN LATERAL (SELECT e.ks || ':' || CAST(b.b AS VARCHAR) AS k) t),
+       |w AS (SELECT event_type, value, b, $kSql AS k FROM r),
+       |m AS (
+       |  SELECT event_type, b,
+       |    round(CAST(sum(k * CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+       |          / sum(k), 4) + 0.0 AS mb
+       |  FROM w GROUP BY 1, 2 HAVING sum(k) > 0),
+       |pt AS (
+       |  SELECT event_type,
+       |    round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+       |          / count(*), 4) + 0.0 AS mean,
+       |    count(*) AS n
+       |  FROM events WHERE value IS NOT NULL GROUP BY 1)
+       |SELECT pt.event_type, pt.mean, CAST(pt.n AS BIGINT) AS n,
+       |  min(m.mb) AS ci_lo, max(m.mb) AS ci_hi
+       |FROM pt JOIN m ON m.event_type = pt.event_type
+       |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
+  }) { (s, d) =>
+    import graft.functions.Exprs
+    import graft.operators.Sketches.Kmv
+    val ev = Tables.events(s, d).filter(col("value").isNotNull)
+      .select(col("event_type"), col("value"), col("event_id"))
+      .localCheckpoint(true) // replica stream + point estimate share it
+    val kExpr = {
+      val u = col("u")
+      PoisCdf.zipWithIndex.foldRight(lit(PoisCdf.size): org.apache.spark.sql.Column) {
+        case ((c, k), acc) => when(u < c, k).otherwise(acc)
+      }
+    }
+    val m = ev
+      .select(col("event_type"), col("value"),
+        explode(sequence(lit(0), lit(BootB - 1))).as("b"),
+        col("event_id"))
+      .withColumn("u", pmod(Exprs.mulmod61(Exprs.poly_hash(
+        concat(col("event_id").cast("string"), lit(":"), col("b").cast("string"))),
+        Kmv.G), lit(10000L)))
+      .withColumn("k", kExpr)
+      .groupBy("event_type", "b")
+      .agg((sum(col("k") * col("value").cast("decimal(18,6)"))).as("sv"),
+        sum("k").as("sk"))
+      .filter(col("sk") > 0)
+      .select(col("event_type"),
+        round(col("sv").cast("double") / col("sk"), 4).as("mb"))
+    val pt = ev.groupBy("event_type")
+      .agg(round(sum(col("value").cast("decimal(18,6)")).cast("double")
+        / count(lit(1)), 4).as("mean"),
+        count(lit(1)).as("n"))
+    pt.join(m, "event_type")
+      .groupBy("event_type", "mean", "n")
+      .agg(min("mb").as("ci_lo"), max("mb").as("ci_hi"))
+      .orderBy("event_type")
+  }
+
+  val all: Seq[Q] = Seq(q122, q188, q189, q197)
 }
