@@ -507,5 +507,87 @@ object DataSplit {
       .orderBy("batch_id", "slot")
   }
 
-  val all: Seq[Q] = Seq(q59, q60, q67, q77, q83, q105, q133, q148, q165, q173, q186)
+  /** Greedy set cover over source → shingle coverage — the classic
+    * ln(n)-approximation, here answering the eval-curation question
+    * "which [[CoverK]] sources cover the most distinct 2-gram surface?"
+    * (the same shape picks eval shards covering a feature space, or
+    * dedups near-redundant crawls at the SOURCE level). Each greedy
+    * step is one anti-join (drop covered shingles) + one count + a
+    * sources-sized argmax, unrolled on both sides; ties break by
+    * source name. A step with zero remaining gain emits gain 0 (the
+    * greedy still picks deterministically by name), so both engines
+    * always produce exactly [[CoverK]] rows. */
+  val CoverK = 5
+
+  val q198 = Q.sql("q198_set_cover", {
+    val steps = (1 to CoverK).map { t =>
+      val exclude =
+        if (t == 1) ""
+        else s"WHERE source NOT IN (${(1 until t).map(i => s"SELECT source FROM s$i").mkString(" UNION ALL ")})"
+      val uncov =
+        if (t == 1) "sv.sh IS NOT NULL"
+        else s"sv.sh NOT IN (SELECT sh FROM cov${t - 1})"
+      s"""g$t AS (
+         |  SELECT src.source,
+         |    (SELECT count(*) FROM sv
+         |     WHERE sv.source = src.source AND $uncov) AS g
+         |  FROM (SELECT DISTINCT source FROM sv $exclude) src),
+         |s$t AS MATERIALIZED (
+         |  SELECT source, CAST(g AS BIGINT) AS g FROM g$t
+         |  ORDER BY g DESC, source LIMIT 1),
+         |cov$t AS MATERIALIZED (
+         |  ${if (t == 1) "SELECT sh FROM sv JOIN s1 USING (source)"
+            else s"SELECT sh FROM cov${t - 1} UNION SELECT sh FROM sv JOIN s$t USING (source)"})""".stripMargin
+    }
+    s"""WITH tk AS (
+       |  SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |  FROM documents),
+       |sv AS MATERIALIZED (
+       |  SELECT DISTINCT source,
+       |    toks[u.i + 1] || ' ' || toks[u.i + 2] AS sh
+       |  FROM tk, LATERAL unnest(range(0, len(toks) - 1)) AS u(i)),
+       |${steps.mkString(",\n")}
+       |SELECT * FROM (
+       |  ${(1 to CoverK).map(t =>
+            s"SELECT CAST($t AS BIGINT) AS step, source, g AS gain, (SELECT CAST(count(*) AS BIGINT) FROM cov$t) AS covered FROM s$t")
+           .mkString(" UNION ALL ")})
+       |ORDER BY step""".stripMargin
+  }) { (s, d) =>
+    import graft.functions.Text
+    import s.implicits._
+    val sv = Tables.documents(s, d)
+      .select(col("source"),
+        explode(Text.shingles(Text.tokens(col("text")), 2)).as("sh"))
+      .distinct().localCheckpoint(true)
+    val allSources = sv.select("source").distinct()
+      .collect().map(_.getString(0)) // sources-sized driver list
+    var covered: org.apache.spark.sql.DataFrame =
+      Seq.empty[String].toDF("sh").localCheckpoint(true)
+    var picked = Vector.empty[(Long, String, Long, Long)]
+    for (t <- 1 to CoverK) {
+      val remaining = allSources.filterNot(src => picked.exists(_._2 == src))
+      val gains = sv
+        .filter(col("source").isInCollection(remaining))
+        .join(covered, Seq("sh"), "left_anti")
+        .groupBy("source").agg(count(lit(1)).as("g"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      // a remaining source with no uncovered shingles has gain 0
+      val (src, g) = remaining.map(sc => (sc, gains.getOrElse(sc, 0L)))
+        .maxBy { case (sc, gn) => (gn, ScalaOrderingInverse(sc)) }
+      covered = covered
+        .unionByName(sv.filter(col("source") === src).select("sh"))
+        .distinct().localCheckpoint(true)
+      val total = covered.count()
+      picked :+= ((t.toLong, src, g, total))
+    }
+    picked.toDF("step", "source", "gain", "covered").orderBy("step")
+  }
+
+  /** maxBy wants the LARGEST key; for the name tie-break we want the
+    * SMALLEST source — wrap it with an inverted ordering. */
+  private case class ScalaOrderingInverse(s: String)
+  private implicit val invOrd: Ordering[ScalaOrderingInverse] =
+    Ordering.by[ScalaOrderingInverse, String](_.s).reverse
+
+  val all: Seq[Q] = Seq(q59, q60, q67, q77, q83, q105, q133, q148, q165, q173, q186, q198)
 }
