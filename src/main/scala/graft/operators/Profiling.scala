@@ -273,5 +273,200 @@ object Profiling {
       .orderBy("event_type")
   }
 
-  val all: Seq[Q] = Seq(q122, q188, q189, q197)
+  /** Two-sample Kolmogorov–Smirnov drift: for every source, the KS
+    * distance between its document-length distribution and the REST of
+    * the corpus — the distribution-shift alarm a corpus refresh runs
+    * before accepting a new crawl (q195 covers token-level drift; this
+    * is the shape-level complement). Integer-exact: both ECDFs are
+    * compared cross-multiplied — D·n_src·n_rest = max over observed
+    * values of |cumS·n_rest − cumR·n_src| — so the max is over BIGINTs
+    * and the single division happens once at the end.
+    *
+    * Scale: one scan folds the corpus to a (source × value) histogram;
+    * every later step (grid, cumsums, max) runs on histogram-sized
+    * data — bounded by distinct lengths, not rows — so the gate costs
+    * one aggregation at 100 TB. */
+  val q199 = Q.sql("q199_ks_drift",
+    """WITH tok AS (
+      |  SELECT source,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS nt
+      |  FROM documents),
+      |h AS (SELECT source, nt, count(*) AS c FROM tok GROUP BY 1, 2),
+      |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_src FROM h GROUP BY 1),
+      |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM h),
+      |cell AS (
+      |  SELECT s.source, v.nt, COALESCE(h.c, 0) AS c
+      |  FROM (SELECT DISTINCT source FROM h) s
+      |  CROSS JOIN (SELECT DISTINCT nt FROM h) v
+      |  LEFT JOIN h ON h.source = s.source AND h.nt = v.nt),
+      |sc AS (
+      |  SELECT source, nt,
+      |    CAST(sum(c) OVER (PARTITION BY source ORDER BY nt) AS BIGINT) AS scum
+      |  FROM cell),
+      |gc AS (
+      |  SELECT nt, CAST(sum(gcv) OVER (ORDER BY nt) AS BIGINT) AS gcum
+      |  FROM (SELECT nt, sum(c) AS gcv FROM h GROUP BY 1)),
+      |j AS (
+      |  SELECT sc.source, sc.scum, gc.gcum, ns.n_src,
+      |    tot.n - ns.n_src AS n_rest
+      |  FROM sc JOIN gc USING (nt) JOIN ns USING (source) CROSS JOIN tot)
+      |SELECT source,
+      |  CAST(max(n_src) AS BIGINT) AS n_src,
+      |  CAST(max(n_rest) AS BIGINT) AS n_rest,
+      |  CAST(max(abs(scum * n_rest - (gcum - scum) * n_src)) AS BIGINT)
+      |    AS ks_num,
+      |  round(CAST(max(abs(scum * n_rest - (gcum - scum) * n_src)) AS DOUBLE)
+      |        / (max(n_src) * max(n_rest)), 4) AS ks,
+      |  round(CAST(max(abs(scum * n_rest - (gcum - scum) * n_src)) AS DOUBLE)
+      |        / (max(n_src) * max(n_rest)), 4) >= 0.1 AS drifted
+      |FROM j GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Text
+    val h = Tables.documents(s, d)
+      .select(col("source"), size(Text.tokens(col("text"))).cast("long").as("nt"))
+      .groupBy("source", "nt").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // grid, cumsums, and totals all read it
+    val ns = h.groupBy("source").agg(sum("c").cast("long").as("n_src"))
+    val tot = h.agg(sum("c").cast("long").as("n"))
+    val cell = h.select("source").distinct()
+      .crossJoin(h.select("nt").distinct())
+      .join(h, Seq("source", "nt"), "left").na.fill(0L, Seq("c"))
+    val sc = cell.withColumn("scum",
+      sum("c").over(Window.partitionBy("source").orderBy("nt")).cast("long"))
+    val gc = h.groupBy("nt").agg(sum("c").as("gcv"))
+      .withColumn("gcum", sum("gcv").over(Window.orderBy("nt")).cast("long"))
+      .select("nt", "gcum")
+    sc.join(gc, "nt").join(ns, "source").crossJoin(tot)
+      .withColumn("n_rest", col("n") - col("n_src"))
+      .withColumn("dnum",
+        abs(col("scum") * col("n_rest") - (col("gcum") - col("scum")) * col("n_src")))
+      .groupBy("source")
+      .agg(max("n_src").cast("long").as("n_src"),
+        max("n_rest").cast("long").as("n_rest"),
+        max("dnum").cast("long").as("ks_num"))
+      .withColumn("ks",
+        round(col("ks_num").cast("double") / (col("n_src") * col("n_rest")), 4))
+      .withColumn("drifted", col("ks") >= 0.1)
+      .orderBy("source")
+  }
+
+  /** k-anonymity / l-diversity audit — the re-identification-risk
+    * census a governance pipeline publishes before releasing an event
+    * table: group rows by a quasi-identifier tuple (event type, day,
+    * integer value band), bucket the group sizes k, and report how many
+    * groups/rows sit in each risk band together with the l-diversity
+    * envelope (distinct users per group — a k-safe group with l = 1
+    * still leaks its sensitive attribute). All counts integer; the
+    * audit is one aggregation over the table at any scale. */
+  val q201 = Q.sql("q201_k_anonymity",
+    """WITH g AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(floor(value) AS BIGINT) AS vb,
+      |    count(*) AS k, count(DISTINCT user_id) AS l
+      |  FROM events WHERE value IS NOT NULL
+      |  GROUP BY 1, 2, 3)
+      |SELECT
+      |  CASE WHEN k = 1 THEN '1' WHEN k < 5 THEN '2-4'
+      |       WHEN k < 20 THEN '5-19' ELSE '20+' END AS k_bucket,
+      |  CAST(count(*) AS BIGINT) AS n_groups,
+      |  CAST(sum(k) AS BIGINT) AS n_rows,
+      |  CAST(min(l) AS BIGINT) AS min_l,
+      |  CAST(max(l) AS BIGINT) AS max_l
+      |FROM g GROUP BY 1 ORDER BY k_bucket""".stripMargin) { (s, d) =>
+    Tables.events(s, d).filter(col("value").isNotNull)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"),
+        floor(col("value")).cast("long").as("vb"))
+      .agg(count(lit(1)).as("k"), countDistinct("user_id").as("l"))
+      .groupBy(when(col("k") === 1, "1").when(col("k") < 5, "2-4")
+        .when(col("k") < 20, "5-19").otherwise("20+").as("k_bucket"))
+      .agg(count(lit(1)).cast("long").as("n_groups"),
+        sum("k").cast("long").as("n_rows"),
+        min("l").cast("long").as("min_l"),
+        max("l").cast("long").as("max_l"))
+      .orderBy("k_bucket")
+  }
+
+  /** Corpus-diversity data card: per source, type–token ratio, Simpson
+    * repeat rate Σc(c−1)/N(N−1), Shannon entropy, and the Zipf
+    * rank–frequency slope — the lexical-diversity block of a release
+    * datasheet (q189 carries volume/quality; this carries the
+    * distributional fingerprint a mixture designer reads).
+    *
+    * Exactness: entropy and the Zipf regression run on the INTEGER
+    * piecewise-linear log2 (q181's device — exact in both engines), so
+    * the least-squares slope is a ratio of two BIGINTs and every value
+    * crosses to DOUBLE exactly once. Scale: everything after the
+    * (source × token) count is vocabulary-sized. */
+  val q208 = Q.sql("q208_zipf_card",
+    """WITH tk AS (
+      |  SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      |  FROM documents),
+      |c AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+      |      FROM tk GROUP BY 1, 2),
+      |n AS (SELECT source, CAST(sum(c) AS BIGINT) AS n,
+      |        CAST(count(*) AS BIGINT) AS vocab,
+      |        CAST(sum(c * (c - 1)) AS BIGINT) AS rep,
+      |        CAST(sum(c * ((length(bin(c)) - 1) * 1024
+      |          + c * 1024 // (1::BIGINT << (length(bin(c)) - 1)) - 1024))
+      |          AS BIGINT) AS sclogc
+      |      FROM c GROUP BY 1),
+      |r AS (SELECT source, c,
+      |        row_number() OVER (PARTITION BY source ORDER BY c DESC, tok) AS rk
+      |      FROM c),
+      |q AS (SELECT source,
+      |        (length(bin(rk)) - 1) * 1024
+      |          + rk * 1024 // (1::BIGINT << (length(bin(rk)) - 1)) - 1024 AS x,
+      |        (length(bin(c)) - 1) * 1024
+      |          + c * 1024 // (1::BIGINT << (length(bin(c)) - 1)) - 1024 AS y
+      |      FROM r),
+      |ft AS (SELECT source, CAST(count(*) AS BIGINT) AS m,
+      |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |        CAST(sum(x * y) AS BIGINT) AS sxy,
+      |        CAST(sum(x * x) AS BIGINT) AS sxx
+      |      FROM q GROUP BY 1)
+      |SELECT n.source, n.n AS n_tokens, n.vocab,
+      |  round(1.0 * n.vocab / n.n, 4) AS ttr,
+      |  round(1.0 * n.rep / (n.n * (n.n - 1)), 4) AS simpson,
+      |  round((n.n * ((length(bin(n.n)) - 1) * 1024
+      |      + n.n * 1024 // (1::BIGINT << (length(bin(n.n)) - 1)) - 1024)
+      |      - n.sclogc) / (n.n * 1024.0), 4) AS entropy_bits,
+      |  round(CAST(ft.m * ft.sxy - ft.sx * ft.sy AS DOUBLE)
+      |        / (ft.m * ft.sxx - ft.sx * ft.sx), 4) + 0.0 AS zipf_slope
+      |FROM n JOIN ft USING (source) ORDER BY source""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Text
+    val qlog = (name: String) =>
+      expr(s"(length(bin($name)) - 1) * 1024" +
+        s" + $name * 1024 div shiftleft(1L, length(bin($name)) - 1) - 1024")
+    val c = Tables.documents(s, d)
+      .select(col("source"), explode(Text.tokens(col("text"))).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // totals and the rank table both read it
+    val n = c.groupBy("source").agg(
+      sum("c").cast("long").as("n"),
+      count(lit(1)).cast("long").as("vocab"),
+      sum(col("c") * (col("c") - 1)).cast("long").as("rep"),
+      sum(col("c") * qlog("c")).cast("long").as("sclogc"))
+    val ft = c
+      .withColumn("rk",
+        row_number().over(Window.partitionBy("source").orderBy(col("c").desc, col("tok")))
+          .cast("long"))
+      .select(col("source"), qlog("rk").as("x"), qlog("c").as("y"))
+      .groupBy("source").agg(
+        count(lit(1)).cast("long").as("m"),
+        sum("x").cast("long").as("sx"), sum("y").cast("long").as("sy"),
+        sum(col("x") * col("y")).cast("long").as("sxy"),
+        sum(col("x") * col("x")).cast("long").as("sxx"))
+    n.join(ft, "source")
+      .select(col("source"), col("n").as("n_tokens"), col("vocab"),
+        round(lit(1.0) * col("vocab") / col("n"), 4).as("ttr"),
+        round(lit(1.0) * col("rep") / (col("n") * (col("n") - 1)), 4).as("simpson"),
+        round((col("n") * qlog("n") - col("sclogc")) / (col("n") * lit(1024.0)), 4)
+          .as("entropy_bits"),
+        round((col("m") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (col("m") * col("sxx") - col("sx") * col("sx")), 4).as("zipf_slope"))
+      .orderBy("source")
+  }
+
+  val all: Seq[Q] = Seq(q122, q188, q189, q197, q199, q201, q208)
 }

@@ -1430,4 +1430,62 @@ class EngineSpec extends AnyFunSuite {
     assert(binned.select("p", "iv_id").except(naive.select("p", "iv_id")).isEmpty)
     assert(naive.select("p", "iv_id").except(binned.select("p", "iv_id")).isEmpty)
   }
+
+  test("KS drift gate equals a brute double-ECDF sweep per source") {
+    import org.apache.spark.sql.functions._
+    val vals = Tables.documents(spark, sf)
+      .select(col("source"), size(graft.functions.Text.tokens(col("text"))).as("nt"))
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    val gate = SparkEntry.queries("q199_ks_drift")(spark, sf).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Double]("ks")).toMap
+    assert(gate.nonEmpty)
+    for ((src, got) <- gate) {
+      val a = vals.filter(_._1 == src).map(_._2).sorted
+      val b = vals.filter(_._1 != src).map(_._2).sorted
+      val d = (a ++ b).distinct.map { t =>
+        math.abs(a.count(_ <= t).toDouble / a.length -
+          b.count(_ <= t).toDouble / b.length)
+      }.max
+      assert(math.abs(got - d) < 1e-4, s"$src: gate $got vs brute $d")
+    }
+  }
+
+  test("k-anonymity buckets partition the table: row counts add up, l <= k") {
+    import org.apache.spark.sql.functions._
+    val rep = SparkEntry.queries("q201_k_anonymity")(spark, sf).collect()
+    val total = Tables.events(spark, sf).filter(col("value").isNotNull).count()
+    assert(rep.map(_.getAs[Long]("n_rows")).sum == total)
+    for (r <- rep) {
+      assert(r.getAs[Long]("min_l") >= 1)
+      assert(r.getAs[Long]("min_l") <= r.getAs[Long]("max_l"))
+    }
+    // l-diversity can never exceed the group size: the '1' bucket, when
+    // present, must have l exactly 1
+    rep.find(_.getAs[String]("k_bucket") == "1")
+      .foreach(r => assert(r.getAs[Long]("max_l") == 1L))
+  }
+
+  test("zipf card: slope negative, ttr/simpson in range, entropy matches brute") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q208_zipf_card")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val toks = Tables.documents(spark, sf)
+      .select(col("source"), explode(graft.functions.Text.tokens(col("text"))).as("t"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    for (r <- rows) {
+      val src = r.getAs[String]("source")
+      assert(r.getAs[Double]("zipf_slope") < 0, s"$src slope not negative")
+      val ttr = r.getAs[Double]("ttr")
+      assert(ttr > 0 && ttr <= 1)
+      val simpson = r.getAs[Double]("simpson")
+      assert(simpson >= 0 && simpson <= 1)
+      // brute Shannon entropy over the real token distribution; the
+      // gate's integer-qlog2 form is within 0.086 bits by construction
+      val cs = toks.filter(_._1 == src).groupBy(_._2).map(_._2.length.toDouble).toArray
+      val n = cs.sum
+      val h = cs.map(c => -c / n * math.log(c / n) / math.log(2.0)).sum
+      assert(math.abs(r.getAs[Double]("entropy_bits") - h) < 0.1,
+        s"$src entropy ${r.getAs[Double]("entropy_bits")} vs brute $h")
+    }
+  }
 }
