@@ -379,5 +379,218 @@ object Postings {
       PhraseBonusMicro, topK = 10)
   }
 
-  val all: Seq[Q] = Seq(q130, q141, q142, q143, q146, q147)
+  /** Rocchio pseudo-relevance feedback — the two-pass retrieval loop
+    * classic IR stacks run when queries are short: score the seed
+    * query (q141's exact integer BM25), take the top-F documents as
+    * pseudo-relevant, rank their terms by feedback-tf × linear rarity
+    * (w = ftf · (N·10⁶ div df), all integer), add the top-E expansion
+    * terms at half weight (β = ½ as an exact floor-halving of the
+    * term's micro score), and rescore. Every selection orders on
+    * integers with unique-key tie-breaks, so the whole two-pass
+    * pipeline — including which terms get added — is replayed
+    * bit-for-bit by the oracle.
+    *
+    * Scale: stage 1 is q141's plan; the expansion ranking folds the
+    * feedback docs' tokens (F·len rows) against the vocab-sized df
+    * table; stage 2 is q141's plan with |seed|+E terms. Nothing new
+    * shuffles at 100 TB. */
+  private val PrfSeed = Seq("spark", "window")
+  private val PrfFbK = 5
+  private val PrfExpandK = 3
+
+  def prfSearch(documents: DataFrame, seed: Seq[String], fbK: Int,
+      expandK: Int, topK: Int): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
+    val lens = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
+      .localCheckpoint(true) // totals + both scoring passes read it
+    val totals = lens.agg(count(lit(1)).as("n"), sum("len").as("s"))
+    // vocab-sized: df for EVERY term once, shared by both passes and
+    // the expansion ranking (three isin-scans would rescan the corpus)
+    val dfa = toks.groupBy("token").agg(count_distinct(col("doc_id")).as("df"))
+      .localCheckpoint(true)
+    val rational =
+      "CAST(2*n - 2*df + 1 AS DECIMAL(38,0)) * 22 * s * tf * 1000000 div " +
+        "(CAST(2*df + 1 AS DECIMAL(38,0)) * " +
+        " (CAST(10 AS DECIMAL(38,0))*s*tf + CAST(3 AS DECIMAL(38,0))*s" +
+        "  + CAST(9 AS DECIMAL(38,0))*len*n))"
+    def score(tf: DataFrame): DataFrame = tf
+      .join(broadcast(dfa), "token")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(totals))
+      .withColumn("term_micro", coalesce(expr(rational),
+        raise_error(lit("prf: DECIMAL(38,0) headroom exceeded"))).cast("long"))
+      .select(col("doc_id"), col("token"), col("term_micro"))
+    val tf1 = toks.filter(col("token").isin(seed: _*))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val fb = score(tf1).groupBy("doc_id")
+      .agg(sum("term_micro").as("sm"))
+      .orderBy(col("sm").desc, col("doc_id")).limit(fbK)
+      .select("doc_id")
+    val ex = toks.join(broadcast(fb), "doc_id")
+      .filter(!col("token").isin(seed: _*))
+      .groupBy("token").agg(count(lit(1)).as("ftf"))
+      .join(dfa, "token").crossJoin(broadcast(totals))
+      .withColumn("w", expr("ftf * (n * 1000000 div df)"))
+      .orderBy(col("w").desc, col("token")).limit(expandK)
+      .select(col("token"), lit(0).as("is_seed"))
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val qt = seed.map((_, 1)).toDF("token", "is_seed").union(ex)
+      .localCheckpoint(true) // term filter + weight join both read it
+    val tf2 = toks.join(broadcast(qt.select("token")), "token")
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    score(tf2).join(broadcast(qt), "token")
+      .withColumn("wm",
+        when(col("is_seed") === 1, col("term_micro"))
+          .otherwise(expr("term_micro div 2")))
+      .groupBy("doc_id")
+      .agg(sum("wm").cast("long").as("score_micro"),
+        count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("score_micro").desc, col("doc_id")).limit(topK)
+  }
+
+  val q204 = Q.sql("q204_prf_expansion", {
+    val seedIn = PrfSeed.map("'" + _ + "'").mkString(",")
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+       |  FROM documents),
+       |lens AS MATERIALIZED (SELECT doc_id, count(*) AS len FROM toks GROUP BY 1),
+       |tot AS (SELECT count(*) AS n, CAST(sum(len) AS BIGINT) AS s FROM lens),
+       |dfa AS MATERIALIZED (
+       |  SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+       |  FROM toks GROUP BY 1),
+       |tf1 AS (
+       |  SELECT doc_id, token, count(*) AS tf FROM toks
+       |  WHERE token IN ($seedIn) GROUP BY 1, 2),
+       |t1 AS (
+       |  SELECT tf1.doc_id,
+       |    CAST((CAST(2*n - 2*df + 1 AS HUGEINT) * 22 * s * tf * 1000000) //
+       |         (CAST(2*df + 1 AS HUGEINT) *
+       |          (CAST(10 AS HUGEINT)*s*tf + CAST(3 AS HUGEINT)*s
+       |           + CAST(9 AS HUGEINT)*len*n)) AS BIGINT) AS term_micro
+       |  FROM tf1 JOIN dfa USING (token) JOIN lens USING (doc_id) CROSS JOIN tot),
+       |fb AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, CAST(sum(term_micro) AS BIGINT) AS sm
+       |    FROM t1 GROUP BY 1 ORDER BY sm DESC, doc_id LIMIT $PrfFbK)),
+       |ex AS (
+       |  SELECT z.token FROM (
+       |    SELECT t.token, CAST(count(*) AS BIGINT) AS ftf
+       |    FROM toks t JOIN fb USING (doc_id)
+       |    WHERE t.token NOT IN ($seedIn) GROUP BY 1) z
+       |  JOIN dfa USING (token) CROSS JOIN tot
+       |  ORDER BY z.ftf * (tot.n * 1000000 // dfa.df) DESC, z.token
+       |  LIMIT $PrfExpandK),
+       |qt AS (
+       |  SELECT token, 1 AS is_seed FROM (VALUES ${PrfSeed.map("('" + _ + "')").mkString(",")}) v(token)
+       |  UNION ALL SELECT token, 0 FROM ex),
+       |tf2 AS (
+       |  SELECT doc_id, t.token, count(*) AS tf
+       |  FROM toks t JOIN qt USING (token) GROUP BY 1, 2),
+       |t2 AS (
+       |  SELECT tf2.doc_id, tf2.token,
+       |    CAST((CAST(2*n - 2*df + 1 AS HUGEINT) * 22 * s * tf * 1000000) //
+       |         (CAST(2*df + 1 AS HUGEINT) *
+       |          (CAST(10 AS HUGEINT)*s*tf + CAST(3 AS HUGEINT)*s
+       |           + CAST(9 AS HUGEINT)*len*n)) AS BIGINT) AS term_micro
+       |  FROM tf2 JOIN dfa USING (token) JOIN lens USING (doc_id) CROSS JOIN tot)
+       |SELECT doc_id, CAST(sum(wm) AS BIGINT) AS score_micro,
+       |  count(*) AS n_terms_hit
+       |FROM (
+       |  SELECT t2.doc_id,
+       |    CASE WHEN qt.is_seed = 1 THEN term_micro ELSE term_micro // 2 END AS wm
+       |  FROM t2 JOIN qt USING (token)) z
+       |GROUP BY 1 ORDER BY score_micro DESC, doc_id LIMIT 10""".stripMargin
+  }) { (s, d) =>
+    prfSearch(Tables.documents(s, d), PrfSeed, PrfFbK, PrfExpandK, topK = 10)
+  }
+
+  /** Trigram-index substring search — the pg_trgm trick that turns
+    * `LIKE '%pattern%'` from a full corpus scan into an index probe: a
+    * document can contain the pattern only if it contains EVERY
+    * character trigram of the pattern, so the posting lists of the
+    * pattern's trigrams are intersected (one shuffle on trigram,
+    * counted instead of re-scanned) and the raw `contains` check runs
+    * only on the surviving candidates. The gate reports the funnel —
+    * candidates, verified, precision — per pattern, pinning both the
+    * index semantics (no false negatives, by construction) and the
+    * verification step.
+    *
+    * Scale: the posting build is one scan + one distinct-shuffle; each
+    * query reads |pattern trigrams| posting lists, never the corpus;
+    * verification touches candidates only. */
+  private val LikePatterns = Seq(
+    "hash scan", "batch batch batch", "stream spark", "merge part",
+    "window window")
+
+  def trigramSearch(documents: DataFrame, patterns: Seq[String]): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val pt = patterns.flatMap(p => p.sliding(3).toSeq.distinct.map((p, _)))
+      .toDF("pattern", "tg")
+    val pn = patterns.map(p => (p, p.sliding(3).toSeq.distinct.size.toLong))
+      .toDF("pattern", "n_trigrams")
+    val post = documents.filter(length(col("text")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(
+        expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")))
+        .as("tg"))
+    val cand = post.join(broadcast(pt), "tg")
+      .groupBy("pattern", "doc_id").agg(count(lit(1)).as("hit"))
+      .join(broadcast(pn), "pattern")
+      .filter(col("hit") === col("n_trigrams"))
+      .select("pattern", "doc_id")
+    val ver = cand.join(documents.select("doc_id", "text"), "doc_id")
+      .withColumn("ok", expr("contains(text, pattern)"))
+      .groupBy("pattern")
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("ok"), 1L).otherwise(0L)).as("n_verified"),
+        min(when(col("ok"), col("doc_id"))).cast("long").as("first_doc"))
+      .withColumn("cand_precision",
+        round(lit(1.0) * col("n_verified") / col("n_candidates"), 4))
+    pn.join(ver, Seq("pattern"), "left")
+      .na.fill(0L, Seq("n_candidates", "n_verified"))
+      .select(col("pattern"), col("n_trigrams"),
+        col("n_candidates").cast("long").as("n_candidates"),
+        col("n_verified").cast("long").as("n_verified"),
+        col("cand_precision"), col("first_doc"))
+      .orderBy("pattern")
+  }
+
+  val q205 = Q.sql("q205_trigram_like", {
+    val patVals = LikePatterns.map(p => s"('$p')").mkString(", ")
+    val ptVals = LikePatterns.flatMap(p =>
+      p.sliding(3).toSeq.distinct.map(g => s"('$p', '$g')")).mkString(", ")
+    s"""WITH pt(pattern, tg) AS (VALUES $ptVals),
+       |pn AS (SELECT pattern, CAST(count(*) AS BIGINT) AS n_trigrams
+       |       FROM pt GROUP BY 1),
+       |post AS (
+       |  SELECT DISTINCT doc_id, tg FROM (
+       |    SELECT doc_id,
+       |      unnest(list_transform(range(1, length(text) - 1),
+       |                            i -> substr(text, i, 3))) AS tg
+       |    FROM documents WHERE length(text) >= 3)),
+       |cand AS (
+       |  SELECT z.pattern, z.doc_id FROM (
+       |    SELECT pt.pattern, post.doc_id, count(*) AS hit
+       |    FROM post JOIN pt USING (tg) GROUP BY 1, 2) z
+       |  JOIN pn USING (pattern) WHERE z.hit = pn.n_trigrams),
+       |ag AS (
+       |  SELECT c.pattern, CAST(count(*) AS BIGINT) AS n_candidates,
+       |    CAST(sum(CASE WHEN contains(d.text, c.pattern) THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_verified,
+       |    CAST(min(CASE WHEN contains(d.text, c.pattern) THEN c.doc_id END)
+       |      AS BIGINT) AS first_doc
+       |  FROM cand c JOIN documents d USING (doc_id) GROUP BY 1)
+       |SELECT pn.pattern, pn.n_trigrams,
+       |  COALESCE(ag.n_candidates, 0) AS n_candidates,
+       |  COALESCE(ag.n_verified, 0) AS n_verified,
+       |  round(1.0 * ag.n_verified / ag.n_candidates, 4) AS cand_precision,
+       |  ag.first_doc
+       |FROM pn LEFT JOIN ag USING (pattern) ORDER BY pattern""".stripMargin
+  }) { (s, d) =>
+    trigramSearch(Tables.documents(s, d), LikePatterns)
+  }
+
+  val all: Seq[Q] = Seq(q130, q141, q142, q143, q146, q147, q204, q205)
 }

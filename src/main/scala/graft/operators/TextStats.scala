@@ -193,5 +193,88 @@ object TextStats {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(q119, q120, q181)
+  /** Kneser–Ney smoothed bigram LM scoring — q181's surprisal filter
+    * upgraded to the smoothing real perplexity filters (KenLM/CCNet)
+    * use: absolute discounting D = 3/4 with the continuation-count
+    * backoff, p_kn(w2|w1) = (c(w1w2) − D)/c(w1·) +
+    * D·N1+(w1·)/c(w1·) · N1+(·w2)/T. Unlike the MLE form, p_kn scores
+    * UNSEEN continuations sensibly, so the filter doesn't saturate on
+    * singleton bigrams.
+    *
+    * Exactness: with quarters as the discount unit the probability is
+    * ONE rational — num = (4·c(w1w2) − 3)·T + 3·N1+(w1·)·N1+(·w2),
+    * den = 4·c(w1·)·T — and the surprisal is qlog2(den) − qlog2(num)
+    * in integer 1/1024-bit units (q181's piecewise log2, exact in both
+    * engines). Every aggregate is a BIGINT sum; one IEEE division at
+    * the end. Scale: the model is three count tables (vocab-, vocab-,
+    * bigram-sized), all broadcast-joinable; scoring is one pass over
+    * the token stream. */
+  val q202 = Q.sql("q202_kn_bigram_lm",
+    """WITH tk AS MATERIALIZED (
+      |  SELECT doc_id, CAST(u.i AS BIGINT) AS off, toks[u.i + 1] AS tok
+      |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      |        FROM documents) d,
+      |  LATERAL unnest(range(0, len(toks))) AS u(i)),
+      |bg AS MATERIALIZED (
+      |  SELECT a.doc_id, a.off, a.tok AS w1, b.tok AS w2
+      |  FROM tk a JOIN tk b ON b.doc_id = a.doc_id AND b.off = a.off + 1),
+      |cxy AS MATERIALIZED (
+      |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS nxy FROM bg GROUP BY 1, 2),
+      |c1 AS MATERIALIZED (
+      |  SELECT w1, CAST(sum(nxy) AS BIGINT) AS n1,
+      |    CAST(count(*) AS BIGINT) AS f1
+      |  FROM cxy GROUP BY 1),
+      |cc AS MATERIALIZED (
+      |  SELECT w2, CAST(count(*) AS BIGINT) AS cw2 FROM cxy GROUP BY 1),
+      |tt AS (SELECT CAST(count(*) AS BIGINT) AS t FROM cxy),
+      |sc AS (
+      |  SELECT bg.doc_id,
+      |    ((length(bin(4 * c1.n1 * tt.t)) - 1) * 1024
+      |      + (4 * c1.n1 * tt.t) * 1024
+      |        // (1::BIGINT << (length(bin(4 * c1.n1 * tt.t)) - 1)) - 1024)
+      |    - ((length(bin((4 * cxy.nxy - 3) * tt.t + 3 * c1.f1 * cc.cw2)) - 1) * 1024
+      |      + ((4 * cxy.nxy - 3) * tt.t + 3 * c1.f1 * cc.cw2) * 1024
+      |        // (1::BIGINT << (length(bin((4 * cxy.nxy - 3) * tt.t + 3 * c1.f1 * cc.cw2)) - 1)) - 1024)
+      |      AS ub
+      |  FROM bg
+      |  JOIN cxy ON cxy.w1 = bg.w1 AND cxy.w2 = bg.w2
+      |  JOIN c1 ON c1.w1 = bg.w1
+      |  JOIN cc ON cc.w2 = bg.w2
+      |  CROSS JOIN tt)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |  CAST(sum(ub) AS BIGINT) AS kn_qb,
+      |  round(CAST(sum(ub) AS DOUBLE) / (count(*) * 1024.0), 4)
+      |    AS kn_bits_per_token
+      |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import graft.functions.Text
+    val qlog = (e: String) =>
+      expr(s"(length(bin($e)) - 1) * 1024" +
+        s" + ($e) * 1024 div shiftleft(1L, length(bin($e)) - 1) - 1024")
+    val tk = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(Text.tokens(col("text"))).as(Seq("off", "tok")))
+      .select(col("doc_id"), col("off").cast("long").as("off"), col("tok"))
+    val bg = tk.select(col("doc_id"), col("off"), col("tok").as("w1"))
+      .join(tk.select(col("doc_id"), (col("off") - 1).as("off"), col("tok").as("w2")),
+        Seq("doc_id", "off"))
+      .localCheckpoint(true) // model build + scoring both read the stream
+    val cxy = bg.groupBy("w1", "w2").agg(count(lit(1)).as("nxy"))
+    val c1 = cxy.groupBy("w1").agg(sum("nxy").as("n1"), count(lit(1)).as("f1"))
+    val cc = cxy.groupBy("w2").agg(count(lit(1)).as("cw2"))
+    val tt = cxy.agg(count(lit(1)).cast("long").as("t"))
+    bg.join(broadcast(cxy), Seq("w1", "w2"))
+      .join(broadcast(c1), Seq("w1"))
+      .join(broadcast(cc), Seq("w2"))
+      .crossJoin(broadcast(tt))
+      .withColumn("den", expr("4 * n1 * t"))
+      .withColumn("num", expr("(4 * nxy - 3) * t + 3 * f1 * cw2"))
+      .select(col("doc_id"), (qlog("den") - qlog("num")).as("ub"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum("ub").cast("long").as("kn_qb"))
+      .withColumn("kn_bits_per_token",
+        round(col("kn_qb").cast("double") / (col("n_bigrams") * lit(1024.0)), 4))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(q119, q120, q181, q202)
 }

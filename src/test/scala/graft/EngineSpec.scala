@@ -1431,6 +1431,56 @@ class EngineSpec extends AnyFunSuite {
     assert(naive.select("p", "iv_id").except(binned.select("p", "iv_id")).isEmpty)
   }
 
+  test("Kneser-Ney gate replays exactly from brute corpus counts for one doc") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq).toMap
+    val bigrams = docs.toSeq.flatMap { case (id, ts) => ts.sliding(2).collect {
+      case Seq(a, b) => (id, a, b) } }
+    val cxy = bigrams.groupBy(t => (t._2, t._3)).map { case (k, v) => k -> v.size.toLong }
+    val c1 = cxy.groupBy(_._1._1).map { case (w, m) => w -> m.values.sum }
+    val f1 = cxy.groupBy(_._1._1).map { case (w, m) => w -> m.size.toLong }
+    val cc = cxy.groupBy(_._1._2).map { case (w, m) => w -> m.size.toLong }
+    val t = cxy.size.toLong
+    def qlog(n: Long): Long = {
+      val blen = 64 - java.lang.Long.numberOfLeadingZeros(n)
+      (blen - 1) * 1024 + n * 1024 / (1L << (blen - 1)) - 1024
+    }
+    val target = docs.keys.min
+    val expected = bigrams.filter(_._1 == target).map { case (_, a, b) =>
+      val num = (4 * cxy((a, b)) - 3) * t + 3 * f1(a) * cc(b)
+      val den = 4 * c1(a) * t
+      qlog(den) - qlog(num)
+    }.sum
+    val got = SparkEntry.queries("q202_kn_bigram_lm")(spark, sf)
+      .filter(col("doc_id") === target).collect()(0).getAs[Long]("kn_qb")
+    assert(got == expected, s"doc $target: gate $got vs brute $expected")
+  }
+
+  test("PRF with zero expansion terms reduces exactly to seed BM25") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    val prf0 = graft.operators.Postings.prfSearch(
+      docs, Seq("spark", "window"), fbK = 5, expandK = 0, topK = 10)
+      .select("doc_id", "score_micro").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val plain = graft.operators.Postings.bm25(docs, Seq("spark", "window"), topK = 10)
+      .select(col("doc_id"), col("score_micro").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(prf0.toSeq == plain.toSeq)
+  }
+
+  test("trigram index has no false negatives: verified count equals brute contains") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    val gate = SparkEntry.queries("q205_trigram_like")(spark, sf).collect()
+      .map(r => r.getAs[String]("pattern") -> r.getAs[Long]("n_verified")).toMap
+    for ((p, v) <- gate) {
+      val brute = docs.filter(col("text").contains(p)).count()
+      assert(v == brute, s"'$p': index-verified $v vs brute scan $brute")
+    }
+  }
+
   test("KS drift gate equals a brute double-ECDF sweep per source") {
     import org.apache.spark.sql.functions._
     val vals = Tables.documents(spark, sf)
