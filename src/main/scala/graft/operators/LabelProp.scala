@@ -282,5 +282,95 @@ object LabelProp {
     propagateOn(s, d, edges).orderBy("vec_id")
   }
 
-  val all: Seq[Q] = Seq(q178, q179, q192)
+  /** Ratio-margin pair mining (Artetxe & Schwenk's CCMatrix scoring) —
+    * q179's mutual-NN rule upgraded to the margin criterion production
+    * bitext mining actually ranks by: a pair's affinity divided by the
+    * mean of each endpoint's top-[[MarginK]] cross-side affinities.
+    * Hub vectors (high affinity to EVERYTHING) get discounted because
+    * their own top-k mean is high — the margin keeps only pairs that
+    * are mutually exceptional, which mutual-NN alone can't express.
+    *
+    * Exactness: affinities are the integer qdot; with na/nb the actual
+    * top-k sizes, margin = 2·w·na·nb / (Aₖ·nb + Bₖ·na) — both products
+    * run in 38-digit decimals (HUGEINT on the oracle side) and cross to
+    * DOUBLE through the VARCHAR bridge (operators.Q rule), so the one
+    * division is IEEE-identical. Margin > 0 always (w > 0 filter), so
+    * no signed-zero seam. Scale: the gate's pair table is the brute
+    * oracle anchor (q179's precedent); the production path swaps in the
+    * q192 IVF-routed candidate generator unchanged — the margin math
+    * only ever sees (id, id, w) triples. */
+  val MarginK = 4
+
+  val q203 = Q.sql("q203_margin_mining",
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |                   v -> CAST(floor(v * 100000000.0) AS BIGINT)) AS xq,
+       |    label % 2 AS side
+       |  FROM embeddings),
+       |p AS MATERIALIZED (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(list_zip(a.xq, b.xq), q -> q[1] * q[2])),
+       |      (x, y) -> x + y) AS w
+       |  FROM e a JOIN e b ON a.side = 0 AND b.side = 1),
+       |pp AS MATERIALIZED (SELECT * FROM p WHERE w > 0),
+       |ka AS (
+       |  SELECT id_a, CAST(sum(w) AS HUGEINT) AS aw,
+       |    CAST(count(*) AS BIGINT) AS na
+       |  FROM (SELECT id_a, id_b, w,
+       |          row_number() OVER (PARTITION BY id_a ORDER BY w DESC, id_b) AS rn
+       |        FROM pp) WHERE rn <= $MarginK GROUP BY 1),
+       |kb AS (
+       |  SELECT id_b, CAST(sum(w) AS HUGEINT) AS bw,
+       |    CAST(count(*) AS BIGINT) AS nb
+       |  FROM (SELECT id_a, id_b, w,
+       |          row_number() OVER (PARTITION BY id_b ORDER BY w DESC, id_a) AS rn
+       |        FROM pp) WHERE rn <= $MarginK GROUP BY 1),
+       |best AS (
+       |  SELECT id_a, id_b, w FROM (
+       |    SELECT id_a, id_b, w,
+       |      row_number() OVER (PARTITION BY id_a ORDER BY w DESC, id_b) AS rn
+       |    FROM pp) WHERE rn = 1)
+       |SELECT best.id_a, best.id_b, best.w,
+       |  round(CAST(CAST(CAST(2 AS HUGEINT) * best.w * ka.na * kb.nb AS VARCHAR) AS DOUBLE)
+       |        / CAST(CAST(ka.aw * kb.nb + kb.bw * ka.na AS VARCHAR) AS DOUBLE), 4)
+       |    AS margin,
+       |  round(CAST(CAST(CAST(2 AS HUGEINT) * best.w * ka.na * kb.nb AS VARCHAR) AS DOUBLE)
+       |        / CAST(CAST(ka.aw * kb.nb + kb.bw * ka.na AS VARCHAR) AS DOUBLE), 4)
+       |    >= 1.0 AS accepted
+       |FROM best JOIN ka USING (id_a) JOIN kb USING (id_b)
+       |ORDER BY best.id_a""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, d).select(col("vec_id"),
+      col("embedding").as("xq"), (col("label") % 2).as("side"))
+    val a = e.filter(col("side") === 0).select(col("vec_id").as("id_a"), col("xq").as("xa"))
+    val b = e.filter(col("side") === 1).select(col("vec_id").as("id_b"), col("xq").as("xb"))
+    val pp = a.join(broadcast(b), lit(true))
+      .withColumn("w", graft.functions.Exprs.qdot(col("xa"), col("xb")))
+      .filter(col("w") > 0)
+      .select("id_a", "id_b", "w")
+      .localCheckpoint(true) // top-k sums + best-pair pass all read it
+    val ka = pp.withColumn("rn", row_number().over(
+        Window.partitionBy("id_a").orderBy(col("w").desc, col("id_b"))))
+      .filter(col("rn") <= MarginK).groupBy("id_a")
+      .agg(sum("w").as("aw"), count(lit(1)).cast("long").as("na"))
+    val kb = pp.withColumn("rn", row_number().over(
+        Window.partitionBy("id_b").orderBy(col("w").desc, col("id_a"))))
+      .filter(col("rn") <= MarginK).groupBy("id_b")
+      .agg(sum("w").as("bw"), count(lit(1)).cast("long").as("nb"))
+    val best = pp.withColumn("rn", row_number().over(
+        Window.partitionBy("id_a").orderBy(col("w").desc, col("id_b"))))
+      .filter(col("rn") === 1).select("id_a", "id_b", "w")
+    best.join(ka, "id_a").join(kb, "id_b")
+      .withColumn("margin", round(
+        expr("CAST(CAST(2 AS DECIMAL(38,0)) * w * na * nb AS DOUBLE)") /
+          expr("CAST(CAST(aw AS DECIMAL(38,0)) * nb + CAST(bw AS DECIMAL(38,0)) * na AS DOUBLE)"),
+        4))
+      .withColumn("accepted", col("margin") >= 1.0)
+      .select("id_a", "id_b", "w", "margin", "accepted")
+      .orderBy("id_a")
+  }
+
+  val all: Seq[Q] = Seq(q178, q179, q192, q203)
 }
