@@ -312,17 +312,18 @@ object Multimodal {
   case class AudioWin(doc_id: Long, win_idx: Long, n_samples: Long,
       sample_rate: Long, energy: Long, peak: Long)
 
-  def windowEnergy(media: Dataset[MediaRow]): Dataset[AudioWin] = {
+  def windowEnergy(media: Dataset[MediaRow], window: Int = AudioWindow,
+      hop: Int = AudioHop): Dataset[AudioWin] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.grouped(BATCH_SIZE).flatMap(_.iterator.flatMap { row =>
         val a = Wav.decode(row.payload)
         val n = a.samples.length
-        val nWin = if (n < AudioWindow) 0 else (n - AudioWindow) / AudioHop + 1
+        val nWin = if (n < window) 0 else (n - window) / hop + 1
         (0 until nWin).iterator.map { w =>
           var e = 0L; var p = 0L
-          var j = w * AudioHop
-          val until = j + AudioWindow
+          var j = w * hop
+          val until = j + window
           while (j < until) {
             val s = a.samples(j).toLong
             e += s * s
@@ -636,5 +637,194 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(q52, q53, q58, q79, q90, q134, q172, q182, q183, q184)
+  /** Sequential "video" container: one file per document made of
+    * concatenated REAL P6 frames ([[Ppm.decodeAt]] walks them — a
+    * header misparse desynchronizes every later frame). Frame f's
+    * raster alternates v, v+1 with v = (doc_id·7 + f²·13) mod 255 —
+    * the alternation pins byte-stride correctness while keeping the
+    * frame's exact byte sum closed-form (B·v + B/2) so the oracle
+    * predicts it without per-byte iteration. */
+  val VideoH = 16
+
+  def videoTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select("doc_id", "text").as[(Long, String)]
+      .map { case (id, text) =>
+        val n = text.getBytes("UTF-8").length
+        val w = 32 + n % 32
+        val nf = 4 + (id % 5).toInt
+        val bytes = (0 until nf).map { f =>
+          val v = ((id * 7 + f.toLong * f * 13) % 255).toInt
+          Ppm.encode(Ppm.Image(w, VideoH,
+            Array.tabulate(w * VideoH * 3)(j => (v + (j % 2)).toByte)))
+        }.reduce(_ ++ _)
+        val md = MessageDigest.getInstance("MD5")
+        val sha = md.digest(bytes).map("%02x".format(_)).mkString
+        MediaRow(id, bytes, MediaMeta("video/x-ppm-seq", bytes.length.toLong, sha))
+      }
+  }
+
+  case class KeyFrames(doc_id: Long, n_frames: Long, n_keyframes: Long,
+      keyframes: String)
+
+  /** Shot-boundary keyframe selection: decode the container frame by
+    * frame, keep frame 0 plus every frame whose mean-brightness jump
+    * from its predecessor reaches `thresh` gray levels. The compare is
+    * integer (|Σf − Σprev| ≥ thresh·B, equal frame geometry), so
+    * selection is exact. One stateless scan per video at any scale —
+    * the decode loop is sequential per FILE, parallel across files,
+    * which is the only parallelism a frame-dependent rule admits. */
+  def keyframes(media: Dataset[MediaRow], thresh: Long): Dataset[KeyFrames] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(BATCH_SIZE).flatMap(_.iterator.map { row =>
+        var off = 0
+        var idx = 0
+        var prevSum = 0L
+        var prevB = 0L
+        val sel = Seq.newBuilder[Int]
+        while (off < row.payload.length) {
+          val (img, next) = Ppm.decodeAt(row.payload, off)
+          var s = 0L
+          var j = 0
+          while (j < img.raster.length) { s += img.raster(j) & 0xff; j += 1 }
+          val b = img.raster.length.toLong
+          require(idx == 0 || b == prevB, "variable frame geometry")
+          if (idx == 0 || math.abs(s - prevSum) >= thresh * b) sel += idx
+          prevSum = s; prevB = b; off = next; idx += 1
+        }
+        val ks = sel.result()
+        KeyFrames(row.doc_id, idx.toLong, ks.size.toLong, ks.mkString(","))
+      })
+    }
+  }
+
+  val KeyframeThresh = 16L
+
+  val q206 = Q.sql("q206_video_keyframes",
+    s"""WITH t AS (
+       |  SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+       |g AS (
+       |  SELECT doc_id, 32 + n % 32 AS w, 4 + doc_id % 5 AS nf FROM t),
+       |v AS (
+       |  SELECT doc_id, nf, u.fi,
+       |    (doc_id * 7 + u.fi * u.fi * 13) % 255 AS v,
+       |    w * $VideoH * 3 AS b
+       |  FROM g, LATERAL unnest(range(0, nf)) AS u(fi)),
+       |s AS (
+       |  SELECT doc_id, nf, fi, b, v * b + b // 2 AS fsum,
+       |    lag(v * b + b // 2) OVER (PARTITION BY doc_id ORDER BY fi) AS prev
+       |  FROM v),
+       |k AS (
+       |  SELECT doc_id, nf, fi,
+       |    (fi = 0 OR abs(fsum - prev) >= $KeyframeThresh * b) AS sel
+       |  FROM s)
+       |SELECT doc_id, CAST(max(nf) AS BIGINT) AS n_frames,
+       |  CAST(sum(CASE WHEN sel THEN 1 ELSE 0 END) AS BIGINT) AS n_keyframes,
+       |  string_agg(CASE WHEN sel THEN CAST(fi AS VARCHAR) END, ','
+       |             ORDER BY fi) AS keyframes
+       |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    keyframes(videoTable(s, d), KeyframeThresh).toDF().orderBy("doc_id")
+  }
+
+  /** Bursty speech/silence WAV fixture for the VAD gate: [[wavTable]]'s
+    * envelope is SMOOTH (its progression walks 1/120th of the 65536
+    * cycle per window), which would collapse segmentation to one island
+    * per clip — so this fixture gates the same sample generator by
+    * 96-sample speech regions ((id·31 + region·7) mod 5 < 2) with true
+    * digital silence between, the structure VAD exists to find. */
+  val VadRegion = 96
+
+  def vadWavTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select("doc_id", "text").as[(Long, String)]
+      .map { case (id, text) =>
+        val n = 256 + text.getBytes("UTF-8").length % 512
+        val samples = Array.tabulate(n) { j =>
+          if ((id * 31 + (j / VadRegion).toLong * 7) % 5 < 2)
+            (((id * 11 + j.toLong * 17) % 65536) - 32768).toShort
+          else 0.toShort
+        }
+        val bytes = Wav.encode(Wav.Audio(16000, 1, samples))
+        val md = MessageDigest.getInstance("MD5")
+        val sha = md.digest(bytes).map("%02x".format(_)).mkString
+        MediaRow(id, bytes, MediaMeta("audio/wav", bytes.length.toLong, sha))
+      }
+  }
+
+  /** Energy-threshold voice-activity segmentation: window the decoded
+    * audio fine-grained (window 64, hop 32 — [[windowEnergy]]'s kernel,
+    * parameterized), call a window active when its energy exceeds the
+    * corpus-wide EXACT median (q188's selection device — deterministic
+    * through ties via the (energy, doc, win) total order), and merge
+    * consecutive active windows into segments by the gaps-and-islands
+    * rule. Output is one row per segment with its exact energy mass.
+    *
+    * Scale: the global exact median is the oracle-exactness device; at
+    * 100 TB the threshold comes from the mergeable histogram quantile
+    * (q114) instead — either way one broadcast scalar. The islands
+    * window partitions by doc, so segmentation shuffles once on
+    * doc_id. */
+  def vadSegments(wins: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = wins
+      .withColumn("rn", row_number().over(
+        Window.orderBy("energy", "doc_id", "win_idx")))
+      .withColumn("nt", count(lit(1)).over(
+        Window.partitionBy()))
+    val med = ranked.filter(expr("rn = (nt + 1) div 2"))
+      .select(col("energy").as("med"))
+    val active = wins.crossJoin(broadcast(med)).filter(col("energy") > col("med"))
+    active
+      .withColumn("grp", col("win_idx") - row_number().over(
+        Window.partitionBy("doc_id").orderBy("win_idx")))
+      .groupBy("doc_id", "grp")
+      .agg(min("win_idx").cast("long").as("seg_start"),
+        max("win_idx").cast("long").as("seg_end"),
+        count(lit(1)).cast("long").as("n_windows"),
+        sum("energy").cast("long").as("seg_energy"))
+      .drop("grp")
+  }
+
+  val VadWindow = 64
+  val VadHop = 32
+
+  val q207 = Q.sql("q207_vad_segments",
+    s"""WITH t AS (
+       |  SELECT doc_id, 256 + octet_length(encode(text)) % 512 AS n
+       |  FROM documents),
+       |w AS (
+       |  SELECT doc_id, n,
+       |    unnest(range(0, (n - $VadWindow) // $VadHop + 1)) AS win
+       |  FROM t),
+       |e AS (
+       |  SELECT doc_id, win,
+       |    list_sum(list_transform(range(win*$VadHop, win*$VadHop + $VadWindow),
+       |      j -> CASE WHEN (doc_id*31 + (j // $VadRegion) * 7) % 5 < 2
+       |        THEN ((doc_id*11 + j*17) % 65536 - 32768)
+       |           * ((doc_id*11 + j*17) % 65536 - 32768)
+       |        ELSE 0 END)) AS energy
+       |  FROM w),
+       |r AS (
+       |  SELECT *, row_number() OVER (ORDER BY energy, doc_id, win) AS rn,
+       |    count(*) OVER () AS nt
+       |  FROM e),
+       |m AS (SELECT energy AS med FROM r WHERE rn = (nt + 1) // 2),
+       |a AS (SELECT doc_id, win, energy FROM e CROSS JOIN m WHERE energy > med),
+       |i AS (
+       |  SELECT doc_id, win, energy,
+       |    win - row_number() OVER (PARTITION BY doc_id ORDER BY win) AS grp
+       |  FROM a)
+       |SELECT doc_id, CAST(min(win) AS BIGINT) AS seg_start,
+       |  CAST(max(win) AS BIGINT) AS seg_end,
+       |  CAST(count(*) AS BIGINT) AS n_windows,
+       |  CAST(sum(energy) AS BIGINT) AS seg_energy
+       |FROM i GROUP BY doc_id, grp
+       |ORDER BY doc_id, seg_start""".stripMargin) { (s, d) =>
+    vadSegments(windowEnergy(vadWavTable(s, d), VadWindow, VadHop).toDF())
+      .orderBy("doc_id", "seg_start")
+  }
+
+  val all: Seq[Q] = Seq(q52, q53, q58, q79, q90, q134, q172, q182, q183, q184,
+    q206, q207)
 }

@@ -28,8 +28,14 @@ object Ppm {
     out
   }
 
-  def decode(bytes: Array[Byte]): Image = {
-    var pos = 0
+  def decode(bytes: Array[Byte]): Image = decodeAt(bytes, 0)._1
+
+  /** Parse ONE P6 image starting at `offset` and return it with the
+    * offset one past its raster — the walk primitive for sequential
+    * containers (a concatenated-frames "video" file): callers loop
+    * `decodeAt` until the returned offset reaches the buffer end. */
+  def decodeAt(bytes: Array[Byte], offset: Int): (Image, Int) = {
+    var pos = offset
     def isWs(b: Byte) = b == ' ' || b == '\n' || b == '\r' || b == '\t' || b == '\f'
     // skip whitespace and # comments (comment runs to end of line)
     def skipWsAndComments(): Unit = {
@@ -65,7 +71,8 @@ object Ppm {
     val need = w.toLong * h * 3
     require(need <= bytes.length.toLong - pos,
       s"raster truncated: need $need, have ${bytes.length - pos}")
-    Image(w, h, java.util.Arrays.copyOfRange(bytes, pos, pos + need.toInt))
+    (Image(w, h, java.util.Arrays.copyOfRange(bytes, pos, pos + need.toInt)),
+      pos + need.toInt)
   }
 
   /** Nearest-neighbor integer downscale by `factor`: output pixel (x,y)

@@ -1481,6 +1481,49 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("video keyframes replay exactly from the fixture arithmetic") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q206_video_keyframes")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_frames"), r.getAs[String]("keyframes"))).toMap
+    val lens = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1).getBytes("UTF-8").length))
+    for ((id, n) <- lens) {
+      val nf = 4 + (id % 5).toInt
+      val vs = (0 until nf).map(f => (id * 7 + f.toLong * f * 13) % 255)
+      val ks = (0 until nf).filter(f =>
+        f == 0 || math.abs(vs(f) - vs(f - 1)) >= graft.multimodal.Multimodal.KeyframeThresh)
+      assert(got(id) == ((nf.toLong, ks.mkString(","))),
+        s"doc $id: ${got(id)} vs ($nf, ${ks.mkString(",")})")
+    }
+    assert(lens.nonEmpty && got.size == lens.length)
+  }
+
+  test("VAD segments are contiguous islands that tile the active windows") {
+    import org.apache.spark.sql.functions._
+    val segs = SparkEntry.queries("q207_vad_segments")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("seg_start"),
+        r.getAs[Long]("seg_end"), r.getAs[Long]("n_windows")))
+    assert(segs.nonEmpty)
+    for ((_, s, e, n) <- segs)
+      assert(e - s + 1 == n, s"segment [$s,$e] not contiguous (n=$n)")
+    // islands must be maximal: consecutive segments of a doc are
+    // separated by at least one inactive window
+    for (Array((_, _, e1, _), (_, s2, _, _)) <-
+        segs.groupBy(_._1).values.map(_.sortBy(_._2).sliding(2).toSeq)
+          .flatten.filter(_.length == 2))
+      assert(s2 > e1 + 1, s"adjacent segments touch: end $e1 then start $s2")
+    // and the total active mass matches a brute recount over the
+    // windowed energies vs the exact global median
+    val wins = graft.multimodal.Multimodal.windowEnergy(
+      graft.multimodal.Multimodal.vadWavTable(spark, sf),
+      graft.multimodal.Multimodal.VadWindow, graft.multimodal.Multimodal.VadHop)
+      .collect().map(w => (w.doc_id, w.win_idx, w.energy))
+    val sortedE = wins.sortBy(w => (w._3, w._1, w._2))
+    val med = sortedE((sortedE.length + 1) / 2 - 1)._3
+    assert(segs.map(_._4).sum == wins.count(_._3 > med))
+  }
+
   test("record linkage classifies every unperturbed true pair as a match") {
     import org.apache.spark.sql.functions._
     // docs untouched by both perturbations score the full +94: digest,
