@@ -413,5 +413,72 @@ object Linalg {
       .orderBy("query_id", "rank")
   }
 
-  val all: Seq[Q] = Seq(q162, q163, q164, q168, q196)
+  /** Matryoshka truncation evaluation (Kusupati et al.'s MRL deploy
+    * question): how much of the full-dimension top-k survives when
+    * retrieval runs on only the first [[MrlDims]] of [[MrlFullDims]]
+    * dimensions? Per query, recall@10 of the truncated ranking against
+    * the full ranking — the number a vector-store operator reads before
+    * flipping storage to the short prefix. Both rankings use the exact
+    * integer qdot (q179's quantization) with (score, id) total order,
+    * so overlap counts are deterministic.
+    *
+    * Scale: the gate's pair table is the brute oracle anchor (q30's
+    * precedent); production swaps the candidate generator (IVF/SRP) —
+    * the recall math joins two (query, neighbor) top-k tables of k
+    * rows per query either way. */
+  val MrlDims = 16
+  val MrlFullDims = 64
+
+  val q210 = Q.sql("q210_matryoshka_recall",
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |                   v -> CAST(floor(v * 100000000.0) AS BIGINT)) AS xq
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS qid, xq AS qx FROM e WHERE vec_id % 10 = 0),
+       |p AS MATERIALIZED (
+       |  SELECT q.qid, e.vec_id AS nb,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(list_zip(q.qx, e.xq), z -> z[1] * z[2])),
+       |      (x, y) -> x + y) AS wf,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(list_zip(q.qx[1:$MrlDims], e.xq[1:$MrlDims]),
+       |                     z -> z[1] * z[2])),
+       |      (x, y) -> x + y) AS wt
+       |  FROM q JOIN e ON e.vec_id <> q.qid),
+       |f AS (SELECT qid, nb FROM (
+       |  SELECT qid, nb, row_number() OVER (PARTITION BY qid ORDER BY wf DESC, nb) AS rn
+       |  FROM p) WHERE rn <= 10),
+       |t AS (SELECT qid, nb FROM (
+       |  SELECT qid, nb, row_number() OVER (PARTITION BY qid ORDER BY wt DESC, nb) AS rn
+       |  FROM p) WHERE rn <= 10)
+       |SELECT f.qid AS vec_id, CAST(count(t.nb) AS BIGINT) AS n_overlap,
+       |  round(count(t.nb) / 10.0, 4) AS recall_at_10
+       |FROM f LEFT JOIN t ON t.qid = f.qid AND t.nb = f.nb
+       |GROUP BY 1 ORDER BY vec_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = graft.Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qx"))
+    val p = q.join(broadcast(e.filter(lit(true))), col("vec_id") =!= col("qid"))
+      .withColumn("wf", graft.functions.Exprs.qdot(col("qx"), col("embedding")))
+      .withColumn("wt", graft.functions.Exprs.qdot(
+        slice(col("qx"), 1, MrlDims), slice(col("embedding"), 1, MrlDims)))
+      .select(col("qid"), col("vec_id").as("nb"), col("wf"), col("wt"))
+      .localCheckpoint(true) // both rankings read the pair table
+    val f = p.withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("wf").desc, col("nb"))))
+      .filter(col("rn") <= 10).select("qid", "nb")
+    val t = p.withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("wt").desc, col("nb"))))
+      .filter(col("rn") <= 10)
+      .select(col("qid").as("t_qid"), col("nb").as("t_nb"))
+    f.join(t, col("t_qid") === col("qid") && col("t_nb") === col("nb"), "left")
+      .groupBy(col("qid").as("vec_id"))
+      .agg(count(col("t_nb")).as("n_overlap"),
+        round(count(col("t_nb")) / 10.0, 4).as("recall_at_10"))
+      .orderBy("vec_id")
+  }
+
+  val all: Seq[Q] = Seq(q162, q163, q164, q168, q196, q210)
 }

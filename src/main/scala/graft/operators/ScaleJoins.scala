@@ -183,5 +183,38 @@ object ScaleJoins {
       .orderBy("pr")
   }
 
-  val all: Seq[Q] = Seq(q101, q102, q149)
+  /** Join-key skew census — the diagnostic a pipeline runs BEFORE
+    * choosing between a plain shuffle join and q149's salted plan: per
+    * power-of-two group-size bucket, how many keys live there, how many
+    * rows they carry, and the bucket's share of the table. The heavy
+    * tail (top buckets holding a double-digit row share across a
+    * handful of keys) is exactly the signal that triggers salting /
+    * AQE skew splitting; publishing it as a table makes the decision
+    * auditable. One groupBy(key) then a bucket fold over the
+    * keys-sized count table — the census never rescans rows. */
+  val q211 = Q.sql("q211_skew_report",
+    """WITH c AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1),
+      |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c)
+      |SELECT CAST(length(bin(cnt)) AS BIGINT) AS size_bucket,
+      |  CAST(count(*) AS BIGINT) AS n_keys,
+      |  CAST(sum(cnt) AS BIGINT) AS n_rows,
+      |  CAST(max(cnt) AS BIGINT) AS max_rows,
+      |  round(1.0 * sum(cnt) / max(t.n), 4) AS row_share
+      |FROM c CROSS JOIN t
+      |GROUP BY 1 ORDER BY size_bucket""".stripMargin) { (s, d) =>
+    val c = graft.Tables.events(s, d)
+      .groupBy("user_id").agg(count(lit(1)).cast("long").as("cnt"))
+    val t = c.agg(sum("cnt").cast("long").as("n"))
+    c.crossJoin(broadcast(t))
+      .groupBy(length(bin(col("cnt"))).cast("long").as("size_bucket"))
+      .agg(count(lit(1)).cast("long").as("n_keys"),
+        sum("cnt").cast("long").as("n_rows"),
+        max("cnt").cast("long").as("max_rows"),
+        round(lit(1.0) * sum("cnt") / max("n"), 4).as("row_share"))
+      .orderBy("size_bucket")
+  }
+
+  val all: Seq[Q] = Seq(q101, q102, q149, q211)
 }

@@ -818,5 +818,71 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q38, q39, q64, q70, q75, q78, q87, q88)
+  /** Hashed-feature linear quality classifier — the fasttext-style
+    * model-application shape (the GPT-3/LLaMA "wiki-like" filter): each
+    * token hashes into one of [[QcBuckets]] feature buckets, the
+    * bucket's weight is looked up, and the document's score is the
+    * weight sum — a pretrained linear model applied at corpus scale
+    * with NO model table to join (the hashing trick folds the lookup
+    * into the hash). Weights here derive deterministically from the
+    * bucket id via the same poly-131·G chain (a stand-in for trained
+    * coefficients — the gate pins the scoring MACHINERY: hashing,
+    * bucket weights, integer accumulation, the accept threshold).
+    *
+    * Scale: stateless map + one groupBy(doc) — one scan, no joins, no
+    * broadcast; swapping in real trained weights replaces the weight
+    * derivation with a 2^[[QcBuckets]]-entry broadcast array and
+    * changes nothing else. */
+  val QcBuckets = 1024L
+
+  val q209 = Q.sql("q209_linear_quality",
+    s"""WITH tk AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+       |  FROM documents),
+       |hb AS (
+       |  SELECT doc_id,
+       |    CAST(CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+       |      list_transform(range(1, length(tok) + 1),
+       |                     c -> CAST(ascii(substr(tok, c, 1)) AS HUGEINT))),
+       |      (a, x) -> (a * 131 + x) % 2305843009213693951) AS HUGEINT)
+       |      * 1752450205419405103 % 2305843009213693951 % $QcBuckets AS BIGINT)
+       |      AS b
+       |  FROM tk),
+       |ww AS (
+       |  SELECT b,
+       |    CAST(CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+       |      list_transform(range(1, length(ks) + 1),
+       |                     c -> CAST(ascii(substr(ks, c, 1)) AS HUGEINT))),
+       |      (a, x) -> (a * 131 + x) % 2305843009213693951) AS HUGEINT)
+       |      * 1752450205419405103 % 2305843009213693951 % 2001 AS BIGINT) - 1000
+       |      AS w
+       |  FROM (SELECT b, 'w:' || CAST(b AS VARCHAR) AS ks
+       |        FROM (SELECT DISTINCT b FROM hb))),
+       |s AS (
+       |  SELECT hb.doc_id, count(*) AS n_tokens,
+       |    CAST(sum(ww.w) AS BIGINT) AS score_milli
+       |  FROM hb JOIN ww USING (b) GROUP BY 1)
+       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, score_milli,
+       |  round(CAST(score_milli AS DOUBLE) / n_tokens, 4) + 0.0 AS mean_w,
+       |  score_milli > 0 AS accept
+       |FROM s ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import graft.operators.Sketches.Kmv
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+      .withColumn("b",
+        pmod(Exprs.mulmod61(Exprs.poly_hash(col("tok")), Kmv.G), lit(QcBuckets)))
+      .withColumn("w",
+        pmod(Exprs.mulmod61(
+          Exprs.poly_hash(concat(lit("w:"), col("b").cast("string"))), Kmv.G),
+          lit(2001L)) - 1000L)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        sum("w").cast("long").as("score_milli"))
+      .withColumn("mean_w",
+        round(col("score_milli").cast("double") / col("n_tokens"), 4))
+      .withColumn("accept", col("score_milli") > 0)
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q38, q39, q64, q70, q75, q78, q87, q88, q209)
 }

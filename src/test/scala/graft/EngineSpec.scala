@@ -1481,6 +1481,62 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("hashed linear classifier equals brute per-token weight lookup") {
+    import org.apache.spark.sql.functions._
+    val P = 2305843009213693951L
+    val G = graft.operators.Sketches.Kmv.G
+    def poly(s: String): Long = {
+      var a = BigInt(0)
+      for (b <- s.getBytes("US-ASCII")) a = (a * 131 + (b & 0xff)) % P
+      a.toLong
+    }
+    def mulmod(h: Long, g: Long): Long = ((BigInt(h) * g) % P).toLong
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1).trim.split("\\s+")))
+    val expected = docs.map { case (id, toks) =>
+      id -> toks.map { tk =>
+        val b = mulmod(poly(tk), G) % graft.operators.TextOps.QcBuckets
+        mulmod(poly(s"w:$b"), G) % 2001L - 1000L
+      }.sum
+    }.toMap
+    val got = SparkEntry.queries("q209_linear_quality")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("score_milli")).toMap
+    assert(got == expected)
+  }
+
+  test("matryoshka recall replays exactly from a brute double ranking") {
+    import org.apache.spark.sql.functions._
+    val vecs = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Float](1).toArray.map(x => math.floor(x.toDouble * 1e8).toLong)))
+    def top10(qid: Long, qx: Array[Long], dims: Int): Seq[Long] =
+      vecs.filter(_._1 != qid)
+        .map { case (id, x) =>
+          (id, (0 until dims).map(i => qx(i) * x(i)).sum) }
+        .sortBy { case (id, w) => (-w, id) }.take(10).map(_._1).toSeq
+    val expected = vecs.filter(_._1 % 10 == 0).map { case (qid, qx) =>
+      qid -> top10(qid, qx, 64).toSet.intersect(top10(qid, qx, 16).toSet).size.toLong
+    }.toMap
+    val got = SparkEntry.queries("q210_matryoshka_recall")(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("n_overlap")).toMap
+    assert(got == expected)
+  }
+
+  test("skew report buckets partition the key space and tile the table") {
+    import org.apache.spark.sql.functions._
+    val rep = SparkEntry.queries("q211_skew_report")(spark, sf).collect()
+    assert(rep.nonEmpty)
+    val total = Tables.events(spark, sf).count()
+    assert(rep.map(_.getAs[Long]("n_rows")).sum == total)
+    for (r <- rep) {
+      val b = r.getAs[Long]("size_bucket")
+      val mx = r.getAs[Long]("max_rows")
+      assert(mx >= (1L << (b - 1)) && mx < (1L << b),
+        s"bucket $b max_rows $mx outside [2^${b - 1}, 2^$b)")
+    }
+    assert(math.abs(rep.map(_.getAs[Double]("row_share")).sum - 1.0) < 0.01)
+  }
+
   test("video keyframes replay exactly from the fixture arithmetic") {
     import org.apache.spark.sql.functions._
     val got = SparkEntry.queries("q206_video_keyframes")(spark, sf).collect()
