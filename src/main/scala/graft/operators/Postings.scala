@@ -540,7 +540,9 @@ object Postings {
       .join(broadcast(pn), "pattern")
       .filter(col("hit") === col("n_trigrams"))
       .select("pattern", "doc_id")
-    val ver = cand.join(documents.select("doc_id", "text"), "doc_id")
+    // candidates are the SMALL side: broadcast them into the corpus
+    // scan (broadcasting `documents` would invert at 100 TB)
+    val ver = documents.select("doc_id", "text").join(broadcast(cand), "doc_id")
       .withColumn("ok", expr("contains(text, pattern)"))
       .groupBy("pattern")
       .agg(count(lit(1)).as("n_candidates"),

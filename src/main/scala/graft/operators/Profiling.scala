@@ -468,5 +468,57 @@ object Profiling {
       .orderBy("source")
   }
 
-  val all: Seq[Q] = Seq(q122, q188, q189, q197, q199, q201, q208)
+  /** Two-sided-geometric "DP-style" noisy counts — the release
+    * mechanism shape that pairs with q201's k-anonymity audit: each
+    * published count carries additive noise from the discrete (two-
+    * sided geometric) distribution the geometric mechanism uses. The
+    * noise here is DETERMINISTIC — magnitude = trailing-zero count of
+    * the key's poly-131·G hash (trailing zeros of a uniform word ARE
+    * geometric(½) draws) and the sign is the next bit up — so both
+    * engines replay every draw and the gate stays exact. A production
+    * release swaps the hash for a secure RNG and gains real ε-DP
+    * (ε = ln 2 per count at this p); the pipeline around the draw —
+    * one aggregate, one stateless noising map — is what the gate pins.
+    * No true count survives into a release table; the gate emits both
+    * solely because it IS the correctness check of the mechanism. */
+  val q213 = Q.sql("q213_dp_noisy_counts",
+    """WITH c AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_true
+      |  FROM events GROUP BY 1),
+      |h AS (
+      |  SELECT event_type, n_true,
+      |    CAST(CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+      |      list_transform(range(1, length(ks) + 1),
+      |                     c -> CAST(ascii(substr(ks, c, 1)) AS HUGEINT))),
+      |      (a, x) -> (a * 131 + x) % 2305843009213693951) AS HUGEINT)
+      |      * 1752450205419405103 % 2305843009213693951 AS BIGINT) AS hv
+      |  FROM (SELECT event_type, n_true, 'dp:' || event_type AS ks FROM c)),
+      |z AS (
+      |  SELECT event_type, n_true, hv,
+      |    CASE WHEN hv = 0 THEN 0
+      |         ELSE length(bin(hv & -hv)) - 1 END AS mag
+      |  FROM h)
+      |SELECT event_type, n_true,
+      |  CAST(((hv >> (mag + 1)) & 1) * 2 - 1 AS BIGINT) * mag AS noise,
+      |  n_true + CAST(((hv >> (mag + 1)) & 1) * 2 - 1 AS BIGINT) * mag
+      |    AS n_noisy
+      |FROM z ORDER BY event_type""".stripMargin) { (s, d) =>
+    import graft.functions.Exprs
+    import graft.operators.Sketches.Kmv
+    Tables.events(s, d)
+      .groupBy("event_type").agg(count(lit(1)).cast("long").as("n_true"))
+      .withColumn("hv", Exprs.mulmod61(
+        Exprs.poly_hash(concat(lit("dp:"), col("event_type"))), Kmv.G))
+      .withColumn("mag",
+        when(col("hv") === 0, 0L)
+          .otherwise(expr("length(bin(hv & -hv)) - 1").cast("long")))
+      .withColumn("noise",
+        (expr("shiftright(hv, cast(mag + 1 as int)) & 1") * 2 - 1).cast("long")
+          * col("mag"))
+      .select(col("event_type"), col("n_true"), col("noise"),
+        (col("n_true") + col("noise")).as("n_noisy"))
+      .orderBy("event_type")
+  }
+
+  val all: Seq[Q] = Seq(q122, q188, q189, q197, q199, q201, q208, q213)
 }

@@ -483,7 +483,71 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Multi-touch linear attribution — the credit-assignment join that
+    * completes the q81 cohort / q82 funnel analytics block: every
+    * `purchase` conversion splits one unit of credit (in micros)
+    * equally across its user's last ≤3 preceding touches (click /
+    * view / signup — `error` events earn nothing), with the integer
+    * remainder pinned to the MOST RECENT touch so each conversion's
+    * credit sums to exactly 10⁶ and the per-channel totals are exact
+    * BIGINTs. Event order is the (ts, event_id) total order, so the
+    * lookback ranking is deterministic through timestamp ties.
+    *
+    * Scale: the touch×conversion pairing joins per user (one shuffle
+    * on user_id) and the rank filter caps fan-out at 3 rows per
+    * conversion; channel totals are a 3-row aggregate. */
+  val AttrLookback = 3
+
+  val q214 = Q.sql("q214_linear_attribution",
+    s"""WITH t AS (
+       |  SELECT user_id, ts, event_id, event_type FROM events
+       |  WHERE event_type IN ('click', 'view', 'signup')),
+       |c AS (
+       |  SELECT user_id, ts, event_id FROM events
+       |  WHERE event_type = 'purchase'),
+       |p AS (
+       |  SELECT t.event_type, c.event_id AS conv_id,
+       |    row_number() OVER (PARTITION BY c.event_id
+       |                       ORDER BY t.ts DESC, t.event_id DESC) AS rk
+       |  FROM c JOIN t ON t.user_id = c.user_id
+       |    AND (t.ts < c.ts OR (t.ts = c.ts AND t.event_id < c.event_id))),
+       |a AS (
+       |  SELECT event_type, conv_id, rk,
+       |    count(*) OVER (PARTITION BY conv_id) AS k
+       |  FROM p WHERE rk <= $AttrLookback),
+       |cr AS (
+       |  SELECT event_type,
+       |    CASE WHEN rk = 1 THEN 1000000 - (k - 1) * (1000000 // k)
+       |         ELSE 1000000 // k END AS credit
+       |  FROM a)
+       |SELECT event_type, CAST(count(*) AS BIGINT) AS n_touches,
+       |  CAST(sum(credit) AS BIGINT) AS credit_micro
+       |FROM cr GROUP BY 1 ORDER BY event_type""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+    val t = ev.filter(col("event_type").isin("click", "view", "signup"))
+      .select(col("user_id"), col("ts").as("t_ts"),
+        col("event_id").as("t_id"), col("event_type"))
+    val c = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("c_ts"), col("event_id").as("conv_id"))
+    c.join(t, Seq("user_id"))
+      .filter(col("t_ts") < col("c_ts") ||
+        (col("t_ts") === col("c_ts") && col("t_id") < col("conv_id")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("conv_id").orderBy(col("t_ts").desc, col("t_id").desc)))
+      .filter(col("rk") <= AttrLookback)
+      .withColumn("k", count(lit(1)).over(Window.partitionBy("conv_id")))
+      .withColumn("credit",
+        when(col("rk") === 1,
+          lit(1000000) - (col("k") - 1) * expr("1000000 div k"))
+          .otherwise(expr("1000000 div k")))
+      .groupBy("event_type")
+      .agg(count(lit(1)).cast("long").as("n_touches"),
+        sum("credit").cast("long").as("credit_micro"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q33, q34, q35, q36, q37,
-    q81, q82, q108)
+    q81, q82, q108, q214)
 }

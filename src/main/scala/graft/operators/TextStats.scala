@@ -276,5 +276,68 @@ object TextStats {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(q119, q120, q181, q202)
+  /** Greenlist watermark detection (Kirchenbauer et al. 2023) — the
+    * corpus-audit pass that flags machine-generated text carrying a
+    * statistical watermark: a generator with the watermark biases each
+    * token toward a "green" half of the vocabulary seeded by the
+    * PREVIOUS token, so a detector recomputes membership — here the
+    * parity of the poly-131·G hash of (prev, cur) — and z-tests the
+    * green fraction against the unwatermarked null of ½. z =
+    * (2g − n)/√n: g and n are exact integers, √n is IEEE
+    * correctly-rounded on both engines (q133's sqrt precedent), so the
+    * one division is replayed bit-for-bit. Flag at z ≥ 4.
+    *
+    * Scale: stateless bigram map + one groupBy(doc) — one scan, the
+    * same cost class as q119's entropy fence. */
+  val q212 = Q.sql("q212_watermark_detect",
+    """WITH tk AS MATERIALIZED (
+      |  SELECT doc_id, CAST(u.i AS BIGINT) AS off, toks[u.i + 1] AS tok
+      |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      |        FROM documents) d,
+      |  LATERAL unnest(range(0, len(toks))) AS u(i)),
+      |bg AS (
+      |  SELECT a.doc_id, a.tok || '|' || b.tok AS key
+      |  FROM tk a JOIN tk b ON b.doc_id = a.doc_id AND b.off = a.off + 1),
+      |g AS (
+      |  SELECT doc_id,
+      |    CAST(CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+      |      list_transform(range(1, length(key) + 1),
+      |                     c -> CAST(ascii(substr(key, c, 1)) AS HUGEINT))),
+      |      (a, x) -> (a * 131 + x) % 2305843009213693951) AS HUGEINT)
+      |      * 1752450205419405103 % 2305843009213693951 % 2 AS BIGINT) AS green
+      |  FROM bg),
+      |s AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |    CAST(sum(green) AS BIGINT) AS n_green
+      |  FROM g GROUP BY 1)
+      |SELECT doc_id, n_bigrams, n_green,
+      |  round(1.0 * n_green / n_bigrams, 4) AS green_frac,
+      |  round((2 * n_green - n_bigrams) / sqrt(CAST(n_bigrams AS DOUBLE)), 4)
+      |    + 0.0 AS z_score,
+      |  round((2 * n_green - n_bigrams) / sqrt(CAST(n_bigrams AS DOUBLE)), 4)
+      |    >= 4.0 AS watermarked
+      |FROM s ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import graft.functions.{Exprs, Text}
+    import graft.operators.Sketches.Kmv
+    val tk = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(Text.tokens(col("text"))).as(Seq("off", "tok")))
+      .select(col("doc_id"), col("off").cast("long").as("off"), col("tok"))
+    tk.select(col("doc_id"), col("off"), col("tok").as("w1"))
+      .join(tk.select(col("doc_id"), (col("off") - 1).as("off"), col("tok").as("w2")),
+        Seq("doc_id", "off"))
+      .withColumn("green", pmod(Exprs.mulmod61(
+        Exprs.poly_hash(concat(col("w1"), lit("|"), col("w2"))), Kmv.G), lit(2L)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        sum("green").cast("long").as("n_green"))
+      .withColumn("green_frac",
+        round(lit(1.0) * col("n_green") / col("n_bigrams"), 4))
+      .withColumn("z_score",
+        round((lit(2) * col("n_green") - col("n_bigrams")) /
+          sqrt(col("n_bigrams").cast("double")), 4))
+      .withColumn("watermarked", col("z_score") >= 4.0)
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(q119, q120, q181, q202, q212)
 }

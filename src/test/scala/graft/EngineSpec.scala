@@ -1481,6 +1481,53 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("watermark detector is calibrated on unwatermarked text: no false flags") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q212_watermark_detect")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // the corpus carries no watermark, so green fractions must sit at
+    // the null (~1/2) and the z >= 4 flag must never fire
+    assert(rows.forall(!_.getAs[Boolean]("watermarked")),
+      "unwatermarked corpus produced a watermark flag")
+    val meanFrac = rows.map(_.getAs[Double]("green_frac")).sum / rows.length
+    assert(meanFrac > 0.42 && meanFrac < 0.58, s"null green_frac mean $meanFrac")
+  }
+
+  test("DP noisy counts replay the geometric draw and bound the noise") {
+    import org.apache.spark.sql.functions._
+    val P = 2305843009213693951L
+    val G = graft.operators.Sketches.Kmv.G
+    def poly(s: String): Long = {
+      var a = BigInt(0)
+      for (b <- s.getBytes("US-ASCII")) a = (a * 131 + (b & 0xff)) % P
+      a.toLong
+    }
+    for (r <- SparkEntry.queries("q213_dp_noisy_counts")(spark, sf).collect()) {
+      val h = ((BigInt(poly(s"dp:${r.getAs[String]("event_type")}")) * G) % P).toLong
+      val mag = if (h == 0) 0 else java.lang.Long.numberOfTrailingZeros(h)
+      val sign = if (((h >> (mag + 1)) & 1L) == 1L) 1L else -1L
+      assert(r.getAs[Long]("noise") == sign * mag)
+      assert(r.getAs[Long]("n_noisy") == r.getAs[Long]("n_true") + sign * mag)
+    }
+  }
+
+  test("linear attribution conserves exactly one credit unit per attributed conversion") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf)
+    val t = ev.filter(col("event_type").isin("click", "view", "signup"))
+      .select(col("user_id"), col("ts").as("t_ts"), col("event_id").as("t_id"))
+    val attributed = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("c_ts"), col("event_id").as("conv_id"))
+      .join(t, Seq("user_id"))
+      .filter(col("t_ts") < col("c_ts") ||
+        (col("t_ts") === col("c_ts") && col("t_id") < col("conv_id")))
+      .select("conv_id").distinct().count()
+    val total = SparkEntry.queries("q214_linear_attribution")(spark, sf)
+      .collect().map(_.getAs[Long]("credit_micro")).sum
+    assert(total == attributed * 1000000L,
+      s"credit $total != ${attributed}e6 — remainders leaked")
+  }
+
   test("hashed linear classifier equals brute per-token weight lookup") {
     import org.apache.spark.sql.functions._
     val P = 2305843009213693951L
