@@ -520,5 +520,89 @@ object Profiling {
       .orderBy("event_type")
   }
 
-  val all: Seq[Q] = Seq(q122, q188, q189, q197, q199, q201, q208, q213)
+  /** Population Stability Index drift — q199's KS alarm in the banked
+    * form risk/monitoring teams publish: per source, bucket the
+    * document-length distribution into bands, add-one smooth over the
+    * union of observed bands (the standard guard for empty cells), and
+    * PSI = Σ (pᵢ−qᵢ)·ln(pᵢ/qᵢ) against the rest of the corpus, flagged
+    * at the industry 0.2 threshold.
+    *
+    * Exactness: the log is the integer qlog2 over the cross-multiplied
+    * rationals — ln(p/q) = ln2·(qlog2(cA·nR) − qlog2(cR·nA))/1024 — so
+    * the whole Σ is ONE exact BIGINT accumulator; ln2 enters once as a
+    * shared double literal and the final scaling is a fixed IEEE
+    * expression. qlog2's monotonicity keeps every term ≥ 0 like the
+    * true PSI. Scale: identical to q199 — histogram-sized after one
+    * scan. */
+  val q216 = Q.sql("q216_psi_drift",
+    """WITH tok AS (
+      |  SELECT source,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) // 8 AS BIGINT)
+      |      AS band
+      |  FROM documents),
+      |h AS (SELECT source, band, count(*) AS c FROM tok GROUP BY 1, 2),
+      |cell AS (
+      |  SELECT s.source, v.band, COALESCE(h.c, 0) + 1 AS ca
+      |  FROM (SELECT DISTINCT source FROM h) s
+      |  CROSS JOIN (SELECT DISTINCT band FROM h) v
+      |  LEFT JOIN h ON h.source = s.source AND h.band = v.band),
+      |gb AS (SELECT band, CAST(sum(c) AS BIGINT) AS gc FROM h GROUP BY 1),
+      |j AS (
+      |  SELECT cell.source, cell.band, cell.ca,
+      |    gb.gc + 2 - cell.ca AS cr
+      |  FROM cell JOIN gb USING (band)),
+      |ns AS (
+      |  SELECT source, CAST(sum(ca) AS BIGINT) AS na,
+      |    CAST(sum(cr) AS BIGINT) AS nr
+      |  FROM j GROUP BY 1),
+      |terms AS (
+      |  SELECT j.source,
+      |    (j.ca * ns.nr - j.cr * ns.na)
+      |    * (((length(bin(j.ca * ns.nr)) - 1) * 1024
+      |        + (j.ca * ns.nr) * 1024
+      |          // (1::BIGINT << (length(bin(j.ca * ns.nr)) - 1)) - 1024)
+      |      - ((length(bin(j.cr * ns.na)) - 1) * 1024
+      |        + (j.cr * ns.na) * 1024
+      |          // (1::BIGINT << (length(bin(j.cr * ns.na)) - 1)) - 1024))
+      |      AS t,
+      |    ns.na, ns.nr
+      |  FROM j JOIN ns USING (source))
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_buckets,
+      |  round(CAST(sum(t) AS DOUBLE) * 0.6931471805599453
+      |        / (1024.0 * max(na) * max(nr)), 4) AS psi,
+      |  round(CAST(sum(t) AS DOUBLE) * 0.6931471805599453
+      |        / (1024.0 * max(na) * max(nr)), 4) > 0.2 AS drifted
+      |FROM terms GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    import graft.functions.Text
+    val qlog = (e: String) =>
+      expr(s"(length(bin($e)) - 1) * 1024" +
+        s" + ($e) * 1024 div shiftleft(1L, length(bin($e)) - 1) - 1024")
+    val h2 = Tables.documents(s, d)
+      .select(col("source"),
+        (size(Text.tokens(col("text"))).cast("long")).as("nt"))
+      .select(col("source"), expr("nt div 8").as("band"))
+      .groupBy("source", "band").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // grid + global bands both read it
+    val cell = h2.select("source").distinct()
+      .crossJoin(h2.select("band").distinct())
+      .join(h2, Seq("source", "band"), "left").na.fill(0L, Seq("c"))
+      .withColumn("ca", col("c") + 1)
+    val gb = h2.groupBy("band").agg(sum("c").cast("long").as("gc"))
+    val j = cell.join(gb, "band")
+      .withColumn("cr", col("gc") + 2 - col("ca"))
+    val ns = j.groupBy("source")
+      .agg(sum("ca").cast("long").as("na"), sum("cr").cast("long").as("nr"))
+    j.join(ns, "source")
+      .withColumn("pa", col("ca") * col("nr"))
+      .withColumn("pb", col("cr") * col("na"))
+      .withColumn("t", (col("pa") - col("pb")) * (qlog("pa") - qlog("pb")))
+      .groupBy("source")
+      .agg(count(lit(1)).cast("long").as("n_buckets"),
+        round(sum("t").cast("double") * lit(0.6931471805599453)
+          / (lit(1024.0) * max("na") * max("nr")), 4).as("psi"))
+      .withColumn("drifted", col("psi") > 0.2)
+      .orderBy("source")
+  }
+
+  val all: Seq[Q] = Seq(q122, q188, q189, q197, q199, q201, q208, q213, q216)
 }

@@ -547,7 +547,92 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** A/B effect readout with CUPED variance reduction (Deng et al.
+    * 2013) — the experiment-analysis pass run over an event log:
+    * deterministic hash assignment of users to variants, per-user
+    * pre-period covariate X and post-period metric Y, the pooled
+    * regression adjustment θ = Cov(X,Y)/Var(X), and the adjusted means
+    * Ȳᵥ − θ(X̄ᵥ − X̄) whose variance CUPED shrinks.
+    *
+    * Exactness: values floor-quantize to integer micros (q188's
+    * device), so every Σ is a BIGINT/DECIMAL(38,0) exact sum; θ's
+    * numerator n·ΣXY − ΣX·ΣY and denominator run in 38-digit decimals
+    * and cross to DOUBLE through the VARCHAR bridge (operators.Q rule);
+    * the remaining arithmetic is a fixed IEEE expression tree evaluated
+    * identically by both engines and rounded once. Scale: one scan to
+    * per-user (X, Y) pairs, then variant-sized aggregates — the
+    * standard two-level experiment rollup. */
+  val q215 = Q.sql("q215_ab_cuped",
+    """WITH u AS (
+      |  SELECT user_id,
+      |    CAST(CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+      |      list_transform(range(1, length(ks) + 1),
+      |                     c -> CAST(ascii(substr(ks, c, 1)) AS HUGEINT))),
+      |      (a, x) -> (a * 131 + x) % 2305843009213693951) AS HUGEINT)
+      |      * 1752450205419405103 % 2305843009213693951 % 2 AS BIGINT)
+      |      AS variant,
+      |    CAST(sum(CASE WHEN day <= 15 THEN vq ELSE 0 END) AS BIGINT) AS x,
+      |    CAST(sum(CASE WHEN day > 15 THEN vq ELSE 0 END) AS BIGINT) AS y
+      |  FROM (SELECT user_id, 'ab:' || CAST(user_id AS VARCHAR) AS ks,
+      |          day(CAST(ts AS DATE)) AS day,
+      |          CAST(floor(value * 1000000.0) AS BIGINT) AS vq
+      |        FROM events WHERE value IS NOT NULL) e
+      |  GROUP BY 1, 2),
+      |g AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+      |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+      |  FROM u),
+      |th AS (
+      |  SELECT n, sx, sy,
+      |    CAST(CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS VARCHAR) AS DOUBLE)
+      |      / CAST(CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS VARCHAR) AS DOUBLE)
+      |      AS theta
+      |  FROM g)
+      |SELECT u.variant, CAST(count(*) AS BIGINT) AS n_users,
+      |  round(CAST(sum(u.y) AS DOUBLE) / (count(*) * 1000000.0), 4) + 0.0
+      |    AS y_mean,
+      |  round(CAST(sum(u.y) AS DOUBLE) / (count(*) * 1000000.0)
+      |    - max(th.theta) * (CAST(sum(u.x) AS DOUBLE) / (count(*) * 1000000.0)
+      |        - CAST(max(th.sx) AS DOUBLE) / (max(th.n) * 1000000.0)), 4) + 0.0
+      |    AS y_adj
+      |FROM u CROSS JOIN th
+      |GROUP BY u.variant ORDER BY u.variant""".stripMargin) { (s, d) =>
+    import graft.functions.Exprs
+    import graft.operators.Sketches.Kmv
+    val u = Tables.events(s, d).filter(col("value").isNotNull)
+      .select(col("user_id"),
+        dayofmonth(col("ts").cast("date")).as("day"),
+        floor(col("value") * 1000000.0).cast("long").as("vq"))
+      .groupBy("user_id")
+      .agg(sum(when(col("day") <= 15, col("vq")).otherwise(0L)).cast("long").as("x"),
+        sum(when(col("day") > 15, col("vq")).otherwise(0L)).cast("long").as("y"))
+      .withColumn("variant", pmod(Exprs.mulmod61(
+        Exprs.poly_hash(concat(lit("ab:"), col("user_id").cast("string"))), Kmv.G),
+        lit(2L)))
+      .localCheckpoint(true) // pooled theta + per-variant rollup read it
+    val g = u.agg(count(lit(1)).cast("long").as("n"),
+      sum("x").cast("long").as("sx"), sum("y").cast("long").as("sy"),
+      sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+      sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"))
+      .withColumn("theta",
+        expr("CAST(n * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)") /
+          expr("CAST(n * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)"))
+      .select("n", "sx", "theta")
+    u.crossJoin(broadcast(g))
+      .groupBy("variant")
+      .agg(count(lit(1)).cast("long").as("n_users"),
+        round(sum("y").cast("double") / (count(lit(1)) * lit(1000000.0)), 4)
+          .as("y_mean"),
+        round(sum("y").cast("double") / (count(lit(1)) * lit(1000000.0))
+          - max("theta") * (sum("x").cast("double") / (count(lit(1)) * lit(1000000.0))
+            - max("sx").cast("double") / (max("n") * lit(1000000.0))), 4)
+          .as("y_adj"))
+      .orderBy("variant")
+  }
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q33, q34, q35, q36, q37,
-    q81, q82, q108, q214)
+    q81, q82, q108, q214, q215)
 }

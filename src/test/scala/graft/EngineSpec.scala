@@ -1481,6 +1481,44 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("CUPED adjustment preserves the pooled mean (only variance moves)") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q215_ab_cuped")(spark, sf).collect()
+    assert(rows.length == 2, "expected two variants")
+    val n = rows.map(_.getAs[Long]("n_users").toDouble)
+    val raw = rows.map(_.getAs[Double]("y_mean"))
+    val adj = rows.map(_.getAs[Double]("y_adj"))
+    val pooledRaw = (raw, n).zipped.map(_ * _).sum / n.sum
+    val pooledAdj = (adj, n).zipped.map(_ * _).sum / n.sum
+    // Σ nᵥ(X̄ᵥ − X̄) = 0, so the θ-correction cancels in the pooled mean
+    assert(math.abs(pooledRaw - pooledAdj) < 2e-3,
+      s"pooled raw $pooledRaw vs adjusted $pooledAdj")
+  }
+
+  test("PSI gate tracks the exact-log PSI within the qlog2 error envelope") {
+    import org.apache.spark.sql.functions._
+    val bands = Tables.documents(spark, sf)
+      .select(col("source"), (size(graft.functions.Text.tokens(col("text"))) / 8)
+        .cast("long").as("band"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val allBands = bands.map(_._2).distinct
+    val got = SparkEntry.queries("q216_psi_drift")(spark, sf).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Double]("psi")).toMap
+    for ((src, psi) <- got) {
+      assert(psi >= 0, s"$src PSI negative: $psi")
+      val a = bands.filter(_._1 == src).map(_._2)
+      val b = bands.filter(_._1 != src).map(_._2)
+      val na = a.length.toDouble + allBands.length
+      val nb = b.length.toDouble + allBands.length
+      val exact = allBands.map { bd =>
+        val p = (a.count(_ == bd) + 1) / na
+        val q = (b.count(_ == bd) + 1) / nb
+        (p - q) * math.log(p / q)
+      }.sum
+      assert(math.abs(psi - exact) < 0.15, s"$src: gate $psi vs exact $exact")
+    }
+  }
+
   test("watermark detector is calibrated on unwatermarked text: no false flags") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("q212_watermark_detect")(spark, sf).collect()
