@@ -339,5 +339,60 @@ object TextStats {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(q119, q120, q181, q202, q212)
+  /** Cross-source n-gram containment matrix — the inter-source
+    * duplication audit a corpus curator reads before mixing sources
+    * (q120 asks "is my TEST split inside TRAIN"; this asks the
+    * source×source version of the same question): for every source
+    * pair, the shared distinct-5-gram count and the containment ratio
+    * in each direction. One distinct-gram table, one self-join on the
+    * gram key, vocabulary-of-grams-sized everything after.
+    *
+    * Scale: the gram self-join shuffles on gram; a stopword-like gram
+    * shared by every source fans out quadratically in SOURCES (≤
+    * |sources|² rows per gram — bounded, unlike a doc-level join), and
+    * the production knob is the usual df-cap prefilter dropping
+    * non-discriminative grams before the join. */
+  val q217 = Q.sql("q217_source_overlap",
+    """WITH g AS (
+      |  SELECT DISTINCT source, gram FROM (
+      |    SELECT source,
+      |      unnest(list_transform(range(1, len(toks) - 3),
+      |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+      |             toks[i+3] || ' ' || toks[i+4])) AS gram
+      |    FROM (SELECT source, regexp_split_to_array(trim(text), '\s+') AS toks
+      |          FROM documents))),
+      |n AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY 1),
+      |o AS (
+      |  SELECT a.source AS src_a, b.source AS src_b,
+      |    CAST(count(*) AS BIGINT) AS n_shared
+      |  FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT o.src_a, o.src_b, o.n_shared,
+      |  round(1.0 * o.n_shared / na.n, 4) AS contain_a,
+      |  round(1.0 * o.n_shared / nb.n, 4) AS contain_b
+      |FROM o JOIN n na ON na.source = o.src_a
+      |JOIN n nb ON nb.source = o.src_b
+      |ORDER BY src_a, src_b""".stripMargin) { (s, d) =>
+    import graft.functions.Text
+    val g = Tables.documents(s, d)
+      .select(col("source"),
+        explode(array_distinct(Text.shingles(Text.tokens(col("text")), 5)))
+          .as("gram"))
+      .distinct()
+      .localCheckpoint(true) // per-source totals + the pair join read it
+    val n = g.groupBy("source").agg(count(lit(1)).cast("long").as("n"))
+    val ga = g.select(col("source").as("src_a"), col("gram").as("ga"))
+    val gb = g.select(col("source").as("src_b"), col("gram").as("gb"))
+    val o = ga.join(gb, col("ga") === col("gb") && col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).cast("long").as("n_shared"))
+    o.join(broadcast(n.select(col("source").as("src_a"), col("n").as("na"))), "src_a")
+      .join(broadcast(n.select(col("source").as("src_b"), col("n").as("nb"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        round(lit(1.0) * col("n_shared") / col("na"), 4).as("contain_a"),
+        round(lit(1.0) * col("n_shared") / col("nb"), 4).as("contain_b"))
+      .orderBy("src_a", "src_b")
+  }
+
+  val all: Seq[Q] = Seq(q119, q120, q181, q202, q212, q217)
 }

@@ -176,5 +176,15 @@ object StreamOps {
     Streams.decayedSketch(s, d, qn("decay"))
   }
 
-  val all: Seq[Q] = Seq(q50, q51, q57, q63, q71, q72, q76, q84, q135, q166, q171)
+  /** Streaming exact top-k ≡ batch GROUP-BY top-k: the per-key count
+    * state a Complete-mode aggregation maintains is q91's exact-regime
+    * sketch kept live; selection folds the bounded sink. */
+  val q218 = Q.sql("q218_stream_topk",
+    """SELECT user_id AS item, CAST(count(*) AS BIGINT) AS count
+      |FROM events WHERE user_id IS NOT NULL
+      |GROUP BY 1 ORDER BY count DESC, item LIMIT 10""".stripMargin) { (s, d) =>
+    Streams.topkSketch(s, d, qn("topk"), top = 10)
+  }
+
+  val all: Seq[Q] = Seq(q50, q51, q57, q63, q71, q72, q76, q84, q135, q166, q171, q218)
 }

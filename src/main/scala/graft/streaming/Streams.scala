@@ -392,6 +392,27 @@ object Streams {
     spark.table(queryName).orderBy("i", "cell")
   }
 
+  /** Streaming exact top-k — the live leaderboard shape (q91's exact
+    * regime maintained under a stream): Complete-mode per-key counts
+    * ARE the state (bounded by distinct keys, the premise q91's
+    * k ≥ distinct sizing makes explicit), and the top-k selection is a
+    * bounded fold over the sink table, re-evaluated per trigger in
+    * production. Counts stay exact integers end to end, so the gate's
+    * oracle is the plain batch GROUP-BY top-k. */
+  def topkSketch(spark: SparkSession, dir: String, queryName: String,
+      top: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val counts = eventStream(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .groupBy("user_id").agg(count(lit(1)).as("count"))
+    runToCompletion(spark, counts.writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory").queryName(queryName))
+    spark.table(queryName).localCheckpoint(true)
+      .select(col("user_id").as("item"), col("count").cast("long").as("count"))
+      .orderBy(col("count").desc, col("item")).limit(top)
+  }
+
   /** Streaming maintenance of q159's dyadic decayed counters: the
     * stream keeps ONE additive register pair per (event_type, day) —
     * a Complete-mode count, the state a day's refresh shifts-and-adds —

@@ -1481,6 +1481,35 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("source overlap matrix: containment bounded, pairs canonical, one pair brute-checked") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q217_source_overlap")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getAs[String]("src_a") < r.getAs[String]("src_b"))
+      assert(r.getAs[Double]("contain_a") <= 1.0 && r.getAs[Double]("contain_b") <= 1.0)
+    }
+    val first = rows.head
+    val grams = Tables.documents(spark, sf)
+      .select(col("source"), explode(array_distinct(
+        graft.functions.Text.shingles(graft.functions.Text.tokens(col("text")), 5)))
+        .as("g")).distinct()
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val a = grams.filter(_._1 == first.getAs[String]("src_a")).map(_._2).toSet
+    val b = grams.filter(_._1 == first.getAs[String]("src_b")).map(_._2).toSet
+    assert(first.getAs[Long]("n_shared") == a.intersect(b).size.toLong)
+  }
+
+  test("streaming top-k equals the batch heavy-hitter selection exactly") {
+    import org.apache.spark.sql.functions._
+    val stream = SparkEntry.queries("q218_stream_topk")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("item"), r.getAs[Long]("count"))).toSeq
+    val batch = SparkEntry.queries("q91_heavy_hitters")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("item"), r.getAs[Long]("count"))).toSeq
+    assert(stream == batch,
+      s"stream ${stream.take(3)} != batch ${batch.take(3)}")
+  }
+
   test("CUPED adjustment preserves the pooled mean (only variance moves)") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("q215_ab_cuped")(spark, sf).collect()
