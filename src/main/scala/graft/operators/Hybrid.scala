@@ -133,5 +133,71 @@ object Hybrid {
       "sem" -> semList(e, QueryVec, ListDepth)), FusedTopK)
   }
 
-  val all: Seq[Q] = Seq(q155)
+  /** ColBERT-style late-interaction retrieval (Khattab & Zaharia's
+    * MaxSim): instead of one dot product per (query, doc), each side
+    * carries MULTIPLE vectors and the score is Σ over query vectors of
+    * the max similarity to ANY doc vector — fine-grained term-level
+    * matching that single-vector retrieval flattens away. Here each
+    * 64-dim embedding stands in as 4 × 16-dim "token vectors" (the
+    * fixture has no token embeddings; the slicing makes the MaxSim
+    * machinery real while the vectors stay driver-generated).
+    *
+    * The 4×4 similarity grid is FULLY UNROLLED into one expression —
+    * 16 integer qdots, 4 `greatest`, one sum — so scoring is a single
+    * stateless codegen-friendly map over the pair stream with no
+    * explode, and the oracle replays the identical integer expression.
+    * Scale: the gate's pair table is the brute oracle anchor (q30's
+    * precedent); production swaps in a candidate generator on the
+    * pooled vector (the standard ColBERT two-stage serve). */
+  val ColbertSlices = 4
+  val ColbertDim = 16
+
+  val q219 = Q.sql("q219_colbert_maxsim", {
+    def dotSql(i: Int, j: Int): String = {
+      val (qa, qb) = (i * ColbertDim + 1, (i + 1) * ColbertDim)
+      val (da, db) = (j * ColbertDim + 1, (j + 1) * ColbertDim)
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(list_zip(q.qx[$qa:$qb], e.xq[$da:$db]),
+         |                     z -> z[1] * z[2])), (x, y) -> x + y)""".stripMargin
+    }
+    val score = (0 until ColbertSlices).map { i =>
+      "greatest(" + (0 until ColbertSlices).map(j => dotSql(i, j)).mkString(", ") + ")"
+    }.mkString("\n      + ")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |                   v -> CAST(floor(v * 100000000.0) AS BIGINT)) AS xq
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS qid, xq AS qx FROM e WHERE vec_id % 50 = 0),
+       |p AS (
+       |  SELECT q.qid, e.vec_id AS nb,
+       |    $score AS score
+       |  FROM q JOIN e ON e.vec_id <> q.qid)
+       |SELECT qid AS vec_id, nb, score FROM (
+       |  SELECT qid, nb, score,
+       |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, nb) AS rn
+       |  FROM p) WHERE rn <= 5
+       |ORDER BY vec_id, score DESC, nb""".stripMargin
+  }) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = graft.Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qx"))
+    def dot(i: Int, j: Int) = graft.functions.Exprs.qdot(
+      slice(col("qx"), i * ColbertDim + 1, ColbertDim),
+      slice(col("embedding"), j * ColbertDim + 1, ColbertDim))
+    val score = (0 until ColbertSlices).map { i =>
+      greatest((0 until ColbertSlices).map(j => dot(i, j)): _*)
+    }.reduce(_ + _)
+    q.join(broadcast(e), col("vec_id") =!= col("qid"))
+      .withColumn("score", score)
+      .select(col("qid"), col("vec_id").as("nb"), col("score"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("score").desc, col("nb"))))
+      .filter(col("rn") <= 5)
+      .select(col("qid").as("vec_id"), col("nb"), col("score"))
+      .orderBy(col("vec_id"), col("score").desc, col("nb"))
+  }
+
+  val all: Seq[Q] = Seq(q155, q219)
 }

@@ -165,5 +165,67 @@ object Mining {
       .limit(100)
   }
 
-  val all: Seq[Q] = Seq(q107, q109, q111, q169)
+  /** Item-based collaborative filtering — the recommendation readout
+    * built on q107's co-occurrence model: a sampled customer's score
+    * for a candidate part is Σ over their basket of the co-order
+    * support between owned and candidate part, owned parts excluded,
+    * top-5 per customer with (score, partkey) tie-breaks. All counts,
+    * so the oracle replays the full rank.
+    *
+    * Scale: the item-item model is the q107 pair table (items², but
+    * support-thresholded and item-vocabulary-sized — the standard CF
+    * model footprint); scoring joins each user's basket against the
+    * model on the ITEM key, so the recommendation pass shuffles on
+    * item, never users × items. */
+  val q220 = Q.sql("q220_item_recs",
+    """WITH b AS (
+      |  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+      |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+      |i AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |co AS (
+      |  SELECT a.l_partkey AS p1, b.l_partkey AS p2, CAST(count(*) AS BIGINT) AS support
+      |  FROM i a JOIN i b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      |  GROUP BY 1, 2),
+      |u AS (SELECT cust, part FROM b WHERE cust % 100 = 0),
+      |sc AS (
+      |  SELECT u.cust, co.p2 AS cand, CAST(sum(co.support) AS BIGINT) AS score
+      |  FROM u JOIN co ON co.p1 = u.part
+      |  LEFT JOIN u own ON own.cust = u.cust AND own.part = co.p2
+      |  WHERE own.part IS NULL
+      |  GROUP BY 1, 2)
+      |SELECT cust, CAST(rn AS BIGINT) AS rank, cand AS partkey, score FROM (
+      |  SELECT cust, cand, score,
+      |    row_number() OVER (PARTITION BY cust ORDER BY score DESC, cand) AS rn
+      |  FROM sc) WHERE rn <= 5
+      |ORDER BY cust, rank""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val baskets = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey").as("cust"))
+      .join(Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o_orderkey"), col("l_partkey").as("part")),
+        "o_orderkey")
+      .select("cust", "part").distinct()
+      .localCheckpoint(true) // sampled users + ownership anti-join read it
+    val i = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val co = i.select(col("l_orderkey"), col("l_partkey").as("p1"))
+      .join(i.select(col("l_orderkey"), col("l_partkey").as("p2")), Seq("l_orderkey"))
+      .filter(col("p1") =!= col("p2"))
+      .groupBy("p1", "p2").agg(count(lit(1)).cast("long").as("support"))
+    val u = baskets.filter(col("cust") % 100 === 0)
+    val owned = u.select(col("cust"), col("part").as("cand"))
+    u.join(co, col("p1") === col("part"))
+      .select(col("cust"), col("p2").as("cand"), col("support"))
+      .join(owned, Seq("cust", "cand"), "left_anti")
+      .groupBy("cust", "cand").agg(sum("support").cast("long").as("score"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("cust").orderBy(col("score").desc, col("cand"))))
+      .filter(col("rn") <= 5)
+      .select(col("cust"), col("rn").cast("long").as("rank"),
+        col("cand").as("partkey"), col("score"))
+      .orderBy("cust", "rank")
+  }
+
+  val all: Seq[Q] = Seq(q107, q109, q111, q169, q220)
 }

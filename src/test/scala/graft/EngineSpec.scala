@@ -1481,6 +1481,53 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("MaxSim dominates the single-vector dot (slices partition the dims)") {
+    import org.apache.spark.sql.functions._
+    val vecs = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).toArray.map(x => math.floor(x.toDouble * 1e8).toLong)).toMap
+    val rows = SparkEntry.queries("q219_colbert_maxsim")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val q = vecs(r.getAs[Long]("vec_id")); val d = vecs(r.getAs[Long]("nb"))
+      val full = q.zip(d).map { case (a, b) => a * b }.sum
+      // Σᵢ maxⱼ dot(qᵢ, dⱼ) ≥ Σᵢ dot(qᵢ, dᵢ) = the full-vector dot
+      assert(r.getAs[Long]("score") >= full,
+        s"maxsim ${r.getAs[Long]("score")} < full dot $full")
+    }
+  }
+
+  test("item recs never recommend an owned part and replay for one user") {
+    import org.apache.spark.sql.functions._
+    val recs = SparkEntry.queries("q220_item_recs")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("cust"), r.getAs[Long]("partkey"), r.getAs[Long]("score")))
+    assert(recs.nonEmpty)
+    val baskets = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, sf).select(col("l_orderkey").as("o_orderkey"),
+        col("l_partkey")), "o_orderkey")
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val owned = baskets.groupBy(_._1).map { case (c, v) => c -> v.map(_._2).toSet }
+    for ((c, p, _) <- recs)
+      assert(!owned(c).contains(p), s"user $c recommended owned part $p")
+    // brute-replay the scores of the first user in the output
+    val orders = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val co = orders.groupBy(_._1).values.toSeq.flatMap { v =>
+      val parts = v.map(_._2).toSeq
+      for (a <- parts; b <- parts if a != b) yield (a, b)
+    }.groupBy(identity).map { case (k, g) => k -> g.size.toLong }
+    val u = recs.head._1
+    val expected = co.toSeq
+      .filter { case ((p1, p2), _) => owned(u).contains(p1) && !owned(u).contains(p2) }
+      .groupBy(_._1._2).map { case (cand, g) => cand -> g.map(_._2).sum }
+      .toSeq.sortBy { case (cand, s) => (-s, cand) }.take(5)
+    val got = recs.filter(_._1 == u).map(t => (t._2, t._3)).toSeq
+    assert(got == expected, s"user $u: $got vs $expected")
+  }
+
   test("source overlap matrix: containment bounded, pairs canonical, one pair brute-checked") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("q217_source_overlap")(spark, sf).collect()
