@@ -604,5 +604,47 @@ object Profiling {
       .orderBy("source")
   }
 
-  val all: Seq[Q] = Seq(q122, q188, q189, q197, q199, q201, q208, q213, q216)
+  /** Equi-depth histogram build — the ANALYZE-TABLE statistic a
+    * cost-based optimizer actually wants (equal ROW mass per bucket,
+    * so selectivity of a range predicate reads off the bucket count):
+    * values floor-quantize to integer micros (q188's device), rank in
+    * the (value, event_id) total order, and bucket b holds ranks
+    * ((b−1)·n, b·n]/B — so bucket bounds, counts, and edges are all
+    * exact integers and ties split deterministically by rank, the way
+    * equi-depth requires (value-split histograms can't bound bucket
+    * mass under heavy duplicates). One sort-shuffle per group set. */
+  val HistBuckets = 4
+
+  val q222 = Q.sql("q222_equidepth_hist",
+    s"""WITH v AS (
+       |  SELECT event_type,
+       |    CAST(floor(value * 1000000.0) AS BIGINT) AS vq, event_id
+       |  FROM events WHERE value IS NOT NULL),
+       |r AS (
+       |  SELECT event_type, vq,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY vq, event_id) AS rn,
+       |    count(*) OVER (PARTITION BY event_type) AS n
+       |  FROM v)
+       |SELECT event_type,
+       |  CAST((rn - 1) * $HistBuckets // n + 1 AS BIGINT) AS bucket,
+       |  CAST(min(vq) AS BIGINT) AS lo_q6,
+       |  CAST(max(vq) AS BIGINT) AS hi_q6,
+       |  CAST(count(*) AS BIGINT) AS n_rows
+       |FROM r GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val byType = Window.partitionBy("event_type")
+    Tables.events(s, d).filter(col("value").isNotNull)
+      .select(col("event_type"),
+        floor(col("value") * 1000000.0).cast("long").as("vq"), col("event_id"))
+      .withColumn("rn", row_number().over(byType.orderBy("vq", "event_id")))
+      .withColumn("n", count(lit(1)).over(byType))
+      .groupBy(col("event_type"),
+        expr(s"(rn - 1) * $HistBuckets div n + 1").cast("long").as("bucket"))
+      .agg(min("vq").cast("long").as("lo_q6"),
+        max("vq").cast("long").as("hi_q6"),
+        count(lit(1)).cast("long").as("n_rows"))
+      .orderBy("event_type", "bucket")
+  }
+
+  val all: Seq[Q] = Seq(q122, q188, q189, q197, q199, q201, q208, q213, q216, q222)
 }

@@ -632,7 +632,78 @@ object Relational {
       .orderBy("variant")
   }
 
+  /** Windowed sequential funnel — q82's ordered funnel upgraded with
+    * the per-step conversion WINDOW real funnel analytics applies
+    * (each step must follow the previous within 7 days, not just
+    * eventually): per user the chain is a sequence of min-timestamp
+    * selections, each conditioned on the previous step's time, so the
+    * whole funnel is 3 user-key joins over per-user scalars — no
+    * window function, no per-event state. Epochs compare in integer
+    * microseconds (the q84 device), counts are exact, conversion
+    * ratios round once. */
+  val FunnelWindowUs = 604800000000L // 7 days
+
+  val q221 = Q.sql("q221_windowed_funnel",
+    s"""WITH s1 AS (
+       |  SELECT user_id, min(epoch_us(ts)) AS t FROM events
+       |  WHERE event_type = 'signup' GROUP BY 1),
+       |s2 AS (
+       |  SELECT e.user_id, min(epoch_us(e.ts)) AS t
+       |  FROM events e JOIN s1 ON s1.user_id = e.user_id
+       |  WHERE e.event_type = 'view'
+       |    AND epoch_us(e.ts) > s1.t AND epoch_us(e.ts) <= s1.t + $FunnelWindowUs
+       |  GROUP BY 1),
+       |s3 AS (
+       |  SELECT e.user_id, min(epoch_us(e.ts)) AS t
+       |  FROM events e JOIN s2 ON s2.user_id = e.user_id
+       |  WHERE e.event_type = 'click'
+       |    AND epoch_us(e.ts) > s2.t AND epoch_us(e.ts) <= s2.t + $FunnelWindowUs
+       |  GROUP BY 1),
+       |s4 AS (
+       |  SELECT e.user_id, min(epoch_us(e.ts)) AS t
+       |  FROM events e JOIN s3 ON s3.user_id = e.user_id
+       |  WHERE e.event_type = 'purchase'
+       |    AND epoch_us(e.ts) > s3.t AND epoch_us(e.ts) <= s3.t + $FunnelWindowUs
+       |  GROUP BY 1),
+       |c AS (SELECT
+       |  (SELECT count(*) FROM s1) AS c1, (SELECT count(*) FROM s2) AS c2,
+       |  (SELECT count(*) FROM s3) AS c3, (SELECT count(*) FROM s4) AS c4)
+       |SELECT * FROM (
+       |  SELECT 1 AS step, 'signup' AS step_name, CAST(c1 AS BIGINT) AS n_users,
+       |    round(1.0, 4) AS conv_from_prev FROM c
+       |  UNION ALL SELECT 2, 'view', CAST(c2 AS BIGINT), round(1.0 * c2 / c1, 4) FROM c
+       |  UNION ALL SELECT 3, 'click', CAST(c3 AS BIGINT), round(1.0 * c3 / c2, 4) FROM c
+       |  UNION ALL SELECT 4, 'purchase', CAST(c4 AS BIGINT), round(1.0 * c4 / c3, 4) FROM c)
+       |ORDER BY step""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .localCheckpoint(true) // all four stage selections read it
+    def stage(prev: DataFrame, etype: String): DataFrame =
+      ev.filter(col("event_type") === etype)
+        .join(prev.select(col("user_id"), col("t").as("pt")), Seq("user_id"))
+        .filter(col("us") > col("pt") && col("us") <= col("pt") + FunnelWindowUs)
+        .groupBy("user_id").agg(min("us").as("t"))
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("us").as("t"))
+    val s2 = stage(s1, "view")
+    val s3 = stage(s2, "click")
+    val s4 = stage(s3, "purchase")
+    val c = s1.agg(count(lit(1)).as("c1"))
+      .crossJoin(s2.agg(count(lit(1)).as("c2")))
+      .crossJoin(s3.agg(count(lit(1)).as("c3")))
+      .crossJoin(s4.agg(count(lit(1)).as("c4")))
+    c.select(lit(1).as("step"), lit("signup").as("step_name"),
+        col("c1").cast("long").as("n_users"), round(lit(1.0), 4).as("conv_from_prev"))
+      .union(c.select(lit(2), lit("view"), col("c2").cast("long"),
+        round(lit(1.0) * col("c2") / col("c1"), 4)))
+      .union(c.select(lit(3), lit("click"), col("c3").cast("long"),
+        round(lit(1.0) * col("c3") / col("c2"), 4)))
+      .union(c.select(lit(4), lit("purchase"), col("c4").cast("long"),
+        round(lit(1.0) * col("c4") / col("c3"), 4)))
+      .orderBy("step")
+  }
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q33, q34, q35, q36, q37,
-    q81, q82, q108, q214, q215)
+    q81, q82, q108, q214, q215, q221)
 }

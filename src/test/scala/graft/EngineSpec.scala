@@ -1481,6 +1481,45 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("windowed funnel is monotone and stage 2 replays from a brute scan") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q221_windowed_funnel")(spark, sf).collect()
+      .sortBy(_.getAs[Int]("step"))
+    assert(rows.length == 4)
+    val counts = rows.map(_.getAs[Long]("n_users"))
+    assert(counts.sliding(2).forall(p => p(1) <= p(0)), s"not monotone: ${counts.toSeq}")
+    assert(rows.forall(_.getAs[Double]("conv_from_prev") <= 1.0))
+    // brute: users with a view within 7 days after their first signup
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val firstSignup = ev.filter(_._2 == "signup").groupBy(_._1)
+      .map { case (u, v) => u -> v.map(_._3).min }
+    val stage2 = firstSignup.count { case (u, t) =>
+      ev.exists(e => e._1 == u && e._2 == "view" && e._3 > t &&
+        e._3 <= t + graft.operators.Relational.FunnelWindowUs)
+    }
+    assert(counts(1) == stage2.toLong, s"stage2 ${counts(1)} vs brute $stage2")
+  }
+
+  test("equi-depth histogram: buckets balanced within 1 row and value-ordered") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q222_equidepth_hist")(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("bucket"),
+        r.getAs[Long]("lo_q6"), r.getAs[Long]("hi_q6"), r.getAs[Long]("n_rows")))
+    assert(rows.nonEmpty)
+    for ((t, group) <- rows.groupBy(_._1)) {
+      val n = group.map(_._5).sum
+      val b = graft.operators.Profiling.HistBuckets
+      for ((_, _, _, _, cnt) <- group)
+        assert(math.abs(cnt - n.toDouble / b) < 1.0 + 1e-9,
+          s"$t bucket holds $cnt of $n rows — not equi-depth")
+      val sorted = group.sortBy(_._2)
+      for (Array(a, c) <- sorted.sliding(2).filter(_.length == 2))
+        assert(a._4 <= c._3, s"$t: bucket ${a._2} hi ${a._4} > bucket ${c._2} lo ${c._3}")
+    }
+  }
+
   test("MaxSim dominates the single-vector dot (slices partition the dims)") {
     import org.apache.spark.sql.functions._
     val vecs = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
