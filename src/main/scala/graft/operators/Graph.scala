@@ -427,5 +427,68 @@ object Graph {
     personalizedPagerank(edges, n => n % 14 === 0, 10).orderBy("node")
   }
 
-  val all: Seq[Q] = Seq(q106, q110, q138, q167, q187)
+  /** Link prediction by neighbor Jaccard — the classic
+    * common-neighbors recommender over a graph (Liben-Nowell &
+    * Kleinberg): for every non-adjacent node pair at distance 2,
+    * score = |N(a)∩N(b)| / |N(a)∪N(b)|, top-20. The graph is the part
+    * co-order graph thinned to support ≥ [[LinkPredMinSup]] (edge
+    * thinning is the production knob that bounds the two-hop volume).
+    *
+    * Shape: candidates come from ONE two-hop self-join on the shared
+    * neighbor (Σ deg² rows — the standard link-pred cost), common
+    * counts fold in the same aggregation, the union size is
+    * inclusion–exclusion over broadcast degrees, and the existing-edge
+    * anti-join removes known links. Integer counts, one rounded
+    * rational, (score, common, pair) total order. */
+  val LinkPredMinSup = 3
+
+  val q223 = Q.sql("q223_link_prediction",
+    s"""WITH i AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |e0 AS (
+       |  SELECT a.l_partkey AS u, b.l_partkey AS v
+       |  FROM i a JOIN i b ON a.l_orderkey = b.l_orderkey
+       |    AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2 HAVING count(*) >= $LinkPredMinSup),
+       |e AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+       |deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+       |two AS (
+       |  SELECT x.u AS a, y.v AS b, CAST(count(*) AS BIGINT) AS common
+       |  FROM e x JOIN e y ON x.v = y.u AND x.u < y.v
+       |  GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT two.a, two.b, two.common
+       |  FROM two LEFT JOIN e0 ON e0.u = two.a AND e0.v = two.b
+       |  WHERE e0.u IS NULL)
+       |SELECT a, b, common,
+       |  round(1.0 * common / (da.deg + db.deg - common), 4) AS jaccard
+       |FROM cand JOIN deg da ON da.node = a JOIN deg db ON db.node = b
+       |ORDER BY jaccard DESC, common DESC, a, b LIMIT 20""".stripMargin) { (s, d) =>
+    val i = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val e0 = i.select(col("l_orderkey"), col("l_partkey").as("u"))
+      .join(i.select(col("l_orderkey"), col("l_partkey").as("v")), Seq("l_orderkey"))
+      .filter(col("u") < col("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= LinkPredMinSup)
+      .select("u", "v")
+      .localCheckpoint(true) // symmetrize + anti-join both read it
+    val e = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+    val deg = e.groupBy(col("u").as("node")).agg(count(lit(1)).cast("long").as("deg"))
+    val two = e.select(col("u").as("a"), col("v").as("c"))
+      .join(e.select(col("u").as("c"), col("v").as("b")), Seq("c"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).cast("long").as("common"))
+    val cand = two.join(e0,
+        two("a") === e0("u") && two("b") === e0("v"), "left_anti")
+    cand
+      .join(broadcast(deg.select(col("node").as("a"), col("deg").as("da"))), "a")
+      .join(broadcast(deg.select(col("node").as("b"), col("deg").as("db"))), "b")
+      .select(col("a"), col("b"), col("common"),
+        round(lit(1.0) * col("common") / (col("da") + col("db") - col("common")), 4)
+          .as("jaccard"))
+      .orderBy(col("jaccard").desc, col("common").desc, col("a"), col("b"))
+      .limit(20)
+  }
+
+  val all: Seq[Q] = Seq(q106, q110, q138, q167, q187, q223)
 }

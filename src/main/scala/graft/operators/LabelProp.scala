@@ -372,5 +372,66 @@ object LabelProp {
       .orderBy("id_a")
   }
 
-  val all: Seq[Q] = Seq(q178, q179, q192, q203)
+  /** k-NN majority-vote classification — the zero-training classifier
+    * a labeled embedding store serves (and the evaluation q178's
+    * propagation is usually compared against): vectors with
+    * vec_id % [[KnnHoldout]] = 0 play the unlabeled holdout, their
+    * top-[[KnnK]] labeled neighbors by integer qdot vote, majority
+    * wins with ties to the smallest label. The TRUE label rides along,
+    * so the output doubles as the accuracy table. Brute pair table as
+    * the oracle anchor (q30's precedent) — production swaps in the
+    * routed candidate generators. */
+  val KnnHoldout = 25
+  val KnnK = 5
+
+  val q224 = Q.sql("q224_knn_classify",
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |                   v -> CAST(floor(v * 100000000.0) AS BIGINT)) AS xq,
+       |    CAST(label AS BIGINT) AS label
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS qid, xq AS qx, label AS true_label
+       |      FROM e WHERE vec_id % $KnnHoldout = 0),
+       |nn AS (
+       |  SELECT qid, true_label, label FROM (
+       |    SELECT q.qid, q.true_label, e.label,
+       |      row_number() OVER (PARTITION BY q.qid ORDER BY
+       |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |          list_transform(list_zip(q.qx, e.xq), z -> z[1] * z[2])),
+       |          (x, y) -> x + y) DESC, e.vec_id) AS rn
+       |    FROM q JOIN e ON e.vec_id % $KnnHoldout <> 0)
+       |  WHERE rn <= $KnnK),
+       |v AS (
+       |  SELECT qid, true_label, label, CAST(count(*) AS BIGINT) AS votes
+       |  FROM nn GROUP BY 1, 2, 3)
+       |SELECT qid AS vec_id, label AS pred_label, votes, true_label,
+       |  label = true_label AS correct
+       |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+       |        ORDER BY votes DESC, label) AS vr FROM v)
+       |WHERE vr = 1 ORDER BY vec_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), col("label").cast("long").as("label"))
+    val q = e.filter(col("vec_id") % KnnHoldout === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qx"),
+        col("label").as("true_label"))
+    val nn = q.join(broadcast(e.filter(col("vec_id") % KnnHoldout =!= 0)), lit(true))
+      .withColumn("w", graft.functions.Exprs.qdot(col("qx"), col("embedding")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("w").desc, col("vec_id"))))
+      .filter(col("rn") <= KnnK)
+      .select("qid", "true_label", "label")
+    nn.groupBy("qid", "true_label", "label")
+      .agg(count(lit(1)).cast("long").as("votes"))
+      .withColumn("vr", row_number().over(
+        Window.partitionBy("qid").orderBy(col("votes").desc, col("label"))))
+      .filter(col("vr") === 1)
+      .select(col("qid").as("vec_id"), col("label").as("pred_label"),
+        col("votes"), col("true_label"),
+        (col("label") === col("true_label")).as("correct"))
+      .orderBy("vec_id")
+  }
+
+  val all: Seq[Q] = Seq(q178, q179, q192, q203, q224)
 }

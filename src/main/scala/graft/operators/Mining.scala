@@ -227,5 +227,51 @@ object Mining {
       .orderBy("cust", "rank")
   }
 
-  val all: Seq[Q] = Seq(q107, q109, q111, q169, q220)
+  /** Sequential path mining — the top event-type TRIGRAM paths users
+    * actually walk (q111's first-order transition matrix can't see
+    * beyond one hop; path mining is how product analytics finds the
+    * real flows): per user the event stream in (ts, event_id) total
+    * order, consecutive same-day triples folded to 'a>b>c' path
+    * strings, ranked by global count with distinct-user support.
+    * Lead windows partition by user, so the scan shuffles once on
+    * user_id; the path vocabulary is |types|³-bounded, making the
+    * final rank a tiny aggregate at any corpus size. */
+  val q225 = Q.sql("q225_event_paths",
+    """WITH o AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+      |    lead(event_type) OVER w AS t2,
+      |    lead(CAST(ts AS DATE)) OVER w AS d2,
+      |    lead(event_type, 2) OVER w AS t3,
+      |    lead(CAST(ts AS DATE), 2) OVER w AS d3
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |p AS (
+      |  SELECT user_id, event_type || '>' || t2 || '>' || t3 AS path
+      |  FROM o WHERE t3 IS NOT NULL AND day = d2 AND day = d3)
+      |SELECT path, CAST(count(*) AS BIGINT) AS n_walks,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM p GROUP BY 1
+      |ORDER BY n_walks DESC, path LIMIT 20""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("ts").cast("date").as("day"), col("event_type"))
+      .withColumn("t2", lead("event_type", 1).over(w))
+      .withColumn("d2", lead("day", 1).over(w))
+      .withColumn("t3", lead("event_type", 2).over(w))
+      .withColumn("d3", lead("day", 2).over(w))
+      .filter(col("t3").isNotNull && col("day") === col("d2") &&
+        col("day") === col("d3"))
+      .select(col("user_id"),
+        concat(col("event_type"), lit(">"), col("t2"), lit(">"), col("t3"))
+          .as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).cast("long").as("n_walks"),
+        countDistinct("user_id").cast("long").as("n_users"))
+      .orderBy(col("n_walks").desc, col("path"))
+      .limit(20)
+  }
+
+  val all: Seq[Q] = Seq(q107, q109, q111, q169, q220, q225)
 }

@@ -1481,6 +1481,64 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("link prediction: candidates are non-edges and the top pair replays brute") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q223_link_prediction")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+        r.getAs[Long]("common"), r.getAs[Double]("jaccard")))
+    assume(rows.nonEmpty, "no distance-2 candidates at this sf")
+    val orders = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val pairCnt = orders.groupBy(_._1).values.toSeq.flatMap { v =>
+      val ps = v.map(_._2).toSeq
+      for (x <- ps; y <- ps if x < y) yield (x, y)
+    }.groupBy(identity).map { case (k, g) => k -> g.size }
+    val edges = pairCnt.filter(_._2 >= graft.operators.Graph.LinkPredMinSup).keySet
+    val adj = (edges.toSeq ++ edges.toSeq.map(e => (e._2, e._1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    for ((a, b, common, jacc) <- rows) {
+      assert(!edges.contains((a, b)), s"($a,$b) is already an edge")
+      val cn = adj(a).intersect(adj(b)).size
+      assert(cn == common, s"($a,$b): common $common vs brute $cn")
+      val ju = cn.toDouble / (adj(a).size + adj(b).size - cn)
+      assert(math.abs(jacc - ju) < 1e-4)
+    }
+  }
+
+  test("kNN classifier replays exactly from a brute vote") {
+    import org.apache.spark.sql.functions._
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Float](1).toArray.map(x => math.floor(x.toDouble * 1e8).toLong),
+        r.getInt(2).toLong))
+    val hold = graft.operators.LabelProp.KnnHoldout
+    val expected = vecs.filter(_._1 % hold == 0).map { case (qid, qx, _) =>
+      val top = vecs.filter(_._1 % hold != 0)
+        .map { case (id, x, lab) => (id, lab, qx.zip(x).map { case (p, r) => p * r }.sum) }
+        .sortBy { case (id, _, w) => (-w, id) }.take(graft.operators.LabelProp.KnnK)
+      val (lab, votes) = top.groupBy(_._2).map { case (l, g) => (l, g.size) }
+        .toSeq.sortBy { case (l, v) => (-v, l) }.head
+      qid -> ((lab, votes.toLong))
+    }.toMap
+    val got = SparkEntry.queries("q224_knn_classify")(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("pred_label"), r.getAs[Long]("votes")))).toMap
+    assert(got == expected)
+  }
+
+  test("event paths are well-formed trigrams with user support <= walk count") {
+    val types = Set("click", "view", "signup", "purchase", "error")
+    val rows = SparkEntry.queries("q225_event_paths")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val parts = r.getAs[String]("path").split(">")
+      assert(parts.length == 3 && parts.forall(types.contains))
+      assert(r.getAs[Long]("n_users") <= r.getAs[Long]("n_walks"))
+    }
+  }
+
   test("windowed funnel is monotone and stage 2 replays from a brute scan") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("q221_windowed_funnel")(spark, sf).collect()
