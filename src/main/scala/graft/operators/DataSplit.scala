@@ -589,5 +589,84 @@ object DataSplit {
   private implicit val invOrd: Ordering[ScalaOrderingInverse] =
     Ordering.by[ScalaOrderingInverse, String](_.s).reverse
 
-  val all: Seq[Q] = Seq(q59, q60, q67, q77, q83, q105, q133, q148, q165, q173, q186, q198)
+  /** Neyman-optimal stratified allocation with largest-remainder
+    * apportionment — q67's proportional stratification upgraded to the
+    * variance-aware allocation survey sampling actually uses: a
+    * stratum's share of the [[NeymanBudget]]-row sample is
+    * ∝ Nₛ·σₛ (big AND noisy strata get more), and the integer
+    * allocations come from the largest-remainder method (floor every
+    * raw share, then hand the leftover units to the largest
+    * fractional remainders) so they sum to the budget EXACTLY — the
+    * same apportionment arithmetic that divides parliamentary seats.
+    *
+    * Exactness: σ comes from n·Σv² − (Σv)² over micro-quantized
+    * values (DECIMAL(38,0) sums, VARCHAR-bridged to DOUBLE, one IEEE
+    * sqrt — correctly rounded on both engines); shares and remainders
+    * are then a fixed IEEE expression both engines evaluate
+    * identically, and the rank step orders on (remainder, stratum) —
+    * deterministic through ties. */
+  val NeymanBudget = 1000L
+
+  val q226 = Q.sql("q226_neyman_allocation",
+    s"""WITH v AS (
+       |  SELECT event_type, CAST(floor(value * 1000000.0) AS BIGINT) AS vq
+       |  FROM events WHERE value IS NOT NULL),
+       |st AS (
+       |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CAST(vq AS HUGEINT)) AS HUGEINT) AS sv,
+       |    CAST(sum(CAST(vq AS HUGEINT) * vq) AS HUGEINT) AS svv
+       |  FROM v GROUP BY 1),
+       |sd AS (
+       |  SELECT event_type, n,
+       |    sqrt(CAST(CAST(n * svv - sv * sv AS VARCHAR) AS DOUBLE))
+       |      / (n * 1000000.0) AS sd
+       |  FROM st),
+       |w AS (
+       |  SELECT event_type, n, sd,
+       |    CAST(round(n * sd * 1000000.0) AS BIGINT) AS wtq,
+       |    CAST(sum(CAST(round(n * sd * 1000000.0) AS BIGINT)) OVER () AS BIGINT)
+       |      AS twq
+       |  FROM sd),
+       |r AS (
+       |  SELECT event_type, n, sd,
+       |    CAST($NeymanBudget * wtq AS DOUBLE) / twq AS raw,
+       |    floor(CAST($NeymanBudget * wtq AS DOUBLE) / twq) AS fl
+       |  FROM w),
+       |k AS (SELECT CAST($NeymanBudget - sum(fl) AS BIGINT) AS leftover FROM r)
+       |SELECT event_type, n AS n_rows, round(sd, 4) AS sd,
+       |  CAST(fl + CASE WHEN rk <= k.leftover THEN 1 ELSE 0 END AS BIGINT)
+       |    AS alloc
+       |FROM (SELECT *, row_number() OVER (
+       |        ORDER BY raw - fl DESC, event_type) AS rk FROM r) z
+       |CROSS JOIN k ORDER BY event_type""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val st = Tables.events(s, d).filter(col("value").isNotNull)
+      .select(col("event_type"), floor(col("value") * 1000000.0).cast("long").as("vq"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("vq").cast("decimal(38,0)")).as("sv"),
+        sum(expr("CAST(vq AS DECIMAL(38,0)) * vq")).as("svv"))
+      .withColumn("sd",
+        sqrt(expr("CAST(n * svv - sv * sv AS DOUBLE)")) / (col("n") * lit(1000000.0)))
+    // weights quantize to integer micros BEFORE the total: a float sum
+    // over strata would accumulate in engine-specific order (operators.Q
+    // determinism rules); the integer sum is order-free
+    val w = st.withColumn("wtq", round(col("n") * col("sd") * 1000000.0).cast("long"))
+      .withColumn("twq", sum(col("wtq")).over(Window.partitionBy()).cast("long"))
+    val r = w.withColumn("raw",
+        expr(s"CAST($NeymanBudget * wtq AS DOUBLE) / twq"))
+      .withColumn("fl", floor(col("raw")))
+      .localCheckpoint(true) // leftover scalar + rank pass read it
+    val k = r.agg((lit(NeymanBudget) - sum("fl")).cast("long").as("leftover"))
+    r.withColumn("rk", row_number().over(
+        Window.orderBy((col("raw") - col("fl")).desc, col("event_type"))))
+      .crossJoin(broadcast(k))
+      .select(col("event_type"), col("n").as("n_rows"),
+        round(col("sd"), 4).as("sd"),
+        (col("fl") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+          .cast("long").as("alloc"))
+      .orderBy("event_type")
+  }
+
+  val all: Seq[Q] = Seq(q59, q60, q67, q77, q83, q105, q133, q148, q165, q173, q186, q198, q226)
 }

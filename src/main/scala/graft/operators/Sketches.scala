@@ -743,5 +743,63 @@ object Sketches {
         "est_join", "exact_join")
   }
 
-  val all: Seq[Q] = Seq(q91, q103, q104, q113, q114, q131, q160, q161)
+  /** Histogram-based equi-join cardinality estimation — the other half
+    * of the CBO-statistics story whose sketch form is q161's Count-Min
+    * inner product: per value bin (q114's equi-width grid), the
+    * textbook estimate |A⋈B|ᵦ ≈ cA·cB / max(ndvA, ndvB) with EXACT
+    * per-bin distinct counts, next to the TRUE per-bin join size
+    * Σₖ cA(k)·cB(k) — so the gate publishes estimate and truth side by
+    * side, which is exactly the validation table a planner's stats
+    * module regression-tests against. Estimates stay integer
+    * (milli-rows via floor division); the true size folds from the
+    * key-level count join without materializing the join itself.
+    * Scale: histogram-sized everything after the two per-side
+    * aggregations. */
+  val q227 = Q.sql("q227_join_estimate",
+    """WITH a AS (
+      |  SELECT CAST(floor(value) AS BIGINT) AS k FROM events
+      |  WHERE event_type = 'click' AND value IS NOT NULL),
+      |b AS (
+      |  SELECT CAST(floor(value) AS BIGINT) AS k FROM events
+      |  WHERE event_type = 'view' AND value IS NOT NULL),
+      |ka AS (SELECT k, k // 4 AS bin, count(*) AS c FROM a GROUP BY 1),
+      |kb AS (SELECT k, k // 4 AS bin, count(*) AS c FROM b GROUP BY 1),
+      |ha AS (SELECT bin, CAST(sum(c) AS BIGINT) AS ca,
+      |         CAST(count(*) AS BIGINT) AS ndva FROM ka GROUP BY 1),
+      |hb AS (SELECT bin, CAST(sum(c) AS BIGINT) AS cb,
+      |         CAST(count(*) AS BIGINT) AS ndvb FROM kb GROUP BY 1),
+      |tr AS (
+      |  SELECT ka.bin, CAST(sum(ka.c * kb.c) AS BIGINT) AS actual
+      |  FROM ka JOIN kb USING (k) GROUP BY 1)
+      |SELECT ha.bin, ha.ca, hb.cb, ha.ndva, hb.ndvb,
+      |  CAST(ha.ca * hb.cb * 1000 // greatest(ha.ndva, hb.ndvb) AS BIGINT)
+      |    AS est_milli,
+      |  CAST(COALESCE(tr.actual, 0) AS BIGINT) AS actual
+      |FROM ha JOIN hb USING (bin) LEFT JOIN tr USING (bin)
+      |ORDER BY bin""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d).filter(col("value").isNotNull)
+    def side(t: String, cn: String, nn: String) =
+      ev.filter(col("event_type") === t)
+        .select(floor(col("value")).cast("long").as("k"))
+        .groupBy("k").agg(count(lit(1)).as("c"))
+        .withColumn("bin", expr("k div 4"))
+        .localCheckpoint(true) // histogram + true-size join read it
+    val ka = side("click", "ca", "ndva")
+    val kb = side("view", "cb", "ndvb")
+    val ha = ka.groupBy("bin").agg(sum("c").cast("long").as("ca"),
+      count(lit(1)).cast("long").as("ndva"))
+    val hb = kb.groupBy("bin").agg(sum("c").cast("long").as("cb"),
+      count(lit(1)).cast("long").as("ndvb"))
+    val tr = ka.select(col("k"), col("bin"), col("c").as("c1"))
+      .join(kb.select(col("k"), col("c").as("c2")), "k")
+      .groupBy("bin").agg(sum(col("c1") * col("c2")).cast("long").as("actual"))
+    ha.join(hb, "bin").join(tr, Seq("bin"), "left")
+      .na.fill(0L, Seq("actual"))
+      .select(col("bin"), col("ca"), col("cb"), col("ndva"), col("ndvb"),
+        expr("ca * cb * 1000 div greatest(ndva, ndvb)").cast("long").as("est_milli"),
+        col("actual"))
+      .orderBy("bin")
+  }
+
+  val all: Seq[Q] = Seq(q91, q103, q104, q113, q114, q131, q160, q161, q227)
 }

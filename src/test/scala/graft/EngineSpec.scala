@@ -1481,6 +1481,37 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("Neyman allocation sums exactly to the budget and favors noisy strata") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q226_neyman_allocation")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("alloc")).sum ==
+      graft.operators.DataSplit.NeymanBudget,
+      "largest-remainder apportionment must hit the budget exactly")
+    for (r <- rows) assert(r.getAs[Long]("alloc") >= 0 && r.getAs[Double]("sd") >= 0)
+  }
+
+  test("histogram join estimate: actual matches a brute key join, estimate sane") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf).filter(col("value").isNotNull)
+      .select(col("event_type"), floor(col("value")).cast("long").as("k"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val a = ev.filter(_._1 == "click").map(_._2)
+    val b = ev.filter(_._1 == "view").map(_._2)
+    val bc = b.groupBy(identity).map { case (k, g) => k -> g.length.toLong }
+    val actualByBin = a.map(k => (k / 4, bc.getOrElse(k, 0L)))
+      .groupBy(_._1).map { case (bin, g) => bin -> g.map(_._2).sum }
+    val rows = SparkEntry.queries("q227_join_estimate")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val bin = r.getAs[Long]("bin")
+      assert(r.getAs[Long]("actual") == actualByBin.getOrElse(bin, 0L),
+        s"bin $bin actual mismatch")
+      // estimate within the bin's max possible (ca*cb) and >= uniform floor
+      assert(r.getAs[Long]("est_milli") <= r.getAs[Long]("ca") * r.getAs[Long]("cb") * 1000)
+    }
+  }
+
   test("link prediction: candidates are non-edges and the top pair replays brute") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("q223_link_prediction")(spark, sf).collect()
