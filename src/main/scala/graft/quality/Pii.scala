@@ -75,5 +75,47 @@ object Pii {
       .orderBy("event_id")
   }
 
-  val all: Seq[Q] = Seq(q65)
+  /** Deterministic pseudonymization — the identity-scrub pass q65's
+    * text redaction doesn't cover: replace every stable user key with
+    * a keyed token (here hex of the poly-131·G hash of a salted key —
+    * production swaps in HMAC with a managed secret, same machinery),
+    * keep the token↔key mapping in a vault only the governance layer
+    * reads, and release the tokenized table. The gate publishes the
+    * utility-vs-safety invariants a privacy review actually checks:
+    * per event type the event count, distinct users, and distinct
+    * pseudonyms — tokenization must preserve joinability EXACTLY
+    * (n_users = n_pseudonyms: the token is injective on the observed
+    * keys, and a collision would surface here as an inequality).
+    * Stateless map + one aggregate — one scan at any scale. */
+  val q228 = Q.sql("q228_pseudonymize",
+    """WITH p AS (
+      |  SELECT event_type, user_id,
+      |    'u_' || printf('%x',
+      |      CAST(CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+      |        list_transform(range(1, length(ks) + 1),
+      |                       c -> CAST(ascii(substr(ks, c, 1)) AS HUGEINT))),
+      |        (a, x) -> (a * 131 + x) % 2305843009213693951) AS HUGEINT)
+      |        * 1752450205419405103 % 2305843009213693951 AS BIGINT))
+      |      AS pseud
+      |  FROM (SELECT event_type, user_id,
+      |          'pseud:' || CAST(user_id AS VARCHAR) AS ks
+      |        FROM events WHERE user_id IS NOT NULL))
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  CAST(count(DISTINCT pseud) AS BIGINT) AS n_pseudonyms
+      |FROM p GROUP BY 1 ORDER BY event_type""".stripMargin) { (s, d) =>
+    import graft.functions.Exprs
+    import graft.operators.Sketches.Kmv
+    Tables.events(s, d).filter(col("user_id").isNotNull)
+      .withColumn("pseud", concat(lit("u_"), lower(hex(Exprs.mulmod61(
+        Exprs.poly_hash(concat(lit("pseud:"), col("user_id").cast("string"))),
+        Kmv.G)))))
+      .groupBy("event_type")
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        countDistinct("user_id").cast("long").as("n_users"),
+        countDistinct("pseud").cast("long").as("n_pseudonyms"))
+      .orderBy("event_type")
+  }
+
+  val all: Seq[Q] = Seq(q65, q228)
 }

@@ -1481,6 +1481,15 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("pseudonymization is injective on observed keys and preserves joinability") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q228_pseudonymize")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows)
+      assert(r.getAs[Long]("n_users") == r.getAs[Long]("n_pseudonyms"),
+        s"${r.getAs[String]("event_type")}: tokenization collided")
+  }
+
   test("Neyman allocation sums exactly to the budget and favors noisy strata") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("q226_neyman_allocation")(spark, sf).collect()
