@@ -513,4 +513,39 @@ class PlanSpec extends AnyFunSuite {
         s"scan is not bucket-aware\n$p1")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("hashed classifier plan has NO join — the hashing trick folds the model lookup (q209 pin)") {
+    val p = plan(SparkEntry.queries("q209_linear_quality")(spark, sf))
+    assert(!p.contains("Join"), s"model lookup leaked into a join:\n$p")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"doc aggregation must partial-aggregate map-side:\n$p")
+  }
+
+  test("PRF two-pass retrieval joins only by broadcast — no fact-side shuffle join (q204 pin)") {
+    val p = plan(SparkEntry.queries("q204_prf_expansion")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"a model-side table fell out of broadcast:\n$p")
+  }
+
+  test("MaxSim scoring is a single unrolled expression — no Generate/explode in the plan (q219 pin)") {
+    val p = plan(SparkEntry.queries("q219_colbert_maxsim")(spark, sf))
+    assert(!p.contains("Generate"),
+      s"the 4x4 grid must not explode rows:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"corpus side must broadcast at gate scale:\n$p")
+  }
+
+  test("trigram verification broadcasts the CANDIDATES into the corpus scan (q205 pin)") {
+    val p = plan(SparkEntry.queries("q205_trigram_like")(spark, sf))
+    // the contains() verify join must be a broadcast build on the
+    // candidate side — a corpus-side shuffle join would invert at
+    // 100 TB. (The final 5-row pattern-keyed outer join is free to be
+    // whatever — only the doc_id joins touch corpus-sized data.)
+    val docJoins = p.linesIterator
+      .filter(l => l.contains("Join") && l.contains("doc_id")).toSeq
+    assert(docJoins.nonEmpty, p)
+    assert(docJoins.forall(_.contains("BroadcastHashJoin")),
+      s"corpus-keyed join not broadcast:\n${docJoins.mkString("\n")}\n$p")
+  }
 }
