@@ -594,5 +594,121 @@ object Postings {
     trigramSearch(Tables.documents(s, d), LikePatterns)
   }
 
-  val all: Seq[Q] = Seq(q130, q141, q142, q143, q146, q147, q204, q205)
+  /** BM25F fielded retrieval (Robertson, Zaragoza & Taylor 2004) —
+    * q141's single-field scorer extended the way real search engines
+    * weight structure: the first [[TitleLen]] tokens play the "title"
+    * field at weight 2, the remainder the body at weight 1, and the
+    * scorer runs the SAME cleared-denominator rational on the
+    * field-weighted tf (wtf = 2·tf_title + tf_body) and weighted
+    * length (wlen, with S = Σ wlen) — BM25F's simplified form where
+    * per-field saturation shares one k1. df counts docs containing
+    * the term in ANY field, as BM25F requires. Everything stays
+    * integer, so the oracle replays the ranking exactly. Scale shape
+    * identical to q141 (the field split is a position predicate inside
+    * the one token pass). */
+  private val TitleLen = 8
+  private val Bm25fTerms = Seq("spark", "table", "fast")
+
+  val q230 = Q.sql("q230_bm25f", {
+    val inList = Bm25fTerms.map("'" + _ + "'").mkString(",")
+    s"""WITH toks AS (
+       |  SELECT doc_id, CAST(u.i AS BIGINT) AS pos, toks[u.i + 1] AS token
+       |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |        FROM documents) d,
+       |  LATERAL unnest(range(0, len(toks))) AS u(i)),
+       |lens AS (
+       |  SELECT doc_id,
+       |    CAST(2 * sum(CASE WHEN pos < $TitleLen THEN 1 ELSE 0 END)
+       |       + sum(CASE WHEN pos >= $TitleLen THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS wlen
+       |  FROM toks GROUP BY 1),
+       |tot AS (SELECT count(*) AS n, CAST(sum(wlen) AS BIGINT) AS s FROM lens),
+       |df AS (
+       |  SELECT token, count(DISTINCT doc_id) AS df FROM toks
+       |  WHERE token IN ($inList) GROUP BY 1),
+       |tf AS (
+       |  SELECT doc_id, token,
+       |    CAST(2 * sum(CASE WHEN pos < $TitleLen THEN 1 ELSE 0 END)
+       |       + sum(CASE WHEN pos >= $TitleLen THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS wtf
+       |  FROM toks WHERE token IN ($inList) GROUP BY 1, 2),
+       |t AS (
+       |  SELECT tf.doc_id,
+       |    CAST((CAST(2*n - 2*df + 1 AS HUGEINT) * 22 * s * wtf * 1000000) //
+       |         (CAST(2*df + 1 AS HUGEINT) *
+       |          (CAST(10 AS HUGEINT)*s*wtf + CAST(3 AS HUGEINT)*s
+       |           + CAST(9 AS HUGEINT)*wlen*n)) AS BIGINT) AS term_micro
+       |  FROM tf JOIN df USING (token) JOIN lens USING (doc_id) CROSS JOIN tot)
+       |SELECT doc_id, CAST(sum(term_micro) AS BIGINT) AS score_micro,
+       |  count(*) AS n_terms_hit
+       |FROM t GROUP BY 1
+       |ORDER BY score_micro DESC, doc_id LIMIT 10""".stripMargin
+  }) { (s, d) =>
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(Text.tokens(col("text"))).as(Seq("pos", "token")))
+    val fieldW = when(col("pos") < TitleLen, 2L).otherwise(1L)
+    val lens = toks.groupBy("doc_id").agg(sum(fieldW).cast("long").as("wlen"))
+      .localCheckpoint(true) // totals + scoring join read it
+    val totals = lens.agg(count(lit(1)).as("n"), sum("wlen").as("s"))
+    val tf = toks.filter(col("token").isin(Bm25fTerms: _*))
+      .groupBy("doc_id", "token").agg(sum(fieldW).cast("long").as("wtf"))
+      .localCheckpoint(true) // df folds from it
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), "token")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(totals))
+      .withColumn("term_micro", coalesce(
+        expr("CAST(2*n - 2*df + 1 AS DECIMAL(38,0)) * 22 * s * wtf * 1000000 div " +
+          "(CAST(2*df + 1 AS DECIMAL(38,0)) * " +
+          " (CAST(10 AS DECIMAL(38,0))*s*wtf + CAST(3 AS DECIMAL(38,0))*s" +
+          "  + CAST(9 AS DECIMAL(38,0))*wlen*n))"),
+        raise_error(lit("bm25f: DECIMAL(38,0) headroom exceeded"))).cast("long"))
+      .groupBy("doc_id")
+      .agg(sum("term_micro").cast("long").as("score_micro"),
+        count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("score_micro").desc, col("doc_id")).limit(10)
+  }
+
+  /** Delta + varint compression sizing of the posting lists — the
+    * index-layout analysis an inverted-index owner runs before
+    * choosing an encoding (the d-gap + VByte scheme of Zobel &
+    * Moffat): per token the sorted doc-id gaps, each costed at
+    * ⌈bits/7⌉ VByte bytes, against the raw 8-byte-per-posting
+    * baseline. bit length is `length(bin(gap))` — integer-exact both
+    * engines — so compressed sizes and ratios replay exactly. One
+    * shuffle on token; the lag window partitions by token. */
+  val q231 = Q.sql("q231_posting_compression",
+    """WITH p AS (
+      |  SELECT DISTINCT token, doc_id FROM (
+      |    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+      |    FROM documents)),
+      |g AS (
+      |  SELECT token,
+      |    doc_id - COALESCE(lag(doc_id) OVER (PARTITION BY token ORDER BY doc_id),
+      |                      -1) AS gap
+      |  FROM p),
+      |b AS (
+      |  SELECT token, CAST(count(*) AS BIGINT) AS df,
+      |    CAST(sum((length(bin(gap)) + 6) // 7) AS BIGINT) AS delta_bytes
+      |  FROM g GROUP BY 1)
+      |SELECT token, df, delta_bytes, CAST(8 * df AS BIGINT) AS raw_bytes,
+      |  round(1.0 * delta_bytes / (8 * df), 4) AS ratio
+      |FROM b ORDER BY token""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
+      .distinct()
+      .withColumn("gap", col("doc_id") - coalesce(
+        lag("doc_id", 1).over(Window.partitionBy("token").orderBy("doc_id")),
+        lit(-1L)))
+      .groupBy("token")
+      .agg(count(lit(1)).cast("long").as("df"),
+        sum(expr("(length(bin(gap)) + 6) div 7")).cast("long").as("delta_bytes"))
+      .select(col("token"), col("df"), col("delta_bytes"),
+        (lit(8) * col("df")).cast("long").as("raw_bytes"),
+        round(lit(1.0) * col("delta_bytes") / (lit(8) * col("df")), 4).as("ratio"))
+      .orderBy("token")
+  }
+
+  val all: Seq[Q] = Seq(q130, q141, q142, q143, q146, q147, q204, q205, q230, q231)
 }

@@ -29,6 +29,51 @@ import graft.functions.{Exprs, Text}
   */
 object Weighting {
 
+  /** Leave-one-out target encoding with additive smoothing — the
+    * category-to-number feature transform gradient-boosting pipelines
+    * apply (CatBoost's ordered variant randomizes; LOO is the
+    * deterministic batch form): a row's encoding is the mean target of
+    * its OWN category EXCLUDING itself, shrunk toward the global mean
+    * by pseudo-count m = 10 — excluding self is what stops the feature
+    * from leaking the row's label. encᵢ = (S_c − vᵢ + m·μ)/(n_c − 1 + m).
+    *
+    * Exactness: targets quantize to integer micros, so S_c and the
+    * global sum are exact BIGINTs; μ and the final division are ONE
+    * fixed IEEE expression both engines evaluate identically, rounded
+    * once (+0.0 on the oracle — encodings can sit near a signed zero).
+    * Scale: one aggregate for the category table (broadcast), one
+    * stateless map over rows. */
+  val q229 = Q.sql("q229_target_encoding",
+    """WITH v AS (
+      |  SELECT event_id, event_type,
+      |    CAST(floor(value * 1000000.0) AS BIGINT) AS vq
+      |  FROM events WHERE value IS NOT NULL),
+      |c AS (SELECT event_type, CAST(sum(vq) AS BIGINT) AS st,
+      |        CAST(count(*) AS BIGINT) AS nt
+      |      FROM v GROUP BY 1),
+      |g AS (SELECT CAST(sum(vq) AS BIGINT) AS sall,
+      |        CAST(count(*) AS BIGINT) AS nall FROM v)
+      |SELECT v.event_id, v.event_type,
+      |  round((CAST(c.st - v.vq AS DOUBLE)
+      |         + 10.0 * (CAST(g.sall AS DOUBLE) / g.nall))
+      |        / ((c.nt - 1 + 10) * 1000000.0), 4) + 0.0 AS enc
+      |FROM v JOIN c USING (event_type) CROSS JOIN g
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    val v = Tables.events(s, d).filter(col("value").isNotNull)
+      .select(col("event_id"), col("event_type"),
+        floor(col("value") * 1000000.0).cast("long").as("vq"))
+    val c = v.groupBy("event_type")
+      .agg(sum("vq").cast("long").as("st"), count(lit(1)).cast("long").as("nt"))
+    val g = v.agg(sum("vq").cast("long").as("sall"),
+      count(lit(1)).cast("long").as("nall"))
+    v.join(broadcast(c), "event_type").crossJoin(broadcast(g))
+      .select(col("event_id"), col("event_type"),
+        round((expr("CAST(st - vq AS DOUBLE)")
+          + lit(10.0) * (expr("CAST(sall AS DOUBLE)") / col("nall")))
+          / ((col("nt") - 1 + 10) * lit(1000000.0)), 4).as("enc"))
+      .orderBy("event_id")
+  }
+
   /** CCNet head/middle/tail buckets. Per doc: mean corpus-frequency of
     * its word bigrams, in exact integer micros (sum of per-gram corpus
     * counts ×1e6, floor-divided by the doc's gram count); then ntile(3)
@@ -270,5 +315,5 @@ object Weighting {
       .select("doc_id", "w_micro", "kept")
   }
 
-  val all: Seq[Q] = Seq(q123, q124)
+  val all: Seq[Q] = Seq(q123, q124, q229)
 }

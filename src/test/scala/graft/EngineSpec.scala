@@ -1481,6 +1481,67 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("target encoding replays LOO+smoothing brute for the first rows") {
+    import org.apache.spark.sql.functions._
+    val v = Tables.events(spark, sf).filter(col("value").isNotNull)
+      .select(col("event_id"), col("event_type"),
+        floor(col("value") * 1000000.0).cast("long").as("vq"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byType = v.groupBy(_._2).map { case (t, g) =>
+      t -> ((g.map(_._3).sum, g.length.toLong)) }
+    val sall = v.map(_._3).sum.toDouble
+    val nall = v.length.toDouble
+    val got = SparkEntry.queries("q229_target_encoding")(spark, sf).collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("enc")).toMap
+    for ((id, t, vq) <- v.take(20)) {
+      val (st, nt) = byType(t)
+      val enc = ((st - vq).toDouble + 10.0 * (sall / nall)) /
+        ((nt - 1 + 10) * 1000000.0)
+      val expected = BigDecimal(enc).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(got(id) - expected) < 1e-9, s"$id: ${got(id)} vs $expected")
+    }
+  }
+
+  test("BM25F ranks replay from a brute field-weighted scorer") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1).trim.split("\\s+").toSeq))
+    val terms = Seq("spark", "table", "fast")
+    def w(pos: Int): Long = if (pos < 8) 2L else 1L
+    val wlen = docs.map { case (id, ts) => id -> ts.indices.map(w).sum }.toMap
+    val n = docs.length.toLong
+    val s = wlen.values.sum
+    val df = terms.map(t => t -> docs.count(_._2.contains(t)).toLong).toMap
+    val scores = docs.map { case (id, ts) =>
+      id -> terms.map { t =>
+        val wtf = ts.zipWithIndex.collect { case (tok, p) if tok == t => w(p) }.sum
+        if (wtf == 0) BigInt(0)
+        else (BigInt(2 * n - 2 * df(t) + 1) * 22 * s * wtf * 1000000) /
+          (BigInt(2 * df(t) + 1) *
+            (BigInt(10) * s * wtf + BigInt(3) * s + BigInt(9) * wlen(id) * n))
+      }.sum
+    }.filter(_._2 > 0).sortBy { case (id, sc) => (-sc, id) }.take(10)
+    val got = SparkEntry.queries("q230_bm25f")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), BigInt(r.getAs[Long]("score_micro"))))
+    assert(got.toSeq == scores.toSeq, s"${got.take(3)} vs ${scores.take(3)}")
+  }
+
+  test("posting compression: every gap costs >= 1 byte and one token replays brute") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q231_posting_compression")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows)
+      assert(r.getAs[Long]("delta_bytes") >= r.getAs[Long]("df"))
+    val tok = rows.head.getAs[String]("token")
+    val ids = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(graft.functions.Text.tokens(col("text"))).as("t"))
+      .filter(col("t") === tok).select("doc_id").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val gaps = ids.zip((-1L) +: ids.dropRight(1)).map { case (a, b) => a - b }
+    val bytes = gaps.map(g => (64 - java.lang.Long.numberOfLeadingZeros(g) + 6) / 7).sum
+    assert(rows.head.getAs[Long]("delta_bytes") == bytes)
+  }
+
   test("pseudonymization is injective on observed keys and preserves joinability") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("q228_pseudonymize")(spark, sf).collect()
