@@ -490,5 +490,103 @@ object Graph {
       .limit(20)
   }
 
-  val all: Seq[Q] = Seq(q106, q110, q138, q167, q187, q223)
+  /** Hash-seeded random walks — the DeepWalk/node2vec corpus
+    * generator made REPLAYABLE: at each step the walker picks
+    * neighbor rank H(start, walk, step, current) mod deg — a
+    * deterministic draw from the same poly-131·G family the sketches
+    * use — so the "random" walks are a pure function of the graph and
+    * both engines emit byte-identical paths. Production embedding
+    * pipelines need exactly this property to make their walk corpus
+    * reproducible across reruns.
+    *
+    * Shape: the adjacency table carries a per-source neighbor rank
+    * (one row_number window over edges); each of the [[WalkLen]]
+    * steps is one equi-join of the frontier against adjacency on
+    * (node, chosen rank) — frontier-sized, not graph-sized, and the
+    * steps unroll into a fixed-depth plan exactly like the pagerank
+    * iterations. */
+  val WalkLen = 4
+  val WalksPerNode = 2
+
+  private def walkHashSql(cur: String, start: String, w: String, t: Int): String = {
+    // the key expression stays single-line: a continuation line starting
+    // with '||' would collide with stripMargin's margin character
+    val key = s"CAST($start AS VARCHAR) || ':' || CAST($w AS VARCHAR) || ':' || " +
+      s"CAST($t AS VARCHAR) || ':' || CAST($cur AS VARCHAR)"
+    s"""CAST(CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+       |  list_transform(range(1, length($key) + 1),
+       |    c -> CAST(ascii(substr($key, c, 1)) AS HUGEINT))),
+       |  (a, x) -> (a * 131 + x) % 2305843009213693951) AS HUGEINT)
+       |  * 1752450205419405103 % 2305843009213693951 AS BIGINT)""".stripMargin
+  }
+
+  val q232 = Q.sql("q232_hash_walks", {
+    val head =
+      s"""WITH raw AS (
+         |  SELECT DISTINCT 2 * o_custkey AS c, 2 * l_suppkey + 1 AS sp
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |edges AS (
+         |  SELECT c AS src, sp AS dst FROM raw
+         |  UNION ALL SELECT sp AS src, c AS dst FROM raw),
+         |adj AS (
+         |  SELECT src, dst,
+         |    row_number() OVER (PARTITION BY src ORDER BY dst) AS rk,
+         |    count(*) OVER (PARTITION BY src) AS deg
+         |  FROM edges),
+         |w0 AS (
+         |  SELECT DISTINCT src AS start, u.w AS walk, src AS cur,
+         |    CAST(src AS VARCHAR) AS path
+         |  FROM edges, LATERAL unnest(range(0, $WalksPerNode)) AS u(w)
+         |  WHERE src % 20 = 0)""".stripMargin
+    val steps = (1 to WalkLen).map { t =>
+      s"""w$t AS (
+         |  SELECT p.start, p.walk, a.dst AS cur,
+         |    p.path || '>' || CAST(a.dst AS VARCHAR) AS path
+         |  FROM w${t - 1} p JOIN adj a ON a.src = p.cur
+         |    AND a.rk = 1 + (${walkHashSql("p.cur", "p.start", "p.walk", t)}) % a.deg)""".stripMargin
+    }.mkString(",\n")
+    s"""$head,
+       |$steps
+       |SELECT start, CAST(walk AS BIGINT) AS walk, path
+       |FROM w$WalkLen ORDER BY start, walk""".stripMargin
+  }) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Exprs
+    import graft.operators.Sketches.Kmv
+    val raw = Tables.orders(s, d)
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2L).as("c"), (col("l_suppkey") * 2L + 1L).as("sp"))
+      .distinct()
+    val edges = raw.select(col("c").as("src"), col("sp").as("dst"))
+      .unionByName(raw.select(col("sp").as("src"), col("c").as("dst")))
+    val adj = edges
+      .withColumn("rk", row_number().over(Window.partitionBy("src").orderBy("dst")))
+      .withColumn("deg", count(lit(1)).over(Window.partitionBy("src")))
+      .localCheckpoint(true) // every step joins it
+    var frontier = edges.filter(col("src") % 20 === 0).select("src").distinct()
+      .crossJoin(spark_sequence_walks(s))
+      .select(col("src").as("start"), col("walk"), col("src").as("cur"),
+        col("src").cast("string").as("path"))
+    for (t <- 1 to WalkLen) {
+      val h = Exprs.mulmod61(Exprs.poly_hash(
+        concat(col("start").cast("string"), lit(":"), col("walk").cast("string"),
+          lit(":"), lit(t).cast("string"), lit(":"), col("cur").cast("string"))), Kmv.G)
+      // deg(cur) is only known on the adjacency side: join on src
+      // first, then keep the one row whose rank is 1 + H mod deg
+      frontier = frontier
+        .join(adj, col("cur") === col("src"))
+        .filter(col("rk") === lit(1) + pmod(h, col("deg")))
+        .select(col("start"), col("walk"), col("dst").as("cur"),
+          concat(col("path"), lit(">"), col("dst").cast("string")).as("path"))
+    }
+    frontier.select(col("start"), col("walk").cast("long").as("walk"), col("path"))
+      .orderBy("start", "walk")
+  }
+
+  private def spark_sequence_walks(s: org.apache.spark.sql.SparkSession) = {
+    import s.implicits._
+    (0 until WalksPerNode).map(_.toLong).toDF("walk")
+  }
+
+  val all: Seq[Q] = Seq(q106, q110, q138, q167, q187, q223, q232)
 }

@@ -703,7 +703,48 @@ object Relational {
       .orderBy("step")
   }
 
+  /** Sample-ratio-mismatch guardrail — the FIRST check an experiment
+    * readout runs before anyone reads q215's effect: with 50/50
+    * intended assignment, the chi-square statistic over the two
+    * variant counts collapses algebraically to (nA − nB)²/n, so the
+    * test is one exact rational over the assignment counts, rounded
+    * once and compared to the df=1, p=0.05 critical value 3.841. A
+    * true SRM means the bucketing hash is biased or events were lost
+    * — the readout is invalid regardless of the effect size. */
+  val q234 = Q.sql("q234_ab_srm",
+    """WITH a AS (
+      |  SELECT CAST(CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+      |      list_transform(range(1, length(ks) + 1),
+      |                     c -> CAST(ascii(substr(ks, c, 1)) AS HUGEINT))),
+      |      (a, x) -> (a * 131 + x) % 2305843009213693951) AS HUGEINT)
+      |      * 1752450205419405103 % 2305843009213693951 % 2 AS BIGINT)
+      |      AS variant
+      |  FROM (SELECT DISTINCT 'ab:' || CAST(user_id AS VARCHAR) AS ks
+      |        FROM events WHERE user_id IS NOT NULL)),
+      |c AS (
+      |  SELECT CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+      |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+      |  FROM a)
+      |SELECT na, nb,
+      |  round(CAST((na - nb) * (na - nb) AS DOUBLE) / (na + nb), 4) AS chi2,
+      |  round(CAST((na - nb) * (na - nb) AS DOUBLE) / (na + nb), 4) > 3.841
+      |    AS srm_detected
+      |FROM c""".stripMargin) { (s, d) =>
+    import graft.functions.Exprs
+    import graft.operators.Sketches.Kmv
+    Tables.events(s, d).filter(col("user_id").isNotNull)
+      .select(col("user_id")).distinct()
+      .withColumn("variant", pmod(Exprs.mulmod61(
+        Exprs.poly_hash(concat(lit("ab:"), col("user_id").cast("string"))), Kmv.G),
+        lit(2L)))
+      .agg(sum(when(col("variant") === 0, 1L).otherwise(0L)).cast("long").as("na"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).cast("long").as("nb"))
+      .withColumn("chi2",
+        round(expr("CAST((na - nb) * (na - nb) AS DOUBLE)") / (col("na") + col("nb")), 4))
+      .withColumn("srm_detected", col("chi2") > 3.841)
+  }
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q33, q34, q35, q36, q37,
-    q81, q82, q108, q214, q215, q221)
+    q81, q82, q108, q214, q215, q221, q234)
 }

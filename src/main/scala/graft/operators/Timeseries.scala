@@ -470,5 +470,43 @@ object Timeseries {
       .limit(50)
   }
 
-  val all: Seq[Q] = Seq(q115, q116, q121, q137, q159, q176, q185, q195)
+  /** Churn labeling + behavioral features — the label-generation pass
+    * a retention model trains on: per user the activity features
+    * (event count, distinct active days, exact mean value) and the
+    * churn label — no event in the last [[ChurnDays]] days of the
+    * observed window, with "now" anchored to the corpus max day so
+    * the gate is a pure function of the data (the production form
+    * injects the clock, X16's convention). Counts exact, the mean a
+    * DECIMAL-sum-then-one-division, label a date comparison. One
+    * groupBy(user). */
+  val ChurnDays = 7
+
+  val q233 = Q.sql("q233_churn_labels",
+    s"""WITH mx AS (SELECT max(CAST(ts AS DATE)) AS ref FROM events),
+       |u AS (
+       |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       |    CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS active_days,
+       |    max(CAST(ts AS DATE)) AS last_day,
+       |    round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+       |          / count(value), 4) + 0.0 AS mean_value
+       |  FROM events WHERE user_id IS NOT NULL GROUP BY 1)
+       |SELECT user_id, n_events, active_days, mean_value,
+       |  last_day < ref - $ChurnDays AS churned
+       |FROM u CROSS JOIN mx ORDER BY user_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d).filter(col("user_id").isNotNull)
+      .localCheckpoint(true) // reference day + features read it
+    val mx = ev.agg(max(col("ts").cast("date")).as("ref"))
+    ev.groupBy("user_id")
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        countDistinct(col("ts").cast("date")).cast("long").as("active_days"),
+        max(col("ts").cast("date")).as("last_day"),
+        round(sum(col("value").cast("decimal(18,6)")).cast("double")
+          / count(col("value")), 4).as("mean_value"))
+      .crossJoin(broadcast(mx))
+      .withColumn("churned", col("last_day") < date_sub(col("ref"), ChurnDays))
+      .select("user_id", "n_events", "active_days", "mean_value", "churned")
+      .orderBy("user_id")
+  }
+
+  val all: Seq[Q] = Seq(q115, q116, q121, q137, q159, q176, q185, q195, q233)
 }

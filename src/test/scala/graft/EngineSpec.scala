@@ -1481,6 +1481,54 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("hash walks only traverse real edges and have the pinned length") {
+    import org.apache.spark.sql.functions._
+    val raw = Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf), col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2L).as("c"), (col("l_suppkey") * 2L + 1L).as("sp"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = (raw ++ raw.map(_.swap)).toSet
+    val rows = SparkEntry.queries("q232_hash_walks")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val nodes = r.getAs[String]("path").split(">").map(_.toLong)
+      assert(nodes.length == graft.operators.Graph.WalkLen + 1)
+      assert(nodes.head == r.getAs[Long]("start"))
+      for (Array(a, b) <- nodes.sliding(2))
+        assert(edges.contains((a, b)), s"walk used non-edge ($a,$b)")
+    }
+    // every sampled start emits exactly WalksPerNode walks
+    val perStart = rows.groupBy(_.getAs[Long]("start")).values.map(_.length).toSet
+    assert(perStart == Set(graft.operators.Graph.WalksPerNode))
+  }
+
+  test("churn labels: churned users have no event in the last window") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf).filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("ts").cast("date").as("day"))
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val ref = ev.map(_._2).max
+    val lastByUser = ev.groupBy(_._1).map { case (u, v) => u -> v.map(_._2).max }
+    for (r <- SparkEntry.queries("q233_churn_labels")(spark, sf).collect()) {
+      val u = r.getAs[Long]("user_id")
+      val expected = lastByUser(u).isBefore(
+        ref.minusDays(graft.operators.Timeseries.ChurnDays))
+      assert(r.getAs[Boolean]("churned") == expected, s"user $u")
+    }
+  }
+
+  test("SRM guardrail: counts cover all users and chi2 matches the closed form") {
+    import org.apache.spark.sql.functions._
+    val r = SparkEntry.queries("q234_ab_srm")(spark, sf).collect()(0)
+    val na = r.getAs[Long]("na"); val nb = r.getAs[Long]("nb")
+    val users = Tables.events(spark, sf).filter(col("user_id").isNotNull)
+      .select("user_id").distinct().count()
+    assert(na + nb == users)
+    val chi2 = BigDecimal(((na - nb) * (na - nb)).toDouble / (na + nb))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(r.getAs[Double]("chi2") - chi2) < 1e-9)
+  }
+
   test("target encoding replays LOO+smoothing brute for the first rows") {
     import org.apache.spark.sql.functions._
     val v = Tables.events(spark, sf).filter(col("value").isNotNull)
