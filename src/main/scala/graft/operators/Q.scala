@@ -24,6 +24,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    sign of tiny negatives (`-0.0`), Spark's BigDecimal round
   *    normalizes to `+0.0` — value-equal but byte-distinct, and the
   *    driver hashes bytes (r9: q153 shipped hash-red this way);
+  *  - `round(x, n)` of a derived DOUBLE whose EXACT value can land on
+  *    a half boundary (e.g. a mean of micro-quantized values) is not
+  *    cross-engine safe even when both engines hold the identical
+  *    double: Spark rounds the SHORTEST-REPR decimal
+  *    (`BigDecimal.valueOf`), DuckDB rounds the binary value — at
+  *    55.68375 (binary 55.683749999999996) they split. Round such
+  *    quantities in INTEGERS instead: half-up ten-thousandths of s/c
+  *    = (s + 50·c) div (100·c) over micro sums (q233, 5× sweep);
   *  - a FLOAT column entering a DECIMAL sum must be cast
   *    `CAST(CAST(f AS DOUBLE) AS DECIMAL(p,s))` on the ORACLE side:
   *    DuckDB 1.0's direct FLOAT→DECIMAL cast scales in float32 and

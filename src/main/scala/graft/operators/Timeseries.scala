@@ -476,9 +476,13 @@ object Timeseries {
     * churn label — no event in the last [[ChurnDays]] days of the
     * observed window, with "now" anchored to the corpus max day so
     * the gate is a pure function of the data (the production form
-    * injects the clock, X16's convention). Counts exact, the mean a
-    * DECIMAL-sum-then-one-division, label a date comparison. One
-    * groupBy(user). */
+    * injects the clock, X16's convention). Counts exact; the mean is
+    * rounded ENTIRELY in integers — values quantize to micros and the
+    * half-up ten-thousandth is (s + 50·c) div (100·c) — because the
+    * exact mean can land on a .00005 boundary where Spark's round
+    * (shortest-repr decimal via BigDecimal.valueOf) and DuckDB's
+    * (the binary double) disagree: the 5× sweep caught user 939 at
+    * exactly 55.68375. One groupBy(user). */
   val ChurnDays = 7
 
   val q233 = Q.sql("q233_churn_labels",
@@ -487,21 +491,25 @@ object Timeseries {
        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
        |    CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS active_days,
        |    max(CAST(ts AS DATE)) AS last_day,
-       |    round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
-       |          / count(value), 4) + 0.0 AS mean_value
-       |  FROM events WHERE user_id IS NOT NULL GROUP BY 1)
+       |    CAST((CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT)
+       |          + 50 * count(value)) // (100 * count(value)) AS DOUBLE) / 10000.0
+       |      AS mean_value
+       |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL GROUP BY 1)
        |SELECT user_id, n_events, active_days, mean_value,
        |  last_day < ref - $ChurnDays AS churned
        |FROM u CROSS JOIN mx ORDER BY user_id""".stripMargin) { (s, d) =>
     val ev = Tables.events(s, d).filter(col("user_id").isNotNull)
       .localCheckpoint(true) // reference day + features read it
     val mx = ev.agg(max(col("ts").cast("date")).as("ref"))
-    ev.groupBy("user_id")
+    ev.filter(col("value").isNotNull).groupBy("user_id")
       .agg(count(lit(1)).cast("long").as("n_events"),
         countDistinct(col("ts").cast("date")).cast("long").as("active_days"),
         max(col("ts").cast("date")).as("last_day"),
-        round(sum(col("value").cast("decimal(18,6)")).cast("double")
-          / count(col("value")), 4).as("mean_value"))
+        sum(floor(col("value") * 1000000.0).cast("long")).cast("long").as("sq"),
+        count(col("value")).as("cv"))
+      .withColumn("mean_value",
+        expr("CAST((sq + 50 * cv) div (100 * cv) AS DOUBLE)") / lit(10000.0))
+      .drop("sq", "cv")
       .crossJoin(broadcast(mx))
       .withColumn("churned", col("last_day") < date_sub(col("ref"), ChurnDays))
       .select("user_id", "n_events", "active_days", "mean_value", "churned")
