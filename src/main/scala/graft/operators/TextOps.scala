@@ -884,5 +884,102 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q38, q39, q64, q70, q75, q78, q87, q88, q209)
+  /** Precision/recall curve of the hashed classifier against the
+    * rule-based quality labels — the shadow-deploy comparison a team
+    * runs before swapping a model filter in for its rule predecessor:
+    * q209's linear score thresholded at five operating points, scored
+    * against q22's rule decision (quality ≥ 0.5) as the reference
+    * label. Counts exact; precision/recall round HALF-UP in integers
+    * ((tp·2·10⁴ + d) div 2d — the operators.Q rule: these quotients
+    * are finite decimals, where float round splits engines), NULL when
+    * a threshold yields no positives. One pass computes the score and
+    * label per doc; the curve is a 5-row aggregate. */
+  val PrThresholds = Seq(-2000L, -1000L, 0L, 1000L, 2000L)
+
+  val q236 = Q.sql("q236_classifier_pr_curve", {
+    val taus = PrThresholds.map(t => s"($t)").mkString(", ")
+    s"""WITH ql AS (
+       |  SELECT doc_id,
+       |    round(0.4 * least(length(text)/500.0, 1.0)
+       |        + 0.3 * (1.0 - least(5.0*(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))) / greatest(length(text), 1), 1.0))
+       |        + 0.3 * least(4.0*len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> list_contains(['the','and','of','to','in','is','a'], x))) / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1), 1.0)
+       |    , 4) >= 0.5 AS label
+       |  FROM documents),
+       |tk AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+       |  FROM documents),
+       |hb AS (
+       |  SELECT doc_id,
+       |    CAST(CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+       |      list_transform(range(1, length(tok) + 1),
+       |                     c -> CAST(ascii(substr(tok, c, 1)) AS HUGEINT))),
+       |      (a, x) -> (a * 131 + x) % 2305843009213693951) AS HUGEINT)
+       |      * 1752450205419405103 % 2305843009213693951 % $QcBuckets AS BIGINT)
+       |      AS b
+       |  FROM tk),
+       |ww AS (
+       |  SELECT b,
+       |    CAST(CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+       |      list_transform(range(1, length(ks) + 1),
+       |                     c -> CAST(ascii(substr(ks, c, 1)) AS HUGEINT))),
+       |      (a, x) -> (a * 131 + x) % 2305843009213693951) AS HUGEINT)
+       |      * 1752450205419405103 % 2305843009213693951 % 2001 AS BIGINT) - 1000
+       |      AS w
+       |  FROM (SELECT b, 'w:' || CAST(b AS VARCHAR) AS ks
+       |        FROM (SELECT DISTINCT b FROM hb))),
+       |sc AS (
+       |  SELECT hb.doc_id, CAST(sum(ww.w) AS BIGINT) AS score
+       |  FROM hb JOIN ww USING (b) GROUP BY 1),
+       |j AS (
+       |  SELECT sc.doc_id, sc.score, ql.label
+       |  FROM sc JOIN ql USING (doc_id)),
+       |t(tau) AS (VALUES $taus),
+       |m AS (
+       |  SELECT t.tau,
+       |    CAST(sum(CASE WHEN score > tau AND label THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |    CAST(sum(CASE WHEN score > tau AND NOT label THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |    CAST(sum(CASE WHEN score <= tau AND label THEN 1 ELSE 0 END) AS BIGINT) AS fn
+       |  FROM j CROSS JOIN t GROUP BY 1)
+       |SELECT CAST(tau AS BIGINT) AS tau, tp, fp, fn,
+       |  CAST((tp * 20000 + (tp + fp)) // NULLIF(2 * (tp + fp), 0) AS DOUBLE)
+       |    / 10000.0 AS precision_v,
+       |  CAST((tp * 20000 + (tp + fn)) // NULLIF(2 * (tp + fn), 0) AS DOUBLE)
+       |    / 10000.0 AS recall_v
+       |FROM m ORDER BY tau""".stripMargin
+  }) { (s, d) =>
+    import graft.functions.Exprs
+    import graft.operators.Sketches.Kmv
+    val ql = Tables.documents(s, d)
+      .select(col("doc_id"), (Text.qualityScore(col("text")) >= 0.5).as("label"))
+    val sc = Tables.documents(s, d)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+      .withColumn("b",
+        pmod(Exprs.mulmod61(Exprs.poly_hash(col("tok")), Kmv.G), lit(QcBuckets)))
+      .withColumn("w",
+        pmod(Exprs.mulmod61(
+          Exprs.poly_hash(concat(lit("w:"), col("b").cast("string"))), Kmv.G),
+          lit(2001L)) - 1000L)
+      .groupBy("doc_id").agg(sum("w").cast("long").as("score"))
+    val spark = s
+    import spark.implicits._
+    val taus = PrThresholds.toDF("tau")
+    sc.join(ql, "doc_id")
+      .crossJoin(broadcast(taus))
+      .groupBy("tau")
+      .agg(
+        sum(when(col("score") > col("tau") && col("label"), 1L).otherwise(0L))
+          .cast("long").as("tp"),
+        sum(when(col("score") > col("tau") && !col("label"), 1L).otherwise(0L))
+          .cast("long").as("fp"),
+        sum(when(col("score") <= col("tau") && col("label"), 1L).otherwise(0L))
+          .cast("long").as("fn"))
+      .select(col("tau"), col("tp"), col("fp"), col("fn"),
+        (expr("CAST((tp * 20000 + (tp + fp)) div nullif(2 * (tp + fp), 0) AS DOUBLE)")
+          / 10000.0).as("precision_v"),
+        (expr("CAST((tp * 20000 + (tp + fn)) div nullif(2 * (tp + fn), 0) AS DOUBLE)")
+          / 10000.0).as("recall_v"))
+      .orderBy("tau")
+  }
+
+  val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q38, q39, q64, q70, q75, q78, q87, q88, q209, q236)
 }

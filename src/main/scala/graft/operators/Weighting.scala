@@ -315,5 +315,72 @@ object Weighting {
       .select("doc_id", "w_micro", "kept")
   }
 
-  val all: Seq[Q] = Seq(q123, q124, q229)
+  /** Unigram^0.75 negative-sampling table + deterministic draws — the
+    * word2vec/SGNS sampling-prep step (Mikolov et al.: negatives come
+    * from U(w)^¾, flattening the head): per token the ¾-power weight
+    * computed as sqrt(n·sqrt(n))·10³ — two IEEE sqrts, each correctly
+    * rounded on both engines, so the composition is deterministic —
+    * then the cumulative range table, and [[NsDraws]] seeded draws
+    * (poly-131·G of 'ns:i' mod the total mass) bucketed into the
+    * ranges, so the gate pins BOTH the table build and the draw
+    * machinery a trainer's data loader replays. Vocabulary-sized
+    * everything (the cum window is over the vocab, not rows); the
+    * draw bucketing is a broadcast range join. */
+  val NsDraws = 10000L
+
+  val q235 = Q.sql("q235_negative_sampling",
+    s"""WITH c AS (
+       |  SELECT tok, CAST(count(*) AS BIGINT) AS n FROM (
+       |    SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+       |    FROM documents) GROUP BY 1),
+       |w AS (
+       |  SELECT tok, n,
+       |    CAST(round(sqrt(n * sqrt(n)) * 1000) AS BIGINT) AS w
+       |  FROM c),
+       |cw AS (
+       |  SELECT tok, n, w,
+       |    CAST(sum(w) OVER (ORDER BY tok) AS BIGINT) AS cum
+       |  FROM w),
+       |tot AS (SELECT CAST(sum(w) AS BIGINT) AS t FROM w),
+       |d AS (
+       |  SELECT CAST(CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+       |      list_transform(range(1, length('ns:' || CAST(r.i AS VARCHAR)) + 1),
+       |        c -> CAST(ascii(substr('ns:' || CAST(r.i AS VARCHAR), c, 1)) AS HUGEINT))),
+       |      (a, x) -> (a * 131 + x) % 2305843009213693951) AS HUGEINT)
+       |      * 1752450205419405103 % 2305843009213693951 AS BIGINT) % tot.t AS u
+       |  FROM range(0, $NsDraws) r(i) CROSS JOIN tot),
+       |j AS (
+       |  SELECT cw.tok, CAST(count(*) AS BIGINT) AS n_draws
+       |  FROM d JOIN cw ON d.u >= cw.cum - cw.w AND d.u < cw.cum
+       |  GROUP BY 1)
+       |SELECT cw.tok AS token, cw.n, cw.w AS w_milli,
+       |  COALESCE(j.n_draws, 0) AS n_draws
+       |FROM cw LEFT JOIN j ON j.tok = cw.tok
+       |ORDER BY token""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.{Exprs, Text}
+    import graft.operators.Sketches.Kmv
+    val c = Tables.documents(s, d)
+      .select(explode(Text.tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).cast("long").as("n"))
+    val w = c.withColumn("w",
+      round(sqrt(col("n") * sqrt(col("n"))) * 1000).cast("long"))
+    val cw = w.withColumn("cum", sum("w").over(Window.orderBy("tok")).cast("long"))
+      .localCheckpoint(true) // the draw join + output both read it
+    val tot = cw.agg(sum("w").cast("long").as("t"))
+    val draws = s.range(0, NsDraws)
+      .crossJoin(broadcast(tot))
+      .select(pmod(Exprs.mulmod61(
+        Exprs.poly_hash(concat(lit("ns:"), col("id").cast("string"))), Kmv.G),
+        col("t")).as("u"))
+    val j = draws.join(broadcast(cw),
+        col("u") >= col("cum") - col("w") && col("u") < col("cum"))
+      .groupBy("tok").agg(count(lit(1)).cast("long").as("n_draws"))
+    cw.join(j, Seq("tok"), "left").na.fill(0L, Seq("n_draws"))
+      .select(col("tok").as("token"), col("n"), col("w").as("w_milli"),
+        col("n_draws"))
+      .orderBy("token")
+  }
+
+  val all: Seq[Q] = Seq(q123, q124, q229, q235)
 }

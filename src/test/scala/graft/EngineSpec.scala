@@ -1481,6 +1481,38 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("negative sampling: draws conserved and distribution tracks the 3/4 power") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q235_negative_sampling")(spark, sf).collect()
+      .map(r => (r.getAs[String]("token"), r.getAs[Long]("n"),
+        r.getAs[Long]("w_milli"), r.getAs[Long]("n_draws")))
+    assert(rows.map(_._4).sum == graft.operators.Weighting.NsDraws,
+      "every draw must land in exactly one range")
+    val tw = rows.map(_._3).sum.toDouble
+    for ((tok, n, w, draws) <- rows) {
+      assert(math.abs(w - math.sqrt(n * math.sqrt(n.toDouble)) * 1000) <= 0.5 + 1e-6)
+      // 10k draws: expected share w/tw, tolerance 5 sigma of binomial
+      val exp = graft.operators.Weighting.NsDraws * w / tw
+      val sigma = math.sqrt(graft.operators.Weighting.NsDraws * (w / tw) * (1 - w / tw))
+      assert(math.abs(draws - exp) <= 5 * sigma + 1,
+        s"$tok: $draws draws vs expected $exp (sigma $sigma)")
+    }
+  }
+
+  test("PR curve is monotone in the threshold: recall never rises as tau grows") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q236_classifier_pr_curve")(spark, sf).collect()
+      .sortBy(_.getAs[Long]("tau"))
+    assert(rows.length == 5)
+    val recalls = rows.map(r => Option(r.get(r.fieldIndex("recall_v")))
+      .map(_.asInstanceOf[Double]).getOrElse(0.0))
+    assert(recalls.sliding(2).forall(p => p(1) <= p(0) + 1e-9),
+      s"recall not monotone: ${recalls.toSeq}")
+    // counts tile the labeled positives: tp + fn is constant across taus
+    val pos = rows.map(r => r.getAs[Long]("tp") + r.getAs[Long]("fn")).distinct
+    assert(pos.length == 1)
+  }
+
   test("hash walks only traverse real edges and have the pinned length") {
     import org.apache.spark.sql.functions._
     val raw = Tables.orders(spark, sf)
