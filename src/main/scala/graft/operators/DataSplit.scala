@@ -668,5 +668,57 @@ object DataSplit {
       .orderBy("event_type")
   }
 
-  val all: Seq[Q] = Seq(q59, q60, q67, q77, q83, q105, q133, q148, q165, q173, q186, q198, q226)
+  /** Bloom-filter sizing planner — the capacity math behind q83's
+    * decontamination prefilter, published as a table: for each key
+    * population and target false-positive rate, the optimal bit count
+    * m = ⌈n·ln(1/p)/ln²2⌉ and hash count k = round(ln(1/p)/ln 2).
+    * The transcendental factors are per-FPR CONSTANTS, precomputed
+    * once and shared as identical literals by both engines (the same
+    * discipline as q216's ln 2), so the plan is exact integer
+    * arithmetic over the distinct-key counts — which at 100 TB come
+    * from the HLL sketch instead of the exact distinct, same
+    * downstream math. */
+  private val BloomTargets = Seq(
+    // (fpr_ppm, bits-per-key factor ln(1/p)/ln^2 2, k = round(ln(1/p)/ln 2))
+    (10000L, 9.585026652029231, 7L), // p = 0.01
+    (1000L, 14.377539978043846, 10L)) // p = 0.001
+
+  val q238 = Q.sql("q238_bloom_planner", {
+    val rows = BloomTargets.map { case (ppm, c, k) =>
+      s"($ppm, $c, $k)" }.mkString(", ")
+    s"""WITH n AS (
+       |  SELECT 'documents' AS tbl, CAST(count(DISTINCT doc_id) AS BIGINT) AS n
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT 'events_users', CAST(count(DISTINCT user_id) AS BIGINT)
+       |  FROM events WHERE user_id IS NOT NULL
+       |  UNION ALL
+       |  SELECT 'orders', CAST(count(DISTINCT o_orderkey) AS BIGINT) FROM orders),
+       |t(fpr_ppm, c, k) AS (VALUES $rows)
+       |SELECT n.tbl, n.n AS n_keys, CAST(t.fpr_ppm AS BIGINT) AS fpr_ppm,
+       |  CAST(ceil(n.n * t.c) AS BIGINT) AS m_bits,
+       |  CAST((CAST(ceil(n.n * t.c) AS BIGINT) + 7) // 8 AS BIGINT) AS m_bytes,
+       |  CAST(t.k AS BIGINT) AS k
+       |FROM n CROSS JOIN t ORDER BY tbl, fpr_ppm""".stripMargin
+  }) { (s, d) =>
+    val spark = s
+    import spark.implicits._
+    val n = Tables.documents(s, d).agg(countDistinct("doc_id").as("n"))
+      .select(lit("documents").as("tbl"), col("n"))
+      .unionByName(Tables.events(s, d).filter(col("user_id").isNotNull)
+        .agg(countDistinct("user_id").as("n"))
+        .select(lit("events_users").as("tbl"), col("n")))
+      .unionByName(Tables.orders(s, d).agg(countDistinct("o_orderkey").as("n"))
+        .select(lit("orders").as("tbl"), col("n")))
+    val t = BloomTargets.toDF("fpr_ppm", "c", "k")
+    n.crossJoin(broadcast(t))
+      .select(col("tbl"), col("n").cast("long").as("n_keys"),
+        col("fpr_ppm").cast("long").as("fpr_ppm"),
+        ceil(col("n") * col("c")).cast("long").as("m_bits"),
+        expr("(CAST(ceil(n * c) AS BIGINT) + 7) div 8").cast("long").as("m_bytes"),
+        col("k").cast("long").as("k"))
+      .orderBy("tbl", "fpr_ppm")
+  }
+
+  val all: Seq[Q] = Seq(q59, q60, q67, q77, q83, q105, q133, q148, q165, q173, q186, q198, q226, q238)
 }

@@ -646,5 +646,60 @@ object Profiling {
       .orderBy("event_type", "bucket")
   }
 
-  val all: Seq[Q] = Seq(q122, q188, q189, q197, q199, q201, q208, q213, q216, q222)
+  /** k-anonymity generalization ladder — the algorithmic half q201's
+    * audit feeds: walk the generalization lattice from the finest
+    * quasi-identifier tuple to coarser ones, measure min-k and the
+    * at-risk row share at each level, and CHOOSE the first level whose
+    * minimum group size clears k ≥ 5 — the core loop of
+    * Datafly/Incognito-style anonymizers (their lattices are wider;
+    * the ladder is the same decision machinery). At-risk shares round
+    * half-up in integers (the operators.Q rule — these are finite
+    * decimals). Three aggregations over the table, each
+    * histogram-sized after its groupBy. */
+  val q239 = Q.sql("q239_generalization_ladder",
+    """WITH base AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(floor(value) AS BIGINT) AS vb
+      |  FROM events WHERE value IS NOT NULL),
+      |l0 AS (SELECT 0 AS lvl, count(*) AS k FROM base GROUP BY event_type, day, vb),
+      |l1 AS (SELECT 1 AS lvl, count(*) AS k FROM base GROUP BY event_type, day),
+      |l2 AS (SELECT 2 AS lvl, count(*) AS k FROM base GROUP BY event_type),
+      |g AS (SELECT * FROM l0 UNION ALL SELECT * FROM l1 UNION ALL SELECT * FROM l2),
+      |m AS (
+      |  SELECT lvl, CAST(min(k) AS BIGINT) AS min_k,
+      |    CAST(count(*) AS BIGINT) AS n_groups,
+      |    CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT) AS rows_at_risk,
+      |    CAST(sum(k) AS BIGINT) AS n_rows
+      |  FROM g GROUP BY 1),
+      |ch AS (SELECT min(lvl) AS chosen FROM m WHERE min_k >= 5)
+      |SELECT CAST(m.lvl AS BIGINT) AS lvl, m.min_k, m.n_groups,
+      |  CAST((m.rows_at_risk * 20000 + m.n_rows) // (2 * m.n_rows) AS DOUBLE)
+      |    / 10000.0 AS risk_share,
+      |  m.lvl = ch.chosen AS chosen
+      |FROM m CROSS JOIN ch ORDER BY lvl""".stripMargin) { (s, d) =>
+    val base = Tables.events(s, d).filter(col("value").isNotNull)
+      .select(col("event_type"), col("ts").cast("date").as("day"),
+        floor(col("value")).cast("long").as("vb"))
+      .localCheckpoint(true) // three lattice levels read it
+    def level(lvl: Int, keys: Seq[String]) =
+      base.groupBy(keys.map(col): _*).agg(count(lit(1)).as("k"))
+        .select(lit(lvl).as("lvl"), col("k"))
+    val g = level(0, Seq("event_type", "day", "vb"))
+      .unionByName(level(1, Seq("event_type", "day")))
+      .unionByName(level(2, Seq("event_type")))
+    val m = g.groupBy("lvl")
+      .agg(min("k").cast("long").as("min_k"),
+        count(lit(1)).cast("long").as("n_groups"),
+        sum(when(col("k") < 5, col("k")).otherwise(0L)).cast("long").as("rows_at_risk"),
+        sum("k").cast("long").as("n_rows"))
+    val ch = m.filter(col("min_k") >= 5).agg(min("lvl").as("chosen"))
+    m.crossJoin(broadcast(ch))
+      .select(col("lvl").cast("long").as("lvl"), col("min_k"), col("n_groups"),
+        (expr("CAST((rows_at_risk * 20000 + n_rows) div (2 * n_rows) AS DOUBLE)")
+          / 10000.0).as("risk_share"),
+        (col("lvl") === col("chosen")).as("chosen"))
+      .orderBy("lvl")
+  }
+
+  val all: Seq[Q] = Seq(q122, q188, q189, q197, q199, q201, q208, q213, q216, q222, q239)
 }

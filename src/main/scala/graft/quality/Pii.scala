@@ -117,5 +117,43 @@ object Pii {
       .orderBy("event_type")
   }
 
-  val all: Seq[Q] = Seq(q65, q228)
+  /** Right-to-erasure impact report — the pre-flight a GDPR deletion
+    * batch runs before the purge executes: for a deletion cohort
+    * (user_id % 37 = 0 stands in for the request list), per event
+    * type the rows leaving, the rows remaining, the metric mass
+    * leaving (exact micro sum — finance needs to know what the KPIs
+    * lose), and an order-pinned digest of the RETAINED row ids (the
+    * q130 postings-md5 device) — the checksum the post-purge verifier
+    * compares against, which is what makes the erasure auditable.
+    * One scan, one aggregate; the digest rides the same groupBy. */
+  val q237 = Q.sql("q237_erasure_impact",
+    """SELECT event_type,
+      |  CAST(sum(CASE WHEN user_id % 37 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_deleted,
+      |  CAST(sum(CASE WHEN user_id % 37 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_retained,
+      |  CAST(sum(CASE WHEN user_id % 37 = 0
+      |        THEN CAST(floor(value * 1000000.0) AS BIGINT) ELSE 0 END) AS BIGINT)
+      |    AS del_value_micro,
+      |  md5(array_to_string(list_sort(
+      |        list(event_id) FILTER (WHERE user_id % 37 <> 0)), ','))
+      |    AS retained_md5
+      |FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+      |GROUP BY 1 ORDER BY event_type""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .filter(col("user_id").isNotNull && col("value").isNotNull)
+      .withColumn("victim", col("user_id") % 37 === 0)
+      .groupBy("event_type")
+      .agg(
+        sum(when(col("victim"), 1L).otherwise(0L)).cast("long").as("n_deleted"),
+        sum(when(!col("victim"), 1L).otherwise(0L)).cast("long").as("n_retained"),
+        sum(when(col("victim"), floor(col("value") * 1000000.0).cast("long"))
+          .otherwise(0L)).cast("long").as("del_value_micro"),
+        md5(array_join(transform(array_sort(
+          collect_list(when(!col("victim"), col("event_id")))),
+          x => x.cast("string")), ",").cast("binary")).as("retained_md5"))
+      .orderBy("event_type")
+  }
+
+  val all: Seq[Q] = Seq(q65, q228, q237)
 }

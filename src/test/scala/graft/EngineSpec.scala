@@ -1481,6 +1481,60 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("erasure report: deleted+retained tile the table, digest excludes victims") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q237_erasure_impact")(spark, sf).collect()
+    val total = Tables.events(spark, sf)
+      .filter(col("user_id").isNotNull && col("value").isNotNull).count()
+    assert(rows.map(r => r.getAs[Long]("n_deleted") + r.getAs[Long]("n_retained")).sum
+      == total)
+    // recompute one type's retained digest brute
+    val t = rows.head.getAs[String]("event_type")
+    val kept = Tables.events(spark, sf)
+      .filter(col("user_id").isNotNull && col("value").isNotNull &&
+        col("event_type") === t && col("user_id") % 37 =!= 0)
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val dig = md.digest(kept.mkString(",").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(rows.head.getAs[String]("retained_md5") == dig)
+  }
+
+  test("bloom planner: more keys and tighter fpr never shrink the filter") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q238_bloom_planner")(spark, sf).collect()
+      .map(r => (r.getAs[String]("tbl"), r.getAs[Long]("n_keys"),
+        r.getAs[Long]("fpr_ppm"), r.getAs[Long]("m_bits"), r.getAs[Long]("k")))
+    assert(rows.nonEmpty)
+    for ((_, n, ppm, m, k) <- rows) {
+      assert(m >= n, "a useful bloom filter needs >= 1 bit per key")
+      val bitsPerKey = m.toDouble / n
+      if (ppm == 10000L) assert(bitsPerKey >= 9.5 && bitsPerKey < 9.7 && k == 7)
+      else assert(bitsPerKey >= 14.3 && bitsPerKey < 14.5 && k == 10)
+    }
+    for (g <- rows.groupBy(_._1).values) {
+      val byFpr = g.sortBy(_._3)
+      assert(byFpr.head._4 > byFpr.last._4,
+        "tighter fpr (smaller ppm) must cost more bits")
+    }
+  }
+
+  test("generalization ladder: coarser levels never lower min-k; chosen is minimal") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q239_generalization_ladder")(spark, sf).collect()
+      .sortBy(_.getAs[Long]("lvl"))
+    assert(rows.length == 3)
+    val minKs = rows.map(_.getAs[Long]("min_k"))
+    assert(minKs.sliding(2).forall(p => p(1) >= p(0)), s"min_k not monotone: ${minKs.toSeq}")
+    val chosen = rows.filter(_.getAs[Boolean]("chosen"))
+    assert(chosen.length <= 1)
+    for (c <- chosen) {
+      assert(c.getAs[Long]("min_k") >= 5)
+      for (r <- rows if r.getAs[Long]("lvl") < c.getAs[Long]("lvl"))
+        assert(r.getAs[Long]("min_k") < 5, "a finer level already satisfied k>=5")
+    }
+  }
+
   test("negative sampling: draws conserved and distribution tracks the 3/4 power") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("q235_negative_sampling")(spark, sf).collect()
