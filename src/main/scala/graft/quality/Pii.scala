@@ -155,5 +155,92 @@ object Pii {
       .orderBy("event_type")
   }
 
-  val all: Seq[Q] = Seq(q65, q228, q237)
+  /** End-to-end privacy release — the pipeline the privacy trio exists
+    * to feed, run as ONE composition gate (the q80/q136 discipline):
+    * generalize the quasi-identifier to the level the q239 ladder
+    * CHOOSES (the chosen level is a data-dependent scalar — the
+    * pipeline reads it, not a constant), suppress groups below k = 5,
+    * and publish counts under q213's deterministic two-sided-geometric
+    * noise keyed per group. The gate emits true count, noise, and
+    * noisy count side by side because it IS the correctness check of
+    * the mechanism; the release itself ships only the noisy column.
+    * Stage order is pinned by the one chained oracle. */
+  val q240 = Q.sql("q240_privacy_release",
+    """WITH base AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(floor(value) AS BIGINT) AS vb
+      |  FROM events WHERE value IS NOT NULL),
+      |l0 AS (SELECT 0 AS lvl, count(*) AS k FROM base GROUP BY event_type, day, vb),
+      |l1 AS (SELECT 1 AS lvl, count(*) AS k FROM base GROUP BY event_type, day),
+      |l2 AS (SELECT 2 AS lvl, count(*) AS k FROM base GROUP BY event_type),
+      |m AS (
+      |  SELECT lvl, min(k) AS min_k
+      |  FROM (SELECT * FROM l0 UNION ALL SELECT * FROM l1 UNION ALL SELECT * FROM l2)
+      |  GROUP BY 1),
+      |ch AS (SELECT min(lvl) AS chosen FROM m WHERE min_k >= 5),
+      |gk AS (
+      |  SELECT CASE ch.chosen
+      |      WHEN 0 THEN event_type || '|' || CAST(day AS VARCHAR)
+      |                 || '|' || CAST(vb AS VARCHAR)
+      |      WHEN 1 THEN event_type || '|' || CAST(day AS VARCHAR)
+      |      ELSE event_type END AS group_key
+      |  FROM base CROSS JOIN ch),
+      |c AS (
+      |  SELECT group_key, CAST(count(*) AS BIGINT) AS k_true
+      |  FROM gk GROUP BY 1 HAVING count(*) >= 5),
+      |h AS (
+      |  SELECT group_key, k_true,
+      |    CAST(CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+      |      list_transform(range(1, length(ks) + 1),
+      |                     c -> CAST(ascii(substr(ks, c, 1)) AS HUGEINT))),
+      |      (a, x) -> (a * 131 + x) % 2305843009213693951) AS HUGEINT)
+      |      * 1752450205419405103 % 2305843009213693951 AS BIGINT) AS hv
+      |  FROM (SELECT group_key, k_true, 'dp:' || group_key AS ks FROM c)),
+      |z AS (
+      |  SELECT group_key, k_true, hv,
+      |    CASE WHEN hv = 0 THEN 0
+      |         ELSE length(bin(hv & -hv)) - 1 END AS mag
+      |  FROM h)
+      |SELECT group_key, k_true,
+      |  CAST(((hv >> (mag + 1)) & 1) * 2 - 1 AS BIGINT) * mag AS noise,
+      |  k_true + CAST(((hv >> (mag + 1)) & 1) * 2 - 1 AS BIGINT) * mag AS k_noisy
+      |FROM z ORDER BY group_key""".stripMargin) { (s, d) =>
+    import graft.functions.Exprs
+    import graft.operators.Sketches.Kmv
+    val base = Tables.events(s, d).filter(col("value").isNotNull)
+      .select(col("event_type"), col("ts").cast("date").as("day"),
+        floor(col("value")).cast("long").as("vb"))
+      .localCheckpoint(true) // ladder + release read it
+    def level(lvl: Int, keys: Seq[String]) =
+      base.groupBy(keys.map(col): _*).agg(count(lit(1)).as("k"))
+        .select(lit(lvl).as("lvl"), col("k"))
+    val ch = level(0, Seq("event_type", "day", "vb"))
+      .unionByName(level(1, Seq("event_type", "day")))
+      .unionByName(level(2, Seq("event_type")))
+      .groupBy("lvl").agg(min("k").as("min_k"))
+      .filter(col("min_k") >= 5).agg(min("lvl").as("chosen"))
+    base.crossJoin(broadcast(ch))
+      .withColumn("group_key",
+        when(col("chosen") === 0,
+          concat(col("event_type"), lit("|"), col("day").cast("string"),
+            lit("|"), col("vb").cast("string")))
+          .when(col("chosen") === 1,
+            concat(col("event_type"), lit("|"), col("day").cast("string")))
+          .otherwise(col("event_type")))
+      .groupBy("group_key").agg(count(lit(1)).cast("long").as("k_true"))
+      .filter(col("k_true") >= 5)
+      .withColumn("hv", Exprs.mulmod61(
+        Exprs.poly_hash(concat(lit("dp:"), col("group_key"))), Kmv.G))
+      .withColumn("mag",
+        when(col("hv") === 0, 0L)
+          .otherwise(expr("length(bin(hv & -hv)) - 1").cast("long")))
+      .withColumn("noise",
+        (expr("shiftright(hv, cast(mag + 1 as int)) & 1") * 2 - 1).cast("long")
+          * col("mag"))
+      .select(col("group_key"), col("k_true"), col("noise"),
+        (col("k_true") + col("noise")).as("k_noisy"))
+      .orderBy("group_key")
+  }
+
+  val all: Seq[Q] = Seq(q65, q228, q237, q240)
 }

@@ -1481,6 +1481,29 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("privacy release: every group clears k>=5 and noise stays geometric-bounded") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q240_privacy_release")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getAs[Long]("k_true") >= 5, "suppression failed")
+      assert(math.abs(r.getAs[Long]("noise")) <= 61)
+      assert(r.getAs[Long]("k_noisy") ==
+        r.getAs[Long]("k_true") + r.getAs[Long]("noise"))
+    }
+    // the chosen generalization must match the ladder gate's choice
+    val ladder = SparkEntry.queries("q239_generalization_ladder")(spark, sf)
+      .collect().filter(_.getAs[Boolean]("chosen")).map(_.getAs[Long]("lvl"))
+    if (ladder.nonEmpty) {
+      val parts = rows.head.getAs[String]("group_key").split("\\|").length
+      val expectedParts = ladder.head match {
+        case 0 => 3; case 1 => 2; case _ => 1
+      }
+      assert(parts == expectedParts,
+        s"release grouped at ${parts}-part keys but ladder chose level ${ladder.head}")
+    }
+  }
+
   test("erasure report: deleted+retained tile the table, digest excludes victims") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("q237_erasure_impact")(spark, sf).collect()
