@@ -82,5 +82,78 @@ object RankEval {
     rankingEval(Similarity.q31.fn(s, d), Similarity.q30.fn(s, d), 3)
   }
 
-  val all: Seq[Q] = Seq(q157)
+  /** nDCG@10 of the BM25 ranking under graded relevance — the eval
+    * number IR teams actually report (q157 covers hits/MRR against a
+    * truth ranking; nDCG grades partial relevance): a document's grade
+    * is the count of distinct query terms it contains (0–3), gain =
+    * 2^g − 1, and the rank discounts 1/log2(r+1) enter as PRECOMPUTED
+    * micro literals shared by both engines (the q216 ln 2 discipline —
+    * no runtime transcendental), so DCG and the ideal DCG are exact
+    * BIGINT sums and nDCG is one integer-rounded rational (the
+    * operators.Q half-boundary rule). IDCG takes the 10 best grades
+    * corpus-wide — the strongest attainable ordering. */
+  private val NdcgTerms = Seq("spark", "table", "fast")
+  // 10^6 / log2(r+1) for r = 1..10
+  private val DiscMicro = Seq(1000000L, 630930L, 500000L, 430677L, 386853L,
+    356207L, 333333L, 315465L, 301030L, 289065L)
+
+  val q241 = Q.sql("q241_ndcg", {
+    val inList = NdcgTerms.map("'" + _ + "'").mkString(",")
+    val discVals = DiscMicro.zipWithIndex
+      .map { case (d, i) => s"(${i + 1}, $d)" }.mkString(", ")
+    s"""WITH pred AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY score_micro DESC, doc_id) AS r
+       |  FROM (${Postings.q141.oracle.get.replace("ORDER BY score_micro DESC, doc_id LIMIT 10", "ORDER BY score_micro DESC, doc_id LIMIT 10")}) b),
+       |grades AS (
+       |  SELECT doc_id, CAST(count(DISTINCT token) AS BIGINT) AS g FROM (
+       |    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+       |    FROM documents) t
+       |  WHERE token IN ($inList) GROUP BY 1),
+       |disc(r, d) AS (VALUES $discVals),
+       |dcg AS (
+       |  SELECT CAST(sum(((1::BIGINT << COALESCE(g.g, 0)) - 1) * disc.d) AS BIGINT)
+       |    AS dcg_micro
+       |  FROM pred JOIN disc ON disc.r = pred.r
+       |  LEFT JOIN grades g ON g.doc_id = pred.doc_id),
+       |ideal AS (
+       |  SELECT CAST(sum(((1::BIGINT << g) - 1) * d) AS BIGINT) AS idcg_micro
+       |  FROM (SELECT g, row_number() OVER (ORDER BY g DESC) AS r
+       |        FROM grades QUALIFY r <= 10) i
+       |  JOIN disc ON disc.r = i.r)
+       |SELECT dcg.dcg_micro, ideal.idcg_micro,
+       |  CAST((dcg.dcg_micro * 20000 + ideal.idcg_micro)
+       |       // (2 * ideal.idcg_micro) AS DOUBLE) / 10000.0 AS ndcg
+       |FROM dcg CROSS JOIN ideal""".stripMargin
+  }) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val spark = s
+    import spark.implicits._
+    val pred = Postings.q141.fn(s, d)
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("score_micro").desc, col("doc_id"))))
+      .select("doc_id", "r")
+    val grades = Tables.documents(s, d)
+      .select(col("doc_id"), explode(graft.functions.Text.tokens(col("text"))).as("token"))
+      .filter(col("token").isin(NdcgTerms: _*))
+      .groupBy("doc_id").agg(countDistinct("token").cast("long").as("g"))
+      .localCheckpoint(true) // DCG + ideal both read it
+    val disc = DiscMicro.zipWithIndex.map { case (dd, i) => (i + 1, dd) }
+      .toDF("r", "d")
+    val dcg = pred.join(broadcast(disc), "r")
+      .join(grades, Seq("doc_id"), "left").na.fill(0L, Seq("g"))
+      .agg(sum(expr("(shiftleft(1L, cast(g as int)) - 1) * d")).cast("long")
+        .as("dcg_micro"))
+    val ideal = grades
+      .withColumn("r", row_number().over(Window.orderBy(col("g").desc)))
+      .filter(col("r") <= 10)
+      .join(broadcast(disc), "r")
+      .agg(sum(expr("(shiftleft(1L, cast(g as int)) - 1) * d")).cast("long")
+        .as("idcg_micro"))
+    dcg.crossJoin(ideal)
+      .withColumn("ndcg",
+        expr("CAST((dcg_micro * 20000 + idcg_micro) div (2 * idcg_micro) AS DOUBLE)")
+          / 10000.0)
+  }
+
+  val all: Seq[Q] = Seq(q157, q241)
 }

@@ -981,5 +981,76 @@ object TextOps {
       .orderBy("tau")
   }
 
-  val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q38, q39, q64, q70, q75, q78, q87, q88, q209, q236)
+  /** ROUGE-1/2 pair scoring — the n-gram overlap metric summarization
+    * and near-dup analyses share, computed at corpus scale over
+    * deterministic (even, odd) adjacent-id document pairs: multiset
+    * unigram/bigram overlap Σ min(cA, cB), with F1 collapsing to
+    * 2·overlap/(|A|+|B|) (the harmonic identity — no separate P and R
+    * divisions to drift), rounded half-up in integers (operators.Q
+    * rule). One gram-count aggregation per side, one join on the gram
+    * key — the same shuffle shape as the dedup family. */
+  val q244 = Q.sql("q244_rouge_pairs",
+    """WITH tk AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |u AS (
+      |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c FROM (
+      |    SELECT doc_id, unnest(toks) AS tok FROM tk) GROUP BY 1, 2),
+      |bgr AS (
+      |  SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+      |      i -> toks[i] || ' ' || toks[i+1])) AS g
+      |    FROM tk) GROUP BY 1, 2),
+      |n AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS nt FROM tk),
+      |o1 AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(sum(least(a.c, b.c)) AS BIGINT) AS ov1
+      |  FROM u a JOIN u b ON b.doc_id = a.doc_id + 1 AND b.tok = a.tok
+      |  WHERE a.doc_id % 2 = 0 GROUP BY 1, 2),
+      |o2 AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(sum(least(a.c, b.c)) AS BIGINT) AS ov2
+      |  FROM bgr a JOIN bgr b ON b.doc_id = a.doc_id + 1 AND b.g = a.g
+      |  WHERE a.doc_id % 2 = 0 GROUP BY 1, 2)
+      |SELECT o1.doc_a, o1.doc_b, o1.ov1,
+      |  CAST((2 * o1.ov1 * 20000 + (na.nt + nb.nt))
+      |       // (2 * (na.nt + nb.nt)) AS DOUBLE) / 10000.0 AS r1_f,
+      |  COALESCE(o2.ov2, 0) AS ov2,
+      |  CAST((2 * COALESCE(o2.ov2, 0) * 20000 + (na.nt - 1 + nb.nt - 1))
+      |       // (2 * (na.nt - 1 + nb.nt - 1)) AS DOUBLE) / 10000.0 AS r2_f
+      |FROM o1 LEFT JOIN o2 ON o2.doc_a = o1.doc_a
+      |JOIN n na ON na.doc_id = o1.doc_a
+      |JOIN n nb ON nb.doc_id = o1.doc_b
+      |ORDER BY o1.doc_a""".stripMargin) { (s, d) =>
+    val tk = Tables.documents(s, d)
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .localCheckpoint(true) // unigram, bigram, and length tables read it
+    val u = tk.select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).cast("long").as("c"))
+    val bgr = tk.select(col("doc_id"),
+        explode(Text.shingles(col("toks"), 2)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).cast("long").as("c"))
+    val n = tk.select(col("doc_id"), size(col("toks")).cast("long").as("nt"))
+    def overlap(grams: org.apache.spark.sql.DataFrame, key: String, out: String) =
+      grams.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("doc_a"), col(key).as("k"), col("c").as("ca"))
+        .join(grams.select((col("doc_id") - 1).as("doc_a"), col(key).as("k"),
+          col("c").as("cb")), Seq("doc_a", "k"))
+        .groupBy("doc_a").agg(sum(least(col("ca"), col("cb"))).cast("long").as(out))
+    val o1 = overlap(u, "tok", "ov1")
+    val o2 = overlap(bgr, "g", "ov2")
+    o1.withColumn("doc_b", col("doc_a") + 1)
+      .join(o2, Seq("doc_a"), "left").na.fill(0L, Seq("ov2"))
+      .join(n.select(col("doc_id").as("doc_a"), col("nt").as("na")), "doc_a")
+      .join(n.select(col("doc_id").as("doc_b"), col("nt").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("ov1"),
+        (expr("CAST((2 * ov1 * 20000 + (na + nb)) div (2 * (na + nb)) AS DOUBLE)")
+          / 10000.0).as("r1_f"),
+        col("ov2"),
+        (expr("CAST((2 * ov2 * 20000 + (na - 1 + nb - 1)) div (2 * (na - 1 + nb - 1)) AS DOUBLE)")
+          / 10000.0).as("r2_f"))
+      .orderBy("doc_a")
+  }
+
+  val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q38, q39, q64, q70, q75, q78, q87, q88, q209, q236, q244)
 }

@@ -516,5 +516,53 @@ object Timeseries {
       .orderBy("user_id")
   }
 
-  val all: Seq[Q] = Seq(q115, q116, q121, q137, q159, q176, q185, q195, q233)
+  /** Sweep-line concurrency — max simultaneous sessions per day, the
+    * capacity number an ops team sizes connection pools from: each
+    * (user, day) session spans [first event, last event], and the
+    * classic sweep materializes ±1 boundary events, orders them by
+    * (time, +1 before −1, user) — a session ending exactly when
+    * another starts counts as overlapping, pinned by the tie order —
+    * and takes the max running sum per day. Integer micros end to
+    * end; the running sum partitions by day, so the shuffle is one
+    * day-key exchange and each partition's window is
+    * sessions-per-day-sized. */
+  val q242 = Q.sql("q242_session_concurrency",
+    """WITH s AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day,
+      |    min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1
+      |  FROM events WHERE user_id IS NOT NULL
+      |  GROUP BY 1, 2),
+      |b AS (
+      |  SELECT day, t0 AS t, 1 AS delta, user_id FROM s
+      |  UNION ALL
+      |  SELECT day, t1 AS t, -1 AS delta, user_id FROM s),
+      |r AS (
+      |  SELECT day,
+      |    sum(delta) OVER (PARTITION BY day
+      |      ORDER BY t, delta DESC, user_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS live
+      |  FROM b)
+      |SELECT s.day, CAST(count(*) AS BIGINT) AS n_sessions,
+      |  CAST(max(r.mx) AS BIGINT) AS max_concurrent
+      |FROM s JOIN (SELECT day, max(live) AS mx FROM r GROUP BY 1) r USING (day)
+      |GROUP BY 1 ORDER BY day""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val sess = Tables.events(s, d).filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"), col("ts").cast("date").as("day"))
+      .agg(min(unix_micros(col("ts"))).as("t0"), max(unix_micros(col("ts"))).as("t1"))
+      .localCheckpoint(true) // boundaries + the per-day session count read it
+    val b = sess.select(col("day"), col("t0").as("t"), lit(1).as("delta"), col("user_id"))
+      .unionByName(sess.select(col("day"), col("t1").as("t"),
+        lit(-1).as("delta"), col("user_id")))
+    val mx = b.withColumn("live", sum("delta").over(
+        Window.partitionBy("day").orderBy(col("t"), col("delta").desc, col("user_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("day").agg(max("live").as("mx"))
+    sess.groupBy("day").agg(count(lit(1)).cast("long").as("n_sessions"))
+      .join(mx, "day")
+      .select(col("day"), col("n_sessions"), col("mx").cast("long").as("max_concurrent"))
+      .orderBy("day")
+  }
+
+  val all: Seq[Q] = Seq(q115, q116, q121, q137, q159, q176, q185, q195, q233, q242)
 }

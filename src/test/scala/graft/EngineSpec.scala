@@ -1481,6 +1481,56 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("nDCG is bounded by the ideal and consistent with its own components") {
+    val r = SparkEntry.queries("q241_ndcg")(spark, sf).collect()(0)
+    val dcg = r.getAs[Long]("dcg_micro"); val idcg = r.getAs[Long]("idcg_micro")
+    assert(dcg >= 0 && dcg <= idcg, s"DCG $dcg exceeds ideal $idcg")
+    val expected = ((BigInt(dcg) * 20000 + idcg) / (BigInt(2) * idcg)).toDouble / 10000.0
+    assert(math.abs(r.getAs[Double]("ndcg") - expected) < 1e-9)
+    assert(r.getAs[Double]("ndcg") >= 0 && r.getAs[Double]("ndcg") <= 1)
+  }
+
+  test("session concurrency replays a brute interval-overlap count for one day") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q242_session_concurrency")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows)
+      assert(r.getAs[Long]("max_concurrent") >= 1 &&
+        r.getAs[Long]("max_concurrent") <= r.getAs[Long]("n_sessions"))
+    val day = rows.head.getDate(rows.head.fieldIndex("day"))
+    val sess = Tables.events(spark, sf).filter(col("user_id").isNotNull)
+      .filter(col("ts").cast("date") === lit(day))
+      .groupBy("user_id")
+      .agg(min(unix_micros(col("ts"))).as("t0"), max(unix_micros(col("ts"))).as("t1"))
+      .collect().map(r2 => (r2.getLong(1), r2.getLong(2)))
+    // brute: for every boundary instant, count sessions covering it
+    // (closed interval — matches the gate's +1-before-−1 tie order)
+    val brute = sess.flatMap(s2 => Seq(s2._1, s2._2))
+      .map(t => sess.count(s2 => s2._1 <= t && t <= s2._2)).max
+    assert(rows.head.getAs[Long]("max_concurrent") == brute.toLong)
+  }
+
+  test("ROUGE pairs replay a brute multiset overlap for the first pair") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q244_rouge_pairs")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getAs[Double]("r1_f") >= 0 && r.getAs[Double]("r1_f") <= 1)
+      assert(r.getAs[Double]("r2_f") <= r.getAs[Double]("r1_f") + 1e-9,
+        "bigram overlap cannot beat unigram overlap on these pairs")
+    }
+    val first = rows.head
+    val texts = Tables.documents(spark, sf)
+      .filter(col("doc_id").isin(first.getAs[Long]("doc_a"), first.getAs[Long]("doc_b")))
+      .collect().map(r2 => (r2.getAs[Long]("doc_id"), r2.getAs[String]("text").trim.split("\\s+")))
+      .toMap
+    val a = texts(first.getAs[Long]("doc_a")); val b = texts(first.getAs[Long]("doc_b"))
+    def counts(x: Array[String]) = x.groupBy(identity).map { case (k, v) => k -> v.length }
+    val ca = counts(a); val cb = counts(b)
+    val ov1 = ca.map { case (k, c) => math.min(c, cb.getOrElse(k, 0)) }.sum
+    assert(first.getAs[Long]("ov1") == ov1.toLong)
+  }
+
   test("privacy release: every group clears k>=5 and noise stays geometric-bounded") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("q240_privacy_release")(spark, sf).collect()
