@@ -564,5 +564,42 @@ object Timeseries {
       .orderBy("day")
   }
 
-  val all: Seq[Q] = Seq(q115, q116, q121, q137, q159, q176, q185, q195, q233, q242)
+  /** Weekday seasonality — the day-of-week profile with an exact
+    * chi-square uniformity test (df = 6): per event type, Σ(oᵢ−n/7)²
+    * / (n/7) collapses to Σ(7oᵢ−n)² / (7n), ONE integer rational
+    * (milli-rounded half-up), flagged against the p = 0.05 critical
+    * value 12.592. The seasonal/flat verdict drives whether a
+    * forecasting or sampling job needs a weekday term. One aggregate
+    * to the 7×types histogram. */
+  val q243 = Q.sql("q243_weekday_profile",
+    """WITH d AS (
+      |  SELECT event_type, dayofweek(CAST(ts AS DATE)) AS dow,
+      |    CAST(count(*) AS BIGINT) AS o
+      |  FROM events GROUP BY 1, 2),
+      |n AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS n FROM d GROUP BY 1),
+      |x AS (
+      |  SELECT d.event_type,
+      |    CAST(sum((7 * d.o - n.n) * (7 * d.o - n.n)) AS BIGINT) AS ss,
+      |    max(n.n) AS n
+      |  FROM d JOIN n USING (event_type) GROUP BY 1)
+      |SELECT event_type, n AS n_events,
+      |  CAST((ss * 2000 + 7 * n) // (14 * n) AS DOUBLE) / 1000.0 AS chi2,
+      |  CAST((ss * 2000 + 7 * n) // (14 * n) AS DOUBLE) / 1000.0 > 12.592
+      |    AS seasonal
+      |FROM x ORDER BY event_type""".stripMargin) { (s, d) =>
+    val dd = Tables.events(s, d)
+      .groupBy(col("event_type"), dayofweek(col("ts").cast("date")).as("dow"))
+      .agg(count(lit(1)).cast("long").as("o"))
+    val n = dd.groupBy("event_type").agg(sum("o").cast("long").as("n"))
+    dd.join(broadcast(n), "event_type")
+      .groupBy("event_type")
+      .agg(sum(expr("(7 * o - n) * (7 * o - n)")).cast("long").as("ss"),
+        max("n").as("n"))
+      .select(col("event_type"), col("n").as("n_events"),
+        (expr("CAST((ss * 2000 + 7 * n) div (14 * n) AS DOUBLE)") / 1000.0).as("chi2"))
+      .withColumn("seasonal", col("chi2") > 12.592)
+      .orderBy("event_type")
+  }
+
+  val all: Seq[Q] = Seq(q115, q116, q121, q137, q159, q176, q185, q195, q233, q242, q243)
 }

@@ -1481,6 +1481,23 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("weekday chi2 replays brute and is label-invariant by construction") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), dayofweek(col("ts").cast("date")).as("dow"))
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    val got = SparkEntry.queries("q243_weekday_profile")(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Double]("chi2")).toMap
+    for ((t, byT) <- ev.groupBy(_._1)) {
+      val n = byT.length.toLong
+      val ss = byT.groupBy(_._2).values.map { g =>
+        val d = 7L * g.length - n; d * d
+      }.sum
+      val expected = ((BigInt(ss) * 2000 + 7 * n) / (BigInt(14) * n)).toDouble / 1000.0
+      assert(math.abs(got(t) - expected) < 1e-9, s"$t: ${got(t)} vs $expected")
+    }
+  }
+
   test("nDCG is bounded by the ideal and consistent with its own components") {
     val r = SparkEntry.queries("q241_ndcg")(spark, sf).collect()(0)
     val dcg = r.getAs[Long]("dcg_micro"); val idcg = r.getAs[Long]("idcg_micro")
