@@ -233,4 +233,40 @@ class PropertySpec extends AnyFunSuite {
         offsets.sorted == (0 until total by limit).toList
     })
   }
+
+  test("integer piecewise log2 stays within 0.0871 bits of true log2 and is monotone") {
+    // the qlog2 device (q181/q202/q208/q216) is load-bearing for every
+    // LM/drift gate — pin its error envelope and monotonicity on random
+    // positive longs, including the power-of-two exact points
+    def qlog2(n: Long): Long = {
+      val blen = 64 - java.lang.Long.numberOfLeadingZeros(n)
+      (blen - 1) * 1024 + (BigInt(n) * 1024 / (BigInt(1) << (blen - 1))).toLong - 1024
+    }
+    check("qlog2-envelope", Prop.forAll(Gen.chooseNum(1L, 1L << 50)) { n =>
+      // ScalaCheck shrinking can escape chooseNum's range — clamp it
+      val m = math.max(1L, n)
+      // analytic chord-error max 0.08607 (at frac = 1/ln2 − 1) plus the
+      // 1/1024 floor-quantization step
+      val err = math.abs(qlog2(m) / 1024.0 - math.log(m.toDouble) / math.log(2.0))
+      err <= 0.08607 + 1.0 / 1024 &&
+        (m == 1 || qlog2(m) >= qlog2(m - 1)) &&
+        (java.lang.Long.bitCount(m) != 1 || qlog2(m) == (63 - java.lang.Long.numberOfLeadingZeros(m)).toLong * 1024)
+    })
+  }
+
+  test("integer half-up rounding matches BigDecimal HALF_UP on random quotients") {
+    // the operators.Q half-boundary rule: (s + 50c) div (100c) must BE
+    // half-up rounding of (s/c)/100 to the unit — including exact halves,
+    // where float round splits engines (the q233 5x catch)
+    val g = for {
+      c <- Gen.chooseNum(1L, 100000L)
+      s <- Gen.chooseNum(0L, 10000000000L)
+    } yield (s, c)
+    check("half-up-integer", Prop.forAll(g) { case (s, c) =>
+      val got = (s + 50 * c) / (100 * c)
+      val expected = (BigDecimal(s) / (BigDecimal(100) * c))
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      got == expected
+    })
+  }
 }

@@ -45,6 +45,17 @@ class ReadmeSpec extends AnyFunSuite {
       s"gates without a DuckDB oracle (README claims none remain): ${noOracle.mkString(", ")}")
   }
 
+  test("gate numbering is dense: q01..qN with no gaps") {
+    val nums = SparkEntry.allQueries.map(_.name)
+      .map(n => """^q(\d+)_""".r.findFirstMatchIn(n)
+        .getOrElse(fail(s"gate name '$n' not of the form qNN_slug"))
+        .group(1).toInt)
+      .sorted
+    assert(nums.head == 1, s"numbering starts at q${nums.head}")
+    val gaps = (nums.head to nums.last).toSet -- nums.toSet
+    assert(gaps.isEmpty, s"numbering gaps: ${gaps.toSeq.sorted.mkString(", ")}")
+  }
+
   test("BENCH block is non-empty and derived from bench_out.json") {
     val begin = readme.indexOf("<!-- BENCH:BEGIN")
     val end = readme.indexOf("<!-- BENCH:END -->")
