@@ -130,7 +130,9 @@ object TextStats {
     * qlog2(n) = (blen−1)·1024 + n·1024 div 2^(blen−1) − 1024 with
     * blen = length(bin(n)) — exact in both engines (bit ops and one
     * floor division, no transcendental call), monotone, and within
-    * 0.086 bits of true log2, which is noise for a filter score. The
+    * 0.0871 bits of true log2 (0.08607 chord error + the 1/1024
+    * quantization step — PropertySpec pins the envelope), which is
+    * noise for a filter score. The
     * first build used round(log2(n)·10⁶) (q119's device) and the 5×
     * sweep caught it: Java's log/log(2) and DuckDB's log2 disagree by
     * an ulp on some counts, and one crossing flips a micro-bit —
