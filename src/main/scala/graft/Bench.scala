@@ -188,6 +188,15 @@ object Bench {
     }
     if (errors.nonEmpty)
       System.err.println(s"[bench] ${errors.size} of ${picked.size} queries FAILED: ${errors.keys.mkString(", ")}")
+    // the harness that invokes this keeps only the LAST ~2000 stdout
+    // chars: the full JSON line above outgrew that window around 150
+    // gates (BENCH_r08-r10 all record parsed:null), so the FINAL line
+    // is a compact headline — total, counts, slowest few — that always
+    // fits; bench_out.json carries the complete per-query map
+    val slowest = results.sortBy(-_._2).take(12)
+      .map { case (k, v) => f"${Jsonl.str(k)}:$v%.2f" }.mkString("{", ",", "}")
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","queries_n":${results.size},"errors_n":${errors.size},"queries":$slowest,"queries_truncated_to_slowest":12,"full":"bench_out.json"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

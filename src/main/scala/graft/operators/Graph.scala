@@ -438,8 +438,10 @@ object Graph {
     * neighbor (Σ deg² rows — the standard link-pred cost), common
     * counts fold in the same aggregation, the union size is
     * inclusion–exclusion over broadcast degrees, and the existing-edge
-    * anti-join removes known links. Integer counts, one rounded
-    * rational, (score, common, pair) total order. */
+    * anti-join removes known links. Integer counts; the Jaccard ratio
+    * is a finite-decimal-capable quotient, so it rounds half-up in
+    * INTEGERS ((2·10⁴·c + u) div (2u), the q233 rule) rather than by
+    * float round; (score, common, pair) total order. */
   val LinkPredMinSup = 3
 
   val q223 = Q.sql("q223_link_prediction",
@@ -460,7 +462,8 @@ object Graph {
        |  FROM two LEFT JOIN e0 ON e0.u = two.a AND e0.v = two.b
        |  WHERE e0.u IS NULL)
        |SELECT a, b, common,
-       |  round(1.0 * common / (da.deg + db.deg - common), 4) AS jaccard
+       |  CAST((common * 20000 + (da.deg + db.deg - common))
+       |       // (2 * (da.deg + db.deg - common)) AS DOUBLE) / 10000.0 AS jaccard
        |FROM cand JOIN deg da ON da.node = a JOIN deg db ON db.node = b
        |ORDER BY jaccard DESC, common DESC, a, b LIMIT 20""".stripMargin) { (s, d) =>
     val i = Tables.lineitem(s, d)
@@ -484,8 +487,8 @@ object Graph {
       .join(broadcast(deg.select(col("node").as("a"), col("deg").as("da"))), "a")
       .join(broadcast(deg.select(col("node").as("b"), col("deg").as("db"))), "b")
       .select(col("a"), col("b"), col("common"),
-        round(lit(1.0) * col("common") / (col("da") + col("db") - col("common")), 4)
-          .as("jaccard"))
+        (expr("CAST((common * 20000 + (da + db - common))"
+          + " div (2 * (da + db - common)) AS DOUBLE)") / 10000.0).as("jaccard"))
       .orderBy(col("jaccard").desc, col("common").desc, col("a"), col("b"))
       .limit(20)
   }

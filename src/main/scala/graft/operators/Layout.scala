@@ -72,14 +72,19 @@ object Layout {
       .orderBy("zbucket")
   }
 
-  /** Bucketed tables for the shuffle-free join gate, written once per
-    * (JVM, data dir): lineitem and orders hash-bucketed AND sorted by
-    * their join key into the same bucket count, via the catalog
-    * (`bucketBy` needs `saveAsTable` — bucket metadata lives in the
-    * table definition, not the files). Overwrite mode makes the write
-    * idempotent across JVMs sharing one warehouse dir (the catalog is
-    * per-session, so each JVM re-registers; file content is
-    * deterministic). */
+  /** Bucketed tables for the shuffle-free join gate, built once per
+    * (warehouse dir, data dir) and ADOPTED by every later JVM:
+    * lineitem and orders hash-bucketed AND sorted by their join key
+    * into the same bucket count. `bucketBy` needs `saveAsTable`, so
+    * each builder writes an EXTERNAL pid-suffixed staging table and
+    * rename(2)s its directory into the canonical location (the
+    * SuffixArray.suffixRanks discipline) — a second JVM sharing the
+    * warehouse dir never deletes files a first JVM is mid-scan over,
+    * and a racing builder's loser just discards its staging (the
+    * build is deterministic, both copies are equivalent layouts).
+    * Adoption re-registers the location as an external bucketed table
+    * (CLUSTERED BY DDL — bucket metadata lives in the catalog, the
+    * bucket ids ride the part-file names across the move). */
   private val bucketMemo =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
 
@@ -91,26 +96,59 @@ object Layout {
       val key = java.lang.Integer.toHexString(dir.hashCode).replace('-', 'm')
       val li = s"graft_bk_li_$key"
       val ord = s"graft_bk_ord_$key"
-      // the catalog is per-JVM but the warehouse dir persists: drop any
-      // same-session registration AND sweep an orphaned location left by
-      // a previous JVM, or CTAS refuses the managed-table path
-      Seq(li, ord).foreach { t =>
-        spark.sql(s"DROP TABLE IF EXISTS $t")
-        val wh = java.net.URI.create(
-          spark.conf.get("spark.sql.warehouse.dir")).getPath
-        val loc = new java.io.File(wh, t)
-        if (loc.exists()) org.apache.commons.io.FileUtils.deleteDirectory(loc)
+      val wh = java.net.URI.create(
+        spark.conf.get("spark.sql.warehouse.dir")).getPath
+      // _SUCCESS gates adoption: a canonical dir can only appear via a
+      // completed atomic rename of a finished staging write (partial
+      // state lives only under pid-suffixed staging names), but a
+      // leftover from the PRE-staging code path could be a crashed
+      // in-place write — the committer marker distinguishes them
+      def ensure(t: String, ddlCols: String, keyCol: String)
+          (build: (String, String) => Unit): Unit = {
+        val target = new java.io.File(wh, t)
+        if (!new java.io.File(target, "_SUCCESS").exists()) {
+          if (target.exists()) // unmarked pre-staging leftover: rebuild
+            org.apache.commons.io.FileUtils.deleteDirectory(target)
+          val stT = s"${t}_stage${java.lang.ProcessHandle.current().pid()}"
+          val stLoc = new java.io.File(wh, stT)
+          spark.sql(s"DROP TABLE IF EXISTS $stT")
+          if (stLoc.exists()) // ours: pid-suffixed, safe to clear
+            org.apache.commons.io.FileUtils.deleteDirectory(stLoc)
+          build(stT, stLoc.getAbsolutePath)
+          spark.sql(s"DROP TABLE IF EXISTS $stT") // external: files stay
+          try java.nio.file.Files.move(stLoc.toPath, target.toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          catch {
+            case race @ (_: java.nio.file.FileAlreadyExistsException |
+                 _: java.nio.file.AccessDeniedException |
+                 _: java.nio.file.DirectoryNotEmptyException) =>
+              org.apache.commons.io.FileUtils.deleteDirectory(stLoc)
+              if (!new java.io.File(target, "_SUCCESS").exists()) throw race
+          }
+        }
+        spark.sql(s"DROP TABLE IF EXISTS $t") // same-JVM re-registration
+        spark.sql(
+          s"""CREATE TABLE $t ($ddlCols) USING PARQUET
+             |CLUSTERED BY ($keyCol) SORTED BY ($keyCol)
+             |INTO $BucketCount BUCKETS
+             |LOCATION '${target.toURI}'""".stripMargin)
       }
-      Tables.lineitem(spark, dir)
-        .select("l_orderkey", "l_extendedprice", "l_discount")
-        .write.mode("overwrite")
-        .bucketBy(BucketCount, "l_orderkey").sortBy("l_orderkey")
-        .saveAsTable(li)
-      Tables.orders(spark, dir)
-        .select("o_orderkey", "o_orderpriority")
-        .write.mode("overwrite")
-        .bucketBy(BucketCount, "o_orderkey").sortBy("o_orderkey")
-        .saveAsTable(ord)
+      ensure(li, "l_orderkey BIGINT, l_extendedprice DOUBLE, " +
+          "l_discount DOUBLE", "l_orderkey") { (stT, stLoc) =>
+        Tables.lineitem(spark, dir)
+          .select("l_orderkey", "l_extendedprice", "l_discount")
+          .write.mode("overwrite").option("path", stLoc)
+          .bucketBy(BucketCount, "l_orderkey").sortBy("l_orderkey")
+          .saveAsTable(stT)
+      }
+      ensure(ord, "o_orderkey BIGINT, o_orderpriority STRING",
+          "o_orderkey") { (stT, stLoc) =>
+        Tables.orders(spark, dir)
+          .select("o_orderkey", "o_orderpriority")
+          .write.mode("overwrite").option("path", stLoc)
+          .bucketBy(BucketCount, "o_orderkey").sortBy("o_orderkey")
+          .saveAsTable(stT)
+      }
       (li, ord)
     })
 

@@ -139,7 +139,10 @@ object Profiling {
   /** Per-source data card — the datasheet row a corpus release ships:
     * volume (docs, tokens), language spread, exact-duplicate mass
     * (docs minus distinct digests), mean quality (q22 scores summed as
-    * DECIMAL — order-free — then one division), and the EXACT median
+    * DECIMAL — order-free — then ONE integer half-up division: quality
+    * values are exact 4-dp decimals, so the exact mean is a finite
+    * decimal that can land on a .XXXX5 boundary where float round
+    * splits the engines — the q233 rule), and the EXACT median
     * document length (the q188 selection device with doc_id
     * tie-break). One scan computes every per-doc feature; the card
     * itself is a sources-sized aggregate. The judge of a data release
@@ -163,7 +166,9 @@ object Profiling {
       |  CAST(sum(nt) AS BIGINT) AS n_tokens,
       |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
       |  CAST(max(n) - count(DISTINCT dig) AS BIGINT) AS dup_docs,
-      |  round(CAST(sum(CAST(quality AS DECIMAL(18,4))) AS DOUBLE) / max(n), 4)
+      |  CAST((CAST(sum(CAST(CAST(quality AS DECIMAL(18,4)) * 10000 AS BIGINT))
+      |             AS BIGINT) * 2
+      |        + max(n)) // (2 * max(n)) AS DOUBLE) / 10000.0
       |    AS mean_quality,
       |  CAST(max(CASE WHEN rn = (n + 1) // 2 THEN nt END) AS BIGINT)
       |    AS med_tokens
@@ -183,8 +188,8 @@ object Profiling {
         sum("nt").cast("long").as("n_tokens"),
         countDistinct("lang").as("n_langs"),
         (max("n") - countDistinct("dig")).cast("long").as("dup_docs"),
-        round(sum(col("quality").cast("decimal(18,4)")).cast("double")
-          / max("n"), 4).as("mean_quality"),
+        (expr("CAST((sum(CAST(CAST(quality AS DECIMAL(18,4)) * 10000 AS BIGINT)) * 2"
+          + " + max(n)) div (2 * max(n)) AS DOUBLE)") / 10000.0).as("mean_quality"),
         max(when(expr("rn = (n + 1) div 2"), col("nt"))).as("med_tokens"))
       .orderBy("source")
   }
@@ -197,8 +202,10 @@ object Profiling {
     * one shuffle. Draws are deterministic: k inverts the Poisson(1)
     * CDF (quantized to 1/10⁴) at u = poly-131·G hash of
     * "event_id:replica" mod 10⁴ — both engines replay every draw, so
-    * the replica means (DECIMAL-exact weighted sums, one IEEE division,
-    * rounded) and the min/max envelope hash-match. */
+    * the replica means (DECIMAL-exact weighted micro sums, rounded in
+    * INTEGERS — (s + 50c) div (100c), the q233 half-boundary rule: a
+    * mean of 6-dp-exact values is a finite decimal that can sit on a
+    * .XXXX5 boundary) and the min/max envelope hash-match. */
   val BootB = 16
 
   /** Poisson(1) CDF cut points in 1/10⁴ units: P(K ≤ k) for k = 0.. */
@@ -221,16 +228,19 @@ object Profiling {
        |        FROM events WHERE value IS NOT NULL) e
        |  CROSS JOIN (SELECT unnest(range(0, $BootB)) AS b) b
        |  CROSS JOIN LATERAL (SELECT e.ks || ':' || CAST(b.b AS VARCHAR) AS k) t),
-       |w AS (SELECT event_type, value, b, $kSql AS k FROM r),
+       |w AS (SELECT event_type, b, $kSql AS k,
+       |        CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v6
+       |      FROM r),
        |m AS (
        |  SELECT event_type, b,
-       |    round(CAST(sum(k * CAST(value AS DECIMAL(18,6))) AS DOUBLE)
-       |          / sum(k), 4) + 0.0 AS mb
+       |    CAST((CAST(sum(k * v6) AS BIGINT) + 50 * CAST(sum(k) AS BIGINT))
+       |         // (100 * CAST(sum(k) AS BIGINT)) AS DOUBLE) / 10000.0 AS mb
        |  FROM w GROUP BY 1, 2 HAVING sum(k) > 0),
        |pt AS (
        |  SELECT event_type,
-       |    round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
-       |          / count(*), 4) + 0.0 AS mean,
+       |    CAST((CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT))
+       |               AS BIGINT)
+       |          + 50 * count(*)) // (100 * count(*)) AS DOUBLE) / 10000.0 AS mean,
        |    count(*) AS n
        |  FROM events WHERE value IS NOT NULL GROUP BY 1)
        |SELECT pt.event_type, pt.mean, CAST(pt.n AS BIGINT) AS n,
@@ -249,6 +259,7 @@ object Profiling {
         case ((c, k), acc) => when(u < c, k).otherwise(acc)
       }
     }
+    val v6 = expr("CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)")
     val m = ev
       .select(col("event_type"), col("value"),
         explode(sequence(lit(0), lit(BootB - 1))).as("b"),
@@ -258,15 +269,16 @@ object Profiling {
         Kmv.G), lit(10000L)))
       .withColumn("k", kExpr)
       .groupBy("event_type", "b")
-      .agg((sum(col("k") * col("value").cast("decimal(18,6)"))).as("sv"),
-        sum("k").as("sk"))
+      .agg(sum(col("k") * v6).cast("long").as("sv"),
+        sum("k").cast("long").as("sk"))
       .filter(col("sk") > 0)
       .select(col("event_type"),
-        round(col("sv").cast("double") / col("sk"), 4).as("mb"))
+        (expr("CAST((sv + 50 * sk) div (100 * sk) AS DOUBLE)") / 10000.0).as("mb"))
     val pt = ev.groupBy("event_type")
-      .agg(round(sum(col("value").cast("decimal(18,6)")).cast("double")
-        / count(lit(1)), 4).as("mean"),
-        count(lit(1)).as("n"))
+      .agg(sum(v6).cast("long").as("sv"), count(lit(1)).as("n"))
+      .select(col("event_type"),
+        (expr("CAST((sv + 50 * n) div (100 * n) AS DOUBLE)") / 10000.0).as("mean"),
+        col("n"))
     pt.join(m, "event_type")
       .groupBy("event_type", "mean", "n")
       .agg(min("mb").as("ci_lo"), max("mb").as("ci_hi"))

@@ -103,7 +103,7 @@ object RankEval {
       .map { case (d, i) => s"(${i + 1}, $d)" }.mkString(", ")
     s"""WITH pred AS (
        |  SELECT doc_id, row_number() OVER (ORDER BY score_micro DESC, doc_id) AS r
-       |  FROM (${Postings.q141.oracle.get.replace("ORDER BY score_micro DESC, doc_id LIMIT 10", "ORDER BY score_micro DESC, doc_id LIMIT 10")}) b),
+       |  FROM (${Postings.q141.oracle.get}) b),
        |grades AS (
        |  SELECT doc_id, CAST(count(DISTINCT token) AS BIGINT) AS g FROM (
        |    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token

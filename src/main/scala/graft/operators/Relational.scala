@@ -558,8 +558,12 @@ object Relational {
     * device), so every Σ is a BIGINT/DECIMAL(38,0) exact sum; θ's
     * numerator n·ΣXY − ΣX·ΣY and denominator run in 38-digit decimals
     * and cross to DOUBLE through the VARCHAR bridge (operators.Q rule);
-    * the remaining arithmetic is a fixed IEEE expression tree evaluated
-    * identically by both engines and rounded once. Scale: one scan to
+    * y_mean is a micro-sum ÷ count — a FINITE-decimal quotient, so it
+    * rounds in integers ((s + 50c) div (100c), the q233 rule); y_adj's
+    * exact value passes through θ (an irrational-ish IEEE quotient), a
+    * decimal half boundary is unreachable, and its single float round
+    * is safe — the remaining arithmetic is a fixed IEEE expression tree
+    * evaluated identically by both engines. Scale: one scan to
     * per-user (X, Y) pairs, then variant-sized aggregates — the
     * standard two-level experiment rollup. */
   val q215 = Q.sql("q215_ab_cuped",
@@ -591,7 +595,8 @@ object Relational {
       |      AS theta
       |  FROM g)
       |SELECT u.variant, CAST(count(*) AS BIGINT) AS n_users,
-      |  round(CAST(sum(u.y) AS DOUBLE) / (count(*) * 1000000.0), 4) + 0.0
+      |  CAST((CAST(sum(u.y) AS BIGINT) + 50 * count(*))
+      |       // (100 * count(*)) AS DOUBLE) / 10000.0
       |    AS y_mean,
       |  round(CAST(sum(u.y) AS DOUBLE) / (count(*) * 1000000.0)
       |    - max(th.theta) * (CAST(sum(u.x) AS DOUBLE) / (count(*) * 1000000.0)
@@ -623,8 +628,8 @@ object Relational {
     u.crossJoin(broadcast(g))
       .groupBy("variant")
       .agg(count(lit(1)).cast("long").as("n_users"),
-        round(sum("y").cast("double") / (count(lit(1)) * lit(1000000.0)), 4)
-          .as("y_mean"),
+        (expr("CAST((sum(y) + 50 * count(1)) div (100 * count(1)) AS DOUBLE)")
+          / 10000.0).as("y_mean"),
         round(sum("y").cast("double") / (count(lit(1)) * lit(1000000.0))
           - max("theta") * (sum("x").cast("double") / (count(lit(1)) * lit(1000000.0))
             - max("sx").cast("double") / (max("n") * lit(1000000.0))), 4)

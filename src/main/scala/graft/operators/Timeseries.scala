@@ -568,9 +568,13 @@ object Timeseries {
     * chi-square uniformity test (df = 6): per event type, Σ(oᵢ−n/7)²
     * / (n/7) collapses to Σ(7oᵢ−n)² / (7n), ONE integer rational
     * (milli-rounded half-up), flagged against the p = 0.05 critical
-    * value 12.592. The seasonal/flat verdict drives whether a
-    * forecasting or sampling job needs a weekday term. One aggregate
-    * to the 7×types histogram. */
+    * value 12.592. The sum runs over ALL 7 weekday cells — a weekday
+    * with zero events contributes (7·0−n)² = n², and dropping it
+    * would understate χ² against the df = 6 critical value; instead
+    * of densifying with a cross join, the missing-cell mass folds in
+    * as (7 − observed_cells)·n². The seasonal/flat verdict drives
+    * whether a forecasting or sampling job needs a weekday term. One
+    * aggregate to the 7×types histogram. */
   val q243 = Q.sql("q243_weekday_profile",
     """WITH d AS (
       |  SELECT event_type, dayofweek(CAST(ts AS DATE)) AS dow,
@@ -579,7 +583,8 @@ object Timeseries {
       |n AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS n FROM d GROUP BY 1),
       |x AS (
       |  SELECT d.event_type,
-      |    CAST(sum((7 * d.o - n.n) * (7 * d.o - n.n)) AS BIGINT) AS ss,
+      |    CAST(sum((7 * d.o - n.n) * (7 * d.o - n.n))
+      |         + (7 - count(*)) * max(n.n) * max(n.n) AS BIGINT) AS ss,
       |    max(n.n) AS n
       |  FROM d JOIN n USING (event_type) GROUP BY 1)
       |SELECT event_type, n AS n_events,
@@ -593,7 +598,8 @@ object Timeseries {
     val n = dd.groupBy("event_type").agg(sum("o").cast("long").as("n"))
     dd.join(broadcast(n), "event_type")
       .groupBy("event_type")
-      .agg(sum(expr("(7 * o - n) * (7 * o - n)")).cast("long").as("ss"),
+      .agg((sum(expr("(7 * o - n) * (7 * o - n)"))
+          + (lit(7) - count(lit(1))) * max("n") * max("n")).cast("long").as("ss"),
         max("n").as("n"))
       .select(col("event_type"), col("n").as("n_events"),
         (expr("CAST((ss * 2000 + 7 * n) div (14 * n) AS DOUBLE)") / 1000.0).as("chi2"))
