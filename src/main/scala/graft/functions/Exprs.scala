@@ -244,6 +244,21 @@ object Exprs {
       copy(left = l, right = r)
   }
 
+  /** popcount(a&b) of two equal-width bitsets (long count) — feeds the
+    * integer-exact Jaccard device. */
+  case class BitmapInterCount(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      TextKernels.bitmapInter(
+        a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"$K.bitmapInter($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): BitmapInterCount =
+      copy(left = l, right = r)
+  }
+
   /** Word n-grams of a token array (codegen shingle generator). */
   case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -373,6 +388,7 @@ object Exprs {
       vocab: java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Integer],
       words: Int): Column = c(TokenBitmap(e(tokens), vocab, words))
   def bitmap_jaccard(a: Column, b: Column): Column = c(BitmapJaccard(e(a), e(b)))
+  def bitmap_inter(a: Column, b: Column): Column = c(BitmapInterCount(e(a), e(b)))
   def bitmap_card(a: Column): Column = c(BitmapCard(e(a)))
   def word_ngrams(tokens: Column, n: Int): Column = c(WordNgrams(e(tokens), n))
   def poly_hash(s: Column): Column = c(PolyHash(e(s)))

@@ -434,6 +434,20 @@ object TextKernels {
     if (union == 0) -1.0 else inter.toDouble / union
   }
 
+  /** popcount(a&b) of two equal-width bitsets — the integer
+    * intersection count the exact (half-up ten-thousandths) Jaccard
+    * derives from; union = |A| + |B| − inter. */
+  def bitmapInter(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements()
+    var inter = 0L
+    var i = 0
+    while (i < n) {
+      inter += java.lang.Long.bitCount(a.getLong(i) & b.getLong(i))
+      i += 1
+    }
+    inter
+  }
+
   /** Word n-grams: every n consecutive tokens joined with a single
     * space. Replaces a transform+slice+array_join higher-order chain
     * (HOFs don't participate in whole-stage codegen and allocate a

@@ -76,8 +76,11 @@ object IncrementalDedup {
       .join(sets(corpusSh, "id_old"), "id_old")
       .withColumn("inter",
         Exprs.sorted_intersect_count_long(col("ts_id_new"), col("ts_id_old")))
-      .withColumn("jac", round(col("inter").cast("double") /
-        (size(col("ts_id_new")) + size(col("ts_id_old")) - col("inter")), 4))
+      .withColumn("uni", size(col("ts_id_new")).cast("long")
+        + size(col("ts_id_old")) - col("inter"))
+      // integer half-up ten-thousandths — the q233 finite-decimal rule
+      .withColumn("jac",
+        expr("CAST((inter * 20000 + uni) div (2 * uni) AS DOUBLE)") / 10000.0)
       .filter(col("jac") >= threshold)
       .select("id_new", "id_old", "jac")
   }
@@ -95,11 +98,14 @@ object IncrementalDedup {
       |      i -> t[i] || ' ' || t[i+1])) AS sh
       |  FROM tok WHERE len(t) >= 2)
       |SELECT n.doc_id AS id_new, o.doc_id AS id_old,
-      |  round(1.0*len(list_intersect(n.sh, o.sh)) /
-      |        len(list_distinct(n.sh || o.sh)), 4) AS jac
+      |  CAST((CAST(len(list_intersect(n.sh, o.sh)) AS BIGINT) * 20000
+      |        + len(list_distinct(n.sh || o.sh)))
+      |       // (2 * len(list_distinct(n.sh || o.sh))) AS DOUBLE) / 10000.0
+      |    AS jac
       |FROM s n JOIN s o ON n.doc_id % 5 = 0 AND o.doc_id % 5 <> 0
-      |WHERE round(1.0*len(list_intersect(n.sh, o.sh)) /
-      |            len(list_distinct(n.sh || o.sh)), 4) >= 0.8
+      |WHERE CAST((CAST(len(list_intersect(n.sh, o.sh)) AS BIGINT) * 20000
+      |        + len(list_distinct(n.sh || o.sh)))
+      |       // (2 * len(list_distinct(n.sh || o.sh))) AS DOUBLE) / 10000.0 >= 0.8
       |ORDER BY id_new, id_old""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
     // both frames derive from one shingling pass (q25's checkpoint

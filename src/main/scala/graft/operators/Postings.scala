@@ -548,8 +548,10 @@ object Postings {
       .agg(count(lit(1)).as("n_candidates"),
         sum(when(col("ok"), 1L).otherwise(0L)).as("n_verified"),
         min(when(col("ok"), col("doc_id"))).cast("long").as("first_doc"))
+      // integer half-up ten-thousandths — the q233 finite-decimal rule
       .withColumn("cand_precision",
-        round(lit(1.0) * col("n_verified") / col("n_candidates"), 4))
+        expr("CAST((n_verified * 20000 + n_candidates)"
+          + " div (2 * n_candidates) AS DOUBLE)") / 10000.0)
     pn.join(ver, Seq("pattern"), "left")
       .na.fill(0L, Seq("n_candidates", "n_verified"))
       .select(col("pattern"), col("n_trigrams"),
@@ -587,7 +589,8 @@ object Postings {
        |SELECT pn.pattern, pn.n_trigrams,
        |  COALESCE(ag.n_candidates, 0) AS n_candidates,
        |  COALESCE(ag.n_verified, 0) AS n_verified,
-       |  round(1.0 * ag.n_verified / ag.n_candidates, 4) AS cand_precision,
+       |  CAST((ag.n_verified * 20000 + ag.n_candidates)
+       |       // (2 * ag.n_candidates) AS DOUBLE) / 10000.0 AS cand_precision,
        |  ag.first_doc
        |FROM pn LEFT JOIN ag USING (pattern) ORDER BY pattern""".stripMargin
   }) { (s, d) =>
@@ -692,7 +695,8 @@ object Postings {
       |    CAST(sum((length(bin(gap)) + 6) // 7) AS BIGINT) AS delta_bytes
       |  FROM g GROUP BY 1)
       |SELECT token, df, delta_bytes, CAST(8 * df AS BIGINT) AS raw_bytes,
-      |  round(1.0 * delta_bytes / (8 * df), 4) AS ratio
+      |  CAST((delta_bytes * 20000 + 8 * df) // (16 * df) AS DOUBLE) / 10000.0
+      |    AS ratio
       |FROM b ORDER BY token""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
     Tables.documents(s, d)
@@ -706,7 +710,9 @@ object Postings {
         sum(expr("(length(bin(gap)) + 6) div 7")).cast("long").as("delta_bytes"))
       .select(col("token"), col("df"), col("delta_bytes"),
         (lit(8) * col("df")).cast("long").as("raw_bytes"),
-        round(lit(1.0) * col("delta_bytes") / (lit(8) * col("df")), 4).as("ratio"))
+        // integer half-up ten-thousandths — the q233 finite-decimal rule
+        (expr("CAST((delta_bytes * 20000 + 8 * df) div (16 * df) AS DOUBLE)")
+          / 10000.0).as("ratio"))
       .orderBy("token")
   }
 

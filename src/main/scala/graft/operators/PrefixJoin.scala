@@ -72,9 +72,13 @@ object PrefixJoin {
       .filter(col("sz_a") * tEff(threshold) <= col("sz_b") &&
         col("sz_b") * tEff(threshold) <= col("sz_a"))
       .withColumn("inter", Exprs.sorted_intersect_count(col("ts_a"), col("ts_b")))
-      .withColumn("jac_raw",
-        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
-      .withColumn("jac", round(col("jac_raw"), 4))
+      .withColumn("uni",
+        col("sz_a").cast("long") + col("sz_b") - col("inter"))
+      .filter(col("uni") > 0)
+      .withColumn("jac_raw", col("inter").cast("double") / col("uni"))
+      // integer half-up ten-thousandths — the q233 finite-decimal rule
+      .withColumn("jac",
+        expr("CAST((inter * 20000 + uni) div (2 * uni) AS DOUBLE)") / 10000.0)
       .filter((if (filterOnRounded) col("jac") else col("jac_raw")) >= threshold)
       .select("id_a", "id_b", "jac")
   }

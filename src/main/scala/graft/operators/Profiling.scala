@@ -327,10 +327,13 @@ object Profiling {
       |  CAST(max(n_rest) AS BIGINT) AS n_rest,
       |  CAST(max(abs(scum * n_rest - (gcum - scum) * n_src)) AS BIGINT)
       |    AS ks_num,
-      |  round(CAST(max(abs(scum * n_rest - (gcum - scum) * n_src)) AS DOUBLE)
-      |        / (max(n_src) * max(n_rest)), 4) AS ks,
-      |  round(CAST(max(abs(scum * n_rest - (gcum - scum) * n_src)) AS DOUBLE)
-      |        / (max(n_src) * max(n_rest)), 4) >= 0.1 AS drifted
+      |  CAST((CAST(max(abs(scum * n_rest - (gcum - scum) * n_src)) AS BIGINT)
+      |        * 20000 + max(n_src) * max(n_rest))
+      |       // (2 * max(n_src) * max(n_rest)) AS DOUBLE) / 10000.0 AS ks,
+      |  CAST((CAST(max(abs(scum * n_rest - (gcum - scum) * n_src)) AS BIGINT)
+      |        * 20000 + max(n_src) * max(n_rest))
+      |       // (2 * max(n_src) * max(n_rest)) AS DOUBLE) / 10000.0 >= 0.1
+      |    AS drifted
       |FROM j GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
     import graft.functions.Text
@@ -356,8 +359,10 @@ object Profiling {
       .agg(max("n_src").cast("long").as("n_src"),
         max("n_rest").cast("long").as("n_rest"),
         max("dnum").cast("long").as("ks_num"))
+      // integer half-up ten-thousandths — the q233 finite-decimal rule
       .withColumn("ks",
-        round(col("ks_num").cast("double") / (col("n_src") * col("n_rest")), 4))
+        expr("CAST((ks_num * 20000 + n_src * n_rest)"
+          + " div (2 * n_src * n_rest) AS DOUBLE)") / 10000.0)
       .withColumn("drifted", col("ks") >= 0.1)
       .orderBy("source")
   }
@@ -437,13 +442,19 @@ object Profiling {
       |        CAST(sum(x * x) AS BIGINT) AS sxx
       |      FROM q GROUP BY 1)
       |SELECT n.source, n.n AS n_tokens, n.vocab,
-      |  round(1.0 * n.vocab / n.n, 4) AS ttr,
-      |  round(1.0 * n.rep / (n.n * (n.n - 1)), 4) AS simpson,
-      |  round((n.n * ((length(bin(n.n)) - 1) * 1024
+      |  CAST((n.vocab * 20000 + n.n) // (2 * n.n) AS DOUBLE) / 10000.0 AS ttr,
+      |  CAST((n.rep * 20000 + n.n * (n.n - 1))
+      |       // (2 * n.n * (n.n - 1)) AS DOUBLE) / 10000.0 AS simpson,
+      |  CAST(((n.n * ((length(bin(n.n)) - 1) * 1024
       |      + n.n * 1024 // (1::BIGINT << (length(bin(n.n)) - 1)) - 1024)
-      |      - n.sclogc) / (n.n * 1024.0), 4) AS entropy_bits,
-      |  round(CAST(ft.m * ft.sxy - ft.sx * ft.sy AS DOUBLE)
-      |        / (ft.m * ft.sxx - ft.sx * ft.sx), 4) + 0.0 AS zipf_slope
+      |      - n.sclogc) * 20000 + 1024 * n.n)
+      |       // (2048 * n.n) AS DOUBLE) / 10000.0 AS entropy_bits,
+      |  CAST(((ft.m * ft.sxy - ft.sx * ft.sy) * 20000
+      |        + CASE WHEN ft.m * ft.sxy - ft.sx * ft.sy < 0
+      |               THEN -(ft.m * ft.sxx - ft.sx * ft.sx)
+      |               ELSE ft.m * ft.sxx - ft.sx * ft.sx END)
+      |       // (2 * (ft.m * ft.sxx - ft.sx * ft.sx)) AS DOUBLE) / 10000.0
+      |    + 0.0 AS zipf_slope
       |FROM n JOIN ft USING (source) ORDER BY source""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
     import graft.functions.Text
@@ -469,14 +480,23 @@ object Profiling {
         sum("x").cast("long").as("sx"), sum("y").cast("long").as("sy"),
         sum(col("x") * col("y")).cast("long").as("sxy"),
         sum(col("x") * col("x")).cast("long").as("sxx"))
+    // all four readouts are integer quotients — integer half-up (sign-
+    // aware for the slope) ten-thousandths, the q233 finite-decimal rule
     n.join(ft, "source")
       .select(col("source"), col("n").as("n_tokens"), col("vocab"),
-        round(lit(1.0) * col("vocab") / col("n"), 4).as("ttr"),
-        round(lit(1.0) * col("rep") / (col("n") * (col("n") - 1)), 4).as("simpson"),
-        round((col("n") * qlog("n") - col("sclogc")) / (col("n") * lit(1024.0)), 4)
-          .as("entropy_bits"),
-        round((col("m") * col("sxy") - col("sx") * col("sy")).cast("double")
-          / (col("m") * col("sxx") - col("sx") * col("sx")), 4).as("zipf_slope"))
+        (expr("CAST((vocab * 20000 + n) div (2 * n) AS DOUBLE)") / 10000.0)
+          .as("ttr"),
+        (expr("CAST((rep * 20000 + n * (n - 1))"
+          + " div (2 * n * (n - 1)) AS DOUBLE)") / 10000.0).as("simpson"),
+        (expr("CAST(((n * ((length(bin(n)) - 1) * 1024"
+          + " + n * 1024 div shiftleft(1L, length(bin(n)) - 1) - 1024)"
+          + " - sclogc) * 20000 + 1024 * n)"
+          + " div (2048 * n) AS DOUBLE)") / 10000.0).as("entropy_bits"),
+        (expr("CAST(((m * sxy - sx * sy) * 20000"
+          + " + CASE WHEN m * sxy - sx * sy < 0"
+          + " THEN -(m * sxx - sx * sx) ELSE m * sxx - sx * sx END)"
+          + " div (2 * (m * sxx - sx * sx)) AS DOUBLE)") / 10000.0)
+          .as("zipf_slope"))
       .orderBy("source")
   }
 
@@ -713,5 +733,81 @@ object Profiling {
       .orderBy("lvl")
   }
 
-  val all: Seq[Q] = Seq(q122, q188, q189, q197, q199, q201, q208, q213, q216, q222, q239)
+  /** Robust outlier census — median/MAD, the outlier rule that
+    * survives the exact contamination it is hunting (a mean/stddev
+    * z-score drags its own threshold toward the outliers; the median
+    * and the median absolute deviation do not): per event type, the
+    * EXACT lower median of the micro-quantized values (the q188/q189
+    * selection device with event_id tie-break), the exact median of
+    * the absolute deviations, and the count beyond 3·MAD. All
+    * integers end to end — no rounding seam at all. Two per-type
+    * selection windows + one counting aggregate; at 100 TB an exact
+    * per-key median costs the per-key sort either way, and the
+    * deviation pass reuses the same key partitioning. */
+  val q248 = Q.sql("q248_mad_outliers",
+    """WITH v AS (
+      |  SELECT event_id, event_type,
+      |    CAST(floor(value * 1000000.0) AS BIGINT) AS vq
+      |  FROM events WHERE value IS NOT NULL),
+      |r AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY vq, event_id) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM v),
+      |med AS (
+      |  SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+      |    max(CASE WHEN rn = (n + 1) // 2 THEN vq END) AS med
+      |  FROM r GROUP BY 1),
+      |dv AS (
+      |  SELECT v.event_type, v.event_id, abs(v.vq - m.med) AS dev,
+      |    m.med, m.n
+      |  FROM v JOIN med m USING (event_type)),
+      |dr AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY dev, event_id) AS rn
+      |  FROM dv),
+      |mad AS (
+      |  SELECT event_type, max(CASE WHEN rn = (n + 1) // 2 THEN dev END)
+      |    AS mad
+      |  FROM dr GROUP BY 1)
+      |SELECT d.event_type, CAST(max(d.n) AS BIGINT) AS n,
+      |  CAST(max(d.med) AS BIGINT) AS med_micro,
+      |  CAST(max(mad.mad) AS BIGINT) AS mad_micro,
+      |  CAST(count(CASE WHEN d.dev > 3 * mad.mad THEN 1 END) AS BIGINT)
+      |    AS n_outliers
+      |FROM dv d JOIN mad USING (event_type)
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val v = Tables.events(s, d).filter(col("value").isNotNull)
+      .select(col("event_id"), col("event_type"),
+        floor(col("value") * 1000000.0).cast("long").as("vq"))
+      .localCheckpoint(true) // median selection + deviation pass read it
+    val byType = Window.partitionBy("event_type")
+    val med = v
+      .withColumn("rn", row_number().over(byType.orderBy("vq", "event_id")))
+      .withColumn("n", count(lit(1)).over(byType))
+      .groupBy("event_type")
+      .agg(max("n").cast("long").as("n"),
+        max(when(expr("rn = (n + 1) div 2"), col("vq"))).as("med"))
+    val dv = v.join(med, "event_type")
+      .withColumn("dev", abs(col("vq") - col("med")))
+      .localCheckpoint(true) // MAD selection + the outlier count read it
+    val mad = dv
+      .withColumn("rn", row_number().over(byType.orderBy("dev", "event_id")))
+      .groupBy("event_type")
+      .agg(max(when(expr("rn = (n + 1) div 2"), col("dev"))).as("mad"))
+    dv.join(mad, "event_type")
+      .groupBy("event_type")
+      .agg(max("n").cast("long").as("n"),
+        max("med").cast("long").as("med_micro"),
+        max("mad").cast("long").as("mad_micro"),
+        count(when(col("dev") > lit(3) * col("mad"), 1)).cast("long")
+          .as("n_outliers"))
+      .orderBy("event_type")
+  }
+
+  val all: Seq[Q] = Seq(q122, q188, q189, q197, q199, q201, q208, q213, q216,
+    q222, q239, q248)
 }

@@ -155,5 +155,56 @@ object RankEval {
           / 10000.0)
   }
 
-  val all: Seq[Q] = Seq(q157, q241)
+  /** Confidence calibration of the k-NN classifier (q224) — the
+    * reliability table + expected calibration error (ECE, Naeini et
+    * al. 2015) a model card reports: predictions bin by their vote
+    * share (votes/k is the classifier's confidence — k+1 natural bins,
+    * no arbitrary bin edges), each bin compares its empirical accuracy
+    * to its confidence, and ECE is the n-weighted mean absolute gap.
+    *
+    * Exactness: accuracy = c/n and ECE = Σ|k·c_b − v_b·n_b| / (k·N)
+    * are finite-decimal-capable rationals → integer half-up rounding
+    * (the q233 rule); confidence v/k is one IEEE division of small
+    * integers, identical both engines. Scale: the bin table is
+    * k+1 rows — everything after the nested classifier is free. */
+  val q246 = Q.sql("q246_calibration_bins", {
+    val k = LabelProp.KnnK
+    s"""WITH base AS (SELECT * FROM (${LabelProp.q224.oracle.get}) b),
+       |bins AS (
+       |  SELECT votes, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN correct THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_correct
+       |  FROM base GROUP BY 1),
+       |tot AS (
+       |  SELECT CAST(sum(n) AS BIGINT) AS nn,
+       |    CAST(sum(abs($k * n_correct - votes * n)) AS BIGINT) AS dev
+       |  FROM bins)
+       |SELECT votes, n, n_correct,
+       |  CAST(votes AS DOUBLE) / $k.0 AS confidence,
+       |  CAST((n_correct * 20000 + n) // (2 * n) AS DOUBLE) / 10000.0
+       |    AS accuracy,
+       |  CAST((dev * 20000 + $k * nn) // (2 * $k * nn) AS DOUBLE) / 10000.0
+       |    AS ece
+       |FROM bins CROSS JOIN tot ORDER BY votes""".stripMargin
+  }) { (s, d) =>
+    val k = LabelProp.KnnK
+    val bins = LabelProp.q224.fn(s, d)
+      .groupBy("votes")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(when(col("correct"), 1L).otherwise(0L)).cast("long").as("n_correct"))
+      .localCheckpoint(true) // the ECE total + per-bin rows both read it
+    val tot = bins.agg(sum("n").cast("long").as("nn"),
+      sum(abs(lit(k) * col("n_correct") - col("votes") * col("n")))
+        .cast("long").as("dev"))
+    bins.crossJoin(broadcast(tot))
+      .select(col("votes"), col("n"), col("n_correct"),
+        (col("votes").cast("double") / k.toDouble).as("confidence"),
+        (expr("CAST((n_correct * 20000 + n) div (2 * n) AS DOUBLE)")
+          / 10000.0).as("accuracy"),
+        (expr(s"CAST((dev * 20000 + $k * nn) div (2 * $k * nn) AS DOUBLE)")
+          / 10000.0).as("ece"))
+      .orderBy("votes")
+  }
+
+  val all: Seq[Q] = Seq(q157, q241, q246)
 }

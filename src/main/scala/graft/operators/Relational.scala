@@ -675,10 +675,13 @@ object Relational {
        |  (SELECT count(*) FROM s3) AS c3, (SELECT count(*) FROM s4) AS c4)
        |SELECT * FROM (
        |  SELECT 1 AS step, 'signup' AS step_name, CAST(c1 AS BIGINT) AS n_users,
-       |    round(1.0, 4) AS conv_from_prev FROM c
-       |  UNION ALL SELECT 2, 'view', CAST(c2 AS BIGINT), round(1.0 * c2 / c1, 4) FROM c
-       |  UNION ALL SELECT 3, 'click', CAST(c3 AS BIGINT), round(1.0 * c3 / c2, 4) FROM c
-       |  UNION ALL SELECT 4, 'purchase', CAST(c4 AS BIGINT), round(1.0 * c4 / c3, 4) FROM c)
+       |    CAST(1.0 AS DOUBLE) AS conv_from_prev FROM c
+       |  UNION ALL SELECT 2, 'view', CAST(c2 AS BIGINT),
+       |    CAST((c2 * 20000 + c1) // (2 * c1) AS DOUBLE) / 10000.0 FROM c
+       |  UNION ALL SELECT 3, 'click', CAST(c3 AS BIGINT),
+       |    CAST((c3 * 20000 + c2) // (2 * c2) AS DOUBLE) / 10000.0 FROM c
+       |  UNION ALL SELECT 4, 'purchase', CAST(c4 AS BIGINT),
+       |    CAST((c4 * 20000 + c3) // (2 * c3) AS DOUBLE) / 10000.0 FROM c)
        |ORDER BY step""".stripMargin) { (s, d) =>
     val ev = Tables.events(s, d)
       .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
@@ -697,14 +700,18 @@ object Relational {
       .crossJoin(s2.agg(count(lit(1)).as("c2")))
       .crossJoin(s3.agg(count(lit(1)).as("c3")))
       .crossJoin(s4.agg(count(lit(1)).as("c4")))
+    // step conversions are integer ratios — integer half-up
+    // ten-thousandths (the q233 finite-decimal rule)
+    def conv(num: String, den: String) =
+      expr(s"CAST(($num * 20000 + $den) div (2 * $den) AS DOUBLE)") / 10000.0
     c.select(lit(1).as("step"), lit("signup").as("step_name"),
-        col("c1").cast("long").as("n_users"), round(lit(1.0), 4).as("conv_from_prev"))
+        col("c1").cast("long").as("n_users"), lit(1.0).as("conv_from_prev"))
       .union(c.select(lit(2), lit("view"), col("c2").cast("long"),
-        round(lit(1.0) * col("c2") / col("c1"), 4)))
+        conv("c2", "c1")))
       .union(c.select(lit(3), lit("click"), col("c3").cast("long"),
-        round(lit(1.0) * col("c3") / col("c2"), 4)))
+        conv("c3", "c2")))
       .union(c.select(lit(4), lit("purchase"), col("c4").cast("long"),
-        round(lit(1.0) * col("c4") / col("c3"), 4)))
+        conv("c4", "c3")))
       .orderBy("step")
   }
 
@@ -731,9 +738,10 @@ object Relational {
       |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
       |  FROM a)
       |SELECT na, nb,
-      |  round(CAST((na - nb) * (na - nb) AS DOUBLE) / (na + nb), 4) AS chi2,
-      |  round(CAST((na - nb) * (na - nb) AS DOUBLE) / (na + nb), 4) > 3.841
-      |    AS srm_detected
+      |  CAST(((na - nb) * (na - nb) * 20000 + (na + nb))
+      |       // (2 * (na + nb)) AS DOUBLE) / 10000.0 AS chi2,
+      |  CAST(((na - nb) * (na - nb) * 20000 + (na + nb))
+      |       // (2 * (na + nb)) AS DOUBLE) / 10000.0 > 3.841 AS srm_detected
       |FROM c""".stripMargin) { (s, d) =>
     import graft.functions.Exprs
     import graft.operators.Sketches.Kmv
@@ -744,8 +752,10 @@ object Relational {
         lit(2L)))
       .agg(sum(when(col("variant") === 0, 1L).otherwise(0L)).cast("long").as("na"),
         sum(when(col("variant") === 1, 1L).otherwise(0L)).cast("long").as("nb"))
+      // integer half-up ten-thousandths — the q233 finite-decimal rule
       .withColumn("chi2",
-        round(expr("CAST((na - nb) * (na - nb) AS DOUBLE)") / (col("na") + col("nb")), 4))
+        expr("CAST(((na - nb) * (na - nb) * 20000 + (na + nb))"
+          + " div (2 * (na + nb)) AS DOUBLE)") / 10000.0)
       .withColumn("srm_detected", col("chi2") > 3.841)
   }
 

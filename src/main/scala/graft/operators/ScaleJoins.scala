@@ -201,7 +201,8 @@ object ScaleJoins {
       |  CAST(count(*) AS BIGINT) AS n_keys,
       |  CAST(sum(cnt) AS BIGINT) AS n_rows,
       |  CAST(max(cnt) AS BIGINT) AS max_rows,
-      |  round(1.0 * sum(cnt) / max(t.n), 4) AS row_share
+      |  CAST((CAST(sum(cnt) AS BIGINT) * 20000 + max(t.n))
+      |       // (2 * max(t.n)) AS DOUBLE) / 10000.0 AS row_share
       |FROM c CROSS JOIN t
       |GROUP BY 1 ORDER BY size_bucket""".stripMargin) { (s, d) =>
     val c = graft.Tables.events(s, d)
@@ -212,7 +213,10 @@ object ScaleJoins {
       .agg(count(lit(1)).cast("long").as("n_keys"),
         sum("cnt").cast("long").as("n_rows"),
         max("cnt").cast("long").as("max_rows"),
-        round(lit(1.0) * sum("cnt") / max("n"), 4).as("row_share"))
+        // integer half-up: a keys-share is a finite-decimal-capable
+        // quotient — the q233 rule
+        (expr("CAST((sum(cnt) * 20000 + max(n)) div (2 * max(n)) AS DOUBLE)")
+          / 10000.0).as("row_share"))
       .orderBy("size_bucket")
   }
 

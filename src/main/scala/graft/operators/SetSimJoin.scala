@@ -251,8 +251,15 @@ object SetSimJoin {
       $"id_a" < $"id_b" &&
         $"sz_a" * (threshold - 0.0001) <= $"sz_b" &&
         $"sz_b" * (threshold - 0.0001) <= $"sz_a")
-      .withColumn("jac_raw", Exprs.bitmap_jaccard($"bm_a", $"bm_b"))
-      .withColumn("jac", round($"jac_raw", 4))
+      .withColumn("inter", Exprs.bitmap_inter($"bm_a", $"bm_b"))
+      .withColumn("uni", $"sz_a".cast("long") + $"sz_b" - $"inter")
+      .filter($"uni" > 0)
+      .withColumn("jac_raw", $"inter".cast("double") / $"uni")
+      // half-up ten-thousandths in INTEGERS (the q233 rule): i/u is a
+      // finite-decimal-capable quotient, float round splits engines on
+      // exact .XXXX5 boundaries
+      .withColumn("jac",
+        expr("CAST((inter * 20000 + uni) div (2 * uni) AS DOUBLE)") / 10000.0)
       .filter((if (filterOnRounded) $"jac" else $"jac_raw") >= threshold)
       .select("id_a", "id_b", "jac")
   }
@@ -273,9 +280,11 @@ object SetSimJoin {
         $"sz_a" * (threshold - 0.0001) <= $"sz_b" &&
         $"sz_b" * (threshold - 0.0001) <= $"sz_a")
       .withColumn("inter", Exprs.sorted_intersect_count_long($"hs_a", $"hs_b"))
-      .withColumn("jac_raw",
-        $"inter".cast("double") / ($"sz_a" + $"sz_b" - $"inter"))
-      .withColumn("jac", round($"jac_raw", 4))
+      .withColumn("uni", $"sz_a".cast("long") + $"sz_b" - $"inter")
+      .filter($"uni" > 0)
+      .withColumn("jac_raw", $"inter".cast("double") / $"uni")
+      .withColumn("jac",
+        expr("CAST((inter * 20000 + uni) div (2 * uni) AS DOUBLE)") / 10000.0)
       .filter((if (filterOnRounded) $"jac" else $"jac_raw") >= threshold)
       .select("id_a", "id_b", "jac")
   }

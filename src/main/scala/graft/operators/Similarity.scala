@@ -971,5 +971,95 @@ object Similarity {
     clusterBalancedSample(Tables.embeddings(s, d), cap = 10).orderBy("vec_id")
   }
 
-  val all: Seq[Q] = Seq(q29, q30, q31, q32, q62, q74, q139, q150, q151, q152, q153, q193)
+  /** Recall-vs-nprobe curve — the tuning table every IVF deployment
+    * reads before picking its probe count: for probes ∈
+    * [[RecallProbes]], recall@3 of the IVF route against the brute
+    * top-3 truth (truth computed ONCE, checkpointed, joined by each
+    * setting). This is the capacity-planning artifact of the 100 TB
+    * story: the curve tells you the cheapest probe count that clears
+    * the recall bar, and the shape (one corpus assignment reused, per-
+    * setting cost ∝ probed lists) is exactly how the measurement runs
+    * against a production index. Brute truth is the oracle anchor
+    * (q30's precedent); recall is an integer-rounded rational (the
+    * q233 half-boundary rule). */
+  val RecallProbes = Seq(1, 2, 4)
+
+  val q245 = Q.sql("q245_ivf_recall_curve", {
+    val ivfBlocks = RecallProbes.map { p =>
+      s"""ivf$p AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT sc.query_id, sc.neighbor_id,
+         |      row_number() OVER (PARTITION BY sc.query_id
+         |        ORDER BY sc.sim DESC, sc.neighbor_id) AS rn
+         |    FROM (
+         |      SELECT DISTINCT q.vec_id AS query_id, n.neighbor_id,
+         |        round(list_cosine_similarity(qe.emb, ne.emb), 4) + 0.0 AS sim
+         |      FROM asg q JOIN nlist n ON n.lst = q.cent_id AND q.crn <= $p
+         |      JOIN e qe ON qe.vec_id = q.vec_id
+         |      JOIN e ne ON ne.vec_id = n.neighbor_id
+         |      WHERE q.vec_id <> n.neighbor_id) sc) t
+         |  WHERE rn <= 3),
+         |h$p AS (
+         |  SELECT CAST($p AS BIGINT) AS probes,
+         |    CAST(count(*) AS BIGINT) AS n_hits
+         |  FROM ivf$p JOIN truth USING (query_id, neighbor_id))""".stripMargin
+    }.mkString(",\n")
+    val unioned = RecallProbes.map(p => s"SELECT * FROM h$p")
+      .mkString(" UNION ALL ")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |cents AS (SELECT vec_id AS cent_id, emb AS cvec FROM e
+       |          ORDER BY vec_id LIMIT $IVF_LISTS),
+       |asg AS MATERIALIZED (
+       |  SELECT e.vec_id, c.cent_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY round(list_cosine_similarity(e.emb, c.cvec), 4) DESC,
+       |        c.cent_id) AS crn
+       |  FROM e CROSS JOIN cents c),
+       |nlist AS (SELECT vec_id AS neighbor_id, cent_id AS lst
+       |          FROM asg WHERE crn = 1),
+       |truth AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY a.vec_id
+       |        ORDER BY round(list_cosine_similarity(a.emb, b.emb), 4) DESC,
+       |          b.vec_id) AS rn
+       |    FROM e a JOIN e b ON a.vec_id <> b.vec_id) t
+       |  WHERE rn <= 3),
+       |tn AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+       |$ivfBlocks
+       |SELECT probes, n_truth, n_hits,
+       |  CAST((n_hits * 20000 + n_truth) // (2 * n_truth) AS DOUBLE) / 10000.0
+       |    AS recall
+       |FROM ($unioned) u CROSS JOIN tn
+       |ORDER BY probes""".stripMargin
+  }) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    val cents = e.orderBy("vec_id").limit(IVF_LISTS)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+    val a = e.repartition(s.sparkContext.defaultParallelism)
+      .select(col("vec_id").as("query_id"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("vb"))
+    val truth = topKPerQuery(
+        a.join(broadcast(b), col("query_id") =!= col("neighbor_id"))
+          .withColumn("sim", round(Exprs.cosine_sim(col("va"), col("vb")), 4)), 3)
+      .select("query_id", "neighbor_id")
+      .localCheckpoint(true) // size + every probe setting read it
+    val tn = truth.agg(count(lit(1)).cast("long").as("n_truth"))
+    RecallProbes.map { p =>
+      ivfTopK(e, cents, probes = p, topK = 3)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(truth, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).cast("long").as("n_hits"))
+        .select(lit(p.toLong).as("probes"), col("n_hits"))
+    }.reduce(_ unionByName _)
+      .crossJoin(broadcast(tn))
+      .select(col("probes"), col("n_truth"), col("n_hits"),
+        (expr("CAST((n_hits * 20000 + n_truth) div (2 * n_truth) AS DOUBLE)")
+          / 10000.0).as("recall"))
+      .orderBy("probes")
+  }
+
+  val all: Seq[Q] = Seq(q29, q30, q31, q32, q62, q74, q139, q150, q151, q152,
+    q153, q193, q245)
 }

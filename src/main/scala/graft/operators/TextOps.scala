@@ -97,9 +97,14 @@ object TextOps {
       |  SELECT doc_id, list_sort(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS ts
       |  FROM documents)
       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-      |  round(1.0*len(list_intersect(a.ts, b.ts)) / len(list_distinct(a.ts || b.ts)), 4) AS jac
+      |  CAST((CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT) * 20000
+      |        + len(list_distinct(a.ts || b.ts)))
+      |       // (2 * len(list_distinct(a.ts || b.ts))) AS DOUBLE) / 10000.0
+      |    AS jac
       |FROM s a JOIN s b ON a.doc_id < b.doc_id
-      |WHERE round(1.0*len(list_intersect(a.ts, b.ts)) / len(list_distinct(a.ts || b.ts)), 4) >= 0.8
+      |WHERE CAST((CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT) * 20000
+      |        + len(list_distinct(a.ts || b.ts)))
+      |       // (2 * len(list_distinct(a.ts || b.ts))) AS DOUBLE) / 10000.0 >= 0.8
       |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
     // Adaptive physical plan (SetSimJoin): dense-vocab corpora get
     // bitset+popcount Jaccard, large vocabs get a hashed-long merge walk,
@@ -140,11 +145,14 @@ object TextOps {
       |      i -> t[i] || ' ' || t[i+1])) AS sh
       |  FROM tok WHERE len(t) >= 2)
       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-      |  round(1.0*len(list_intersect(a.sh, b.sh)) /
-      |        len(list_distinct(a.sh || b.sh)), 4) AS jac
+      |  CAST((CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) * 20000
+      |        + len(list_distinct(a.sh || b.sh)))
+      |       // (2 * len(list_distinct(a.sh || b.sh))) AS DOUBLE) / 10000.0
+      |    AS jac
       |FROM s a JOIN s b ON a.doc_id < b.doc_id
-      |WHERE round(1.0*len(list_intersect(a.sh, b.sh)) /
-      |            len(list_distinct(a.sh || b.sh)), 4) >= 0.8
+      |WHERE CAST((CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) * 20000
+      |        + len(list_distinct(a.sh || b.sh)))
+      |       // (2 * len(list_distinct(a.sh || b.sh))) AS DOUBLE) / 10000.0 >= 0.8
       |ORDER BY id_a, id_b""".stripMargin
 
   /** (doc_id, sh): the 2-shingle arrays both sketch gates band AND
@@ -169,9 +177,11 @@ object TextOps {
       .join(sets.select(col("doc_id").as("id_a"), col("ts").as("ts_a")), "id_a")
       .join(sets.select(col("doc_id").as("id_b"), col("ts").as("ts_b")), "id_b")
       .withColumn("inter", Exprs.sorted_intersect_count_long(col("ts_a"), col("ts_b")))
+      .withColumn("uni",
+        size(col("ts_a")).cast("long") + size(col("ts_b")) - col("inter"))
+      // integer half-up ten-thousandths — the q233 finite-decimal rule
       .withColumn("jac",
-        round(col("inter").cast("double") /
-          (size(col("ts_a")) + size(col("ts_b")) - col("inter")), 4))
+        expr("CAST((inter * 20000 + uni) div (2 * uni) AS DOUBLE)") / 10000.0)
       .filter(col("jac") >= threshold)
       .select("id_a", "id_b", "jac")
       .orderBy("id_a", "id_b")
@@ -322,11 +332,14 @@ object TextOps {
        |  FROM ck a JOIN ck b ON a.tab = b.tab AND a.key = b.key
        |                     AND a.doc_id < b.doc_id)
        |SELECT c.id_a, c.id_b,
-       |  round(1.0*len(list_intersect(x.sh, y.sh)) /
-       |        len(list_distinct(x.sh || y.sh)), 4) AS jac
+       |  CAST((CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT) * 20000
+       |        + len(list_distinct(x.sh || y.sh)))
+       |       // (2 * len(list_distinct(x.sh || y.sh))) AS DOUBLE) / 10000.0
+       |    AS jac
        |FROM cand c JOIN sh x ON c.id_a = x.doc_id JOIN sh y ON c.id_b = y.doc_id
-       |WHERE round(1.0*len(list_intersect(x.sh, y.sh)) /
-       |            len(list_distinct(x.sh || y.sh)), 4) >= 0.8
+       |WHERE CAST((CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT) * 20000
+       |        + len(list_distinct(x.sh || y.sh)))
+       |       // (2 * len(list_distinct(x.sh || y.sh))) AS DOUBLE) / 10000.0 >= 0.8
        |ORDER BY c.id_a, c.id_b""".stripMargin
 
   /** SimHash block-pair bucket cap. A 16-bit key bucket past this size
@@ -479,10 +492,11 @@ object TextOps {
   }
 
   /** TF-IDF-style distinctive terms per doc, top-3. The idf factor is the
-    * LINEAR rarity N/df, not ln(N/df): both engines then compute the score
-    * with exact-input IEEE division (a transcendental would risk 1-ulp
-    * library divergence across JVMs/libm and break the hash gate). Ranking
-    * follows the Q determinism rules: rounded score + term tie-break. */
+    * LINEAR rarity N/df, not ln(N/df) (a transcendental would risk 1-ulp
+    * library divergence across JVMs/libm and break the hash gate); the
+    * score tf·N/df is a finite-decimal-capable integer quotient, so it
+    * rounds half-up in INTEGERS (the q233 rule). Ranking follows the Q
+    * determinism rules: rounded score + term tie-break. */
   val q38 = Q.sql("q38_tfidf_topterms",
     """WITH toks AS (
       |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
@@ -493,7 +507,8 @@ object TextOps {
       |  SELECT term, count(*) AS df FROM tf GROUP BY 1),
       |scored AS (
       |  SELECT tf.doc_id, tf.term, CAST(tf.tf AS BIGINT) AS tf, CAST(df.df AS BIGINT) AS df,
-      |    round(1.0 * tf.tf * (SELECT count(*) FROM documents) / df.df, 4) AS score
+      |    CAST((CAST(tf.tf AS BIGINT) * (SELECT count(*) FROM documents)
+      |          * 20000 + df.df) // (2 * df.df) AS DOUBLE) / 10000.0 AS score
       |  FROM tf JOIN df USING (term))
       |SELECT doc_id, term, tf, df, score FROM (
       |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
@@ -511,8 +526,10 @@ object TextOps {
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
     tf.join(df, "term")
+      // integer half-up ten-thousandths of tf·N/df — the q233 rule
       .withColumn("score",
-        round(lit(1.0) * col("tf") * lit(n) / col("df"), 4))
+        expr(s"CAST((tf * ${n}L * 20000 + df) div (2 * df) AS DOUBLE)")
+          / 10000.0)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"))
@@ -567,10 +584,14 @@ object TextOps {
       |         CAST(count(DISTINCT g) AS BIGINT) AS distinct_trigrams
       |  FROM tri GROUP BY 1)
       |SELECT b.doc_id, n_bigrams, top_bigram_cnt, n_trigrams, distinct_trigrams,
-      |  round(1.0 * top_bigram_cnt / n_bigrams, 4) AS top_bigram_frac,
-      |  round(1.0 - 1.0 * distinct_trigrams / n_trigrams, 4) AS dup_trigram_frac,
-      |  (round(1.0 - 1.0 * distinct_trigrams / n_trigrams, 4) > 0.30
-      |   OR round(1.0 * top_bigram_cnt / n_bigrams, 4) > 0.18) AS repetitive
+      |  CAST((top_bigram_cnt * 20000 + n_bigrams)
+      |       // (2 * n_bigrams) AS DOUBLE) / 10000.0 AS top_bigram_frac,
+      |  CAST(((n_trigrams - distinct_trigrams) * 20000 + n_trigrams)
+      |       // (2 * n_trigrams) AS DOUBLE) / 10000.0 AS dup_trigram_frac,
+      |  (CAST(((n_trigrams - distinct_trigrams) * 20000 + n_trigrams)
+      |        // (2 * n_trigrams) AS DOUBLE) / 10000.0 > 0.30
+      |   OR CAST((top_bigram_cnt * 20000 + n_bigrams)
+      |        // (2 * n_bigrams) AS DOUBLE) / 10000.0 > 0.18) AS repetitive
       |FROM bstat b JOIN tstat t ON b.doc_id = t.doc_id
       |ORDER BY b.doc_id""".stripMargin) { (s, d) =>
     val toks = Text.tokens(col("text"))
@@ -585,10 +606,13 @@ object TextOps {
         element_at(col("t"), 1).as("n_trigrams"),
         element_at(col("t"), 2).as("distinct_trigrams"))
     withStats
+      // integer half-up ten-thousandths — the q233 finite-decimal rule
       .withColumn("top_bigram_frac",
-        round(lit(1.0) * col("top_bigram_cnt") / col("n_bigrams"), 4))
+        expr("CAST((top_bigram_cnt * 20000 + n_bigrams)"
+          + " div (2 * n_bigrams) AS DOUBLE)") / 10000.0)
       .withColumn("dup_trigram_frac",
-        round(lit(1.0) - lit(1.0) * col("distinct_trigrams") / col("n_trigrams"), 4))
+        expr("CAST(((n_trigrams - distinct_trigrams) * 20000 + n_trigrams)"
+          + " div (2 * n_trigrams) AS DOUBLE)") / 10000.0)
       .withColumn("repetitive",
         col("dup_trigram_frac") > 0.30 || col("top_bigram_frac") > 0.18)
       .orderBy("doc_id")
@@ -722,7 +746,8 @@ object TextOps {
       |  FROM bi GROUP BY 1)
       |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
       |  CAST(n_inlm AS BIGINT) AS n_inlm,
-      |  round(1.0 - 1.0 * n_inlm / n_bigrams, 4) AS oov_frac
+      |  CAST((CAST(n_bigrams - n_inlm AS BIGINT) * 20000 + n_bigrams)
+      |       // (2 * n_bigrams) AS DOUBLE) / 10000.0 AS oov_frac
       |FROM st ORDER BY doc_id""".stripMargin) { (s, d) =>
     val grams = Tables.documents(s, d)
       .select(col("doc_id"),
@@ -734,7 +759,10 @@ object TextOps {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         sum(coalesce(col("inlm"), lit(0L))).as("n_inlm"))
-      .withColumn("oov_frac", round(lit(1.0) - col("n_inlm") / col("n_bigrams"), 4))
+      // integer half-up ten-thousandths — the q233 finite-decimal rule
+      .withColumn("oov_frac",
+        expr("CAST(((n_bigrams - n_inlm) * 20000 + n_bigrams)"
+          + " div (2 * n_bigrams) AS DOUBLE)") / 10000.0)
       .orderBy("doc_id")
   }
 
@@ -863,7 +891,9 @@ object TextOps {
        |    CAST(sum(ww.w) AS BIGINT) AS score_milli
        |  FROM hb JOIN ww USING (b) GROUP BY 1)
        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, score_milli,
-       |  round(CAST(score_milli AS DOUBLE) / n_tokens, 4) + 0.0 AS mean_w,
+       |  CAST((score_milli * 20000
+       |        + CASE WHEN score_milli < 0 THEN -n_tokens ELSE n_tokens END)
+       |       // (2 * n_tokens) AS DOUBLE) / 10000.0 AS mean_w,
        |  score_milli > 0 AS accept
        |FROM s ORDER BY doc_id""".stripMargin) { (s, d) =>
     import graft.operators.Sketches.Kmv
@@ -878,8 +908,14 @@ object TextOps {
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("long").as("n_tokens"),
         sum("w").cast("long").as("score_milli"))
+      // sign-aware integer half-AWAY ten-thousandths (score can be
+      // negative; both engines' integer division truncates toward zero,
+      // so ±n keeps the half rounding away from zero — matching what
+      // float round would do, minus its half-boundary engine split)
       .withColumn("mean_w",
-        round(col("score_milli").cast("double") / col("n_tokens"), 4))
+        expr("CAST((score_milli * 20000 + CASE WHEN score_milli < 0"
+          + " THEN -n_tokens ELSE n_tokens END)"
+          + " div (2 * n_tokens) AS DOUBLE)") / 10000.0)
       .withColumn("accept", col("score_milli") > 0)
       .orderBy("doc_id")
   }

@@ -36,11 +36,14 @@ object TextStats {
       |    CAST(sum(cnt * CAST(round(log2(cnt) * 1000000) AS BIGINT)) AS BIGINT) AS sclogc
       |  FROM h GROUP BY 1)
       |SELECT doc_id, n_chars, distinct_chars, top_char_cnt,
-      |  round((n_chars * CAST(round(log2(n_chars) * 1000000) AS BIGINT) - sclogc)
-      |        / (n_chars * 1000000.0), 4) AS entropy_bits,
-      |  round(1.0 * top_char_cnt / n_chars, 4) AS top_char_frac,
-      |  round((n_chars * CAST(round(log2(n_chars) * 1000000) AS BIGINT) - sclogc)
-      |        / (n_chars * 1000000.0), 4) < 2.5 AS low_entropy
+      |  CAST(((n_chars * CAST(round(log2(n_chars) * 1000000) AS BIGINT)
+      |         - sclogc) * 20000 + 1000000 * n_chars)
+      |       // (2000000 * n_chars) AS DOUBLE) / 10000.0 AS entropy_bits,
+      |  CAST((top_char_cnt * 20000 + n_chars)
+      |       // (2 * n_chars) AS DOUBLE) / 10000.0 AS top_char_frac,
+      |  CAST(((n_chars * CAST(round(log2(n_chars) * 1000000) AS BIGINT)
+      |         - sclogc) * 20000 + 1000000 * n_chars)
+      |       // (2000000 * n_chars) AS DOUBLE) / 10000.0 < 2.5 AS low_entropy
       |FROM st ORDER BY doc_id""".stripMargin) { (s, d) =>
     Tables.documents(s, d)
       .select(col("doc_id"), Exprs.char_stats(col("text")).as("cs"))
@@ -50,10 +53,15 @@ object TextStats {
         element_at(col("cs"), 2).as("distinct_chars"),
         element_at(col("cs"), 3).as("top_char_cnt"),
         element_at(col("cs"), 4).as("esc"))
+      // integer half-up ten-thousandths — the q233 finite-decimal rule
+      // (esc is the integer micro-bit numerator, so both quotients are
+      // finite-decimal-capable)
       .withColumn("entropy_bits",
-        round(col("esc").cast("double") / (col("n_chars") * lit(1000000.0)), 4))
+        expr("CAST((esc * 20000 + 1000000 * n_chars)"
+          + " div (2000000 * n_chars) AS DOUBLE)") / 10000.0)
       .withColumn("top_char_frac",
-        round(lit(1.0) * col("top_char_cnt") / col("n_chars"), 4))
+        expr("CAST((top_char_cnt * 20000 + n_chars)"
+          + " div (2 * n_chars) AS DOUBLE)") / 10000.0)
       .withColumn("low_entropy", col("entropy_bits") < 2.5)
       .drop("esc")
       .orderBy("doc_id")
@@ -95,8 +103,10 @@ object TextStats {
       |  FROM g eg LEFT JOIN tg ON eg.g = tg.g
       |  WHERE eg.split = 'test' GROUP BY 1)
       |SELECT doc_id, n_grams, n_hit,
-      |  round(1.0 * n_hit / n_grams, 4) AS containment,
-      |  round(1.0 * n_hit / n_grams, 4) >= 0.5 AS drop_doc
+      |  CAST((n_hit * 20000 + n_grams) // (2 * n_grams) AS DOUBLE) / 10000.0
+      |    AS containment,
+      |  CAST((n_hit * 20000 + n_grams) // (2 * n_grams) AS DOUBLE) / 10000.0
+      |    >= 0.5 AS drop_doc
       |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
     val split = Tables.documents(s, d)
       .select(col("doc_id"),
@@ -113,7 +123,10 @@ object TextStats {
         col("g") === col("tg"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"), count(col("tg")).as("n_hit"))
-      .withColumn("containment", round(lit(1.0) * col("n_hit") / col("n_grams"), 4))
+      // integer half-up ten-thousandths — the q233 finite-decimal rule
+      .withColumn("containment",
+        expr("CAST((n_hit * 20000 + n_grams)"
+          + " div (2 * n_grams) AS DOUBLE)") / 10000.0)
       .withColumn("drop_doc", col("containment") >= 0.5)
       .orderBy("doc_id")
   }
@@ -167,7 +180,8 @@ object TextStats {
       |  JOIN c1 ON c1.w1 = bg.w1)
       |SELECT doc_id, count(*) AS n_bigrams,
       |  CAST(sum(ub) AS BIGINT) AS surprisal_qb,
-      |  round(CAST(sum(ub) AS DOUBLE) / (count(*) * 1024.0), 4)
+      |  CAST((CAST(sum(ub) AS BIGINT) * 20000 + 1024 * count(*))
+      |       // (2048 * count(*)) AS DOUBLE) / 10000.0
       |    AS bits_per_token
       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
     import graft.functions.Text
@@ -189,9 +203,10 @@ object TextStats {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         sum("ub").cast("long").as("surprisal_qb"))
+      // integer half-up ten-thousandths — the q233 finite-decimal rule
       .withColumn("bits_per_token",
-        round(col("surprisal_qb").cast("double") /
-          (col("n_bigrams") * lit(1024.0)), 4))
+        expr("CAST((surprisal_qb * 20000 + 1024 * n_bigrams)"
+          + " div (2048 * n_bigrams) AS DOUBLE)") / 10000.0)
       .orderBy("doc_id")
   }
 
@@ -245,7 +260,8 @@ object TextStats {
       |  CROSS JOIN tt)
       |SELECT doc_id, count(*) AS n_bigrams,
       |  CAST(sum(ub) AS BIGINT) AS kn_qb,
-      |  round(CAST(sum(ub) AS DOUBLE) / (count(*) * 1024.0), 4)
+      |  CAST((CAST(sum(ub) AS BIGINT) * 20000 + 1024 * count(*))
+      |       // (2048 * count(*)) AS DOUBLE) / 10000.0
       |    AS kn_bits_per_token
       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
     import graft.functions.Text
@@ -273,8 +289,10 @@ object TextStats {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         sum("ub").cast("long").as("kn_qb"))
+      // integer half-up ten-thousandths — the q233 finite-decimal rule
       .withColumn("kn_bits_per_token",
-        round(col("kn_qb").cast("double") / (col("n_bigrams") * lit(1024.0)), 4))
+        expr("CAST((kn_qb * 20000 + 1024 * n_bigrams)"
+          + " div (2048 * n_bigrams) AS DOUBLE)") / 10000.0)
       .orderBy("doc_id")
   }
 
@@ -313,7 +331,8 @@ object TextStats {
       |    CAST(sum(green) AS BIGINT) AS n_green
       |  FROM g GROUP BY 1)
       |SELECT doc_id, n_bigrams, n_green,
-      |  round(1.0 * n_green / n_bigrams, 4) AS green_frac,
+      |  CAST((n_green * 20000 + n_bigrams) // (2 * n_bigrams) AS DOUBLE)
+      |    / 10000.0 AS green_frac,
       |  round((2 * n_green - n_bigrams) / sqrt(CAST(n_bigrams AS DOUBLE)), 4)
       |    + 0.0 AS z_score,
       |  round((2 * n_green - n_bigrams) / sqrt(CAST(n_bigrams AS DOUBLE)), 4)
@@ -332,8 +351,13 @@ object TextStats {
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("long").as("n_bigrams"),
         sum("green").cast("long").as("n_green"))
+      // integer half-up ten-thousandths — the q233 finite-decimal rule
+      // (z_score keeps float round: its √n denominator is irrational
+      // except at perfect squares, and at those the dyadic numerator
+      // can't land on a decimal half boundary with these magnitudes)
       .withColumn("green_frac",
-        round(lit(1.0) * col("n_green") / col("n_bigrams"), 4))
+        expr("CAST((n_green * 20000 + n_bigrams)"
+          + " div (2 * n_bigrams) AS DOUBLE)") / 10000.0)
       .withColumn("z_score",
         round((lit(2) * col("n_green") - col("n_bigrams")) /
           sqrt(col("n_bigrams").cast("double")), 4))
@@ -370,8 +394,10 @@ object TextStats {
       |  FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
       |  GROUP BY 1, 2)
       |SELECT o.src_a, o.src_b, o.n_shared,
-      |  round(1.0 * o.n_shared / na.n, 4) AS contain_a,
-      |  round(1.0 * o.n_shared / nb.n, 4) AS contain_b
+      |  CAST((o.n_shared * 20000 + na.n) // (2 * na.n) AS DOUBLE) / 10000.0
+      |    AS contain_a,
+      |  CAST((o.n_shared * 20000 + nb.n) // (2 * nb.n) AS DOUBLE) / 10000.0
+      |    AS contain_b
       |FROM o JOIN n na ON na.source = o.src_a
       |JOIN n nb ON nb.source = o.src_b
       |ORDER BY src_a, src_b""".stripMargin) { (s, d) =>
@@ -391,10 +417,74 @@ object TextStats {
     o.join(broadcast(n.select(col("source").as("src_a"), col("n").as("na"))), "src_a")
       .join(broadcast(n.select(col("source").as("src_b"), col("n").as("nb"))), "src_b")
       .select(col("src_a"), col("src_b"), col("n_shared"),
-        round(lit(1.0) * col("n_shared") / col("na"), 4).as("contain_a"),
-        round(lit(1.0) * col("n_shared") / col("nb"), 4).as("contain_b"))
+        // integer half-up ten-thousandths — the q233 finite-decimal rule
+        (expr("CAST((n_shared * 20000 + na) div (2 * na) AS DOUBLE)")
+          / 10000.0).as("contain_a"),
+        (expr("CAST((n_shared * 20000 + nb) div (2 * nb) AS DOUBLE)")
+          / 10000.0).as("contain_b"))
       .orderBy("src_a", "src_b")
   }
 
-  val all: Seq[Q] = Seq(q119, q120, q181, q202, q212, q217)
+  /** Per-source distinctive vocabulary by smoothed log-odds — the
+    * "fightin' words" corpus-comparison read (Monroe et al. 2008,
+    * Haldane +1 smoothing): for every (source, token), δ =
+    * log₂((a+1)/(A−a+1)) − log₂((b+1)/(B−b+1)) with a/A the token and
+    * total counts in the source and b/B in the REST of the corpus —
+    * positive δ means the token is over-represented in that source.
+    * Top-3 per source by (δ DESC, token). The log is q181's integer
+    * piecewise-linear qlog2 (1/1024-bit units — exact both engines,
+    * no transcendental), so δ is a BIGINT and the gate has no
+    * rounding seam. Scale: one token-count pass; the score table is
+    * vocab × sources — broadcast-sized totals, nothing re-touches
+    * documents. */
+  val q249 = Q.sql("q249_token_log_odds", {
+    def ql(x: String) = s"((length(bin($x)) - 1) * 1024" +
+      s" + ($x) * 1024 // (1::BIGINT << (length(bin($x)) - 1)) - 1024)"
+    s"""WITH tk AS MATERIALIZED (
+       |  SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+       |  FROM documents),
+       |a AS MATERIALIZED (
+       |  SELECT source, tok, CAST(count(*) AS BIGINT) AS a
+       |  FROM tk GROUP BY 1, 2),
+       |at AS (SELECT source, CAST(sum(a) AS BIGINT) AS ta FROM a GROUP BY 1),
+       |g AS (SELECT tok, CAST(sum(a) AS BIGINT) AS gt FROM a GROUP BY 1),
+       |tt AS (SELECT CAST(sum(a) AS BIGINT) AS t FROM a),
+       |sc AS (
+       |  SELECT a.source, a.tok, a.a, (g.gt - a.a) AS b,
+       |    ${ql("a.a + 1")} - ${ql("at.ta - a.a + 1")}
+       |    - ${ql("g.gt - a.a + 1")}
+       |    + ${ql("tt.t - at.ta - (g.gt - a.a) + 1")} AS delta_qb
+       |  FROM a JOIN at USING (source) JOIN g USING (tok) CROSS JOIN tt)
+       |SELECT source, tok, a AS n_in, b AS n_rest, delta_qb,
+       |  CAST(rk AS BIGINT) AS rk
+       |FROM (SELECT *, row_number() OVER (PARTITION BY source
+       |        ORDER BY delta_qb DESC, tok) AS rk FROM sc) t
+       |WHERE rk <= 3 ORDER BY source, rk""".stripMargin
+  }) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    def ql(x: String) = s"((length(bin($x)) - 1) * 1024" +
+      s" + ($x) * 1024 div shiftleft(1L, length(bin($x)) - 1) - 1024)"
+    val tk = Tables.documents(s, d)
+      .select(col("source"), explode(Text.tokens(col("text"))).as("tok"))
+    val a = tk.groupBy("source", "tok")
+      .agg(count(lit(1)).cast("long").as("a"))
+      .localCheckpoint(true) // all three totals derive from it
+    val at = a.groupBy("source").agg(sum("a").cast("long").as("ta"))
+    val g = a.groupBy("tok").agg(sum("a").cast("long").as("gt"))
+    val tt = a.agg(sum("a").cast("long").as("t"))
+    a.join(broadcast(at), "source").join(broadcast(g), "tok")
+      .crossJoin(broadcast(tt))
+      .withColumn("b", col("gt") - col("a"))
+      .withColumn("delta_qb",
+        expr(s"${ql("a + 1")} - ${ql("ta - a + 1")}" +
+          s" - ${ql("gt - a + 1")} + ${ql("t - ta - (gt - a) + 1")}"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source").orderBy(col("delta_qb").desc, col("tok"))))
+      .filter(col("rk") <= 3)
+      .select(col("source"), col("tok"), col("a").as("n_in"),
+        col("b").as("n_rest"), col("delta_qb"), col("rk").cast("long").as("rk"))
+      .orderBy("source", "rk")
+  }
+
+  val all: Seq[Q] = Seq(q119, q120, q181, q202, q212, q217, q249)
 }

@@ -607,5 +607,92 @@ object Timeseries {
       .orderBy("event_type")
   }
 
-  val all: Seq[Q] = Seq(q115, q116, q121, q137, q159, q176, q185, q195, q233, q242, q243)
+  /** Weighted-moving-average forecast + one-step backtest — the
+    * capacity-forecast pass an ingest scheduler runs over its daily
+    * volume series: per event type the day axis is DENSIFIED to the
+    * full corpus range (a zero-event day is a real observation — the
+    * q243 lesson), the forecast for day t is the integer WMA
+    * (4·xₜ₋₁ + 2·xₜ₋₂ + xₜ₋₃) div 7, and the backtest reports MAE
+    * (integer milli-rounded — the q233 rule), signed bias, and the
+    * next-day forecast the scheduler would act on. Scale: the series
+    * table is (types × days) — time-axis-sized, not event-sized — so
+    * everything after the one counting scan is free; the per-type
+    * window sorts a bounded day range. */
+  val q247 = Q.sql("q247_wma_forecast",
+    """WITH bounds AS (
+      |  SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+      |  FROM events),
+      |days AS (
+      |  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+      |    AS day
+      |  FROM bounds),
+      |types AS (SELECT DISTINCT event_type FROM events),
+      |actual AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(count(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |g AS (
+      |  SELECT t.event_type, dy.day, coalesce(a.x, 0) AS x
+      |  FROM types t CROSS JOIN days dy
+      |  LEFT JOIN actual a ON a.event_type = t.event_type AND a.day = dy.day),
+      |w AS (
+      |  SELECT event_type, day, x,
+      |    lag(x, 1) OVER (PARTITION BY event_type ORDER BY day) AS x1,
+      |    lag(x, 2) OVER (PARTITION BY event_type ORDER BY day) AS x2,
+      |    lag(x, 3) OVER (PARTITION BY event_type ORDER BY day) AS x3
+      |  FROM g)
+      |SELECT event_type,
+      |  CAST(count(CASE WHEN x3 IS NOT NULL THEN 1 END) AS BIGINT)
+      |    AS n_scored,
+      |  CAST(sum(CASE WHEN x3 IS NOT NULL
+      |    THEN abs(x - (4 * x1 + 2 * x2 + x3) // 7) END) AS BIGINT)
+      |    AS abs_err,
+      |  CAST((CAST(sum(CASE WHEN x3 IS NOT NULL
+      |          THEN abs(x - (4 * x1 + 2 * x2 + x3) // 7) END) AS BIGINT)
+      |        * 2000 + count(CASE WHEN x3 IS NOT NULL THEN 1 END))
+      |       // (2 * count(CASE WHEN x3 IS NOT NULL THEN 1 END)) AS DOUBLE)
+      |    / 1000.0 AS mae,
+      |  CAST(sum(CASE WHEN x3 IS NOT NULL
+      |    THEN (4 * x1 + 2 * x2 + x3) // 7 - x END) AS BIGINT) AS bias,
+      |  CAST(max(CASE WHEN day = b.d1
+      |    THEN (4 * x + 2 * x1 + x2) // 7 END) AS BIGINT) AS forecast_next
+      |FROM w CROSS JOIN bounds b
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), col("ts").cast("date").as("day"))
+      .localCheckpoint(true) // bounds + types + the counting scan read it
+    val bounds = ev.agg(min("day").as("d0"), max("day").as("d1"))
+    val days = bounds.select(
+      explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+    val types = ev.select("event_type").distinct()
+    val actual = ev.groupBy("event_type", "day")
+      .agg(count(lit(1)).cast("long").as("x"))
+    val g = types.crossJoin(days)
+      .join(actual, Seq("event_type", "day"), "left")
+      .na.fill(0L, Seq("x"))
+    val wnd = Window.partitionBy("event_type").orderBy("day")
+    val fc = "(4 * x1 + 2 * x2 + x3) div 7"
+    g.withColumn("x1", lag("x", 1).over(wnd))
+      .withColumn("x2", lag("x", 2).over(wnd))
+      .withColumn("x3", lag("x", 3).over(wnd))
+      .crossJoin(broadcast(bounds))
+      .groupBy("event_type")
+      .agg(
+        count(when(col("x3").isNotNull, 1)).cast("long").as("n_scored"),
+        sum(when(col("x3").isNotNull, abs(col("x") - expr(fc))))
+          .cast("long").as("abs_err"),
+        (expr(s"CAST((sum(CASE WHEN x3 IS NOT NULL THEN abs(x - ($fc)) END)" +
+          " * 2000 + count(CASE WHEN x3 IS NOT NULL THEN 1 END))" +
+          " div (2 * count(CASE WHEN x3 IS NOT NULL THEN 1 END)) AS DOUBLE)")
+          / 1000.0).as("mae"),
+        sum(when(col("x3").isNotNull, expr(fc) - col("x")))
+          .cast("long").as("bias"),
+        max(when(col("day") === col("d1"),
+          expr("(4 * x + 2 * x1 + x2) div 7"))).cast("long").as("forecast_next"))
+      .orderBy("event_type")
+  }
+
+  val all: Seq[Q] = Seq(q115, q116, q121, q137, q159, q176, q185, q195, q233,
+    q242, q243, q247)
 }

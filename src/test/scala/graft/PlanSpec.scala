@@ -78,7 +78,8 @@ class PlanSpec extends AnyFunSuite {
     // the pair loop is a broadcast nested-loop with the bitmap kernel
     // evaluated inside the join condition — no shuffle of the pair space
     assert(p.contains("BroadcastNestedLoopJoin"), p)
-    assert(p.contains("bitmapjaccard"), p)
+    // popcount intersection kernel (the integer-exact Jaccard device)
+    assert(p.toLowerCase.contains("bitmapinter"), p)
   }
 
   test("as-of join is one shuffle on the key — no join operator, no pair blow-up") {
