@@ -808,6 +808,119 @@ object Profiling {
       .orderBy("event_type")
   }
 
+  /** Cross-source quantile normalization — the batch-effect corrector
+    * applied before mixing heterogeneous sources (the q199/q216 drift
+    * alarms DETECT a shape mismatch; this op REMOVES it): each doc's
+    * token count maps to the pooled corpus value at the same quantile,
+    * so every source's length distribution becomes the global one
+    * while within-source order is preserved. Exact and replayable:
+    * within-source rank r of n_src rows maps to pooled rank
+    * 1 + round((r−1)(N−1)/(n_src−1)) — the interpolation is integer
+    * half-up, ranks break ties by doc_id, and the mapped value is an
+    * exact selection from the pooled order (no float anywhere).
+    * Scale: one per-source rank window + one pooled rank — the same
+    * cost class as the exact-median gates; production swaps the pooled
+    * rank for q114's binned quantiles when N is corpus-sized. */
+  val q250 = Q.sql("q250_quantile_normalize",
+    """WITH f AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS nt
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, source, nt,
+      |    row_number() OVER (PARTITION BY source ORDER BY nt, doc_id) AS r,
+      |    count(*) OVER (PARTITION BY source) AS n
+      |  FROM f),
+      |g AS (
+      |  SELECT nt AS gnt,
+      |    row_number() OVER (ORDER BY nt, doc_id) AS gr
+      |  FROM f),
+      |t AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM f),
+      |m AS (
+      |  SELECT r.doc_id, r.source, r.nt,
+      |    CASE WHEN r.n = 1 THEN (t.nn + 1) // 2
+      |         ELSE 1 + ((r.r - 1) * (t.nn - 1) * 2 + (r.n - 1))
+      |                  // (2 * (r.n - 1)) END AS pos
+      |  FROM r CROSS JOIN t)
+      |SELECT m.doc_id, m.source, m.nt, g.gnt AS norm_nt
+      |FROM m JOIN g ON g.gr = m.pos
+      |ORDER BY m.doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Text
+    val f = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(Text.tokens(col("text"))).cast("long").as("nt"))
+      .localCheckpoint(true) // source ranks + the pooled rank read it
+    val bySource = Window.partitionBy("source")
+    val r = f
+      .withColumn("r", row_number().over(bySource.orderBy("nt", "doc_id"))
+        .cast("long"))
+      .withColumn("n", count(lit(1)).over(bySource))
+    val g = f.select(col("nt").as("gnt"), col("doc_id").as("gid"))
+      .withColumn("gr", row_number().over(
+        Window.orderBy(col("gnt"), col("gid"))).cast("long"))
+      .select("gnt", "gr")
+    val nn = f.agg(count(lit(1)).cast("long").as("nn"))
+    r.crossJoin(broadcast(nn))
+      .withColumn("pos",
+        when(col("n") === 1, expr("(nn + 1) div 2"))
+          .otherwise(expr(
+            "1 + ((r - 1) * (nn - 1) * 2 + (n - 1)) div (2 * (n - 1))")))
+      .join(g, col("gr") === col("pos"))
+      .select(col("doc_id"), col("source"), col("nt"), col("gnt").as("norm_nt"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-user behavioral entropy — the bot/automation census an abuse
+    * team reads: a genuine user spreads events across types (high
+    * entropy), a scripted one hammers a single action (low entropy at
+    * high volume). Entropy in integer qlog2 units per q208's device —
+    * H = Σc·(qlog2(n) − qlog2(c)) / (1024·n) bits, rounded half-up in
+    * integers — and the flag is the fixed policy (≥ [[BotMinEvents]]
+    * events AND < 1 bit). Top-50 most active users keep the output
+    * bounded. One groupBy(user, type) then a users-sized fold. */
+  val BotMinEvents = 40
+
+  val q253 = Q.sql("q253_user_entropy", {
+    def ql(x: String) = s"((length(bin($x)) - 1) * 1024" +
+      s" + ($x) * 1024 // (1::BIGINT << (length(bin($x)) - 1)) - 1024)"
+    s"""WITH c AS (
+       |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+       |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+       |u AS (
+       |  SELECT user_id, CAST(sum(c) AS BIGINT) AS n,
+       |    CAST(count(*) AS BIGINT) AS n_types,
+       |    CAST(sum(c * ${ql("c")}) AS BIGINT) AS sclogc
+       |  FROM c GROUP BY 1),
+       |e AS (
+       |  SELECT user_id, n, n_types,
+       |    CAST(((n * ${ql("n")} - sclogc) * 20000 + 1024 * n)
+       |         // (2048 * n) AS DOUBLE) / 10000.0 AS entropy_bits
+       |  FROM u)
+       |SELECT user_id, n AS n_events, n_types, entropy_bits,
+       |  n >= $BotMinEvents AND entropy_bits < 1.0 AS bot_suspect
+       |FROM e ORDER BY n_events DESC, user_id LIMIT 50""".stripMargin
+  }) { (s, d) =>
+    def ql(x: String) = s"((length(bin($x)) - 1) * 1024" +
+      s" + ($x) * 1024 div shiftleft(1L, length(bin($x)) - 1) - 1024)"
+    Tables.events(s, d).filter(col("user_id").isNotNull)
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).cast("long").as("c"))
+      .groupBy("user_id")
+      .agg(sum("c").cast("long").as("n"),
+        count(lit(1)).cast("long").as("n_types"),
+        sum(expr(s"c * ${ql("c")}")).cast("long").as("sclogc"))
+      .withColumn("entropy_bits",
+        expr(s"CAST(((n * ${ql("n")} - sclogc) * 20000 + 1024 * n)"
+          + " div (2048 * n) AS DOUBLE)") / 10000.0)
+      .select(col("user_id"), col("n").as("n_events"), col("n_types"),
+        col("entropy_bits"),
+        (col("n") >= BotMinEvents && col("entropy_bits") < 1.0)
+          .as("bot_suspect"))
+      .orderBy(col("n_events").desc, col("user_id"))
+      .limit(50)
+  }
+
   val all: Seq[Q] = Seq(q122, q188, q189, q197, q199, q201, q208, q213, q216,
-    q222, q239, q248)
+    q222, q239, q248, q250, q253)
 }

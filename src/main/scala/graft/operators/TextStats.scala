@@ -486,5 +486,106 @@ object TextStats {
       .orderBy("source", "rk")
   }
 
-  val all: Seq[Q] = Seq(q119, q120, q181, q202, q212, q217, q249)
+  /** Per-document n-gram novelty — the corpus-growth curve a crawl
+    * operator tracks (and the post-dedup audit: a corpus that keeps
+    * yielding near-zero-novelty docs has a dedup gap): for each doc in
+    * doc_id order, the fraction of its distinct 8-grams never seen in
+    * any EARLIER doc. First-occurrence ownership is one min(doc_id)
+    * per gram — gram-key shuffle, no window over the stream — and the
+    * fraction rounds half-up in integers (the q233 rule). At 100 TB
+    * the owner table IS the suffix-style dedup index the pipeline
+    * already maintains; novelty is a join against it. */
+  val NoveltyN = 8
+
+  val q251 = Q.sql("q251_ngram_novelty",
+    s"""WITH g AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    unnest(list_distinct(list_transform(range(1, len(toks) - ${NoveltyN - 2}),
+       |      i -> array_to_string(list_slice(toks, i, i + ${NoveltyN - 1}), ' '))))
+       |      AS gram
+       |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |        FROM documents)
+       |  WHERE len(toks) >= $NoveltyN),
+       |own AS (SELECT gram, min(doc_id) AS owner FROM g GROUP BY 1),
+       |t AS (
+       |  SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       |    CAST(sum(CASE WHEN own.owner = g.doc_id THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_novel
+       |  FROM g JOIN own USING (gram) GROUP BY 1)
+       |SELECT doc_id, n_grams, n_novel,
+       |  CAST((n_novel * 20000 + n_grams) // (2 * n_grams) AS DOUBLE)
+       |    / 10000.0 AS novelty
+       |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val g = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(array_distinct(Text.shingles(Text.tokens(col("text")), NoveltyN)))
+          .as("gram"))
+      .localCheckpoint(true) // ownership + the per-doc fold read it
+    val own = g.groupBy("gram").agg(min("doc_id").as("owner"))
+    g.join(own, "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_grams"),
+        sum(when(col("owner") === col("doc_id"), 1L).otherwise(0L))
+          .cast("long").as("n_novel"))
+      .withColumn("novelty",
+        expr("CAST((n_novel * 20000 + n_grams)"
+          + " div (2 * n_grams) AS DOUBLE)") / 10000.0)
+      .orderBy("doc_id")
+  }
+
+  /** PMI collocations — the classic corpus-linguistics extraction
+    * (Church & Hanks 1990) a vocabulary/tokenizer team reads before
+    * deciding multi-word units: for bigrams with support ≥
+    * [[PmiMinCount]], PMI = log₂(c(xy)·T / (c(x·)·c(·y))) in integer
+    * qlog2 1/1024-bit units (q181's piecewise log — exact both
+    * engines, no transcendental), top-20 by (PMI DESC, bigram). The
+    * count tables are vocab-/bigram-sized; nothing re-touches the
+    * corpus after one bigram pass. */
+  val PmiMinCount = 5
+
+  val q252 = Q.sql("q252_pmi_collocations", {
+    def ql(x: String) = s"((length(bin($x)) - 1) * 1024" +
+      s" + ($x) * 1024 // (1::BIGINT << (length(bin($x)) - 1)) - 1024)"
+    s"""WITH tk AS MATERIALIZED (
+       |  SELECT doc_id, CAST(u.i AS BIGINT) AS off, toks[u.i + 1] AS tok
+       |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |        FROM documents) d,
+       |  LATERAL unnest(range(0, len(toks))) AS u(i)),
+       |cxy AS MATERIALIZED (
+       |  SELECT a.tok AS w1, b.tok AS w2, CAST(count(*) AS BIGINT) AS nxy
+       |  FROM tk a JOIN tk b ON b.doc_id = a.doc_id AND b.off = a.off + 1
+       |  GROUP BY 1, 2),
+       |cx AS (SELECT w1, CAST(sum(nxy) AS BIGINT) AS nx FROM cxy GROUP BY 1),
+       |cy AS (SELECT w2, CAST(sum(nxy) AS BIGINT) AS ny FROM cxy GROUP BY 1),
+       |tt AS (SELECT CAST(sum(nxy) AS BIGINT) AS t FROM cxy)
+       |SELECT w1, w2, nxy,
+       |  ${ql("cxy.nxy * tt.t")} - ${ql("cx.nx * cy.ny")} AS pmi_qb
+       |FROM cxy JOIN cx USING (w1) JOIN cy USING (w2) CROSS JOIN tt
+       |WHERE nxy >= $PmiMinCount
+       |ORDER BY pmi_qb DESC, w1, w2 LIMIT 20""".stripMargin
+  }) { (s, d) =>
+    def ql(x: String) = s"((length(bin($x)) - 1) * 1024" +
+      s" + ($x) * 1024 div shiftleft(1L, length(bin($x)) - 1) - 1024)"
+    val tk = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(Text.tokens(col("text"))).as(Seq("off", "tok")))
+      .select(col("doc_id"), col("off").cast("long").as("off"), col("tok"))
+    val cxy = tk.select(col("doc_id"), col("off"), col("tok").as("w1"))
+      .join(tk.select(col("doc_id"), (col("off") - 1).as("off"), col("tok").as("w2")),
+        Seq("doc_id", "off"))
+      .groupBy("w1", "w2").agg(count(lit(1)).cast("long").as("nxy"))
+      .localCheckpoint(true) // margins + total derive from it
+    val cx = cxy.groupBy("w1").agg(sum("nxy").cast("long").as("nx"))
+    val cy = cxy.groupBy("w2").agg(sum("nxy").cast("long").as("ny"))
+    val tt = cxy.agg(sum("nxy").cast("long").as("t"))
+    cxy.filter(col("nxy") >= PmiMinCount)
+      .join(broadcast(cx), "w1").join(broadcast(cy), "w2")
+      .crossJoin(broadcast(tt))
+      .withColumn("pmi_qb",
+        expr(s"${ql("nxy * t")} - ${ql("nx * ny")}"))
+      .select("w1", "w2", "nxy", "pmi_qb")
+      .orderBy(col("pmi_qb").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
+  val all: Seq[Q] = Seq(q119, q120, q181, q202, q212, q217, q249, q251, q252)
 }
