@@ -591,5 +591,82 @@ object Graph {
     (0 until WalksPerNode).map(_.toLong).toDF("walk")
   }
 
-  val all: Seq[Q] = Seq(q106, q110, q138, q167, q187, q223, q232)
+  /** Newman modularity of a node partition — THE quality number for a
+    * community assignment (Newman & Girvan 2004): over the part
+    * co-order graph (q223's support-thinned edges), score the brand
+    * partition — Q = Σ_c [e_c/m − (d_c/2m)²], "are same-brand parts
+    * bought together more than a degree-preserving random graph would
+    * predict". Exact: Q·4m² = Σ_c (4m·e_c − d_c²) is one BIGINT sum,
+    * and the single division rounds half-up sign-aware in integers
+    * (the q233 rule — Q can be negative for an anti-clustered
+    * partition). Scale: edges once, then community-sized aggregates —
+    * the evaluation is free next to building the graph; swap the brand
+    * column for q178's propagated labels and the same fold scores a
+    * learned clustering. */
+  val q254 = Q.sql("q254_modularity",
+    s"""WITH i AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |e0 AS (
+       |  SELECT a.l_partkey AS u, b.l_partkey AS v
+       |  FROM i a JOIN i b ON a.l_orderkey = b.l_orderkey
+       |    AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2 HAVING count(*) >= $LinkPredMinSup),
+       |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e0),
+       |deg AS (
+       |  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM
+       |  (SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0) GROUP BY 1),
+       |com AS (SELECT p_partkey AS node, p_brand AS c FROM part),
+       |ec AS (
+       |  SELECT pa.c, CAST(count(*) AS BIGINT) AS e_in
+       |  FROM e0 JOIN com pa ON pa.node = e0.u
+       |          JOIN com pb ON pb.node = e0.v
+       |  WHERE pa.c = pb.c GROUP BY 1),
+       |dc AS (
+       |  SELECT com.c, CAST(sum(deg.deg) AS BIGINT) AS d_c
+       |  FROM deg JOIN com ON com.node = deg.node GROUP BY 1),
+       |qn AS (
+       |  SELECT CAST(sum(4 * mm.m * COALESCE(ec.e_in, 0) - dc.d_c * dc.d_c)
+       |           AS BIGINT) AS qnum,
+       |    CAST(count(*) AS BIGINT) AS n_communities,
+       |    CAST(max(mm.m) AS BIGINT) AS m
+       |  FROM dc LEFT JOIN ec USING (c) CROSS JOIN mm)
+       |SELECT m AS n_edges, n_communities, qnum AS q_num,
+       |  CAST((qnum * 20000 + CASE WHEN qnum < 0 THEN -4 * m * m
+       |                            ELSE 4 * m * m END)
+       |       // (8 * m * m) AS DOUBLE) / 10000.0 AS modularity
+       |FROM qn""".stripMargin) { (s, d) =>
+    val i = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val e0 = i.select(col("l_orderkey"), col("l_partkey").as("u"))
+      .join(i.select(col("l_orderkey"), col("l_partkey").as("v")), Seq("l_orderkey"))
+      .filter(col("u") < col("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= LinkPredMinSup)
+      .select("u", "v")
+      .localCheckpoint(true) // edge count, degrees, intra-community all read it
+    val mm = e0.agg(count(lit(1)).cast("long").as("m"))
+    val deg = e0.select(col("u").as("node"))
+      .unionByName(e0.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).cast("long").as("deg"))
+    val com = Tables.part(s, d)
+      .select(col("p_partkey").as("node"), col("p_brand").as("c"))
+    val ec = e0
+      .join(broadcast(com.select(col("node").as("u"), col("c").as("ca"))), "u")
+      .join(broadcast(com.select(col("node").as("v"), col("c").as("cb"))), "v")
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("c")).agg(count(lit(1)).cast("long").as("e_in"))
+    val dc = deg.join(broadcast(com), "node")
+      .groupBy("c").agg(sum("deg").cast("long").as("d_c"))
+    dc.join(ec, Seq("c"), "left").na.fill(0L, Seq("e_in"))
+      .crossJoin(broadcast(mm))
+      .agg(sum(expr("4 * m * e_in - d_c * d_c")).cast("long").as("qnum"),
+        count(lit(1)).cast("long").as("n_communities"),
+        max("m").cast("long").as("m"))
+      .select(col("m").as("n_edges"), col("n_communities"),
+        col("qnum").as("q_num"),
+        (expr("CAST((qnum * 20000 + CASE WHEN qnum < 0 THEN -4 * m * m"
+          + " ELSE 4 * m * m END) div (8 * m * m) AS DOUBLE)") / 10000.0)
+          .as("modularity"))
+  }
+
+  val all: Seq[Q] = Seq(q106, q110, q138, q167, q187, q223, q232, q254)
 }

@@ -693,6 +693,80 @@ object Timeseries {
       .orderBy("event_type")
   }
 
+  /** Kaplan–Meier survival over user lifetimes — the estimator a
+    * retention analysis publishes when lifetimes are CENSORED (q233's
+    * churn label says who left; this says how long users survive,
+    * counting the still-active correctly instead of dropping them):
+    * lifetime = days between first and last event, an observed death =
+    * q233's churn rule (quiet for the last [[ChurnDays]] days), and
+    * S(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ) over the at-risk counts. Exactness:
+    * every count is an integer; each factor is one IEEE division and
+    * the product folds in PINNED ascending-t order on both engines
+    * (window-ordered list → left fold, the q163 device), so the
+    * survival curve is bit-identical WITHOUT rounding. Scale: one
+    * groupBy(user), then everything runs on the duration histogram —
+    * time-axis-sized, not user-sized. */
+  val q256 = Q.sql("q256_kaplan_meier",
+    s"""WITH mx AS (SELECT max(CAST(ts AS DATE)) AS ref FROM events),
+       |u AS (
+       |  SELECT user_id,
+       |    date_diff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE)))
+       |      AS t,
+       |    max(CAST(ts AS DATE)) AS last_day
+       |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+       |lab AS (
+       |  SELECT u.t, u.last_day < mx.ref - ${Timeseries.ChurnDays} AS died
+       |  FROM u CROSS JOIN mx),
+       |h AS (
+       |  SELECT t, CAST(count(*) AS BIGINT) AS n_t,
+       |    CAST(sum(CASE WHEN died THEN 1 ELSE 0 END) AS BIGINT) AS d_t
+       |  FROM lab GROUP BY 1),
+       |r AS (
+       |  SELECT t, d_t, n_t,
+       |    CAST(sum(n_t) OVER (ORDER BY t DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS n_risk
+       |  FROM h),
+       |f AS (
+       |  SELECT t, n_risk, d_t, n_t - d_t AS n_censored,
+       |    1.0 - CAST(d_t AS DOUBLE) / CAST(n_risk AS DOUBLE) AS factor
+       |  FROM r)
+       |SELECT t AS duration_days, n_risk, d_t AS d_churned, n_censored,
+       |  list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+       |    list(factor) OVER (ORDER BY t
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |    (a, x) -> a * x) AS surv
+       |FROM f ORDER BY duration_days""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d).filter(col("user_id").isNotNull)
+      .localCheckpoint(true) // ref day + lifetimes read it
+    val mx = ev.agg(max(col("ts").cast("date")).as("ref"))
+    val h = ev.groupBy("user_id")
+      .agg(datediff(max(col("ts").cast("date")), min(col("ts").cast("date")))
+        .cast("long").as("t"),
+        max(col("ts").cast("date")).as("last_day"))
+      .crossJoin(broadcast(mx))
+      .withColumn("died", col("last_day") < date_sub(col("ref"), ChurnDays))
+      .groupBy("t")
+      .agg(count(lit(1)).cast("long").as("n_t"),
+        sum(when(col("died"), 1L).otherwise(0L)).cast("long").as("d_t"))
+    h.withColumn("n_risk", sum("n_t").over(
+        Window.orderBy(col("t").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"))
+      .withColumn("factor",
+        lit(1.0) - col("d_t").cast("double") / col("n_risk").cast("double"))
+      .withColumn("surv",
+        aggregate(collect_list("factor").over(
+          Window.orderBy("t")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+          lit(1.0), (a, x) => a * x))
+      .select(col("t").as("duration_days"), col("n_risk"),
+        col("d_t").as("d_churned"), (col("n_t") - col("d_t")).as("n_censored"),
+        col("surv"))
+      .orderBy("duration_days")
+  }
+
   val all: Seq[Q] = Seq(q115, q116, q121, q137, q159, q176, q185, q195, q233,
-    q242, q243, q247)
+    q242, q243, q247, q256)
 }

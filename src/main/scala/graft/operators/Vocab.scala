@@ -48,5 +48,53 @@ object Vocab {
       .limit(20)
   }
 
-  val all: Seq[Q] = Seq(q118)
+  /** Spelling correction against the corpus vocabulary — the
+    * query-rewrite pass every search box runs before retrieval (and a
+    * data pipeline runs over OCR/user-generated text): for each
+    * misspelled query, the top-3 vocabulary terms by (edit distance
+    * ASC, corpus frequency DESC, term) within distance ≤ 3. Both
+    * engines implement the classic Wagner–Fischer Levenshtein, so the
+    * distance is integer-exact and the ranking replays. Scale: the
+    * query list is tiny and broadcast; at web-scale vocabularies the
+    * cross product is pruned by length banding or SymSpell-style
+    * deletes — the ranking contract here is what those candidate
+    * generators must preserve. */
+  val SpellQueries = Seq("jion", "hsah", "filtr", "mrege", "colum")
+
+  val q255 = Q.sql("q255_spell_correct", {
+    val qVals = SpellQueries.map(q => s"('$q')").mkString(", ")
+    s"""WITH q(query) AS (VALUES $qVals),
+       |v AS (
+       |  SELECT tok AS term, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+       |        FROM documents)
+       |  GROUP BY 1),
+       |sc AS (
+       |  SELECT q.query, v.term, v.freq,
+       |    CAST(levenshtein(q.query, v.term) AS BIGINT) AS dist
+       |  FROM q CROSS JOIN v
+       |  WHERE levenshtein(q.query, v.term) <= 3)
+       |SELECT query, term, dist, freq, CAST(rk AS BIGINT) AS rk
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query
+       |        ORDER BY dist, freq DESC, term) AS rk FROM sc) t
+       |WHERE rk <= 3 ORDER BY query, rk""".stripMargin
+  }) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Text
+    val spark = s
+    import spark.implicits._
+    val v = Tables.documents(s, d)
+      .select(explode(Text.tokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).cast("long").as("freq"))
+    SpellQueries.toDF("query").crossJoin(v)
+      .withColumn("dist", levenshtein(col("query"), col("term")).cast("long"))
+      .filter(col("dist") <= 3)
+      .withColumn("rk", row_number().over(Window.partitionBy("query")
+        .orderBy(col("dist"), col("freq").desc, col("term"))).cast("long"))
+      .filter(col("rk") <= 3)
+      .select("query", "term", "dist", "freq", "rk")
+      .orderBy("query", "rk")
+  }
+
+  val all: Seq[Q] = Seq(q118, q255)
 }
