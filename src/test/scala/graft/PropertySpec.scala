@@ -269,4 +269,24 @@ class PropertySpec extends AnyFunSuite {
       got == expected
     })
   }
+
+  test("sign-aware (2p±q) div (2q) equals BigDecimal HALF_UP of p/q") {
+    // the round-11 generalization: for a possibly-NEGATIVE integer
+    // quotient p/q (q > 0), (2p + sign(p)·q) div (2q) under
+    // truncate-toward-zero division (Spark `div`, DuckDB `//`, JVM `/`)
+    // is exactly half-away-from-zero rounding — what BigDecimal HALF_UP
+    // (and both engines' float round) does on signed values. Every
+    // integer-rounded ratio gate (jaccard, conversions, chi², KS,
+    // zipf slope, mean_w, modularity, ...) rides this identity.
+    val g = for {
+      q <- Gen.chooseNum(1L, 1000000L)
+      p <- Gen.chooseNum(-10000000000L, 10000000000L)
+    } yield (p, q)
+    check("half-away-sign-aware", Prop.forAll(g) { case (p, q) =>
+      val got = (2 * p + (if (p < 0) -q else q)) / (2 * q)
+      val expected = (BigDecimal(p) / BigDecimal(q))
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      got == expected
+    })
+  }
 }
