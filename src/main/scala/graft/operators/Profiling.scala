@@ -921,6 +921,128 @@ object Profiling {
       .limit(50)
   }
 
+  /** Gini concentration of the token distribution per source — the
+    * one-number "how head-heavy is this corpus" census (q208's Zipf
+    * slope fits the shape; Gini summarizes inequality the way release
+    * datasheets quote it): with counts sorted ascending and ranked
+    * 1..n, G = (2·Σi·cᵢ − (n+1)·T) / (n·T) — exact integers end to
+    * end, one half-up integer division at the readout (numerator ≥ 0
+    * for the ascending order). Vocab-sized rank window per source. */
+  val q259 = Q.sql("q259_gini_concentration",
+    """WITH c AS (
+      |  SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+      |  FROM (SELECT source,
+      |          unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      |        FROM documents) GROUP BY 1, 2),
+      |r AS (
+      |  SELECT source, c,
+      |    CAST(row_number() OVER (PARTITION BY source ORDER BY c, tok)
+      |      AS BIGINT) AS i
+      |  FROM c),
+      |a AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(c) AS BIGINT) AS t, CAST(sum(i * c) AS BIGINT) AS s
+      |  FROM r GROUP BY 1)
+      |SELECT source, n AS n_vocab, t AS total_tokens,
+      |  CAST(((2 * s - (n + 1) * t) * 20000 + n * t)
+      |       // (2 * n * t) AS DOUBLE) / 10000.0 AS gini
+      |FROM a ORDER BY source""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Text
+    Tables.documents(s, d)
+      .select(col("source"), explode(Text.tokens(col("text"))).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).cast("long").as("c"))
+      .withColumn("i", row_number().over(
+        Window.partitionBy("source").orderBy(col("c"), col("tok")))
+        .cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum("c").cast("long").as("t"),
+        sum(col("i") * col("c")).cast("long").as("s"))
+      .select(col("source"), col("n").as("n_vocab"),
+        col("t").as("total_tokens"),
+        (expr("CAST(((2 * s - (n + 1) * t) * 20000 + n * t)"
+          + " div (2 * n * t) AS DOUBLE)") / 10000.0).as("gini"))
+      .orderBy("source")
+  }
+
+  /** Winsorization report — the tail-clipping preprocessor a metrics
+    * pipeline applies before averaging anything a whale can skew:
+    * per event type, the exact p5/p95 cut values (rank selection with
+    * event_id tie-break — lo at ⌈0.05n⌉, hi at n+1−⌈0.05n⌉), the
+    * clipped-row counts, and the winsorized mean over micro-quantized
+    * values (integer half-up — the q233 rule). The raw mean rides
+    * along so the report shows what the clipping changed. One rank
+    * window + one counting aggregate per type. */
+  val q261 = Q.sql("q261_winsorize",
+    """WITH v AS (
+      |  SELECT event_id, event_type,
+      |    CAST(floor(value * 1000000.0) AS BIGINT) AS vq
+      |  FROM events WHERE value IS NOT NULL),
+      |r AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY vq, event_id) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM v),
+      |cuts AS (
+      |  SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+      |    max(CASE WHEN rn = (n + 19) // 20 THEN vq END) AS lo,
+      |    max(CASE WHEN rn = n + 1 - (n + 19) // 20 THEN vq END) AS hi
+      |  FROM r GROUP BY 1),
+      |w AS (
+      |  SELECT v.event_type, c.n, c.lo, c.hi,
+      |    CASE WHEN v.vq < c.lo THEN c.lo
+      |         WHEN v.vq > c.hi THEN c.hi ELSE v.vq END AS wq,
+      |    CASE WHEN v.vq < c.lo THEN 1 ELSE 0 END AS cl,
+      |    CASE WHEN v.vq > c.hi THEN 1 ELSE 0 END AS ch,
+      |    v.vq
+      |  FROM v JOIN cuts c USING (event_type))
+      |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+      |  CAST(max(lo) AS BIGINT) AS lo_micro,
+      |  CAST(max(hi) AS BIGINT) AS hi_micro,
+      |  CAST(sum(cl) AS BIGINT) AS n_clipped_low,
+      |  CAST(sum(ch) AS BIGINT) AS n_clipped_high,
+      |  CAST((CAST(sum(vq) AS BIGINT) + 50 * max(n)) // (100 * max(n))
+      |       AS DOUBLE) / 10000.0 AS raw_mean,
+      |  CAST((CAST(sum(wq) AS BIGINT) + 50 * max(n)) // (100 * max(n))
+      |       AS DOUBLE) / 10000.0 AS wins_mean
+      |FROM w GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val v = Tables.events(s, d).filter(col("value").isNotNull)
+      .select(col("event_id"), col("event_type"),
+        floor(col("value") * 1000000.0).cast("long").as("vq"))
+      .localCheckpoint(true) // cut selection + the clipping pass read it
+    val byType = Window.partitionBy("event_type")
+    val cuts = v
+      .withColumn("rn", row_number().over(byType.orderBy("vq", "event_id")))
+      .withColumn("n", count(lit(1)).over(byType))
+      .groupBy("event_type")
+      .agg(max("n").cast("long").as("n"),
+        max(when(expr("rn = (n + 19) div 20"), col("vq"))).as("lo"),
+        max(when(expr("rn = n + 1 - (n + 19) div 20"), col("vq"))).as("hi"))
+    v.join(broadcast(cuts), "event_type")
+      .withColumn("wq",
+        when(col("vq") < col("lo"), col("lo"))
+          .when(col("vq") > col("hi"), col("hi")).otherwise(col("vq")))
+      .groupBy("event_type")
+      .agg(max("n").cast("long").as("n"),
+        max("lo").cast("long").as("lo_micro"),
+        max("hi").cast("long").as("hi_micro"),
+        sum(when(col("vq") < col("lo"), 1L).otherwise(0L)).cast("long")
+          .as("n_clipped_low"),
+        sum(when(col("vq") > col("hi"), 1L).otherwise(0L)).cast("long")
+          .as("n_clipped_high"),
+        sum("vq").cast("long").as("sv"), sum("wq").cast("long").as("sw"))
+      .select(col("event_type"), col("n"), col("lo_micro"), col("hi_micro"),
+        col("n_clipped_low"), col("n_clipped_high"),
+        (expr("CAST((sv + 50 * n) div (100 * n) AS DOUBLE)") / 10000.0)
+          .as("raw_mean"),
+        (expr("CAST((sw + 50 * n) div (100 * n) AS DOUBLE)") / 10000.0)
+          .as("wins_mean"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] = Seq(q122, q188, q189, q197, q199, q201, q208, q213, q216,
-    q222, q239, q248, q250, q253)
+    q222, q239, q248, q250, q253, q259, q261)
 }

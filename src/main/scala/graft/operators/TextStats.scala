@@ -587,5 +587,107 @@ object TextStats {
       .limit(20)
   }
 
-  val all: Seq[Q] = Seq(q119, q120, q181, q202, q212, q217, q249, q251, q252)
+  /** Heaps'-law vocabulary growth — the curve that tells a tokenizer/
+    * dedup team whether a corpus is still yielding new material: at
+    * each doc-count decile, cumulative 3-gram tokens vs cumulative
+    * DISTINCT 3-grams (first-occurrence ownership, q251's device), and
+    * the Heaps exponent β as an integer-qlog2 least-squares slope over
+    * the 10 (log tokens, log vocab) points (q208's regression device —
+    * exact BIGINT sums, one sign-aware half-up division). Everything
+    * past the one gram pass runs on rank-histogram-sized tables. */
+  val q262 = Q.sql("q262_heaps_law", {
+    def ql(x: String) = s"((length(bin($x)) - 1) * 1024" +
+      s" + ($x) * 1024 // (1::BIGINT << (length(bin($x)) - 1)) - 1024)"
+    s"""WITH dr AS (
+       |  SELECT doc_id, CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT)
+       |    AS r
+       |  FROM documents),
+       |nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+       |g AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(1, len(toks) - 1),
+       |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
+       |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |        FROM documents)
+       |  WHERE len(toks) >= 3),
+       |gt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ng
+       |       FROM g GROUP BY 1),
+       |own AS (SELECT gram, min(doc_id) AS owner FROM g GROUP BY 1),
+       |vo AS (
+       |  SELECT dr.r AS ro, CAST(count(*) AS BIGINT) AS v
+       |  FROM own JOIN dr ON dr.doc_id = own.owner GROUP BY 1),
+       |cum AS (
+       |  SELECT dr.r,
+       |    CAST(sum(coalesce(gt.ng, 0)) OVER (ORDER BY dr.r) AS BIGINT)
+       |      AS ctok,
+       |    CAST(sum(coalesce(vo.v, 0)) OVER (ORDER BY dr.r) AS BIGINT)
+       |      AS cvoc
+       |  FROM dr LEFT JOIN gt USING (doc_id) LEFT JOIN vo ON vo.ro = dr.r),
+       |ck AS (
+       |  SELECT CAST(u.i AS BIGINT) AS i, (CAST(u.i AS BIGINT) * nd.nd) // 10
+       |    AS k
+       |  FROM (SELECT unnest(range(1, 11)) AS i) u CROSS JOIN nd),
+       |pt AS (
+       |  SELECT ck.i, ck.k, cum.ctok, cum.cvoc,
+       |    ${ql("cum.ctok")} AS x, ${ql("cum.cvoc")} AS y
+       |  FROM ck JOIN cum ON cum.r = ck.k),
+       |ft AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS m,
+       |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |    CAST(sum(x * y) AS BIGINT) AS sxy,
+       |    CAST(sum(x * x) AS BIGINT) AS sxx
+       |  FROM pt)
+       |SELECT pt.i AS decile, pt.k AS n_docs, pt.ctok AS n_grams,
+       |  pt.cvoc AS vocab,
+       |  CAST(((ft.m * ft.sxy - ft.sx * ft.sy) * 20000
+       |        + CASE WHEN ft.m * ft.sxy - ft.sx * ft.sy < 0
+       |               THEN -(ft.m * ft.sxx - ft.sx * ft.sx)
+       |               ELSE ft.m * ft.sxx - ft.sx * ft.sx END)
+       |       // (2 * (ft.m * ft.sxx - ft.sx * ft.sx)) AS DOUBLE) / 10000.0
+       |    AS beta
+       |FROM pt CROSS JOIN ft ORDER BY decile""".stripMargin
+  }) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    def ql(x: String) = s"((length(bin($x)) - 1) * 1024" +
+      s" + ($x) * 1024 div shiftleft(1L, length(bin($x)) - 1) - 1024)"
+    val docs = Tables.documents(s, d)
+    val dr = docs.select(col("doc_id"))
+      .withColumn("r", row_number().over(Window.orderBy("doc_id")).cast("long"))
+      .localCheckpoint(true) // ownership ranks + cumulatives read it
+    val g = docs
+      .select(col("doc_id"),
+        explode(Text.shingles(Text.tokens(col("text")), 3)).as("gram"))
+      .localCheckpoint(true) // per-doc counts + first-occurrence read it
+    val gt = g.groupBy("doc_id").agg(count(lit(1)).cast("long").as("ng"))
+    val vo = g.groupBy("gram").agg(min("doc_id").as("owner"))
+      .join(dr.select(col("doc_id").as("owner"), col("r").as("ro")), "owner")
+      .groupBy("ro").agg(count(lit(1)).cast("long").as("v"))
+    val cum = dr.join(gt, Seq("doc_id"), "left").na.fill(0L, Seq("ng"))
+      .join(vo, dr("r") === vo("ro"), "left").na.fill(0L, Seq("v"))
+      .withColumn("ctok", sum("ng").over(Window.orderBy("r")).cast("long"))
+      .withColumn("cvoc", sum("v").over(Window.orderBy("r")).cast("long"))
+      .select("r", "ctok", "cvoc")
+    val nd = docs.agg(count(lit(1)).cast("long").as("nd"))
+    val ck = nd.select(explode(sequence(lit(1L), lit(10L))).as("i"), col("nd"))
+      .withColumn("k", expr("(i * nd) div 10"))
+    val pt = ck.join(cum, col("r") === col("k"))
+      .withColumn("x", expr(ql("ctok")))
+      .withColumn("y", expr(ql("cvoc")))
+      .localCheckpoint(true) // the 10-point table feeds rows + the fit
+    val ft = pt.agg(count(lit(1)).cast("long").as("m"),
+      sum("x").cast("long").as("sx"), sum("y").cast("long").as("sy"),
+      sum(col("x") * col("y")).cast("long").as("sxy"),
+      sum(col("x") * col("x")).cast("long").as("sxx"))
+    pt.crossJoin(broadcast(ft))
+      .select(col("i").as("decile"), col("k").as("n_docs"),
+        col("ctok").as("n_grams"), col("cvoc").as("vocab"),
+        (expr("CAST(((m * sxy - sx * sy) * 20000"
+          + " + CASE WHEN m * sxy - sx * sy < 0"
+          + " THEN -(m * sxx - sx * sx) ELSE m * sxx - sx * sx END)"
+          + " div (2 * (m * sxx - sx * sx)) AS DOUBLE)") / 10000.0).as("beta"))
+      .orderBy("decile")
+  }
+
+  val all: Seq[Q] = Seq(q119, q120, q181, q202, q212, q217, q249, q251, q252,
+    q262)
 }

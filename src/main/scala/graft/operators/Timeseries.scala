@@ -767,6 +767,269 @@ object Timeseries {
       .orderBy("duration_days")
   }
 
+  /** Mean-shift changepoint detection (one level of binary
+    * segmentation) — the volume-monitoring alarm that catches "the
+    * crawler broke on the 14th": per event type, over the zero-filled
+    * daily series (q247's densification), pick the split that
+    * maximizes the cross-multiplied mean gap |cumᵢ·(T−i) − restᵢ·i|
+    * (exact integers — no division until the readout), and flag it
+    * when the gap exceeds 10% of the overall mean
+    * (10·T·score > total·i·(T−i), still all-integer). Means read out
+    * milli-rounded half-up. One window pass over the time-axis-sized
+    * series table. */
+  val q257 = Q.sql("q257_changepoint",
+    """WITH bounds AS (
+      |  SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+      |  FROM events),
+      |days AS (
+      |  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+      |    AS day
+      |  FROM bounds),
+      |types AS (SELECT DISTINCT event_type FROM events),
+      |actual AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(count(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |g AS (
+      |  SELECT t.event_type, dy.day, coalesce(a.x, 0) AS x
+      |  FROM types t CROSS JOIN days dy
+      |  LEFT JOIN actual a ON a.event_type = t.event_type AND a.day = dy.day),
+      |c AS (
+      |  SELECT event_type, day,
+      |    CAST(sum(x) OVER (PARTITION BY event_type ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum,
+      |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+      |      AS BIGINT) AS i,
+      |    CAST(sum(x) OVER (PARTITION BY event_type) AS BIGINT) AS tot,
+      |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS tn
+      |  FROM g),
+      |sc AS (
+      |  SELECT *, abs(cum * (tn - i) - (tot - cum) * i) AS score
+      |  FROM c WHERE i < tn),
+      |best AS (
+      |  SELECT * FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY event_type
+      |      ORDER BY score DESC, day) AS rk
+      |    FROM sc) t
+      |  WHERE rk = 1)
+      |SELECT event_type, day AS split_day, i AS n_left, tn - i AS n_right,
+      |  CAST((cum * 2000 + i) // (2 * i) AS DOUBLE) / 1000.0 AS mean_left,
+      |  CAST(((tot - cum) * 2000 + (tn - i)) // (2 * (tn - i)) AS DOUBLE)
+      |    / 1000.0 AS mean_right,
+      |  CAST(score AS BIGINT) AS score,
+      |  10 * score * tn > tot * i * (tn - i) AS detected
+      |FROM best ORDER BY event_type""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), col("ts").cast("date").as("day"))
+      .localCheckpoint(true) // bounds + types + the counting scan read it
+    val bounds = ev.agg(min("day").as("d0"), max("day").as("d1"))
+    val days = bounds.select(
+      explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+    val g = ev.select("event_type").distinct()
+      .crossJoin(days)
+      .join(ev.groupBy("event_type", "day")
+        .agg(count(lit(1)).cast("long").as("x")),
+        Seq("event_type", "day"), "left")
+      .na.fill(0L, Seq("x"))
+    val byType = Window.partitionBy("event_type")
+    val c = g
+      .withColumn("cum", sum("x").over(byType.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"))
+      .withColumn("i", row_number().over(byType.orderBy("day")).cast("long"))
+      .withColumn("tot", sum("x").over(byType).cast("long"))
+      .withColumn("tn", count(lit(1)).over(byType).cast("long"))
+      .filter(col("i") < col("tn"))
+      .withColumn("score",
+        abs(col("cum") * (col("tn") - col("i"))
+          - (col("tot") - col("cum")) * col("i")))
+    c.withColumn("rk", row_number().over(
+        byType.orderBy(col("score").desc, col("day"))))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("day").as("split_day"),
+        col("i").as("n_left"), (col("tn") - col("i")).as("n_right"),
+        (expr("CAST((cum * 2000 + i) div (2 * i) AS DOUBLE)") / 1000.0)
+          .as("mean_left"),
+        (expr("CAST(((tot - cum) * 2000 + (tn - i)) div (2 * (tn - i))"
+          + " AS DOUBLE)") / 1000.0).as("mean_right"),
+        col("score").cast("long").as("score"),
+        (lit(10) * col("score") * col("tn")
+          > col("tot") * col("i") * (col("tn") - col("i"))).as("detected"))
+      .orderBy("event_type")
+  }
+
+  /** Top-k rank stability between snapshot versions — the drift
+    * readout on RANKINGS (q195 reports count deltas; retraining
+    * decisions hinge on whether the head of the distribution
+    * reordered): top-20 tokens of v1 and of the q195-constructed v2,
+    * set overlap as integer-rounded Jaccard, and Kendall's τ over the
+    * common tokens — concordant/discordant pair counts are exact
+    * integers (ranks are distinct, no tie terms) and τ = (C−D)/(C+D)
+    * rounds sign-aware half-up in integers. Everything after the two
+    * count scans runs on 20-row tables. */
+  val q258 = Q.sql("q258_rank_stability",
+    """WITH v2 AS (
+      |  SELECT CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 17 <> 0
+      |  UNION ALL
+      |  SELECT text || ' new' FROM documents WHERE doc_id % 19 = 0),
+      |r1 AS (
+      |  SELECT tok, row_number() OVER (ORDER BY n DESC, tok) AS r
+      |  FROM (SELECT tok, count(*) AS n FROM (
+      |          SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      |          FROM documents) GROUP BY 1)
+      |  QUALIFY r <= 20),
+      |r2 AS (
+      |  SELECT tok, row_number() OVER (ORDER BY n DESC, tok) AS r
+      |  FROM (SELECT tok, count(*) AS n FROM (
+      |          SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      |          FROM v2) GROUP BY 1)
+      |  QUALIFY r <= 20),
+      |com AS (
+      |  SELECT r1.tok, r1.r AS ra, r2.r AS rb
+      |  FROM r1 JOIN r2 USING (tok)),
+      |pr AS (
+      |  SELECT CAST(sum(CASE WHEN (a.ra - b.ra) * (a.rb - b.rb) > 0
+      |                       THEN 1 ELSE 0 END) AS BIGINT) AS c,
+      |    CAST(sum(CASE WHEN (a.ra - b.ra) * (a.rb - b.rb) < 0
+      |                  THEN 1 ELSE 0 END) AS BIGINT) AS d
+      |  FROM com a JOIN com b ON a.tok < b.tok),
+      |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_common FROM com)
+      |SELECT nc.n_common,
+      |  CAST((nc.n_common * 20000 + (40 - nc.n_common))
+      |       // (2 * (40 - nc.n_common)) AS DOUBLE) / 10000.0 AS jaccard,
+      |  pr.c AS n_concordant, pr.d AS n_discordant,
+      |  CAST(((pr.c - pr.d) * 20000
+      |        + CASE WHEN pr.c < pr.d THEN -(pr.c + pr.d)
+      |               ELSE pr.c + pr.d END)
+      |       // (2 * (pr.c + pr.d)) AS DOUBLE) / 10000.0 AS tau
+      |FROM nc CROSS JOIN pr""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Text
+    val v1tok = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))
+      .localCheckpoint(true) // both versions' counts derive from it
+    def top20(df: org.apache.spark.sql.DataFrame) = df
+      .select(explode(Text.tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("n").desc, col("tok"))).cast("long"))
+      .filter(col("r") <= 20)
+      .select("tok", "r")
+    val r1 = top20(v1tok)
+    val v2 = v1tok.filter(col("doc_id") % 17 =!= 0)
+      .select(when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v2")))
+        .otherwise(col("text")).as("text"))
+      .unionByName(v1tok.filter(col("doc_id") % 19 === 0)
+        .select(concat(col("text"), lit(" new")).as("text")))
+    val r2 = top20(v2)
+    val com = r1.select(col("tok"), col("r").as("ra"))
+      .join(r2.select(col("tok"), col("r").as("rb")), "tok")
+      .localCheckpoint(true) // pair fold + count read it
+    val pr = com.as("a").join(com.as("b"), col("a.tok") < col("b.tok"))
+      .agg(sum(when(expr("(a.ra - b.ra) * (a.rb - b.rb) > 0"), 1L)
+          .otherwise(0L)).cast("long").as("c"),
+        sum(when(expr("(a.ra - b.ra) * (a.rb - b.rb) < 0"), 1L)
+          .otherwise(0L)).cast("long").as("d"))
+    com.agg(count(lit(1)).cast("long").as("n_common"))
+      .crossJoin(pr)
+      .select(col("n_common"),
+        (expr("CAST((n_common * 20000 + (40 - n_common))"
+          + " div (2 * (40 - n_common)) AS DOUBLE)") / 10000.0).as("jaccard"),
+        col("c").as("n_concordant"), col("d").as("n_discordant"),
+        (expr("CAST(((c - d) * 20000 + CASE WHEN c < d THEN -(c + d)"
+          + " ELSE c + d END) div (2 * (c + d)) AS DOUBLE)") / 10000.0)
+          .as("tau"))
+  }
+
+  /** Lag-k autocorrelation of the daily volume series — the
+    * seasonality-STRENGTH number that complements q243's chi² verdict
+    * (chi² says "weekday effect exists"; r₇ says how much of the
+    * series it explains, and r₁ reads short-term momentum): over the
+    * zero-filled daily series, rₖ = Σ(n·xₜ−S)(n·xₜ₊ₖ−S) /
+    * Σ(n·xₜ−S)² with S = Σx — cross-multiplied by n so BOTH sums are
+    * exact BIGINTs, one sign-aware half-up integer division each at
+    * the readout. One window pass per type over the time-axis-sized
+    * table. */
+  val q260 = Q.sql("q260_autocorrelation",
+    """WITH bounds AS (
+      |  SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+      |  FROM events),
+      |days AS (
+      |  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+      |    AS day
+      |  FROM bounds),
+      |types AS (SELECT DISTINCT event_type FROM events),
+      |actual AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(count(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |g AS (
+      |  SELECT t.event_type, dy.day, coalesce(a.x, 0) AS x
+      |  FROM types t CROSS JOIN days dy
+      |  LEFT JOIN actual a ON a.event_type = t.event_type AND a.day = dy.day),
+      |w0 AS (
+      |  SELECT event_type, day,
+      |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) * x
+      |      - CAST(sum(x) OVER (PARTITION BY event_type) AS BIGINT) AS dx
+      |  FROM g),
+      |w AS (
+      |  SELECT event_type, dx,
+      |    lead(dx, 1) OVER (PARTITION BY event_type ORDER BY day) AS dx1,
+      |    lead(dx, 7) OVER (PARTITION BY event_type ORDER BY day) AS dx7
+      |  FROM w0),
+      |a AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+      |    CAST(sum(dx * dx) AS BIGINT) AS den,
+      |    CAST(sum(CASE WHEN dx1 IS NOT NULL THEN dx * dx1 END) AS BIGINT)
+      |      AS num1,
+      |    CAST(sum(CASE WHEN dx7 IS NOT NULL THEN dx * dx7 END) AS BIGINT)
+      |      AS num7
+      |  FROM w GROUP BY 1)
+      |SELECT event_type, n_days,
+      |  CAST((num1 * 20000 + CASE WHEN num1 < 0 THEN -den ELSE den END)
+      |       // (2 * den) AS DOUBLE) / 10000.0 AS r1,
+      |  CAST((num7 * 20000 + CASE WHEN num7 < 0 THEN -den ELSE den END)
+      |       // (2 * den) AS DOUBLE) / 10000.0 AS r7
+      |FROM a ORDER BY event_type""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), col("ts").cast("date").as("day"))
+      .localCheckpoint(true) // bounds + types + the counting scan read it
+    val bounds = ev.agg(min("day").as("d0"), max("day").as("d1"))
+    val days = bounds.select(
+      explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+    val g = ev.select("event_type").distinct()
+      .crossJoin(days)
+      .join(ev.groupBy("event_type", "day")
+        .agg(count(lit(1)).cast("long").as("x")),
+        Seq("event_type", "day"), "left")
+      .na.fill(0L, Seq("x"))
+    val byType = Window.partitionBy("event_type")
+    val ordered = byType.orderBy("day")
+    val w = g
+      .withColumn("dx",
+        count(lit(1)).over(byType).cast("long") * col("x")
+          - sum("x").over(byType).cast("long"))
+      .withColumn("dx1", lead("dx", 1).over(ordered))
+      .withColumn("dx7", lead("dx", 7).over(ordered))
+    w.groupBy("event_type")
+      .agg(count(lit(1)).cast("long").as("n_days"),
+        sum(col("dx") * col("dx")).cast("long").as("den"),
+        sum(when(col("dx1").isNotNull, col("dx") * col("dx1")))
+          .cast("long").as("num1"),
+        sum(when(col("dx7").isNotNull, col("dx") * col("dx7")))
+          .cast("long").as("num7"))
+      .select(col("event_type"), col("n_days"),
+        (expr("CAST((num1 * 20000 + CASE WHEN num1 < 0 THEN -den ELSE den"
+          + " END) div (2 * den) AS DOUBLE)") / 10000.0).as("r1"),
+        (expr("CAST((num7 * 20000 + CASE WHEN num7 < 0 THEN -den ELSE den"
+          + " END) div (2 * den) AS DOUBLE)") / 10000.0).as("r7"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] = Seq(q115, q116, q121, q137, q159, q176, q185, q195, q233,
-    q242, q243, q247, q256)
+    q242, q243, q247, q256, q257, q258, q260)
 }

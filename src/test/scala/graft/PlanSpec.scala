@@ -435,6 +435,22 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges.size <= 2, s"expected <=2 non-broadcast exchanges, got ${exchanges.size}\n$p1")
   }
 
+  test("IVF recall curve: probe stages never cartesian; truth side is the broadcast BNLJ") {
+    // q245 runs three probe settings plus the brute truth in one plan:
+    // the IVF stages must stay equi-joins on the list id (assignment is
+    // the literal-argmax projection — no join), and the ONLY
+    // nested-loop in the tree is the deliberate broadcast brute truth
+    // (q30's designed shape). A CartesianProduct anywhere means a
+    // probe stage degraded to all-pairs.
+    val df = SparkEntry.queries("q245_ivf_recall_curve")(spark, sf)
+    df.collect()
+    val p1 = plan(df).split("== Initial Plan ==")(0)
+    assert(!p1.contains("CartesianProduct"),
+      s"a probe stage degraded to a cartesian\n$p1")
+    assert(p1.contains("BroadcastNestedLoopJoin"),
+      s"brute truth side lost its broadcast NLJ shape\n$p1")
+  }
+
   test("brute hard negatives: the all-pairs side is broadcast, not shuffled") {
     // q150 IS the designed brute path: a non-equi self-join must come
     // out as BroadcastNestedLoopJoin over the broadcast neighbor side
