@@ -759,7 +759,33 @@ object Relational {
       .withColumn("srm_detected", col("chi2") > 3.841)
   }
 
+  /** Pivot → unpivot roundtrip — the melt/stack half of the reshaping
+    * surface (q10/q47 pin the widening direction; this pins that the
+    * long form comes BACK exactly): documents pivot to a source ×
+    * language count grid (missing cells zero-filled), then `stack`
+    * melts the grid to (source, lang, n_docs) and the zero cells drop
+    * — the oracle is the direct GROUP BY, so the gate IS the
+    * pivot∘unpivot ≡ identity contract. The language column list is a
+    * bounded collect (the lookup-table pattern); the unpivot itself is
+    * a pure projection — no extra shuffle beyond the pivot's
+    * aggregation. */
+  val q263 = Q.sql("q263_unpivot_roundtrip",
+    """SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs
+      |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val langs = docs.select("lang").distinct().orderBy("lang")
+      .collect().map(_.getString(0)).toSeq // bounded: the language set
+    val wide = docs.groupBy("source").pivot("lang", langs).count()
+      .na.fill(0L, langs)
+    val stackArgs = langs.map(l => s"'$l', `$l`").mkString(", ")
+    wide.selectExpr("source",
+        s"stack(${langs.size}, $stackArgs) AS (lang, n_docs)")
+      .filter(col("n_docs") > 0)
+      .select(col("source"), col("lang"), col("n_docs").cast("long"))
+      .orderBy("source", "lang")
+  }
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q33, q34, q35, q36, q37,
-    q81, q82, q108, q214, q215, q221, q234)
+    q81, q82, q108, q214, q215, q221, q234, q263)
 }
