@@ -785,7 +785,42 @@ object Relational {
       .orderBy("source", "lang")
   }
 
+  /** Explicit GROUPING SETS — the third reshaping primitive next to
+    * q35's ROLLUP and q36's CUBE: a hand-picked grain list ((source,
+    * lang), (source), (lang), ()) in ONE aggregation pass, with the
+    * grain id composed EXPLICITLY as 2·grouping(source)+grouping(lang)
+    * — the portable form; engines' built-in grouping_id bit orders are
+    * not part of any standard. Subtotal NULLs recode to 'ALL' so the
+    * NULL semantics stay explicit. This is the multi-grain metrics
+    * pass that replaces N separate GROUP BYs with one scan at 100 TB. */
+  val q264 = Q.sql("q264_grouping_sets",
+    """SELECT coalesce(source, 'ALL') AS source,
+      |  coalesce(lang, 'ALL') AS lang,
+      |  CAST(2 * grouping(source) + grouping(lang) AS BIGINT) AS gid,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+      |    AS n_tokens
+      |FROM documents
+      |GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())
+      |ORDER BY gid, source, lang""".stripMargin) { (s, d) =>
+    import graft.functions.Text
+    val v = Tables.documents(s, d)
+      .select(col("source"), col("lang"),
+        size(Text.tokens(col("text"))).cast("long").as("nt"))
+    v.createOrReplaceTempView("q264_docs")
+    s.sql(
+      """SELECT coalesce(source, 'ALL') AS source,
+        |  coalesce(lang, 'ALL') AS lang,
+        |  CAST(2 * grouping(source) + grouping(lang) AS BIGINT) AS gid,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(nt) AS BIGINT) AS n_tokens
+        |FROM q264_docs
+        |GROUP BY source, lang GROUPING SETS ((source, lang), (source),
+        |  (lang), ())
+        |ORDER BY gid, source, lang""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q33, q34, q35, q36, q37,
-    q81, q82, q108, q214, q215, q221, q234, q263)
+    q81, q82, q108, q214, q215, q221, q234, q263, q264)
 }

@@ -801,5 +801,117 @@ object Sketches {
       .orderBy("bin")
   }
 
-  val all: Seq[Q] = Seq(q91, q103, q104, q113, q114, q131, q160, q161, q227)
+  /** DDSketch-style relative-error quantiles — the log-bucketed
+    * quantile sketch (Masson et al. 2019) that complements q114's
+    * equi-width bins and q188's exact selection: values bucket by
+    * quarter-bits of the integer qlog2 (bucket = qlog2(v) div 256, a
+    * dedicated zero bucket), the p50/p90/p99 estimates read the first
+    * bucket whose cumulative count reaches the target rank and
+    * reconstruct the bucket-midpoint value through the EXACT integer
+    * inverse of the piecewise-linear log (2^e·(1024+frac) div 1024) —
+    * so the whole sketch is integers and both engines replay it.
+    * The exact selection quantiles ride along and the gate PINS the
+    * relative-error contract (|est − exact|·4 ≤ exact — quarter-bit
+    * width + the 0.0871-bit qlog2 envelope stays well inside 25%).
+    * Fixed-size mergeable state per key: the 100 TB quantile path. */
+  val q265 = Q.sql("q265_ddsketch_quantiles", {
+    def ql(x: String) = s"((length(bin($x)) - 1) * 1024" +
+      s" + ($x) * 1024 // (1::BIGINT << (length(bin($x)) - 1)) - 1024)"
+    def inv(b: String) =
+      s"CASE WHEN $b = -1 THEN 0 ELSE (CAST(1 AS BIGINT)" +
+        s" << (($b * 256 + 128) // 1024))" +
+        s" * (1024 + ($b * 256 + 128) % 1024) // 1024 END"
+    def okc(est: String, ex: String) =
+      s"(($ex = 0 AND $est = 0) OR abs($est - $ex) * 4 <= $ex)"
+    s"""WITH v AS (
+       |  SELECT event_id, event_type,
+       |    CAST(floor(value * 1000000.0) AS BIGINT) AS vq
+       |  FROM events WHERE value IS NOT NULL),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY event_type
+       |      ORDER BY vq, event_id) AS rn,
+       |    count(*) OVER (PARTITION BY event_type) AS n
+       |  FROM v),
+       |ex AS (
+       |  SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+       |    max(CASE WHEN rn = (50 * n + 99) // 100 THEN vq END) AS e50,
+       |    max(CASE WHEN rn = (90 * n + 99) // 100 THEN vq END) AS e90,
+       |    max(CASE WHEN rn = (99 * n + 99) // 100 THEN vq END) AS e99
+       |  FROM r GROUP BY 1),
+       |b AS (
+       |  SELECT event_type,
+       |    CASE WHEN vq = 0 THEN -1 ELSE ${ql("vq")} // 256 END AS bkt,
+       |    CAST(count(*) AS BIGINT) AS c
+       |  FROM v GROUP BY 1, 2),
+       |cb AS (
+       |  SELECT event_type, bkt,
+       |    CAST(sum(c) OVER (PARTITION BY event_type ORDER BY bkt)
+       |      AS BIGINT) AS cum
+       |  FROM b),
+       |eb AS (
+       |  SELECT cb.event_type,
+       |    min(CASE WHEN cum >= (50 * ex.n + 99) // 100 THEN bkt END) AS b50,
+       |    min(CASE WHEN cum >= (90 * ex.n + 99) // 100 THEN bkt END) AS b90,
+       |    min(CASE WHEN cum >= (99 * ex.n + 99) // 100 THEN bkt END) AS b99
+       |  FROM cb JOIN ex USING (event_type) GROUP BY 1)
+       |SELECT ex.event_type, ex.n,
+       |  ex.e50 AS p50_exact, CAST(${inv("eb.b50")} AS BIGINT) AS p50_est,
+       |  ${okc(inv("eb.b50"), "ex.e50")} AS p50_ok,
+       |  ex.e90 AS p90_exact, CAST(${inv("eb.b90")} AS BIGINT) AS p90_est,
+       |  ${okc(inv("eb.b90"), "ex.e90")} AS p90_ok,
+       |  ex.e99 AS p99_exact, CAST(${inv("eb.b99")} AS BIGINT) AS p99_est,
+       |  ${okc(inv("eb.b99"), "ex.e99")} AS p99_ok
+       |FROM ex JOIN eb USING (event_type)
+       |ORDER BY event_type""".stripMargin
+  }) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    def ql(x: String) = s"((length(bin($x)) - 1) * 1024" +
+      s" + ($x) * 1024 div shiftleft(1L, length(bin($x)) - 1) - 1024)"
+    def inv(b: String) =
+      s"CASE WHEN $b = -1 THEN 0L ELSE shiftleft(1L," +
+        s" cast(($b * 256 + 128) div 1024 as int))" +
+        s" * (1024 + ($b * 256 + 128) % 1024) div 1024 END"
+    def okc(est: String, ex: String) =
+      s"(($ex = 0 AND $est = 0) OR abs($est - $ex) * 4 <= $ex)"
+    val v = Tables.events(s, d).filter(col("value").isNotNull)
+      .select(col("event_id"), col("event_type"),
+        floor(col("value") * 1000000.0).cast("long").as("vq"))
+      .localCheckpoint(true) // exact selection + the bucket fold read it
+    val byType = Window.partitionBy("event_type")
+    val ex = v
+      .withColumn("rn", row_number().over(byType.orderBy("vq", "event_id")))
+      .withColumn("n", count(lit(1)).over(byType))
+      .groupBy("event_type")
+      .agg(max("n").cast("long").as("n"),
+        max(when(expr("rn = (50 * n + 99) div 100"), col("vq"))).as("e50"),
+        max(when(expr("rn = (90 * n + 99) div 100"), col("vq"))).as("e90"),
+        max(when(expr("rn = (99 * n + 99) div 100"), col("vq"))).as("e99"))
+    val cb = v
+      .groupBy(col("event_type"),
+        expr(s"CASE WHEN vq = 0 THEN -1L ELSE ${ql("vq")} div 256 END")
+          .as("bkt"))
+      .agg(count(lit(1)).cast("long").as("c"))
+      .withColumn("cum",
+        sum("c").over(byType.orderBy("bkt")).cast("long"))
+    val eb = cb.join(broadcast(ex.select("event_type", "n")), "event_type")
+      .groupBy("event_type")
+      .agg(min(when(expr("cum >= (50 * n + 99) div 100"), col("bkt"))).as("b50"),
+        min(when(expr("cum >= (90 * n + 99) div 100"), col("bkt"))).as("b90"),
+        min(when(expr("cum >= (99 * n + 99) div 100"), col("bkt"))).as("b99"))
+    ex.join(eb, "event_type")
+      .select(col("event_type"), col("n"),
+        col("e50").as("p50_exact"),
+        expr(inv("b50")).cast("long").as("p50_est"),
+        expr(okc(inv("b50"), "e50")).as("p50_ok"),
+        col("e90").as("p90_exact"),
+        expr(inv("b90")).cast("long").as("p90_est"),
+        expr(okc(inv("b90"), "e90")).as("p90_ok"),
+        col("e99").as("p99_exact"),
+        expr(inv("b99")).cast("long").as("p99_est"),
+        expr(okc(inv("b99"), "e99")).as("p99_ok"))
+      .orderBy("event_type")
+  }
+
+  val all: Seq[Q] = Seq(q91, q103, q104, q113, q114, q131, q160, q161, q227,
+    q265)
 }
