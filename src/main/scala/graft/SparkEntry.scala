@@ -16,7 +16,7 @@ object SparkEntry {
 
   def allQueries: Seq[Q] =
     Relational.all ++ TextOps.all ++ Similarity.all ++
-      Seq(DedupClusters.q54) ++ DataSplit.all ++ AsofJoin.all ++ Resample.all ++
+      Seq(DedupClusters.q54, DedupClusters.q267) ++ DataSplit.all ++ AsofJoin.all ++ Resample.all ++
       graft.operators.Sketches.all ++ graft.ingest.IngestOps.all ++
       Chunking.all ++ TrainingPipeline.all ++ graft.quality.Pii.all ++
       graft.gov.GovOps.all ++ graft.metrics.MetricsOps.all ++

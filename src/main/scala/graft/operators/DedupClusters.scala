@@ -145,4 +145,61 @@ object DedupClusters {
       |ORDER BY s.doc_id""".stripMargin) { (s, d) =>
     decisions(s, d, 0.9).orderBy("doc_id")
   }
+
+  /** Keep-BEST dedup resolution — q54's component machinery with the
+    * survivor rule production corpora actually use: inside each
+    * near-dup cluster keep the LONGEST document (token count DESC,
+    * doc_id tie-break — "most complete copy wins"), not the smallest
+    * id. The policy is one rank window over the component key; the
+    * cluster build is identical, so the gate isolates exactly the
+    * survivor-selection contract. Swapping the rank key for a quality
+    * score is a one-column change — the shape is the point. */
+  val q267 = Q.sql("q267_dedup_keep_best",
+    """WITH RECURSIVE
+      |s AS (
+      |  SELECT doc_id,
+      |    list_sort(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS ts,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS nt
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |  WHERE 1.0*len(list_intersect(a.ts, b.ts)) / len(list_distinct(a.ts || b.ts)) >= 0.9),
+      |edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION SELECT id_b, id_a FROM pairs),
+      |lp(id, label) AS (
+      |  SELECT doc_id, doc_id FROM s
+      |  UNION
+      |  SELECT edges.src, lp.label FROM lp JOIN edges ON lp.id = edges.dst),
+      |final AS (
+      |  SELECT id, min(label) AS component FROM lp GROUP BY id),
+      |comp AS (
+      |  SELECT s.doc_id, coalesce(f.component, s.doc_id) AS component, s.nt
+      |  FROM s LEFT JOIN final f ON s.doc_id = f.id)
+      |SELECT doc_id, component, nt,
+      |  row_number() OVER (PARTITION BY component
+      |    ORDER BY nt DESC, doc_id) = 1 AS keep
+      |FROM comp ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select($"doc_id", Text.tokenSet($"text").as("ts"),
+        size(Text.tokens($"text")).cast("long").as("nt"))
+      .localCheckpoint(true) // pair join + the survivor rank both read it
+    val pairs = SetSimJoin
+      .jaccardPairs(s, docs.select("doc_id", "ts"), 0.9,
+        filterOnRounded = false)
+      .select("id_a", "id_b")
+      .localCheckpoint(true)
+    val comps = connectedComponents(s, pairs)
+    docs.select($"doc_id", $"nt")
+      .join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("component", coalesce($"label", $"doc_id"))
+      .withColumn("keep", row_number().over(
+        Window.partitionBy("component")
+          .orderBy($"nt".desc, $"doc_id")) === 1)
+      .select("doc_id", "component", "nt", "keep")
+      .orderBy("doc_id")
+  }
 }

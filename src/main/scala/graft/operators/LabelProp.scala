@@ -433,5 +433,70 @@ object LabelProp {
       .orderBy("vec_id")
   }
 
-  val all: Seq[Q] = Seq(q178, q179, q192, q203, q224)
+  /** Per-class confusion readout of the k-NN classifier — the table a
+    * model card publishes under q246's calibration: for every label
+    * appearing as truth or prediction in q224's holdout, exact
+    * tp/fp/fn counts and precision / recall / F1 — three
+    * finite-decimal-capable integer ratios, rounded half-up in
+    * integers (F1 = 2tp/(2tp+fp+fn) is ONE rational, not a float
+    * composition). A class never predicted reads precision NULL on
+    * both engines rather than a fake 0. Classes-sized output — free
+    * after the nested classifier. */
+  val q266 = Q.sql("q266_confusion_matrix",
+    s"""WITH base AS (SELECT * FROM (${q224.oracle.get}) b),
+       |cls AS (
+       |  SELECT DISTINCT label FROM (
+       |    SELECT true_label AS label FROM base
+       |    UNION ALL SELECT pred_label FROM base)),
+       |m AS (
+       |  SELECT cls.label,
+       |    CAST(sum(CASE WHEN b.pred_label = cls.label
+       |      AND b.true_label = cls.label THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS tp,
+       |    CAST(sum(CASE WHEN b.pred_label = cls.label
+       |      AND b.true_label <> cls.label THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS fp,
+       |    CAST(sum(CASE WHEN b.true_label = cls.label
+       |      AND b.pred_label <> cls.label THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS fn
+       |  FROM cls CROSS JOIN base b GROUP BY 1)
+       |SELECT label, tp, fp, fn,
+       |  CAST((tp * 20000 + (tp + fp)) // (2 * nullif(tp + fp, 0))
+       |       AS DOUBLE) / 10000.0 AS precision,
+       |  CAST((tp * 20000 + (tp + fn)) // (2 * nullif(tp + fn, 0))
+       |       AS DOUBLE) / 10000.0 AS recall,
+       |  CAST((2 * tp * 20000 + (2 * tp + fp + fn))
+       |       // (2 * nullif(2 * tp + fp + fn, 0)) AS DOUBLE) / 10000.0
+       |    AS f1
+       |FROM m ORDER BY label""".stripMargin) { (s, d) =>
+    val base = q224.fn(s, d).localCheckpoint(true) // class list + cells
+    val cls = base.select(col("true_label").as("label"))
+      .unionByName(base.select(col("pred_label").as("label")))
+      .distinct()
+    cls.crossJoin(broadcast(base))
+      .groupBy("label")
+      .agg(
+        sum(when(col("pred_label") === col("label")
+          && col("true_label") === col("label"), 1L).otherwise(0L))
+          .cast("long").as("tp"),
+        sum(when(col("pred_label") === col("label")
+          && col("true_label") =!= col("label"), 1L).otherwise(0L))
+          .cast("long").as("fp"),
+        sum(when(col("true_label") === col("label")
+          && col("pred_label") =!= col("label"), 1L).otherwise(0L))
+          .cast("long").as("fn"))
+      .select(col("label"), col("tp"), col("fp"), col("fn"),
+        // nullif guards: a class never predicted must read NULL, and
+        // Spark's ANSI div ERRORS on a zero divisor instead of NULLing
+        (expr("CAST((tp * 20000 + (tp + fp)) div (2 * nullif(tp + fp, 0))"
+          + " AS DOUBLE)") / 10000.0).as("precision"),
+        (expr("CAST((tp * 20000 + (tp + fn)) div (2 * nullif(tp + fn, 0))"
+          + " AS DOUBLE)") / 10000.0).as("recall"),
+        (expr("CAST((2 * tp * 20000 + (2 * tp + fp + fn))"
+          + " div (2 * nullif(2 * tp + fp + fn, 0)) AS DOUBLE)")
+          / 10000.0).as("f1"))
+      .orderBy("label")
+  }
+
+  val all: Seq[Q] = Seq(q178, q179, q192, q203, q224, q266)
 }
