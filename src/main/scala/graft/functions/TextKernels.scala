@@ -537,11 +537,10 @@ object TextKernels {
     * `[n_chars, distinct_chars, top_char_count, entropy_scaled]` where
     * `entropy_scaled = n·L(n) − Σ_c cnt_c·L(cnt_c)` and
     * `L(k) = round(log2(k)·1e6)` — i.e. Shannon entropy in units of
-    * 1e-6·bits·n, kept ALL-INTEGER so a SQL oracle can replay it
-    * exactly from a character histogram. log2 is only ever taken of
-    * integer counts (shared across every document), so a half-ulp
-    * rounding disagreement between libm implementations is measure-zero
-    * in practice. Counts are per Unicode code point. O(len) time, one
+    * 1/1024-bit·n units, kept ALL-INTEGER so a SQL oracle can replay
+    * it exactly from a character histogram — the log is the integer
+    * piecewise qlog2 ([[lg2q]]), so there is no libm in the loop at
+    * all. Counts are per Unicode code point. O(len) time, one
     * small HashMap per row — a stateless map at 100 TB, no shuffle.
     */
   def charStats(s: UTF8String): ArrayData = {
@@ -563,16 +562,24 @@ object TextKernels {
     while (it.hasNext) {
       val c = it.next().longValue()
       if (c > top) top = c
-      sumCLogC += c * lg2e6(c)
+      sumCLogC += c * lg2q(c)
     }
-    val entropyScaled = n * lg2e6(n) - sumCLogC
+    val entropyScaled = n * lg2q(n) - sumCLogC
     new GenericArrayData(Array[Any](n, counts.size().toLong, top, entropyScaled))
   }
 
-  /** round(log2(k)·1e6) — the integer log the entropy kernel and its
-    * SQL oracle share. */
-  private def lg2e6(k: Long): Long =
-    Math.round(Math.log(k.toDouble) / Math.log(2.0) * 1e6)
+  /** Integer piecewise-linear log2 in 1/1024-bit units — qlog2(k) =
+    * (blen−1)·1024 + k·1024 div 2^(blen−1) − 1024 with blen the bit
+    * length of k (k ≥ 1). Exact integer arithmetic on both engines
+    * (the q181 device; PropertySpec pins the ≤0.0871-bit envelope).
+    * This REPLACED round(log2(k)·1e6): Java's log/log(2) and DuckDB's
+    * log2 can disagree by an ulp on some integers, and one crossing
+    * flips a micro-bit — transcendental quantization is only PROBABLY
+    * deterministic, the integer form is so by construction. */
+  private def lg2q(k: Long): Long = {
+    val blen = 64 - java.lang.Long.numberOfLeadingZeros(k)
+    (blen - 1).toLong * 1024 + (k * 1024) / (1L << (blen - 1)) - 1024
+  }
 
   /** One-pass Unicode-script census over a string:
     * `[n_chars, latin, cyrillic, greek, arabic, hangul, cjk, digit,

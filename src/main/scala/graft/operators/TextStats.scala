@@ -23,28 +23,35 @@ object TextStats {
     * `low_entropy` decision is the cheap first fence of a quality
     * pipeline. The kernel keeps the arithmetic all-integer
     * ([[graft.functions.TextKernels.charStats]]) so DuckDB replays it
-    * exactly from a char histogram.
+    * exactly from a char histogram; since round 11 the log itself is
+    * the integer piecewise qlog2 (1/1024-bit units — the q181 device),
+    * retiring the last round(log2(n)·10⁶) transcendental quantization
+    * in the tree (an ulp disagreement between libm implementations
+    * could flip a micro-bit; the integer form cannot).
     */
-  val q119 = Q.sql("q119_char_entropy",
-    """WITH ch AS (
-      |  SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
-      |h AS (SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY 1, 2),
-      |st AS (SELECT doc_id,
-      |    CAST(sum(cnt) AS BIGINT) AS n_chars,
-      |    CAST(count(*) AS BIGINT) AS distinct_chars,
-      |    CAST(max(cnt) AS BIGINT) AS top_char_cnt,
-      |    CAST(sum(cnt * CAST(round(log2(cnt) * 1000000) AS BIGINT)) AS BIGINT) AS sclogc
-      |  FROM h GROUP BY 1)
-      |SELECT doc_id, n_chars, distinct_chars, top_char_cnt,
-      |  CAST(((n_chars * CAST(round(log2(n_chars) * 1000000) AS BIGINT)
-      |         - sclogc) * 20000 + 1000000 * n_chars)
-      |       // (2000000 * n_chars) AS DOUBLE) / 10000.0 AS entropy_bits,
-      |  CAST((top_char_cnt * 20000 + n_chars)
-      |       // (2 * n_chars) AS DOUBLE) / 10000.0 AS top_char_frac,
-      |  CAST(((n_chars * CAST(round(log2(n_chars) * 1000000) AS BIGINT)
-      |         - sclogc) * 20000 + 1000000 * n_chars)
-      |       // (2000000 * n_chars) AS DOUBLE) / 10000.0 < 2.5 AS low_entropy
-      |FROM st ORDER BY doc_id""".stripMargin) { (s, d) =>
+  val q119 = Q.sql("q119_char_entropy", {
+    def ql(x: String) = s"((length(bin($x)) - 1) * 1024" +
+      s" + ($x) * 1024 // (1::BIGINT << (length(bin($x)) - 1)) - 1024)"
+    s"""WITH ch AS (
+       |  SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+       |h AS (SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY 1, 2),
+       |st AS (SELECT doc_id,
+       |    CAST(sum(cnt) AS BIGINT) AS n_chars,
+       |    CAST(count(*) AS BIGINT) AS distinct_chars,
+       |    CAST(max(cnt) AS BIGINT) AS top_char_cnt,
+       |    CAST(sum(cnt * ${ql("cnt")}) AS BIGINT) AS sclogc
+       |  FROM h GROUP BY 1)
+       |SELECT doc_id, n_chars, distinct_chars, top_char_cnt,
+       |  CAST(((n_chars * ${ql("n_chars")} - sclogc) * 20000
+       |        + 1024 * n_chars)
+       |       // (2048 * n_chars) AS DOUBLE) / 10000.0 AS entropy_bits,
+       |  CAST((top_char_cnt * 20000 + n_chars)
+       |       // (2 * n_chars) AS DOUBLE) / 10000.0 AS top_char_frac,
+       |  CAST(((n_chars * ${ql("n_chars")} - sclogc) * 20000
+       |        + 1024 * n_chars)
+       |       // (2048 * n_chars) AS DOUBLE) / 10000.0 < 2.5 AS low_entropy
+       |FROM st ORDER BY doc_id""".stripMargin
+  }) { (s, d) =>
     Tables.documents(s, d)
       .select(col("doc_id"), Exprs.char_stats(col("text")).as("cs"))
       .filter(element_at(col("cs"), 1) > 0)
@@ -54,11 +61,11 @@ object TextStats {
         element_at(col("cs"), 3).as("top_char_cnt"),
         element_at(col("cs"), 4).as("esc"))
       // integer half-up ten-thousandths — the q233 finite-decimal rule
-      // (esc is the integer micro-bit numerator, so both quotients are
-      // finite-decimal-capable)
+      // (esc is the integer 1/1024-bit numerator from the qlog2 kernel,
+      // so both quotients are finite-decimal-capable)
       .withColumn("entropy_bits",
-        expr("CAST((esc * 20000 + 1000000 * n_chars)"
-          + " div (2000000 * n_chars) AS DOUBLE)") / 10000.0)
+        expr("CAST((esc * 20000 + 1024 * n_chars)"
+          + " div (2048 * n_chars) AS DOUBLE)") / 10000.0)
       .withColumn("top_char_frac",
         expr("CAST((top_char_cnt * 20000 + n_chars)"
           + " div (2 * n_chars) AS DOUBLE)") / 10000.0)

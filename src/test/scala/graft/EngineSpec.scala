@@ -696,9 +696,9 @@ class EngineSpec extends AnyFunSuite {
     assert(more.getLong(5) == 97L * 131 + 98) // poly-131 over 'a','b'
     assert(more.getLong(6) ==
       operators.Sketches.Kmv.mix(97L * 131 + 98)) // SQL mulmod ≡ kernel
-    assert(more.getSeq[Long](7) == Seq(3L, 2L, 2L,
-      3 * Math.round(Math.log(3.0) / Math.log(2.0) * 1e6) -
-        2 * Math.round(Math.log(2.0) / Math.log(2.0) * 1e6)))
+    // 'aab': e = 3·qlog2(3) − 2·qlog2(2) = 3·1536 − 2·1024 (1/1024-bit
+    // units — the integer piecewise log, round-11 device)
+    assert(more.getSeq[Long](7) == Seq(3L, 2L, 2L, 2560L))
     assert(more.getSeq[Long](8) ==
       Seq(6L, 2L, 1L, 0L, 0L, 0L, 0L, 1L, 2L, 0L)) // 'ab' latin, 'д' cyr, '1' digit, 2 spaces
     // non-literal kernel params are rejected at plan time
@@ -991,7 +991,7 @@ class EngineSpec extends AnyFunSuite {
       val cs = functions.TextKernels.charStats(
         org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(1)))
       val n = cs.getLong(0)
-      val e = BigDecimal(cs.getLong(3).toDouble / (n * 1e6))
+      val e = BigDecimal(cs.getLong(3).toDouble / (n * 1024.0))
         .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
       val (gn, ge) = got(r.getLong(0))
       assert(gn == n && math.abs(ge - e) < 1e-9, s"doc ${r.getLong(0)}")

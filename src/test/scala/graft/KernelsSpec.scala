@@ -38,7 +38,12 @@ class KernelsSpec extends AnyFunSuite {
     def ref(s: String): (Long, Long, Long, Long) = {
       val cps = s.codePoints().toArray
       val h = cps.groupBy(identity).view.mapValues(_.length.toLong).toMap
-      def lg(k: Long) = Math.round(Math.log(k.toDouble) / Math.log(2.0) * 1e6)
+      // the integer piecewise qlog2 (1/1024-bit units) — the round-11
+      // replacement for round(log2(k)·1e6)
+      def lg(k: Long) = {
+        val blen = 64 - java.lang.Long.numberOfLeadingZeros(k)
+        (blen - 1).toLong * 1024 + (k * 1024) / (1L << (blen - 1)) - 1024
+      }
       val n = cps.length.toLong
       val e = n * lg(n) - h.values.map(c => c * lg(c)).sum
       (n, h.size.toLong, if (h.isEmpty) 0L else h.values.max, e)
@@ -55,7 +60,9 @@ class KernelsSpec extends AnyFunSuite {
     val const = TextKernels.charStats(UTF8String.fromString("aaaaaaaa"))
     assert(const.getLong(3) == 0L)
     val uni = TextKernels.charStats(UTF8String.fromString("abcdabcdabcd"))
-    assert(uni.getLong(3) == 12L * 2000000L) // n·2.0 bits scaled by 1e6
+    // n·2.0 bits in 1/1024 units — the qlog2 chord error cancels
+    // exactly for the power-of-two count ratio n/c = 4
+    assert(uni.getLong(3) == 12L * 2048L)
     val empty = TextKernels.charStats(UTF8String.fromString(""))
     assert((0 until 4).forall(i => empty.getLong(i) == 0L))
   }
