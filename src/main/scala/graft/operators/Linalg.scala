@@ -480,5 +480,53 @@ object Linalg {
       .orderBy("vec_id")
   }
 
-  val all: Seq[Q] = Seq(q162, q163, q164, q168, q196, q210)
+  /** Embedding-norm census — the health check an embedding store runs
+    * before anything consumes the vectors (a collapsed encoder shows
+    * up as tiny or wildly spread norms; a missed L2-normalization as
+    * norms off 1.0): per label, the micro-quantized L2 norm's
+    * min/max/mean and the count of vectors whose norm sits more than
+    * 1% off unit. The squared-sum folds in PINNED index order on both
+    * engines (the q163 device — Spark `aggregate` ≡ DuckDB
+    * `list_reduce(list_prepend(0.0, …))`), IEEE sqrt is correctly
+    * rounded everywhere, and floor-quantization to micros makes every
+    * later stat integer-exact (mean via the q233 half-up device).
+    * One stateless scan + a labels-sized aggregate. */
+  val q268 = Q.sql("q268_norm_census",
+    """WITH v AS (
+      |  SELECT CAST(label AS BIGINT) AS label,
+      |    CAST(floor(sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
+      |      (a, x) -> a + x)) * 1000000.0) AS BIGINT) AS qn
+      |  FROM embeddings)
+      |SELECT label, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(min(qn) AS BIGINT) AS min_norm_micro,
+      |  CAST(max(qn) AS BIGINT) AS max_norm_micro,
+      |  CAST((CAST(sum(qn) AS BIGINT) + 50 * count(*))
+      |       // (100 * count(*)) AS DOUBLE) / 10000.0 AS mean_norm,
+      |  CAST(sum(CASE WHEN abs(qn - 1000000) > 10000 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_off_unit
+      |FROM v GROUP BY 1 ORDER BY label""".stripMargin) { (s, d) =>
+    Tables.embeddings(s, d)
+      .select(col("label").cast("long").as("label"),
+        floor(sqrt(aggregate(
+          transform(col("embedding"), x => {
+            val xd = x.cast("double"); xd * xd
+          }),
+          lit(0.0), (a, x) => a + x)) * 1000000.0).cast("long").as("qn"))
+      .groupBy("label")
+      .agg(count(lit(1)).cast("long").as("n"),
+        min("qn").cast("long").as("min_norm_micro"),
+        max("qn").cast("long").as("max_norm_micro"),
+        sum("qn").cast("long").as("sq"),
+        sum(when(abs(col("qn") - 1000000L) > 10000L, 1L).otherwise(0L))
+          .cast("long").as("n_off_unit"))
+      .select(col("label"), col("n"), col("min_norm_micro"),
+        col("max_norm_micro"),
+        (expr("CAST((sq + 50 * n) div (100 * n) AS DOUBLE)") / 10000.0)
+          .as("mean_norm"),
+        col("n_off_unit"))
+      .orderBy("label")
+  }
+
+  val all: Seq[Q] = Seq(q162, q163, q164, q168, q196, q210, q268)
 }

@@ -148,5 +148,75 @@ object MinhashEstimate {
     estimatePairs(Tables.documents(s, d)).orderBy("id_a", "id_b")
   }
 
-  val all: Seq[Q] = Seq(q132)
+  /** Source-level MinHash overlap matrix — the sketch applied at the
+    * grain a corpus registry actually tracks: each SOURCE keeps one
+    * K-coordinate signature (per-coordinate min over every document's
+    * shingle hashes — MinHash state is mergeable, so the source sketch
+    * is the fold of its documents' sketches and maintains under
+    * appends), and every source pair reads an estimated shingle-set
+    * Jaccard from coordinate agreement. q217 computes the EXACT
+    * containment matrix by joining the gram sets; this is what
+    * replaces it when sources are petabytes — only 20 signatures of
+    * 16×8 B ever meet. est = matches/16 is dyadic (≤4 decimal digits)
+    * so float round is exact here. */
+  val q269 = Q.sql("q269_source_minhash_overlap", {
+    val gList = Gs.mkString("[", ",", "]")
+    s"""WITH t0 AS (
+       |  SELECT source, regexp_split_to_array(trim(text), '\\s+') AS t
+       |  FROM documents),
+       |tok AS (
+       |  SELECT source,
+       |    unnest(list_distinct(list_transform(range(1, len(t)),
+       |      i -> t[i] || ' ' || t[i+1]))) AS tok
+       |  FROM t0 WHERE len(t) >= 2),
+       |h AS (
+       |  SELECT source,
+       |    CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+       |      list_transform(range(1, length(tok) + 1),
+       |                     c -> CAST(ascii(substr(tok, c, 1)) AS HUGEINT))),
+       |      (a, b) -> (a * 131 + b) % 2305843009213693951)
+       |      * 1752450205419405103 % 2305843009213693951 AS BIGINT) AS h
+       |  FROM tok),
+       |sigl AS (
+       |  SELECT source, i,
+       |    min(CAST((CAST(h AS HUGEINT) * ($gList)[i+1])
+       |        % 2305843009213693951 AS BIGINT)) AS s
+       |  FROM h, LATERAL unnest(range(0, $K)) AS u(i)
+       |  GROUP BY source, i),
+       |sg AS (SELECT source, list(s ORDER BY i) AS sig FROM sigl
+       |       GROUP BY source)
+       |SELECT a.source AS src_a, b.source AS src_b,
+       |  CAST(len(list_filter(range(1, ${K + 1}),
+       |    j -> a.sig[j] = b.sig[j])) AS BIGINT) AS n_match,
+       |  round(CAST(len(list_filter(range(1, ${K + 1}),
+       |    j -> a.sig[j] = b.sig[j])) AS DOUBLE) / $K.0, 4) AS est
+       |FROM sg a JOIN sg b ON a.source < b.source
+       |ORDER BY src_a, src_b""".stripMargin
+  }) { (s, d) =>
+    val sig = Tables.documents(s, d)
+      .select(col("source"),
+        explode(array_distinct(
+          Text.shingles(Text.tokens(col("text")), 2))).as("tok"))
+      .select(col("source"),
+        Exprs.mulmod61(Exprs.poly_hash(col("tok")), Sketches.Kmv.G).as("h"))
+      .groupBy("source")
+      .agg(min(Exprs.mulmod61(col("h"), Gs(0))).as("s0"),
+        Gs.zipWithIndex.drop(1).map { case (g, i) =>
+          min(Exprs.mulmod61(col("h"), g)).as(s"s$i")
+        }.toSeq: _*)
+      .select(col("source"),
+        array((0 until K).map(i => col(s"s$i")): _*).as("sig"))
+      .localCheckpoint(true) // both sides of the pair join read it
+    sig.as("a").join(sig.as("b"), col("a.source") < col("b.source"))
+      .withColumn("n_match",
+        aggregate(zip_with(col("a.sig"), col("b.sig"),
+          (x, y) => (x === y).cast("int")), lit(0), (a, x) => a + x)
+          .cast("long"))
+      .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+        col("n_match"),
+        round(col("n_match") / lit(K.toDouble), 4).as("est"))
+      .orderBy("src_a", "src_b")
+  }
+
+  val all: Seq[Q] = Seq(q132, q269)
 }
