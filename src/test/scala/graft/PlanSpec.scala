@@ -451,6 +451,29 @@ class PlanSpec extends AnyFunSuite {
       s"brute truth side lost its broadcast NLJ shape\n$p1")
   }
 
+  test("source MinHash overlap: one corpus scan, pair join never cartesian") {
+    // q269's signature table is 20 rows — the pair join must come out
+    // broadcast (BNLJ over the tiny self-join is fine; a shuffle-based
+    // CartesianProduct would be the corpus moving instead)
+    val df = SparkEntry.queries("q269_source_minhash_overlap")(spark, sf)
+    df.collect()
+    val p1 = plan(df).split("== Initial Plan ==")(0)
+    assert(!p1.contains("CartesianProduct"),
+      s"signature pair join degraded to a shuffled cartesian\n$p1")
+    // exactly one parquet scan of documents feeds the signature build
+    val scans = p1.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("documents"))
+    assert(scans <= 1, s"signature build re-scans documents ($scans)\n$p1")
+  }
+
+  test("quantile normalization: no cartesian — rank tables join by position") {
+    val df = SparkEntry.queries("q250_quantile_normalize")(spark, sf)
+    df.collect()
+    val p1 = plan(df).split("== Initial Plan ==")(0)
+    assert(!p1.contains("CartesianProduct"),
+      s"rank mapping degraded to a cartesian\n$p1")
+  }
+
   test("brute hard negatives: the all-pairs side is broadcast, not shuffled") {
     // q150 IS the designed brute path: a non-equi self-join must come
     // out as BroadcastNestedLoopJoin over the broadcast neighbor side
