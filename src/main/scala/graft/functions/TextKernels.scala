@@ -575,8 +575,15 @@ object TextKernels {
     * This REPLACED round(log2(k)·1e6): Java's log/log(2) and DuckDB's
     * log2 can disagree by an ulp on some integers, and one crossing
     * flips a micro-bit — transcendental quantization is only PROBABLY
-    * deterministic, the integer form is so by construction. */
+    * deterministic, the integer form is so by construction.
+    *
+    * Contract: 1 ≤ k ≤ 2^53. Below 1, blen−1 is negative and the shift
+    * wraps (lg2q(0) would compute 1L<<63 garbage that also disagrees
+    * with the SQL ql(0) = −1024); above 2^53, k·1024 overflows Long.
+    * Callers applying the device to count PRODUCTS (q252's nxy·T) must
+    * keep the product under the 2^53 ceiling. */
   private def lg2q(k: Long): Long = {
+    require(k >= 1 && k <= (1L << 53), s"lg2q domain is [1, 2^53], got $k")
     val blen = 64 - java.lang.Long.numberOfLeadingZeros(k)
     (blen - 1).toLong * 1024 + (k * 1024) / (1L << (blen - 1)) - 1024
   }

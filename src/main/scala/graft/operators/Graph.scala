@@ -632,7 +632,7 @@ object Graph {
        |SELECT m AS n_edges, n_communities, qnum AS q_num,
        |  CAST((qnum * 20000 + CASE WHEN qnum < 0 THEN -4 * m * m
        |                            ELSE 4 * m * m END)
-       |       // (8 * m * m) AS DOUBLE) / 10000.0 AS modularity
+       |       // nullif(8 * m * m, 0) AS DOUBLE) / 10000.0 AS modularity
        |FROM qn""".stripMargin) { (s, d) =>
     val i = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
@@ -663,9 +663,11 @@ object Graph {
         max("m").cast("long").as("m"))
       .select(col("m").as("n_edges"), col("n_communities"),
         col("qnum").as("q_num"),
+        // nullif: zero edges (no pair reaches LinkPredMinSup) must read
+        // as NULL modularity, not an ANSI div-by-zero error (q266 rule)
         (expr("CAST((qnum * 20000 + CASE WHEN qnum < 0 THEN -4 * m * m"
-          + " ELSE 4 * m * m END) div (8 * m * m) AS DOUBLE)") / 10000.0)
-          .as("modularity"))
+          + " ELSE 4 * m * m END) div nullif(8 * m * m, 0) AS DOUBLE)")
+          / 10000.0).as("modularity"))
   }
 
   val all: Seq[Q] = Seq(q106, q110, q138, q167, q187, q223, q232, q254)

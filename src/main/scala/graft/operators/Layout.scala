@@ -106,9 +106,17 @@ object Layout {
       def ensure(t: String, ddlCols: String, keyCol: String)
           (build: (String, String) => Unit): Unit = {
         val target = new java.io.File(wh, t)
-        if (!new java.io.File(target, "_SUCCESS").exists()) {
-          if (target.exists()) // unmarked pre-staging leftover: rebuild
+        def marked = new java.io.File(target, "_SUCCESS").exists()
+        // TOCTOU guard: a concurrent JVM's atomic rename can land between
+        // any marker check and the delete — re-check immediately before
+        // deleting and again before building, so a just-completed table
+        // is adopted rather than razed mid-scan
+        if (!marked) {
+          if (target.exists() && !marked)
+            // unmarked pre-staging leftover: rebuild
             org.apache.commons.io.FileUtils.deleteDirectory(target)
+        }
+        if (!marked) {
           val stT = s"${t}_stage${java.lang.ProcessHandle.current().pid()}"
           val stLoc = new java.io.File(wh, stT)
           spark.sql(s"DROP TABLE IF EXISTS $stT")

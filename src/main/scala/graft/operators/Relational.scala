@@ -776,12 +776,18 @@ object Relational {
     val langs = docs.select("lang").distinct().orderBy("lang")
       .collect().map(_.getString(0)).toSeq // bounded: the language set
     val wide = docs.groupBy("source").pivot("lang", langs).count()
-      .na.fill(0L, langs)
-    val stackArgs = langs.map(l => s"'$l', `$l`").mkString(", ")
-    wide.selectExpr("source",
-        s"stack(${langs.size}, $stackArgs) AS (lang, n_docs)")
+    // typed melt, not string-built stack(): pivot column names ARE data
+    // values, so interpolating them into selectExpr would let a lang
+    // containing a quote/backtick break the plan — rename positionally
+    // (toDF parses nothing) and carry the value as a lit() instead
+    val safe = wide.toDF("source" +: langs.indices.map(i => s"_l$i"): _*)
+      .na.fill(0L, langs.indices.map(i => s"_l$i"))
+    safe.select(col("source"), explode(array(langs.zipWithIndex.map {
+        case (l, i) => struct(lit(l).as("lang"),
+          col(s"_l$i").cast("long").as("n_docs")) }: _*)).as("kv"))
+      .select(col("source"), col("kv.lang").as("lang"),
+        col("kv.n_docs").as("n_docs"))
       .filter(col("n_docs") > 0)
-      .select(col("source"), col("lang"), col("n_docs").cast("long"))
       .orderBy("source", "lang")
   }
 

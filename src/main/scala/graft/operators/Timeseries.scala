@@ -650,7 +650,8 @@ object Timeseries {
       |  CAST((CAST(sum(CASE WHEN x3 IS NOT NULL
       |          THEN abs(x - (4 * x1 + 2 * x2 + x3) // 7) END) AS BIGINT)
       |        * 2000 + count(CASE WHEN x3 IS NOT NULL THEN 1 END))
-      |       // (2 * count(CASE WHEN x3 IS NOT NULL THEN 1 END)) AS DOUBLE)
+      |       // nullif(2 * count(CASE WHEN x3 IS NOT NULL THEN 1 END), 0)
+      |       AS DOUBLE)
       |    / 1000.0 AS mae,
       |  CAST(sum(CASE WHEN x3 IS NOT NULL
       |    THEN (4 * x1 + 2 * x2 + x3) // 7 - x END) AS BIGINT) AS bias,
@@ -682,10 +683,12 @@ object Timeseries {
         count(when(col("x3").isNotNull, 1)).cast("long").as("n_scored"),
         sum(when(col("x3").isNotNull, abs(col("x") - expr(fc))))
           .cast("long").as("abs_err"),
+        // nullif: a corpus spanning < 4 days scores zero forecasts —
+        // mae must be NULL, not an ANSI div-by-zero error (q266 rule)
         (expr(s"CAST((sum(CASE WHEN x3 IS NOT NULL THEN abs(x - ($fc)) END)" +
           " * 2000 + count(CASE WHEN x3 IS NOT NULL THEN 1 END))" +
-          " div (2 * count(CASE WHEN x3 IS NOT NULL THEN 1 END)) AS DOUBLE)")
-          / 1000.0).as("mae"),
+          " div nullif(2 * count(CASE WHEN x3 IS NOT NULL THEN 1 END), 0)" +
+          " AS DOUBLE)") / 1000.0).as("mae"),
         sum(when(col("x3").isNotNull, expr(fc) - col("x")))
           .cast("long").as("bias"),
         max(when(col("day") === col("d1"),
@@ -904,7 +907,7 @@ object Timeseries {
       |  CAST(((pr.c - pr.d) * 20000
       |        + CASE WHEN pr.c < pr.d THEN -(pr.c + pr.d)
       |               ELSE pr.c + pr.d END)
-      |       // (2 * (pr.c + pr.d)) AS DOUBLE) / 10000.0 AS tau
+      |       // nullif(2 * (pr.c + pr.d), 0) AS DOUBLE) / 10000.0 AS tau
       |FROM nc CROSS JOIN pr""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
     import graft.functions.Text
@@ -939,9 +942,11 @@ object Timeseries {
         (expr("CAST((n_common * 20000 + (40 - n_common))"
           + " div (2 * (40 - n_common)) AS DOUBLE)") / 10000.0).as("jaccard"),
         col("c").as("n_concordant"), col("d").as("n_discordant"),
+        // nullif: n_common <= 1 means zero rank pairs (c+d = 0) — tau
+        // must be NULL, not an ANSI div-by-zero error (q266 rule)
         (expr("CAST(((c - d) * 20000 + CASE WHEN c < d THEN -(c + d)"
-          + " ELSE c + d END) div (2 * (c + d)) AS DOUBLE)") / 10000.0)
-          .as("tau"))
+          + " ELSE c + d END) div nullif(2 * (c + d), 0) AS DOUBLE)")
+          / 10000.0).as("tau"))
   }
 
   /** Lag-k autocorrelation of the daily volume series — the
@@ -990,9 +995,9 @@ object Timeseries {
       |  FROM w GROUP BY 1)
       |SELECT event_type, n_days,
       |  CAST((num1 * 20000 + CASE WHEN num1 < 0 THEN -den ELSE den END)
-      |       // (2 * den) AS DOUBLE) / 10000.0 AS r1,
+      |       // nullif(2 * den, 0) AS DOUBLE) / 10000.0 AS r1,
       |  CAST((num7 * 20000 + CASE WHEN num7 < 0 THEN -den ELSE den END)
-      |       // (2 * den) AS DOUBLE) / 10000.0 AS r7
+      |       // nullif(2 * den, 0) AS DOUBLE) / 10000.0 AS r7
       |FROM a ORDER BY event_type""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
     val ev = Tables.events(s, d)
@@ -1022,11 +1027,13 @@ object Timeseries {
           .cast("long").as("num1"),
         sum(when(col("dx7").isNotNull, col("dx") * col("dx7")))
           .cast("long").as("num7"))
+      // nullif: a constant daily series has den = Σdx² = 0 — r1/r7 must
+      // be NULL, not an ANSI div-by-zero error (q266 rule)
       .select(col("event_type"), col("n_days"),
         (expr("CAST((num1 * 20000 + CASE WHEN num1 < 0 THEN -den ELSE den"
-          + " END) div (2 * den) AS DOUBLE)") / 10000.0).as("r1"),
+          + " END) div nullif(2 * den, 0) AS DOUBLE)") / 10000.0).as("r1"),
         (expr("CAST((num7 * 20000 + CASE WHEN num7 < 0 THEN -den ELSE den"
-          + " END) div (2 * den) AS DOUBLE)") / 10000.0).as("r7"))
+          + " END) div nullif(2 * den, 0) AS DOUBLE)") / 10000.0).as("r7"))
       .orderBy("event_type")
   }
 
