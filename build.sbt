@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench harness keeps the last ~2000 stdout chars and parses the
+// final JSON line. sbt's default fork logging prefixes every child
+// stdout line with "[info] " and appends a "[success] Total time"
+// epilogue — both defeat a last-line JSON parser (BENCH_r08-r11 all
+// record parsed:null). StdoutOutput passes child output through
+// verbatim; showSuccess drops the epilogue, leaving Bench's compact
+// headline as the literal last stdout line.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -195,9 +195,13 @@ object Bench {
     // fits; bench_out.json carries the complete per-query map
     val slowest = results.sortBy(-_._2).take(12)
       .map { case (k, v) => f"${Jsonl.str(k)}:$v%.2f" }.mkString("{", ",", "}")
+    // stop() BEFORE the headline: its stop-time stderr warnings must not
+    // land after the compact line in a merged stdout+stderr capture —
+    // the headline has to be the last thing this JVM emits
+    spark.stop()
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","queries_n":${results.size},"errors_n":${errors.size},"queries":$slowest,"queries_truncated_to_slowest":12,"full":"bench_out.json"}""")
-    spark.stop()
+    System.out.flush()
     if (errors.nonEmpty) sys.exit(1)
   }
 }
