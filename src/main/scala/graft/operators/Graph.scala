@@ -24,18 +24,98 @@ import graft.Tables
   * per-iteration plan is one shuffle join + one partial-agg'd sum —
   * never a re-execution of the edge-building join (the q54 lesson).
   * Ranks are checkpointed per iteration to keep lineage flat; the
-  * driver holds only the node count. At 100 TB the same loop runs with
-  * edges bucketed by src so the join is shuffle-free after the first
-  * iteration.
+  * driver holds only the node count. The rank join auto-routes on |V|
+  * ([[BroadcastRankCap]]): broadcast under the cap, above it edges are
+  * hash-partitioned by src once and ranks shuffle-hash-join to them —
+  * the 100 TB branch moves only the O(|V|) rank table per iteration,
+  * never the edges and never a driver-side broadcast.
   */
 object Graph {
+
+  /** Rank tables up to this many nodes are broadcast each iteration
+    * (three 8-byte columns ≈ 24 B/node → ~50 MB at the cap, inside any
+    * sane executor budget); above it the loop auto-routes to the
+    * shuffle form — edges hash-partitioned by `src` ONCE and reused
+    * every iteration, ranks shuffle-hash-joined to them (the only
+    * per-iteration movement is the O(|V|) rank table, never the edges).
+    * A 10⁸–10⁹-node graph must take the routed branch: a per-iteration
+    * broadcast of the full rank table is a hard stop there (driver
+    * collect + executor copy, re-sent every round). Same routing
+    * discipline as [[Similarity.cosineTopK]]'s BruteForceCap — the
+    * caller states WHAT, the router picks the plan that survives the
+    * data size. Tests force the routed branch by passing cap = 0. */
+  val BroadcastRankCap: Long = 2000000L
+
+  /** Shared fixed-point iteration driver for [[pagerank]] /
+    * [[personalizedPagerank]]: `newRank` maps (nodes ⟕ contrib) to the
+    * next rank table. Both branches compute IDENTICAL integer results —
+    * the route only changes the physical plan. */
+  /** Repartition by `key` and checkpoint so the captured RDD KEEPS its
+    * HashPartitioning — downstream joins on `key` then re-use it instead
+    * of re-shuffling. AQE must be off while this one eager statement
+    * plans: the adaptive wrapper reports its partitioning as unknown at
+    * capture time, so a checkpoint taken under AQE silently loses the
+    * layout and every iteration re-shuffles the table it was meant to
+    * pin (measured: 1 vs 0 per-iteration edge exchanges). */
+  private[graft] def checkpointPartitionedBy(df: DataFrame,
+      key: String): DataFrame = {
+    val sess = df.sparkSession
+    val prev = sess.conf.get("spark.sql.adaptive.enabled", "true")
+    sess.conf.set("spark.sql.adaptive.enabled", "false")
+    try df.repartition(col(key)).localCheckpoint()
+    finally sess.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  private def iterateRanks(e0: DataFrame, nodes0: DataFrame, n: Long,
+      init: DataFrame, iters: Int, broadcastCap: Long)(
+      newRank: DataFrame => DataFrame): DataFrame = {
+    val big = n > broadcastCap
+    // routed branch: pay the edge shuffle once; the checkpointed RDD
+    // keeps its HashPartitioning(src) so no iteration re-shuffles edges
+    val e = if (big) checkpointPartitionedBy(e0, "src") else e0
+    val nodes =
+      if (big) checkpointPartitionedBy(nodes0, "node") else nodes0
+    var ranks = init
+    for (_ <- 1 to iters) {
+      val joined =
+        if (big)
+          // shuffle_hash on the rank side: edges stream in place (their
+          // partitioning satisfies the join), ranks shuffle + hash — no
+          // per-iteration sort of the edge table (SMJ would re-sort it)
+          e.join(ranks.hint("shuffle_hash"), e("src") === ranks("node"))
+        else e.join(broadcast(ranks), e("src") === ranks("node"))
+      val contrib = joined
+        .select(col("dst").as("node"), expr("r div deg").as("c"))
+        .groupBy("node").agg(sum("c").as("s"))
+      val next =
+        if (big) nodes.join(contrib.hint("shuffle_hash"), Seq("node"), "left")
+        else nodes.join(broadcast(contrib), Seq("node"), "left")
+      ranks = newRank(next).localCheckpoint()
+    }
+    ranks.select("node", "r")
+  }
+
+  /** One un-checkpointed contribution step — the iteration plan surface
+    * PlanSpec pins (the loop's localCheckpoint makes the executed plans
+    * invisible from the returned DataFrame, so the pin needs the raw
+    * step). */
+  private[graft] def contributionStep(e: DataFrame, ranks: DataFrame,
+      big: Boolean): DataFrame = {
+    val joined =
+      if (big) e.join(ranks.hint("shuffle_hash"), e("src") === ranks("node"))
+      else e.join(broadcast(ranks), e("src") === ranks("node"))
+    joined.select(col("dst").as("node"), expr("r div deg").as("c"))
+      .groupBy("node").agg(sum("c").as("s"))
+  }
 
   /** `iters` rounds of damped PageRank (d = 0.85) over a directed edge
     * list (`src`, `dst`) in which every node has out-degree ≥ 1 (feed a
     * symmetrized edge list for undirected graphs — also the usual way
     * to avoid dangling-mass bookkeeping). Returns (node, r) with r in
-    * 10^12-scaled mass units. */
-  def pagerank(edges: DataFrame, iters: Int): DataFrame = {
+    * 10^12-scaled mass units. Physical plan auto-routes on |V| via
+    * [[BroadcastRankCap]]. */
+  def pagerank(edges: DataFrame, iters: Int,
+      broadcastCap: Long = BroadcastRankCap): DataFrame = {
     val e = edges.select("src", "dst").localCheckpoint()
     val nodes = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg")).localCheckpoint()
@@ -43,23 +123,11 @@ object Graph {
     require(n > 0, "pagerank on an empty graph")
     val r0 = 1000000000000L / n
     val tp = 1000000000000L * 15 / 100 / n
-    var ranks = nodes.withColumn("r", lit(r0))
-    for (_ <- 1 to iters) {
-      // rank table ≪ edge table in any graph worth iterating on:
-      // broadcast it so edges never re-shuffle across iterations (the
-      // map-side partial agg then shrinks the dst-sum shuffle to ~|V|).
-      // If |V| ever outgrows broadcast, swap to edges pre-bucketed by
-      // src — the join stays shuffle-free either way.
-      val contrib = e
-        .join(broadcast(ranks), e("src") === ranks("node"))
-        .select(col("dst").as("node"), expr("r div deg").as("c"))
-        .groupBy("node").agg(sum("c").as("s"))
-      ranks = nodes.join(broadcast(contrib), Seq("node"), "left")
-        .select(col("node"), col("deg"),
-          (lit(tp) + coalesce(expr("(85 * s) div 100"), lit(0L))).as("r"))
-        .localCheckpoint()
+    iterateRanks(e, nodes, n, nodes.withColumn("r", lit(r0)), iters,
+        broadcastCap) { next =>
+      next.select(col("node"), col("deg"),
+        (lit(tp) + coalesce(expr("(85 * s) div 100"), lit(0L))).as("r"))
     }
-    ranks.select("node", "r")
   }
 
   private val Ten12 = "1000000000000"
@@ -363,29 +431,24 @@ object Graph {
     * customer nodes with custkey ≡ 0 (mod 7) (node ids are 2·custkey,
     * so node ≡ 0 mod 14). */
   def personalizedPagerank(edges: DataFrame, seedCond: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
-      iters: Int): DataFrame = {
+      iters: Int, broadcastCap: Long = BroadcastRankCap): DataFrame = {
     val e = edges.select("src", "dst").localCheckpoint()
     val nodes = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg"))
       .withColumn("seed", seedCond(col("node")))
       .localCheckpoint()
+    val n = nodes.count()
     val nS = nodes.filter(col("seed")).count()
     require(nS > 0, "personalized pagerank needs a non-empty seed set")
     val r0 = 1000000000000L / nS
     val tp = 1000000000000L * 15 / 100 / nS
-    var ranks = nodes.withColumn("r", when(col("seed"), r0).otherwise(0L))
-    for (_ <- 1 to iters) {
-      val contrib = e
-        .join(broadcast(ranks), e("src") === ranks("node"))
-        .select(col("dst").as("node"), expr("r div deg").as("c"))
-        .groupBy("node").agg(sum("c").as("s"))
-      ranks = nodes.join(broadcast(contrib), Seq("node"), "left")
-        .select(col("node"), col("deg"), col("seed"),
-          (when(col("seed"), tp).otherwise(0L)
-            + coalesce(expr("(85 * s) div 100"), lit(0L))).as("r"))
-        .localCheckpoint()
+    iterateRanks(e, nodes, n,
+        nodes.withColumn("r", when(col("seed"), r0).otherwise(0L)), iters,
+        broadcastCap) { next =>
+      next.select(col("node"), col("deg"), col("seed"),
+        (when(col("seed"), tp).otherwise(0L)
+          + coalesce(expr("(85 * s) div 100"), lit(0L))).as("r"))
     }
-    ranks.select("node", "r")
   }
 
   private def pprOracle(iters: Int): String = {

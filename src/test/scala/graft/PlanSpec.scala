@@ -588,4 +588,34 @@ class PlanSpec extends AnyFunSuite {
     assert(docJoins.forall(_.contains("BroadcastHashJoin")),
       s"corpus-keyed join not broadcast:\n${docJoins.mkString("\n")}\n$p")
   }
+
+  test("pagerank small-|V| branch broadcasts the rank table (q106/q187 pin)") {
+    import spark.implicits._
+    val e = spark.range(200)
+      .select(($"id" % 50).as("src"), (($"id" * 7 + 3) % 50).as("dst"))
+      .localCheckpoint()
+    val ranks = e.groupBy($"src".as("node"))
+      .agg(count(lit(1)).as("deg")).withColumn("r", lit(1000000L))
+    val p = plan(operators.Graph.contributionStep(e, ranks, big = false))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("ShuffledHashJoin") && !p.contains("SortMergeJoin"), p)
+  }
+
+  test("pagerank big-|V| branch: ranks shuffle to PRE-PARTITIONED edges — edges never re-shuffle, nothing broadcasts") {
+    import spark.implicits._
+    val e = operators.Graph.checkpointPartitionedBy( // once-per-run edge shuffle
+      spark.range(200)
+        .select(($"id" % 50).as("src"), (($"id" * 7 + 3) % 50).as("dst")),
+      "src")
+    val ranks = e.groupBy($"src".as("node"))
+      .agg(count(lit(1)).as("deg")).withColumn("r", lit(1000000L))
+    val p = plan(operators.Graph.contributionStep(e, ranks, big = true))
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("BroadcastExchange"),
+      s"big-|V| branch must not broadcast an O(|V|) table:\n$p")
+    // the edge side's HashPartitioning(src) satisfies the join — the
+    // only exchanges are the rank side and the dst-sum aggregation
+    assert(!p.contains("Exchange hashpartitioning(src"),
+      s"edges must not re-shuffle per iteration:\n$p")
+  }
 }

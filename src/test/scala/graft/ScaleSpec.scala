@@ -455,4 +455,29 @@ class ScaleSpec extends AnyFunSuite {
     assert(agg.getLong(0) == cap.toLong, s"max id ${agg.getLong(0)}")
     assert(agg.getDouble(1) == 1.0)
   }
+
+  test("pagerank/PPR routed branch (cap=0) equals the broadcast branch bit-for-bit") {
+    import spark.implicits._
+    // a small but non-trivial directed graph, symmetrized so every node
+    // has out-degree >= 1 (the pagerank contract)
+    val raw = spark.range(300)
+      .select(($"id" % 60).as("a"), (($"id" * 11 + 5) % 60).as("b"))
+      .filter($"a" =!= $"b")
+    val edges = raw.select($"a".as("src"), $"b".as("dst"))
+      .unionByName(raw.select($"b".as("src"), $"a".as("dst")))
+      .distinct()
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // integer fixed-point arithmetic means the two physical routes must
+    // agree EXACTLY — any divergence is a routing bug, not float noise
+    val viaBroadcast = sorted(operators.Graph.pagerank(edges, 4))
+    val viaShuffle = sorted(operators.Graph.pagerank(edges, 4, broadcastCap = 0))
+    assert(viaBroadcast == viaShuffle)
+    assert(viaBroadcast.map(_._2).sum > 900000000000L, // mass ~conserved
+      s"mass ${viaBroadcast.map(_._2).sum}")
+    val pprB = sorted(operators.Graph.personalizedPagerank(edges, n => n % 7 === 0, 4))
+    val pprS = sorted(operators.Graph.personalizedPagerank(edges, n => n % 7 === 0, 4,
+      broadcastCap = 0))
+    assert(pprB == pprS)
+  }
 }
