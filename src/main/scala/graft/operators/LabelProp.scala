@@ -498,5 +498,107 @@ object LabelProp {
       .orderBy("label")
   }
 
-  val all: Seq[Q] = Seq(q178, q179, q192, q203, q224, q266)
+  /** The IVF-routed candidate table for [[q270]]: holdout queries probe
+    * their top-[[IvfProbes]] of [[IvfLists]] coarse lists and meet only
+    * the labeled vectors ASSIGNED to those lists — candidate volume
+    * |q|·|db|·probes/lists instead of |q|·|db| (ScaleSpec pins the
+    * fraction). Routing is q192's: centroids are the first 8 vectors by
+    * vec_id (the q139 deterministic pick), rankings are the integer
+    * qdot, and filter-then-rank ≡ rank-then-filter because each
+    * vector's centroid ranking is independent of the rest. */
+  def routedKnnCandidates(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Exprs
+    val e = quantized(s, d).localCheckpoint(true)
+    val cents = e.orderBy("vec_id").limit(IvfLists)
+      .select(col("vec_id").as("cent_id"), col("xq").as("cq"))
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Float](1).toArray)) // ≤8 rows — the q139 bounded collect
+    val ranked = array(cents.map { case (cid, cv) =>
+      struct(Exprs.qdot(col("xq"), typedlit(cv.toSeq)).as("w"),
+        lit(-cid).as("negid"))
+    }: _*)
+    def listsOf(df: DataFrame, keep: Int): DataFrame = df
+      .select(col("vec_id"),
+        explode(slice(sort_array(ranked, asc = false), 1, keep)).as("c"))
+      .select(col("vec_id"), (-col("c.negid")).as("lst"))
+    val prb = listsOf(e.filter(col("vec_id") % KnnHoldout === 0), IvfProbes)
+    val asg = listsOf(e.filter(col("vec_id") % KnnHoldout =!= 0), 1)
+    prb.select(col("vec_id").as("qid"), col("lst"))
+      .join(asg.select(col("vec_id").as("nb"), col("lst")), "lst")
+      .select("qid", "nb").distinct()
+  }
+
+  /** The SCALE twin of q224 (the q178→q192 discipline, applied to the
+    * classifier): identical majority-vote math, sub-quadratic candidate
+    * generation via [[routedKnnCandidates]]. The vote sees only routed
+    * candidates, so a query whose true neighbors live in unprobed lists
+    * votes from the next-best co-listed ones — the recall-for-cost
+    * trade every IVF serving stage makes, and exactly what q245's
+    * recall curve prices. Output schema matches q224 so q266's
+    * confusion math drops on top unchanged. */
+  val q270 = Q.sql("q270_knn_classify_ivf",
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |                   v -> CAST(floor(v * 100000000.0) AS BIGINT)) AS xq,
+       |    CAST(label AS BIGINT) AS label
+       |  FROM embeddings),
+       |cents AS MATERIALIZED (
+       |  SELECT vec_id AS cent_id, xq AS cq FROM e ORDER BY vec_id LIMIT $IvfLists),
+       |ac AS MATERIALIZED (
+       |  SELECT e.vec_id, c.cent_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(list_zip(e.xq, c.cq), q -> q[1] * q[2])),
+       |        (x, y) -> x + y) DESC, c.cent_id) AS rn
+       |  FROM e CROSS JOIN cents c),
+       |prb AS (SELECT vec_id, cent_id AS lst FROM ac
+       |        WHERE rn <= $IvfProbes AND vec_id % $KnnHoldout = 0),
+       |asg AS (SELECT vec_id, cent_id AS lst FROM ac
+       |        WHERE rn = 1 AND vec_id % $KnnHoldout <> 0),
+       |cand AS (
+       |  SELECT DISTINCT p.vec_id AS qid, a.vec_id AS nb
+       |  FROM prb p JOIN asg a ON p.lst = a.lst),
+       |nn AS (
+       |  SELECT qid, true_label, label FROM (
+       |    SELECT c.qid, q.label AS true_label, d.label AS label,
+       |      row_number() OVER (PARTITION BY c.qid ORDER BY
+       |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |          list_transform(list_zip(q.xq, d.xq), z -> z[1] * z[2])),
+       |          (x, y) -> x + y) DESC, c.nb) AS rn
+       |    FROM cand c JOIN e q ON q.vec_id = c.qid
+       |                JOIN e d ON d.vec_id = c.nb)
+       |  WHERE rn <= $KnnK),
+       |v AS (
+       |  SELECT qid, true_label, label, CAST(count(*) AS BIGINT) AS votes
+       |  FROM nn GROUP BY 1, 2, 3)
+       |SELECT qid AS vec_id, label AS pred_label, votes, true_label,
+       |  label = true_label AS correct
+       |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+       |        ORDER BY votes DESC, label) AS vr FROM v)
+       |WHERE vr = 1 ORDER BY vec_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = quantized(s, d)
+    val nn = routedKnnCandidates(s, d)
+      .join(e.select(col("vec_id").as("qid"), col("xq").as("qx"),
+        col("label").as("true_label")), "qid")
+      .join(e.select(col("vec_id").as("nb"), col("xq").as("nx"),
+        col("label").as("label")), "nb")
+      .withColumn("w", graft.functions.Exprs.qdot(col("qx"), col("nx")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("w").desc, col("nb"))))
+      .filter(col("rn") <= KnnK)
+      .select("qid", "true_label", "label")
+    nn.groupBy("qid", "true_label", "label")
+      .agg(count(lit(1)).cast("long").as("votes"))
+      .withColumn("vr", row_number().over(
+        Window.partitionBy("qid").orderBy(col("votes").desc, col("label"))))
+      .filter(col("vr") === 1)
+      .select(col("qid").as("vec_id"), col("label").as("pred_label"),
+        col("votes"), col("true_label"),
+        (col("label") === col("true_label")).as("correct"))
+      .orderBy("vec_id")
+  }
+
+  val all: Seq[Q] = Seq(q178, q179, q192, q203, q224, q266, q270)
 }

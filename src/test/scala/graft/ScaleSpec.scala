@@ -456,6 +456,21 @@ class ScaleSpec extends AnyFunSuite {
     assert(agg.getDouble(1) == 1.0)
   }
 
+  test("IVF-routed kNN classify scores a fraction of the brute pair volume (q270 vs q224)") {
+    import graft.operators.LabelProp
+    // q224 is the ORACLE-ANCHORED brute reference: every holdout query
+    // scores every labeled vector, |q|·|db| pairs. q270's routing
+    // (2 probes of 8 lists) must stream well under that — the claim
+    // that makes it the deployable 100 TB form of the classifier.
+    val e = Tables.embeddings(spark, sf)
+    val nq = e.filter(col("vec_id") % LabelProp.KnnHoldout === 0).count()
+    val ndb = e.filter(col("vec_id") % LabelProp.KnnHoldout =!= 0).count()
+    val routed = LabelProp.routedKnnCandidates(spark, sf).count()
+    assert(routed > 0, "routing produced no candidates")
+    assert(routed * 2 < nq * ndb,
+      s"routed candidate volume $routed is not ≪ brute ${nq * ndb}")
+  }
+
   test("pagerank/PPR routed branch (cap=0) equals the broadcast branch bit-for-bit") {
     import spark.implicits._
     // a small but non-trivial directed graph, symmetrized so every node
