@@ -690,9 +690,18 @@ object Similarity {
   def probeIvfIndex(spark: org.apache.spark.sql.SparkSession,
       queries: org.apache.spark.sql.DataFrame,
       vectors: org.apache.spark.sql.DataFrame, dir: String,
+      probes: Int = IVF_PROBES, topK: Int = 3): org.apache.spark.sql.DataFrame =
+    probeAssignments(queries, vectors,
+      localCents(spark.read.parquet(s"$dir/centroids.parquet")),
+      spark.read.parquet(s"$dir/assignments.parquet"), probes, topK)
+
+  /** The probe tail over an explicit assignment table — shared by the
+    * single-tree serve ([[probeIvfIndex]]) and the base∪delta serve of
+    * the append-maintained index (q271). */
+  def probeAssignments(queries: org.apache.spark.sql.DataFrame,
+      vectors: org.apache.spark.sql.DataFrame, cents: Seq[(Long, Seq[Float])],
+      assigned: org.apache.spark.sql.DataFrame,
       probes: Int = IVF_PROBES, topK: Int = 3): org.apache.spark.sql.DataFrame = {
-    val cents = localCents(spark.read.parquet(s"$dir/centroids.parquet"))
-    val assigned = spark.read.parquet(s"$dir/assignments.parquet")
     val qprobes = ivfAssign(
       queries.select(col("vec_id").as("query_id"), col("embedding").as("va")),
       cents, "query_id", "va", "qlist", probes)
@@ -726,9 +735,23 @@ object Similarity {
 
   private def ivfIndexDirFor(spark: org.apache.spark.sql.SparkSession,
       dataDir: String): String =
-    ivfIndexBuilt.computeIfAbsent(dataDir, { _ =>
+    ivfIndexDirKeyed(dataDir, Tables.embeddings(spark, dataDir))
+
+  /** q271's STANDING index: built over the standing subset only
+    * (vec_id % 5 ≠ 0 plays the already-ingested corpus), centroids the
+    * first [[IVF_LISTS]] standing vectors — the artifact that exists
+    * BEFORE the batch arrives, which the append path must extend
+    * without retraining. */
+  private[graft] def ivfStandingDirFor(spark: org.apache.spark.sql.SparkSession,
+      dataDir: String): String =
+    ivfIndexDirKeyed(s"$dataDir#standing5",
+      Tables.embeddings(spark, dataDir).filter(col("vec_id") % 5 =!= 0))
+
+  private def ivfIndexDirKeyed(cacheKey: String,
+      e0: => org.apache.spark.sql.DataFrame): String =
+    ivfIndexBuilt.computeIfAbsent(cacheKey, { _ =>
       val key = java.security.MessageDigest.getInstance("MD5")
-        .digest(dataDir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .digest(cacheKey.getBytes("UTF-8")).map("%02x".format(_)).mkString
       val base = sys.env.getOrElse("GRAFT_TMP",
         s"${System.getProperty("user.dir")}/.tmp")
       val target = java.nio.file.Paths.get(base, s"graft_ivf_$key")
@@ -753,7 +776,7 @@ object Similarity {
           .foreach(org.apache.commons.io.FileUtils.deleteDirectory)
         val staging = java.nio.file.Paths.get(base,
           s"graft_ivf_$key.stage-${java.lang.ProcessHandle.current().pid()}")
-        val e = Tables.embeddings(spark, dataDir)
+        val e = e0
         val cents = e.orderBy("vec_id").limit(IVF_LISTS)
           .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
         writeIvfIndex(e, cents, staging.toString)
@@ -783,6 +806,75 @@ object Similarity {
   val q139 = Q.sql("q139_ann_index_serve", q32.oracle.get) { (s, d) =>
     val e = Tables.embeddings(s, d)
     probeIvfIndex(s, e, e, ivfIndexDirFor(s, d))
+  }
+
+  /** Assign an arriving embedding batch against a persisted index's
+    * STORED centroids (no retrain) and write the assignments as a DELTA
+    * table — increment cost ∝ |batch| (one projection over the batch;
+    * the standing corpus is never re-read, never re-assigned). The base
+    * index stays immutable: serving reads base ∪ delta, the LSM shape
+    * every append-maintained index converges on. Returns the delta
+    * path. */
+  def appendIvfDelta(spark: org.apache.spark.sql.SparkSession,
+      batch: org.apache.spark.sql.DataFrame, indexDir: String,
+      deltaDir: String): String = {
+    val cents = localCents(spark.read.parquet(s"$indexDir/centroids.parquet"))
+    val out = s"$deltaDir/assignments.parquet"
+    ivfAssign(
+      batch.select(col("vec_id").as("neighbor_id"), col("embedding").as("vb")),
+      cents, "neighbor_id", "vb", "nlist", 1)
+      .select(col("neighbor_id"), col("nlist"))
+      .write.mode("overwrite").parquet(out)
+    out
+  }
+
+  /** Index maintenance under appends — the vector analogue of q127's
+    * incremental MinHash probe: the standing corpus (vec_id % 5 ≠ 0)
+    * has a PERSISTED IVF index ([[ivfStandingDirFor]]); a batch
+    * (vec_id % 5 = 0) arrives and is assigned to the EXISTING centroids
+    * (no retrain) as a delta table; queries = the batch, served over
+    * base ∪ delta. Because list assignment is per-vector independent,
+    * the maintained index is row-identical to a full rebuild against
+    * the same centroids — which is exactly what the oracle computes, so
+    * a hash match IS the append≡rebuild contract (ScaleSpec pins the
+    * increment-cost side: the delta holds |batch| rows and equals the
+    * rebuilt table's batch slice). */
+  val q271 = Q.sql("q271_ivf_index_append",
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |cents AS (SELECT vec_id AS cent_id, emb AS cvec FROM e
+       |          WHERE vec_id % 5 <> 0 ORDER BY vec_id LIMIT $IVF_LISTS),
+       |asg AS (
+       |  SELECT e.vec_id, c.cent_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY round(list_cosine_similarity(e.emb, c.cvec), 4) DESC, c.cent_id) AS crn
+       |  FROM e CROSS JOIN cents c),
+       |nlist AS (SELECT vec_id AS neighbor_id, cent_id AS lst FROM asg WHERE crn = 1),
+       |qlist AS (SELECT vec_id AS query_id, cent_id AS lst FROM asg
+       |          WHERE crn <= $IVF_PROBES AND vec_id % 5 = 0),
+       |scored AS (
+       |  SELECT DISTINCT q.query_id, n.neighbor_id,
+       |    round(list_cosine_similarity(qe.emb, ne.emb), 4) + 0.0 AS sim
+       |  FROM qlist q JOIN nlist n USING (lst)
+       |  JOIN e qe ON qe.vec_id = q.query_id
+       |  JOIN e ne ON ne.vec_id = n.neighbor_id
+       |  WHERE q.query_id <> n.neighbor_id)
+       |SELECT query_id, neighbor_id, sim FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+       |  FROM scored) t
+       |WHERE rn <= 3
+       |ORDER BY query_id, sim DESC, neighbor_id""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    val batch = e.filter(col("vec_id") % 5 === 0)
+    val dir = ivfStandingDirFor(s, d)
+    // fresh per-run delta dir: the shared base index is NEVER mutated,
+    // so bench repeats and concurrent runs can't double-append
+    val delta = java.nio.file.Files
+      .createTempDirectory("graft_ivf_delta").toString
+    appendIvfDelta(s, batch, dir, delta)
+    val cents = localCents(s.read.parquet(s"$dir/centroids.parquet"))
+    val assigned = s.read.parquet(s"$dir/assignments.parquet")
+      .unionByName(s.read.parquet(s"$delta/assignments.parquet"))
+    probeAssignments(batch, e, cents, assigned)
   }
 
   /** Gonzalez farthest-point (k-center) seeding — the 2-approximation
@@ -1061,5 +1153,5 @@ object Similarity {
   }
 
   val all: Seq[Q] = Seq(q29, q30, q31, q32, q62, q74, q139, q150, q151, q152,
-    q153, q193, q245)
+    q153, q193, q245, q271)
 }

@@ -456,6 +456,31 @@ class ScaleSpec extends AnyFunSuite {
     assert(agg.getDouble(1) == 1.0)
   }
 
+  test("IVF append-maintained index: delta is batch-sized and equals the rebuilt table's batch slice (q271)") {
+    import graft.operators.Similarity
+    val e = Tables.embeddings(spark, sf)
+    val batch = e.filter(col("vec_id") % 5 === 0)
+    val dir = Similarity.ivfStandingDirFor(spark, sf)
+    val delta = java.nio.file.Files
+      .createTempDirectory("graft_ivf_delta_spec").toString
+    Similarity.appendIvfDelta(spark, batch, dir, delta)
+    val deltaDf = spark.read.parquet(s"$delta/assignments.parquet")
+    // increment cost ∝ batch: the delta holds exactly the batch rows —
+    // the standing corpus was never re-assigned
+    assert(deltaDf.count() == batch.count())
+    // append ≡ rebuild: a FULL index rebuild over old∪new against the
+    // same stored centroids yields exactly base ∪ delta
+    val rebuildDir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_rebuild_spec").toString
+    Similarity.writeIvfIndex(e, spark.read.parquet(s"$dir/centroids.parquet"),
+      rebuildDir)
+    val rebuilt = spark.read.parquet(s"$rebuildDir/assignments.parquet")
+    val maintained = spark.read.parquet(s"$dir/assignments.parquet")
+      .unionByName(deltaDf)
+    assert(maintained.except(rebuilt).count() == 0
+      && rebuilt.except(maintained).count() == 0)
+  }
+
   test("IVF-routed kNN classify scores a fraction of the brute pair volume (q270 vs q224)") {
     import graft.operators.LabelProp
     // q224 is the ORACLE-ANCHORED brute reference: every holdout query
