@@ -26,6 +26,34 @@ class ReadmeSpec extends AnyFunSuite {
   private lazy val readme =
     new String(java.nio.file.Files.readAllBytes(repoRoot.resolve("README.md")), "UTF-8")
 
+  test("claimed spec count equals the live suite inventory (derived, not hand-maintained)") {
+    val m = """\*\*(\d+) specs\*\*""".r.findFirstMatchIn(readme)
+    assert(m.isDefined, "README '**N specs**' phrase missing")
+    val claimed = m.get.group(1).toInt
+    // discover every concrete Suite on the test classpath and sum its
+    // testNames — the same inventory `sbt test` runs, so the README
+    // number structurally cannot go stale (the round-11 verdict caught
+    // it hand-maintained at 276 while the tree ran 280)
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(
+      classOf[ReadmeSpec].getProtectionDomain.getCodeSource.getLocation.toURI)
+    val actual = java.nio.file.Files.walk(root).iterator().asScala
+      .map(p => root.relativize(p).toString)
+      .filter(p => p.endsWith(".class") && !p.contains("$"))
+      .map(_.stripSuffix(".class").replace(java.io.File.separatorChar, '.'))
+      .flatMap { n =>
+        val c = Class.forName(n)
+        if (classOf[org.scalatest.Suite].isAssignableFrom(c) &&
+            !java.lang.reflect.Modifier.isAbstract(c.getModifiers))
+          Some(c.getDeclaredConstructor().newInstance()
+            .asInstanceOf[org.scalatest.Suite].testNames.size)
+        else None
+      }.sum
+    assert(claimed == actual,
+      s"README claims $claimed specs but the live suites define $actual — " +
+        "update the '**N specs**' phrase")
+  }
+
   test("claimed gate count equals the live query registry") {
     val m = """Current gate: \*\*(\d+) queries""".r.findFirstMatchIn(readme)
     assert(m.isDefined, "README 'Current gate: **N queries' line missing")
