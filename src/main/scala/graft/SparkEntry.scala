@@ -35,7 +35,7 @@ object SparkEntry {
       graft.operators.Mmr.all ++ graft.operators.RankEval.all ++
       graft.operators.IvfPq.all ++ graft.operators.Linalg.all ++
       graft.operators.SuffixArray.all ++ graft.operators.LabelProp.all ++
-      graft.operators.Linkage.all
+      graft.operators.Linkage.all ++ graft.operators.LmScore.all
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. Star join +
     * agg + top-k window — exercises scan, broadcast join, partial agg,

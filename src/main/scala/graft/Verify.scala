@@ -33,6 +33,9 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // dev loop: full trace on demand — a null getMessage (NPE) is
+        // otherwise undiagnosable from the artifact alone
+        if (sys.env.contains("SPARK_GRAFT_VERBOSE")) e.printStackTrace()
         errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
       }
     }

@@ -2277,4 +2277,111 @@ class EngineSpec extends AnyFunSuite {
         s"$src entropy ${r.getAs[Double]("entropy_bits")} vs brute $h")
     }
   }
+
+  // shared by the LmScore replays: the engine's integer qlog2 device
+  private def lg2q(k: Long): Long = {
+    require(k >= 1)
+    val blen = 64 - java.lang.Long.numberOfLeadingZeros(k)
+    (blen - 1).toLong * 1024 + (k * 1024) / (1L << (blen - 1)) - 1024
+  }
+
+  private def docTokens(): Map[Long, (String, Array[String])] =
+    Tables.documents(spark, sf)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("lang"), r.getAs[String]("text").trim.split("\\s+")))
+      .toMap
+
+  test("LM cross-entropy replays a brute add-one bigram model (q272)") {
+    val docs = docTokens()
+    val trainBg = docs.values.filter(_._1 == graft.operators.LmScore.TrainLang)
+      .flatMap(d => d._2.sliding(2).filter(_.length == 2).map(a => (a(0), a(1))))
+      .toSeq
+    val cb = trainBg.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val cc = cb.groupBy(_._1._1).map { case (k, v) => k -> v.values.sum }
+    val v = docs.values.filter(_._1 == graft.operators.LmScore.TrainLang)
+      .flatMap(_._2).toSet.size.toLong
+    val got = SparkEntry.queries("q272_lm_xent")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Long]("sum_qb"), r.getAs[Long]("xent_qb")))
+      .toMap
+    for ((id, (_, toks)) <- docs if toks.length >= 2) {
+      val bgs = toks.sliding(2).filter(_.length == 2).map(a => (a(0), a(1))).toSeq
+      val sum = bgs.map { g =>
+        lg2q(cc.getOrElse(g._1, 0L) + v) - lg2q(cb.getOrElse(g, 0L) + 1L)
+      }.sum
+      val n = bgs.size.toLong
+      val (gn, gs, gx) = got(id)
+      assert(gn == n && gs == sum, s"doc $id: ($gn,$gs) vs brute ($n,$sum)")
+      assert(gx == (2 * sum + n) / (2 * n))
+      assert(sum >= 0, "add-one cost must be non-negative per construction")
+    }
+    assert(got.keySet == docs.filter(_._2._2.length >= 2).keySet)
+  }
+
+  test("TF-IDF keywords replay a brute top-3 with (score, token) ties (q273)") {
+    val docs = docTokens()
+    val dfm = docs.toSeq.flatMap { case (id, (_, ts)) => ts.distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (t, v) => t -> v.size.toLong }
+    val n = docs.size.toLong
+    val got = SparkEntry.queries("q273_tfidf_keywords")(spark, sf).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    for ((id, (_, ts)) <- docs) {
+      val tf = ts.groupBy(identity).map { case (t, v) => t -> v.length.toLong }
+      val brute = tf.toSeq
+        .map { case (t, f) => (t, f * (lg2q(n) - lg2q(dfm(t)))) }
+        .sortBy { case (t, sc) => (-sc, t) }.take(3)
+      val rows = got(id).sortBy(_.getAs[Long]("rk"))
+      assert(rows.map(r => (r.getAs[String]("tok"), r.getAs[Long]("score_qb"))).toSeq
+        == brute, s"doc $id keyword mismatch")
+    }
+  }
+
+  test("DSIR weight replays the brute target-vs-raw bag ratio (q274)") {
+    val docs = docTokens()
+    def grams(ts: Array[String]) =
+      ts.sliding(2).filter(_.length == 2).map(a => a(0) + " " + a(1)).toSeq
+    val tgt = docs.values.filter(_._1 == graft.operators.LmScore.TrainLang)
+      .flatMap(d => grams(d._2)).groupBy(identity)
+      .map { case (k, vv) => k -> vv.size.toLong }
+    val raw = docs.values.flatMap(d => grams(d._2)).groupBy(identity)
+      .map { case (k, vv) => k -> vv.size.toLong }
+    val (tT, tR, vTypes) = (tgt.values.sum, raw.values.sum, raw.size.toLong)
+    val got = SparkEntry.queries("q274_dsir_importance")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("w_qb"), r.getAs[Long]("selected"))).toMap
+    for ((id, (_, ts)) <- docs if ts.length >= 2) {
+      val gs = grams(ts)
+      val w = gs.map(g => lg2q(tgt.getOrElse(g, 0L) + 1) - lg2q(raw(g) + 1)).sum +
+        gs.size * (lg2q(tR + vTypes) - lg2q(tT + vTypes))
+      assert(got(id)._1 == w, s"doc $id: ${got(id)._1} vs brute $w")
+      assert(got(id)._2 == (if (w > 0) 1L else 0L))
+    }
+  }
+
+  test("source-lang KL replays brute and is ~non-negative (q275)") {
+    import org.apache.spark.sql.functions._
+    val cells = Tables.documents(spark, sf)
+      .groupBy("source", "lang").agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("lang"), r.getAs[Long]("c")))
+    val ns = cells.groupBy(_._1).map { case (k, v) => k -> v.map(_._3).sum }
+    val nl = cells.groupBy(_._2).map { case (k, v) => k -> v.map(_._3).sum }
+    val n = cells.map(_._3).sum
+    val got = SparkEntry.queries("q275_source_lang_kl")(spark, sf).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("sum_qb"), r.getAs[Long]("kl_qb")))
+      .toMap
+    for ((src, docsN) <- ns) {
+      val sum = cells.filter(_._1 == src).map { case (_, l, c) =>
+        c * (lg2q(c * n) - lg2q(docsN * nl(l)))
+      }.sum
+      val (gn, gs, gk) = got(src)
+      assert(gn == docsN && gs == sum, s"$src: ($gn,$gs) vs brute ($docsN,$sum)")
+      val sign = if (sum < 0) -docsN else docsN
+      assert(gk == (2 * sum + sign) / (2 * docsN))
+      // true KL >= 0; the qlog2 form can dip at most the 0.0871-bit
+      // envelope per term, qb-weighted by the doc count
+      assert(gk >= -90, s"$src KL $gk more negative than the qlog2 envelope")
+    }
+  }
 }
