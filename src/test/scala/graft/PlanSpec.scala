@@ -618,4 +618,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning(src"),
       s"edges must not re-shuffle per iteration:\n$p")
   }
+
+  test("LM scoring: model tables broadcast onto the bigram stream, no cartesian (q272/q274)") {
+    // the 100 TB shape: the corpus-side bigram stream is scored by
+    // BROADCAST model joins (CCNet ships its LM to every worker the
+    // same way) — a shuffle of the corpus onto the model, or a
+    // cartesian, would move the 100 TB side instead of the model
+    for (name <- Seq("q272_lm_xent", "q274_dsir_importance")) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect()
+      val p = plan(df).split("== Initial Plan ==")(0)
+      assert(!p.contains("CartesianProduct"),
+        s"$name: scoring degraded to a cartesian\n$p")
+      assert(p.contains("BroadcastHashJoin"),
+        s"$name: model join lost its broadcast shape\n$p")
+    }
+  }
 }
