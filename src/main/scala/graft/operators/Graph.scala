@@ -556,6 +556,67 @@ object Graph {
       .limit(20)
   }
 
+  /** One parallel Louvain local-move round (Blondel et al. 2008 — the
+    * optimizer step q254's modularity only EVALUATES): from the
+    * singleton partition over the weighted part co-order graph
+    * (support ≥ [[LinkPredMinSup]], edge weight = co-order support),
+    * every node picks its best modularity-gain move among its
+    * neighbors' communities simultaneously (the parallel/Leiden-style
+    * sweep — a driver-sequential node order cannot exist at 10⁹
+    * nodes). With singleton communities the candidate set is exactly
+    * the neighbor set, and the gain of moving i into {j} integerizes:
+    * ΔQ · 2W² = (2W)·w_ij − s_i·s_j with s = weighted degree and
+    * 2W = Σ directed weights — exact BIGINT, no division anywhere.
+    * Output: each node's argmax move (ties by neighbor id) where the
+    * gain is positive. Shape: one co-occurrence pass (the q107
+    * basket-bounded self-join), strengths broadcast, one
+    * row_number per node — every table is edge- or node-sized. */
+  val q277 = Q.sql("q277_louvain_move",
+    s"""WITH i AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |p AS (
+       |  SELECT a.l_partkey AS u, b.l_partkey AS v,
+       |    CAST(count(*) AS BIGINT) AS w
+       |  FROM i a JOIN i b ON a.l_orderkey = b.l_orderkey
+       |    AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2 HAVING count(*) >= $LinkPredMinSup),
+       |e AS (SELECT u AS src, v AS dst, w FROM p
+       |      UNION ALL SELECT v, u, w FROM p),
+       |st AS (SELECT src AS node, CAST(sum(w) AS BIGINT) AS s
+       |       FROM e GROUP BY 1),
+       |tw AS (SELECT CAST(sum(w) AS BIGINT) AS w2 FROM e),
+       |g AS (
+       |  SELECT e.src AS node, e.dst AS nbr, e.w,
+       |    tw.w2 * e.w - si.s * sj.s AS gain
+       |  FROM e JOIN st si ON si.node = e.src
+       |    JOIN st sj ON sj.node = e.dst CROSS JOIN tw),
+       |r AS (
+       |  SELECT node, nbr, w, gain, row_number() OVER (
+       |    PARTITION BY node ORDER BY gain DESC, nbr) AS rn
+       |  FROM g)
+       |SELECT node, nbr AS new_comm, w, gain
+       |FROM r WHERE rn = 1 AND gain > 0 ORDER BY node""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val p = Mining.cooccur(Tables.lineitem(s, d), "l_orderkey", "l_partkey",
+        LinkPredMinSup)
+      .select(col("p1").as("u"), col("p2").as("v"),
+        col("support").cast("long").as("w"))
+    val e = p.select(col("u").as("src"), col("v").as("dst"), col("w"))
+      .unionByName(p.select(col("v").as("src"), col("u").as("dst"), col("w")))
+      .localCheckpoint(true) // strengths + total + the gain join read it
+    val st = e.groupBy(col("src").as("node")).agg(sum("w").cast("long").as("s"))
+    val tw = e.agg(sum("w").cast("long").as("w2"))
+    e.join(broadcast(st.select(col("node").as("src"), col("s").as("si"))), "src")
+      .join(broadcast(st.select(col("node").as("dst"), col("s").as("sj"))), "dst")
+      .crossJoin(broadcast(tw))
+      .withColumn("gain", col("w2") * col("w") - col("si") * col("sj"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("src").orderBy(col("gain").desc, col("dst"))))
+      .filter(col("rn") === 1 && col("gain") > 0)
+      .select(col("src").as("node"), col("dst").as("new_comm"),
+        col("w"), col("gain"))
+      .orderBy("node")
+  }
+
   /** Hash-seeded random walks — the DeepWalk/node2vec corpus
     * generator made REPLAYABLE: at each step the walker picks
     * neighbor rank H(start, walk, step, current) mod deg — a
@@ -733,5 +794,6 @@ object Graph {
           / 10000.0).as("modularity"))
   }
 
-  val all: Seq[Q] = Seq(q106, q110, q138, q167, q187, q223, q232, q254)
+  val all: Seq[Q] = Seq(q106, q110, q138, q167, q187, q223, q232, q254,
+    q277)
 }

@@ -49,21 +49,11 @@ object LmScore {
   /** The trusted training slice for q272/q274: English documents. */
   val TrainLang = "en"
 
-  /** CCNet-style LM cross-entropy filter: add-one-smoothed bigram LM
-    * trained on the [[TrainLang]] slice, every document scored as its
-    * total and per-bigram average negative log₂-likelihood in qlog2
-    * units. Unseen context w1 degrades to the uniform 1/V floor —
-    * exactly add-one smoothing with a zero count. Documents with fewer
-    * than two tokens carry no bigram evidence and are excluded (both
-    * engines derive the roster from the same bigram table).
-    *
-    * Plan: one token posexplode → one self-join to form bigrams (the
-    * q252 shape) → model counts (bigram-type-bounded) → broadcast
-    * model back onto the bigram stream → one groupBy(doc_id). At 100 TB
-    * the model comes from a sample and is pruned before broadcast; the
-    * scoring pass stays a single scan. */
-  val q272 = Q.sql("q272_lm_xent",
-    s"""WITH tk AS MATERIALIZED (
+  /** Shared oracle prefix for q272/q276: the add-one bigram LM's
+    * per-document (n_bigrams, sum_qb, xent_qb) table as a WITH chain
+    * ending in `agg2`. */
+  private val xentOracleCtes =
+    s"""tk AS MATERIALIZED (
        |  SELECT doc_id, lang, CAST(u.i AS BIGINT) AS off, toks[u.i + 1] AS tok
        |  FROM (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS toks
        |        FROM documents) d,
@@ -84,10 +74,17 @@ object LmScore {
        |agg AS (
        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
        |    CAST(sum(${qld("den")} - ${qld("num")}) AS BIGINT) AS sum_qb
-       |  FROM sc GROUP BY 1)
-       |SELECT doc_id, n_bigrams, sum_qb,
-       |  CAST((2 * sum_qb + n_bigrams) // (2 * n_bigrams) AS BIGINT) AS xent_qb
-       |FROM agg ORDER BY doc_id""".stripMargin) { (s, d) =>
+       |  FROM sc GROUP BY 1),
+       |agg2 AS (
+       |  SELECT doc_id, n_bigrams, sum_qb,
+       |    CAST((2 * sum_qb + n_bigrams) // (2 * n_bigrams) AS BIGINT)
+       |      AS xent_qb
+       |  FROM agg)""".stripMargin
+
+  /** Shared engine side: the per-document
+    * (doc_id, n_bigrams, sum_qb, xent_qb) frame. */
+  private def xentFrame(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
     val tk = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
         posexplode(Text.tokens(col("text"))).as(Seq("off", "tok")))
@@ -116,7 +113,65 @@ object LmScore {
         sum("cost_qb").cast("long").as("sum_qb"))
       .withColumn("xent_qb",
         expr("CAST((2 * sum_qb + n_bigrams) div (2 * n_bigrams) AS BIGINT)"))
-      .orderBy("doc_id")
+  }
+
+  /** CCNet-style LM cross-entropy filter: add-one-smoothed bigram LM
+    * trained on the [[TrainLang]] slice, every document scored as its
+    * total and per-bigram average negative log₂-likelihood in qlog2
+    * units. Unseen context w1 degrades to the uniform 1/V floor —
+    * exactly add-one smoothing with a zero count. Documents with fewer
+    * than two tokens carry no bigram evidence and are excluded (both
+    * engines derive the roster from the same bigram table).
+    *
+    * Plan: one token posexplode → one self-join to form bigrams (the
+    * q252 shape) → model counts (bigram-type-bounded) → broadcast
+    * model back onto the bigram stream → one groupBy(doc_id). At 100 TB
+    * the model comes from a sample and is pruned before broadcast; the
+    * scoring pass stays a single scan. */
+  val q272 = Q.sql("q272_lm_xent",
+    s"""WITH $xentOracleCtes
+       |SELECT doc_id, n_bigrams, sum_qb, xent_qb
+       |FROM agg2 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    xentFrame(s, d).orderBy("doc_id")
+  }
+
+  /** Curriculum mixing by LM score (Bengio et al.'s curriculum
+    * learning applied the way perplexity-ordered pretraining does it):
+    * documents are ranked easy→hard by the q272 cross-entropy and cut
+    * into [[CurriculumStages]] equal stages (ntile over the
+    * (xent_qb, doc_id) total order — deterministic in both engines),
+    * and the census reports each (stage, source) cell's document
+    * count, token mass, and xent range — the table a training-mix
+    * owner reads to see WHICH sources dominate the easy and hard ends
+    * of the curriculum. The gate-scale global ntile is a single-
+    * partition window; at 100 TB the stage cuts come from a
+    * distributed quantile selection (the q261 device) and staging is
+    * a map-side bucket assignment — the census shape is unchanged. */
+  val CurriculumStages = 4
+
+  val q276 = Q.sql("q276_curriculum_mix",
+    s"""WITH $xentOracleCtes,
+       |st AS (
+       |  SELECT a.doc_id, a.n_bigrams, a.xent_qb, d.source,
+       |    CAST(ntile($CurriculumStages)
+       |      OVER (ORDER BY a.xent_qb, a.doc_id) AS BIGINT) AS stage
+       |  FROM agg2 a JOIN documents d USING (doc_id))
+       |SELECT stage, source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_bigrams + 1) AS BIGINT) AS n_tokens,
+       |  CAST(min(xent_qb) AS BIGINT) AS xent_min_qb,
+       |  CAST(max(xent_qb) AS BIGINT) AS xent_max_qb
+       |FROM st GROUP BY 1, 2 ORDER BY stage, source""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    xentFrame(s, d)
+      .join(Tables.documents(s, d).select("doc_id", "source"), "doc_id")
+      .withColumn("stage", ntile(CurriculumStages)
+        .over(Window.orderBy(col("xent_qb"), col("doc_id"))).cast("long"))
+      .groupBy("stage", "source")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_bigrams") + 1L).cast("long").as("n_tokens"),
+        min("xent_qb").cast("long").as("xent_min_qb"),
+        max("xent_qb").cast("long").as("xent_max_qb"))
+      .orderBy("stage", "source")
   }
 
   /** TF-IDF keyword extraction: top-3 terms per document by
@@ -276,5 +331,5 @@ object LmScore {
       .orderBy("source")
   }
 
-  val all: Seq[Q] = Seq(q272, q273, q274, q275)
+  val all: Seq[Q] = Seq(q272, q273, q274, q275, q276)
 }

@@ -2359,6 +2359,62 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("curriculum stages partition the scored docs with exact ntile sizes (q276)") {
+    val scored = SparkEntry.queries("q272_lm_xent")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_bigrams"),
+        r.getAs[Long]("xent_qb")))
+    val srcOf = Tables.documents(spark, sf).select("doc_id", "source").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("source")).toMap
+    val k = graft.operators.LmScore.CurriculumStages
+    val ordered = scored.sortBy(t => (t._3, t._1))
+    val n = ordered.length
+    // ntile semantics: first (n % k) buckets get one extra row
+    val sizes = (1 to k).map(i => n / k + (if (i <= n % k) 1 else 0))
+    val stages = sizes.zipWithIndex.flatMap { case (sz, i) =>
+      Seq.fill(sz)(i + 1L)
+    }
+    val brute = ordered.zip(stages)
+      .groupBy { case (t, st) => (st, srcOf(t._1)) }
+      .map { case (key, v) =>
+        key -> (v.size.toLong, v.map(_._1._2 + 1).sum,
+          v.map(_._1._3).min, v.map(_._1._3).max)
+      }
+    val got = SparkEntry.queries("q276_curriculum_mix")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("stage"), r.getAs[String]("source")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("xent_min_qb"), r.getAs[Long]("xent_max_qb"))).toMap
+    assert(got == brute, "curriculum census diverges from the brute ntile replay")
+    assert(got.keys.map(_._1).max == k.toLong)
+  }
+
+  test("Louvain move replays the brute integer modularity-gain argmax (q277)") {
+    import org.apache.spark.sql.functions._
+    val io = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getAs[Long]("l_orderkey"), r.getAs[Long]("l_partkey")))
+    val pairs = io.groupBy(_._1).values.toSeq.flatMap { grp =>
+      val parts = grp.map(_._2).sorted
+      for (i <- parts.indices; j <- i + 1 until parts.length)
+        yield (parts(i), parts(j))
+    }.groupBy(identity).map { case (p, v) => p -> v.size.toLong }
+      .filter(_._2 >= graft.operators.Graph.LinkPredMinSup)
+    val e = pairs.toSeq.flatMap { case ((u, v), w) => Seq((u, v, w), (v, u, w)) }
+    val strength = e.groupBy(_._1).map { case (nd, v) => nd -> v.map(_._3).sum }
+    val w2 = e.map(_._3).sum
+    val brute = e.groupBy(_._1).flatMap { case (nd, nbrs) =>
+      val best = nbrs.map { case (_, j, w) => (j, w, w2 * w - strength(nd) * strength(j)) }
+        .minBy { case (j, _, g) => (-g, j) }
+      if (best._3 > 0) Some(nd -> best) else None
+    }
+    val got = SparkEntry.queries("q277_louvain_move")(spark, sf).collect()
+      .map(r => r.getAs[Long]("node") ->
+        (r.getAs[Long]("new_comm"), r.getAs[Long]("w"), r.getAs[Long]("gain")))
+      .toMap
+    assert(got == brute, s"${got.size} moves vs brute ${brute.size}")
+    // every move must strictly improve modularity and point at a neighbor
+    for ((nd, (j, _, g)) <- got) { assert(g > 0); assert(strength.contains(j) && nd != j) }
+  }
+
   test("source-lang KL replays brute and is ~non-negative (q275)") {
     import org.apache.spark.sql.functions._
     val cells = Tables.documents(spark, sf)
