@@ -78,6 +78,7 @@ object GraftExtensions {
       intLit(args(1), "graft_winnow", "k"),
       intLit(args(2), "graft_winnow", "w"))),
     ("graft_poly_hash", 1, args => Exprs.PolyHash(args(0))),
+    ("graft_qlog2", 1, args => Exprs.Qlog2(args(0))),
     ("graft_mulmod61", 2, args => Exprs.MulMod61(args(0),
       longLit(args(1), "graft_mulmod61", "g"))),
     ("graft_cosine", 2, args => Exprs.CosineSim(args(0), args(1))),

@@ -54,6 +54,26 @@ object Exprs {
     override protected def withNewChildInternal(c: Expression): PolyHash = copy(c)
   }
 
+  /** Integer piecewise-linear log2 in 1/1024-bit units
+    * ([[TextKernels.lg2q]] — the q181 qlog2 device) as ONE codegen
+    * intrinsic. The SQL-built form `(length(bin(x))−1)·1024 + x·1024
+    * div shiftleft(1,…) − 1024` allocates a 1–64-char binary STRING
+    * per row per call inside whole-stage codegen; this emits a
+    * numberOfLeadingZeros + shift, value-identical by construction
+    * (PropertySpec pins equality against the SQL device on random
+    * longs). DuckDB oracles keep the `length(bin(x))` spelling —
+    * the device's cross-engine contract is the VALUE, not the
+    * spelling. Domain [1, 2^53] enforced by the kernel. */
+  case class Qlog2(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(v: Any): Any =
+      TextKernels.lg2q(v.asInstanceOf[Long])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$K.lg2q($c)")
+    override protected def withNewChildInternal(c: Expression): Qlog2 =
+      copy(child = c)
+  }
+
   /** h·g mod 2^61−1 ([[TextKernels.mulMod61]]) for a fixed multiplier
     * `g` — the uniformizer/bijection the sketch hash families apply on
     * top of [[PolyHash]]. DuckDB replays it as HUGEINT `h * g % M`. */
@@ -369,6 +389,7 @@ object Exprs {
       bloom: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]): Column =
     c(BloomMightContain(e(col), bloom))
   def simhash64(tokens: Column): Column = c(SimHash64(e(tokens)))
+  def qlog2(x: Column): Column = c(Qlog2(e(x)))
   def minhash_sig(shingles: Column, k: Int): Column = c(MinHashSig(e(shingles), k))
   def winnow_fingerprints(tokens: Column, k: Int, w: Int): Column =
     c(Winnow(e(tokens), k, w))

@@ -581,8 +581,13 @@ object TextKernels {
     * wraps (lg2q(0) would compute 1L<<63 garbage that also disagrees
     * with the SQL ql(0) = −1024); above 2^53, k·1024 overflows Long.
     * Callers applying the device to count PRODUCTS (q252's nxy·T) must
-    * keep the product under the 2^53 ceiling. */
-  private def lg2q(k: Long): Long = {
+    * keep the product under the 2^53 ceiling.
+    *
+    * Public: also the scalar kernel behind [[graft.functions.Exprs.Qlog2]]
+    * — the codegen intrinsic form of the SQL `length(bin(x))` device,
+    * which allocates a 1–64-char string per row per call; this is a
+    * numberOfLeadingZeros and a shift. */
+  def lg2q(k: Long): Long = {
     require(k >= 1 && k <= (1L << 53), s"lg2q domain is [1, 2^53], got $k")
     val blen = 64 - java.lang.Long.numberOfLeadingZeros(k)
     (blen - 1).toLong * 1024 + (k * 1024) / (1L << (blen - 1)) - 1024

@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.Text
+import graft.functions.{Exprs, Text}
 
 /** Model-based document scoring — the selection stage of a training-data
   * pipeline that sits between the quality fences (WebQuality, TextStats)
@@ -38,9 +38,11 @@ import graft.functions.Text
   */
 object LmScore {
 
-  /** qlog2 in 1/1024-bit units — Spark dialect (q252's device). */
-  private def qls(x: String) = s"((length(bin($x)) - 1) * 1024" +
-    s" + ($x) * 1024 div shiftleft(1L, length(bin($x)) - 1) - 1024)"
+  /** qlog2 in 1/1024-bit units, engine side: the codegen intrinsic
+    * [[graft.functions.Exprs.qlog2]] (value-identical to the SQL
+    * `length(bin(x))` device the oracles keep — no per-row string
+    * allocation in the scoring loop). */
+  private def ql(x: org.apache.spark.sql.Column) = Exprs.qlog2(x)
 
   /** qlog2 — DuckDB dialect. */
   private def qld(x: String) = s"((length(bin($x)) - 1) * 1024" +
@@ -107,7 +109,7 @@ object LmScore {
       .na.fill(0L, Seq("cxy", "cx"))
       .withColumn("num", col("cxy") + 1L)
       .withColumn("den", col("cx") + col("v"))
-      .withColumn("cost_qb", expr(s"${qls("den")} - ${qls("num")}"))
+      .withColumn("cost_qb", ql(col("den")) - ql(col("num")))
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("long").as("n_bigrams"),
         sum("cost_qb").cast("long").as("sum_qb"))
@@ -206,7 +208,7 @@ object LmScore {
     val dfT = tk.groupBy("tok").agg(count_distinct(col("doc_id")).cast("long").as("df"))
     val nn = tk.agg(count_distinct(col("doc_id")).cast("long").as("n"))
     tf.join(broadcast(dfT), "tok").crossJoin(broadcast(nn))
-      .withColumn("score_qb", col("tf") * expr(s"${qls("n")} - ${qls("df")}"))
+      .withColumn("score_qb", col("tf") * (ql(col("n")) - ql(col("df"))))
       .withColumn("rk", row_number().over(
         Window.partitionBy("doc_id")
           .orderBy(col("score_qb").desc, col("tok"))).cast("long"))
@@ -273,13 +275,13 @@ object LmScore {
       .na.fill(0L, Seq("ct"))
       .withColumn("nt", col("ct") + 1L)
       .withColumn("nr", col("cr") + 1L)
-      .withColumn("contrib_qb", expr(s"${qls("nt")} - ${qls("nr")}"))
+      .withColumn("contrib_qb", ql(col("nt")) - ql(col("nr")))
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("long").as("n_bigrams"),
         sum("contrib_qb").cast("long").as("s"))
       .crossJoin(broadcast(tt))
-      .withColumn("w_qb",
-        expr(s"CAST(s + n_bigrams * (${qls("t_r + v")} - ${qls("t_t + v")}) AS BIGINT)"))
+      .withColumn("w_qb", (col("s") + col("n_bigrams") *
+        (ql(col("t_r") + col("v")) - ql(col("t_t") + col("v")))).cast("long"))
       .withColumn("selected",
         expr("CAST(CASE WHEN w_qb > 0 THEN 1 ELSE 0 END AS BIGINT)"))
       .select("doc_id", "n_bigrams", "w_qb", "selected")
@@ -320,7 +322,7 @@ object LmScore {
     c.join(broadcast(st), "source").join(broadcast(lt), "lang")
       .crossJoin(broadcast(nt))
       .withColumn("contrib_qb",
-        col("nsl") * expr(s"${qls("nsl * n")} - ${qls("ns * nl")}"))
+        col("nsl") * (ql(col("nsl") * col("n")) - ql(col("ns") * col("nl"))))
       .groupBy("source")
       .agg(max("ns").cast("long").as("n_docs"),
         sum("contrib_qb").cast("long").as("sum_qb"))

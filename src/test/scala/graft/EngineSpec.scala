@@ -2415,6 +2415,17 @@ class EngineSpec extends AnyFunSuite {
     for ((nd, (j, _, g)) <- got) { assert(g > 0); assert(strength.contains(j) && nd != j) }
   }
 
+  test("Qlog2 intrinsic column equals the SQL-string qlog2 device in a live plan") {
+    import org.apache.spark.sql.functions._
+    val dev = "((length(bin(x)) - 1) * 1024" +
+      " + x * 1024 div shiftleft(1L, length(bin(x)) - 1) - 1024)"
+    val df = spark.range(1, 20000)
+      .select((col("id") * col("id") * 7919L + 1L).as("x"))
+      .withColumn("a", graft.functions.Exprs.qlog2(col("x")))
+      .withColumn("b", expr(dev))
+    assert(df.filter(col("a") =!= col("b")).count() == 0)
+  }
+
   test("source-lang KL replays brute and is ~non-negative (q275)") {
     import org.apache.spark.sql.functions._
     val cells = Tables.documents(spark, sf)

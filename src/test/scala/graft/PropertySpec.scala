@@ -289,4 +289,20 @@ class PropertySpec extends AnyFunSuite {
       got == expected
     })
   }
+
+  test("Qlog2 intrinsic equals the SQL length(bin(x)) device on random longs") {
+    // the codegen intrinsic (TextKernels.lg2q behind Exprs.Qlog2) must
+    // be VALUE-identical to the string-built SQL device the DuckDB
+    // oracles keep — the device's cross-engine contract is the value.
+    check("qlog2-intrinsic", Prop.forAll(Gen.chooseNum(1L, 1L << 53)) { k =>
+      val blen = 64 - java.lang.Long.numberOfLeadingZeros(k)
+      val sqlDevice = (blen - 1).toLong * 1024 +
+        k * 1024 / (1L << (blen - 1)) - 1024 // length(bin(k)) == blen
+      graft.functions.TextKernels.lg2q(k) == sqlDevice
+    })
+    // the domain contract is enforced, not silently wrapped
+    intercept[IllegalArgumentException](graft.functions.TextKernels.lg2q(0L))
+    intercept[IllegalArgumentException](
+      graft.functions.TextKernels.lg2q((1L << 53) + 1))
+  }
 }
