@@ -639,6 +639,75 @@ object Similarity {
     semanticDedupDecisions(s, Tables.embeddings(s, d), 0.4).orderBy("vec_id")
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    * at web-scale through semantic deduplication"): the cluster-scoped
+    * variant of semantic dedup — k-means cluster the embedding space,
+    * then look for near-duplicates ONLY within each cluster. Same
+    * decision semantics as [[q74]] (rounded cosine ≥ τ → connected
+    * components → keep = min id), same τ = 0.4; what changes is the
+    * CANDIDATE GENERATOR: q74 bands the space with SRP hyperplanes,
+    * SemDeDup scopes the quadratic to k-means cells — the paper's
+    * point being that the cluster count grows with the corpus, so
+    * per-cell pair work stays bounded while the cells themselves are
+    * semantically tight (an SRP band cuts directions, a k-means cell
+    * tracks density). Quantizer = [[kmeansCentroids]] (2 deterministic
+    * Lloyd steps over the first-16 seed — exactly q62's, so the oracle
+    * replays it with the same unrolled CTEs), assignment = the
+    * literal-argmax [[ivfAssign]] (no join, no shuffle), components =
+    * [[DedupClusters.connectedComponents]]. At 100 TB: nlist ∝ N/cell
+    * keeps within-cell pairs linear per cell; the exact closure is the
+    * oracle's device only — the engine never materializes
+    * reachability. */
+  val SemDedupTau = 0.4
+
+  val q278 = Q.sql("q278_semdedup",
+    s"""WITH RECURSIVE
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |c0 AS (SELECT vec_id AS cent_id, emb AS cvec FROM e ORDER BY vec_id LIMIT $IVF_LISTS),
+       |${lloydStepSql("c0", "a1", "m1", "c1")},
+       |${lloydStepSql("c1", "a2", "m2", "c2")},
+       |asg AS (
+       |  SELECT e.vec_id, c.cent_id, e.emb,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY round(list_cosine_similarity(e.emb, c.cvec), 4) DESC, c.cent_id) AS crn
+       |  FROM e CROSS JOIN c2 c),
+       |a AS (SELECT vec_id, cent_id, emb FROM asg WHERE crn = 1),
+       |pairs AS (
+       |  SELECT x.vec_id AS id_a, y.vec_id AS id_b
+       |  FROM a x JOIN a y ON x.cent_id = y.cent_id AND x.vec_id < y.vec_id
+       |  WHERE round(list_cosine_similarity(x.emb, y.emb), 4) >= $SemDedupTau),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |          UNION SELECT id_b, id_a FROM pairs),
+       |lp(id, label) AS (
+       |  SELECT vec_id, vec_id FROM e
+       |  UNION
+       |  SELECT edges.src, lp.label FROM lp JOIN edges ON lp.id = edges.dst),
+       |final AS (SELECT id, min(label) AS component FROM lp GROUP BY id)
+       |SELECT a.vec_id, a.cent_id AS cluster,
+       |  coalesce(f.component, a.vec_id) AS component,
+       |  coalesce(f.component, a.vec_id) = a.vec_id AS keep
+       |FROM a LEFT JOIN final f ON a.vec_id = f.id
+       |ORDER BY a.vec_id""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    val asg = ivfAssign(e.select(col("vec_id"), col("embedding")),
+        localCents(kmeansCentroids(e)), "vec_id", "embedding", "cent_id", 1)
+      .localCheckpoint(true) // the pair self-join + the output read it
+    val pairs = asg
+      .select(col("cent_id"), col("vec_id").as("id_a"), col("embedding").as("va"))
+      .join(asg.select(col("cent_id"), col("vec_id").as("id_b"),
+        col("embedding").as("vb")), Seq("cent_id"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(Exprs.cosine_sim(col("va"), col("vb")), 4) >= SemDedupTau)
+      .select("id_a", "id_b")
+    val comps = DedupClusters.connectedComponents(s, pairs)
+    asg.select(col("vec_id"), col("cent_id").as("cluster"))
+      .join(comps.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
+      .withColumn("component", coalesce(col("label"), col("vec_id")))
+      .withColumn("keep", col("component") === col("vec_id"))
+      .select("vec_id", "cluster", "component", "keep")
+      .orderBy("vec_id")
+  }
+
   /** Vector-count threshold below which exact brute-force top-k (one
     * broadcast of the neighbor side) beats building an IVF index; above
     * it the routed path quantizes with the deterministic k-means
@@ -1153,5 +1222,5 @@ object Similarity {
   }
 
   val all: Seq[Q] = Seq(q29, q30, q31, q32, q62, q74, q139, q150, q151, q152,
-    q153, q193, q245, q271)
+    q153, q193, q245, q271, q278)
 }

@@ -2415,6 +2415,41 @@ class EngineSpec extends AnyFunSuite {
     for ((nd, (j, _, g)) <- got) { assert(g > 0); assert(strength.contains(j) && nd != j) }
   }
 
+  test("SemDeDup components are cluster-confined min-label components (q278)") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("q278_semdedup")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cluster"),
+        r.getAs[Long]("component"), r.getAs[Boolean]("keep")))
+    val cluster = out.map(t => t._1 -> t._2).toMap
+    // keep <=> self-labeled; labels are members of the SAME cluster
+    for ((id, cl, comp, keep) <- out) {
+      assert(keep == (comp == id))
+      assert(cluster(comp) == cl, s"component label $comp crosses clusters")
+      assert(comp <= id, "label must be the component minimum")
+    }
+    // replay components: pairs from the engine's own scoring expression
+    // over the gate's cluster assignment, closed by driver union-find
+    val e = Tables.embeddings(spark, sf)
+    import spark.implicits._
+    val cdf = cluster.toSeq.toDF("vec_id", "cl")
+    val a = e.join(cdf, "vec_id")
+      .select(col("cl"), col("vec_id").as("ia"), col("embedding").as("va"))
+    val b = e.join(cdf, "vec_id")
+      .select(col("cl"), col("vec_id").as("ib"), col("embedding").as("vb"))
+    val pairs = a.join(b, Seq("cl")).filter(col("ia") < col("ib"))
+      .filter(round(graft.functions.Exprs.cosine_sim(col("va"), col("vb")), 4)
+        >= graft.operators.Similarity.SemDedupTau)
+      .select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.HashMap[Long, Long]()
+    def find(x: Long): Long = { var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r }
+    for ((x, y) <- pairs) { val (rx, ry) = (find(x), find(y))
+      if (rx != ry) parent(math.max(rx, ry)) = math.min(rx, ry) }
+    val brute = out.map(t => t._1 -> find(t._1)).toMap
+    for ((id, _, comp, _) <- out)
+      assert(comp == brute(id), s"$id: component $comp vs brute ${brute(id)}")
+    assert(out.exists(!_._4), "gate should drop at least one near-duplicate")
+  }
+
   test("Qlog2 intrinsic column equals the SQL-string qlog2 device in a live plan") {
     import org.apache.spark.sql.functions._
     val dev = "((length(bin(x)) - 1) * 1024" +
