@@ -496,6 +496,22 @@ class ScaleSpec extends AnyFunSuite {
       s"routed candidate volume $routed is not ≪ brute ${nq * ndb}")
   }
 
+  test("SemDeDup candidate volume is the cluster-bounded fraction of brute all-pairs (q278)") {
+    import org.apache.spark.sql.functions._
+    // the method's scale claim: within-cell pairs Σ|cell|²/2 ≪ n²/2 —
+    // derive the engine's actual candidate volume from the gate's own
+    // cluster assignment and compare to the brute pair count
+    val out = SparkEntry.queries("q278_semdedup")(spark, sf)
+      .groupBy("cluster").agg(count(lit(1)).as("sz")).collect()
+      .map(r => r.getAs[Long]("sz"))
+    val n = out.sum
+    val cand = out.map(s => s * (s - 1) / 2).sum
+    val brute = n * (n - 1) / 2
+    assert(cand > 0, "clusters degenerated to singletons")
+    assert(cand * 4 < brute,
+      s"within-cell pair volume $cand is not ≪ brute $brute — clustering collapsed")
+  }
+
   test("pagerank/PPR routed branch (cap=0) equals the broadcast branch bit-for-bit") {
     import spark.implicits._
     // a small but non-trivial directed graph, symmetrized so every node
