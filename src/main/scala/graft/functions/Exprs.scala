@@ -63,8 +63,15 @@ object Exprs {
     * (PropertySpec pins equality against the SQL device on random
     * longs). DuckDB oracles keep the `length(bin(x))` spelling —
     * the device's cross-engine contract is the VALUE, not the
-    * spelling. Domain [1, 2^53] enforced by the kernel. */
-  case class Qlog2(child: Expression) extends UnaryExpression {
+    * spelling. Domain [1, 2^53] enforced by the kernel.
+    *
+    * ImplicitCastInputTypes pins the child to LongType so the analyzer
+    * inserts a cast for narrower literals (`graft_qlog2(5)` arrives as
+    * INT): without it the interpreted path's `asInstanceOf[Long]`
+    * ClassCastExceptions where the codegen path silently widens — the
+    * two execution paths must agree (round-12 advice). */
+  case class Qlog2(child: Expression)
+      extends org.apache.spark.sql.graftshim.LongInputUnaryExpression {
     override def dataType: DataType = LongType
     override def nullSafeEval(v: Any): Any =
       TextKernels.lg2q(v.asInstanceOf[Long])
@@ -76,8 +83,10 @@ object Exprs {
 
   /** h·g mod 2^61−1 ([[TextKernels.mulMod61]]) for a fixed multiplier
     * `g` — the uniformizer/bijection the sketch hash families apply on
-    * top of [[PolyHash]]. DuckDB replays it as HUGEINT `h * g % M`. */
-  case class MulMod61(child: Expression, g: Long) extends UnaryExpression {
+    * top of [[PolyHash]]. DuckDB replays it as HUGEINT `h * g % M`.
+    * LongType pinned like [[Qlog2]] — interpreted/codegen parity. */
+  case class MulMod61(child: Expression, g: Long)
+      extends org.apache.spark.sql.graftshim.LongInputUnaryExpression {
     override def dataType: DataType = LongType
     override def nullSafeEval(v: Any): Any =
       TextKernels.mulMod61(v.asInstanceOf[Long], g)

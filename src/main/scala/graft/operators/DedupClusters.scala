@@ -64,6 +64,17 @@ object DedupClusters {
       converged = changed == 0
       round += 1
     }
+    // a partial labeling is NOT a component table: min-label propagation
+    // converges in O(diameter) rounds, and a duplicate chain whose
+    // diameter exceeds the budget would silently split into several
+    // "components" — every caller (q54 keep-lists, q74/q278 dedup
+    // decisions) would then KEEP documents it should drop. Fail loudly
+    // instead of returning partial labels (round-12 advice).
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents: not converged after $maxRounds rounds over " +
+          s"$nEdges edges — component diameter exceeds the round budget; " +
+          "raise maxRounds rather than consuming a partial labeling")
     labels
   }
 

@@ -134,18 +134,10 @@ object LabelProp {
     propagate(s, d).orderBy("vec_id")
   }
 
-  /** Mutual-nearest-neighbor pair mining (the margin-free core of
-    * bitext/parallel-corpus mining, Artetxe & Schwenk's shape): split
-    * the space into two sides (label parity stands in for the two
-    * languages), take each vector's top-1 cross-side neighbor by the
-    * same integer dot product, and keep exactly the pairs where the
-    * choice is MUTUAL — the standard high-precision alignment rule,
-    * because a one-directional hub match fails the reverse test.
-    * Integer affinities end to end (q178's quantization), ties by
-    * neighbor id; the oracle replays both argmax directions. Scale:
-    * candidate generation swaps to the routed/banded generators like
-    * q178; the mutual filter is one self-join on the two top-1 tables. */
-  val q179 = Q.sql("q179_mutual_nn",
+  /** The e/p CTE head every cross-side miner shares: label parity
+    * splits the space into two sides, p is the BRUTE all-pairs
+    * affinity table (the oracle-anchor candidate generator). */
+  private val crossBruteCtes =
     """WITH e AS MATERIALIZED (
       |  SELECT vec_id,
       |    list_transform(CAST(embedding AS DOUBLE[]),
@@ -157,8 +149,13 @@ object LabelProp {
       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
       |      list_transform(list_zip(a.xq, b.xq), q -> q[1] * q[2])),
       |      (x, y) -> x + y) AS w
-      |  FROM e a JOIN e b ON a.side = 0 AND b.side = 1),
-      |ab AS (
+      |  FROM e a JOIN e b ON a.side = 0 AND b.side = 1)""".stripMargin
+
+  /** Both argmax directions + the mutual join, over whatever candidate
+    * table the caller supplies as `p` — the miner itself is candidate-
+    * generator-agnostic (it only ever reads (id_a, id_b, w)). */
+  private val mutualTailSql =
+    """ab AS (
       |  SELECT id_a, id_b, w FROM (
       |    SELECT id_a, id_b, w,
       |      row_number() OVER (PARTITION BY id_a ORDER BY w DESC, id_b) AS rn
@@ -170,16 +167,16 @@ object LabelProp {
       |    FROM p) WHERE rn = 1)
       |SELECT ab.id_a AS id_a, ab.id_b AS id_b, ab.w AS w
       |FROM ab JOIN ba ON ab.id_a = ba.id_a AND ab.id_b = ba.id_b
-      |ORDER BY ab.id_a""".stripMargin) { (s, d) =>
+      |ORDER BY ab.id_a""".stripMargin
+
+  /** The Spark twin of [[mutualTailSql]]: argmax in each direction over
+    * a supplied (id_a, id_b, w) pair table, keep the mutual pairs.
+    * Shared by the brute (q179) and IVF-routed (q279) generators —
+    * landing the scaladoc promise that the miner consumes only
+    * affinity triples. */
+  private def mutualFromPairs(p0: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = Tables.embeddings(s, d).select(col("vec_id"),
-      col("embedding").as("xq"), (col("label") % 2).as("side"))
-    val a = e.filter(col("side") === 0).select(col("vec_id").as("id_a"), col("xq").as("xa"))
-    val b = e.filter(col("side") === 1).select(col("vec_id").as("id_b"), col("xq").as("xb"))
-    val p = a.join(broadcast(b), lit(true))
-      .withColumn("w", graft.functions.Exprs.qdot(col("xa"), col("xb")))
-      .select("id_a", "id_b", "w")
-      .localCheckpoint(true) // both argmax directions read the pair table
+    val p = p0.localCheckpoint(true) // both argmax directions read it
     val ab = p.withColumn("rn", row_number().over(
         Window.partitionBy("id_a").orderBy(col("w").desc, col("id_b"))))
       .filter(col("rn") === 1).select("id_a", "id_b", "w")
@@ -189,6 +186,35 @@ object LabelProp {
     ab.join(ba, col("id_a") === col("ba_a") && col("id_b") === col("ba_b"))
       .select("id_a", "id_b", "w")
       .orderBy("id_a")
+  }
+
+  /** The cross-side brute pair table (side 0 × side 1, integer qdot) —
+    * q179/q203's oracle-anchor candidate generator. */
+  private def bruteCrossPairs(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"),
+      col("embedding").as("xq"), (col("label") % 2).as("side"))
+    val a = e.filter(col("side") === 0).select(col("vec_id").as("id_a"), col("xq").as("xa"))
+    val b = e.filter(col("side") === 1).select(col("vec_id").as("id_b"), col("xq").as("xb"))
+    a.join(broadcast(b), lit(true))
+      .withColumn("w", graft.functions.Exprs.qdot(col("xa"), col("xb")))
+      .select("id_a", "id_b", "w")
+  }
+
+  /** Mutual-nearest-neighbor pair mining (the margin-free core of
+    * bitext/parallel-corpus mining, Artetxe & Schwenk's shape): split
+    * the space into two sides (label parity stands in for the two
+    * languages), take each vector's top-1 cross-side neighbor by the
+    * same integer dot product, and keep exactly the pairs where the
+    * choice is MUTUAL — the standard high-precision alignment rule,
+    * because a one-directional hub match fails the reverse test.
+    * Integer affinities end to end (q178's quantization), ties by
+    * neighbor id; the oracle replays both argmax directions. Scale:
+    * this gate is the brute ORACLE ANCHOR; q279 is the deployable
+    * IVF-routed twin over the identical mutual ranker. */
+  val q179 = Q.sql("q179_mutual_nn",
+    s"""$crossBruteCtes,
+       |$mutualTailSql""".stripMargin) { (s, d) =>
+    mutualFromPairs(bruteCrossPairs(s, d))
   }
 
   val IvfLists = 8
@@ -296,26 +322,16 @@ object LabelProp {
     * DOUBLE through the VARCHAR bridge (operators.Q rule), so the one
     * division is IEEE-identical. Margin > 0 always (w > 0 filter), so
     * no signed-zero seam. Scale: the gate's pair table is the brute
-    * oracle anchor (q179's precedent); the production path swaps in the
-    * q192 IVF-routed candidate generator unchanged — the margin math
+    * oracle anchor (q179's precedent); q280 is the landed IVF-routed
+    * twin over the identical margin ranker — the margin math
     * only ever sees (id, id, w) triples. */
   val MarginK = 4
 
-  val q203 = Q.sql("q203_margin_mining",
-    s"""WITH e AS MATERIALIZED (
-       |  SELECT vec_id,
-       |    list_transform(CAST(embedding AS DOUBLE[]),
-       |                   v -> CAST(floor(v * 100000000.0) AS BIGINT)) AS xq,
-       |    label % 2 AS side
-       |  FROM embeddings),
-       |p AS MATERIALIZED (
-       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |      list_transform(list_zip(a.xq, b.xq), q -> q[1] * q[2])),
-       |      (x, y) -> x + y) AS w
-       |  FROM e a JOIN e b ON a.side = 0 AND b.side = 1),
-       |pp AS MATERIALIZED (SELECT * FROM p WHERE w > 0),
-       |ka AS (
+  /** Top-k margin sums, best pair, and the HUGEINT-exact margin ratio
+    * over whatever positive-affinity candidate table the caller
+    * supplies as `pp` — q203 (brute) and q280 (routed) share it. */
+  private val marginTailSql =
+    s"""ka AS (
        |  SELECT id_a, CAST(sum(w) AS HUGEINT) AS aw,
        |    CAST(count(*) AS BIGINT) AS na
        |  FROM (SELECT id_a, id_b, w,
@@ -340,14 +356,15 @@ object LabelProp {
        |        / CAST(CAST(ka.aw * kb.nb + kb.bw * ka.na AS VARCHAR) AS DOUBLE), 4)
        |    >= 1.0 AS accepted
        |FROM best JOIN ka USING (id_a) JOIN kb USING (id_b)
-       |ORDER BY best.id_a""".stripMargin) { (s, d) =>
+       |ORDER BY best.id_a""".stripMargin
+
+  /** The Spark twin of [[marginTailSql]]: filters to positive affinity,
+    * then top-[[MarginK]] sums each side, best pair per id_a, and the
+    * decimal-exact margin ratio — over a supplied (id_a, id_b, w)
+    * candidate table. */
+  private def marginFromPairs(p0: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = Tables.embeddings(s, d).select(col("vec_id"),
-      col("embedding").as("xq"), (col("label") % 2).as("side"))
-    val a = e.filter(col("side") === 0).select(col("vec_id").as("id_a"), col("xq").as("xa"))
-    val b = e.filter(col("side") === 1).select(col("vec_id").as("id_b"), col("xq").as("xb"))
-    val pp = a.join(broadcast(b), lit(true))
-      .withColumn("w", graft.functions.Exprs.qdot(col("xa"), col("xb")))
+    val pp = p0
       .filter(col("w") > 0)
       .select("id_a", "id_b", "w")
       .localCheckpoint(true) // top-k sums + best-pair pass all read it
@@ -370,6 +387,124 @@ object LabelProp {
       .withColumn("accepted", col("margin") >= 1.0)
       .select("id_a", "id_b", "w", "margin", "accepted")
       .orderBy("id_a")
+  }
+
+  val q203 = Q.sql("q203_margin_mining",
+    s"""$crossBruteCtes,
+       |pp AS MATERIALIZED (SELECT * FROM p WHERE w > 0),
+       |$marginTailSql""".stripMargin) { (s, d) =>
+    marginFromPairs(bruteCrossPairs(s, d))
+  }
+
+  /** The IVF-routed CROSS-SIDE candidate table shared by the routed
+    * miners q279/q280 (q192/q270's routing, applied to the two-sided
+    * problem): every vector ranks the [[IvfLists]] deterministic
+    * centroids (first 8 by vec_id — the q139 pick) by integer qdot;
+    * side-0 vectors PROBE their top-[[IvfProbes]] lists, side-1 vectors
+    * sit in their ASSIGNED (top-1) list, and a pair is a candidate iff
+    * the probe reaches the assignment — candidate volume
+    * |A|·|B|·probes/lists instead of |A|·|B| (ScaleSpec pins the
+    * fraction; at production scale nlist ∝ √N keeps per-list joins
+    * flat, the q281 geometry). Routing is a pure per-row projection
+    * (no join, no shuffle) and stays integer end to end, so the oracle
+    * replays it exactly. Recall loses only pairs whose true match
+    * lives in an unprobed list — the same trade q192/q270 price. */
+  def routedCrossSideCandidates(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Exprs
+    val e = Tables.embeddings(s, d).select(col("vec_id"),
+      col("embedding").as("xq"), (col("label") % 2).as("side"))
+      .localCheckpoint(true)
+    val cents = e.orderBy("vec_id").limit(IvfLists)
+      .select(col("vec_id").as("cent_id"), col("xq").as("cq"))
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Float](1).toArray)) // ≤8 rows — the q139 bounded collect
+    val ranked = array(cents.map { case (cid, cv) =>
+      struct(Exprs.qdot(col("xq"), typedlit(cv.toSeq)).as("w"),
+        lit(-cid).as("negid"))
+    }: _*)
+    def listsOf(df: DataFrame, keep: Int): DataFrame = df
+      .select(col("vec_id"),
+        explode(slice(sort_array(ranked, asc = false), 1, keep)).as("c"))
+      .select(col("vec_id"), (-col("c.negid")).as("lst"))
+    val prb = listsOf(e.filter(col("side") === 0), IvfProbes)
+    val asg = listsOf(e.filter(col("side") === 1), 1)
+    prb.select(col("vec_id").as("id_a"), col("lst"))
+      .join(asg.select(col("vec_id").as("id_b"), col("lst")), "lst")
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Routed candidates scored: the (id_a, id_b, w) affinity triples the
+    * miners consume, built from [[routedCrossSideCandidates]] instead
+    * of the brute cross join — vectors join back by id (slim key
+    * shuffles; embeddings never ride the candidate shuffle). */
+  def routedCrossPairs(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    routedCrossSideCandidates(s, d)
+      .join(e.select(col("vec_id").as("id_a"), col("embedding").as("xa")), "id_a")
+      .join(e.select(col("vec_id").as("id_b"), col("embedding").as("xb")), "id_b")
+      .withColumn("w", graft.functions.Exprs.qdot(col("xa"), col("xb")))
+      .select("id_a", "id_b", "w")
+  }
+
+  /** The routed-candidate CTE head q279/q280 share: q192's centroid
+    * ranking CTEs restricted per side, then the candidate pairs scored
+    * — byte-for-byte the contract [[routedCrossSideCandidates]] +
+    * [[routedCrossPairs]] execute. */
+  private val crossRoutedCtes =
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |                   v -> CAST(floor(v * 100000000.0) AS BIGINT)) AS xq,
+       |    label % 2 AS side
+       |  FROM embeddings),
+       |cents AS MATERIALIZED (
+       |  SELECT vec_id AS cent_id, xq AS cq FROM e ORDER BY vec_id LIMIT $IvfLists),
+       |ac AS MATERIALIZED (
+       |  SELECT e.vec_id, e.side, c.cent_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(list_zip(e.xq, c.cq), q -> q[1] * q[2])),
+       |        (x, y) -> x + y) DESC, c.cent_id) AS rn
+       |  FROM e CROSS JOIN cents c),
+       |prb AS (SELECT vec_id, cent_id AS lst FROM ac
+       |        WHERE rn <= $IvfProbes AND side = 0),
+       |asg AS (SELECT vec_id, cent_id AS lst FROM ac
+       |        WHERE rn = 1 AND side = 1),
+       |cand AS (SELECT DISTINCT pr.vec_id AS id_a, a.vec_id AS id_b
+       |         FROM prb pr JOIN asg a ON pr.lst = a.lst),
+       |p AS MATERIALIZED (
+       |  SELECT c.id_a, c.id_b,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(list_zip(ea.xq, eb.xq), q -> q[1] * q[2])),
+       |      (x, y) -> x + y) AS w
+       |  FROM cand c JOIN e ea ON ea.vec_id = c.id_a
+       |              JOIN e eb ON eb.vec_id = c.id_b)""".stripMargin
+
+  /** The SCALE twin of q179 (round-12 verdict item #1): the identical
+    * mutual-NN ranker — [[mutualFromPairs]], the very function q179
+    * runs — fed the IVF-routed candidate stream instead of the brute
+    * cross join. A pair can only be mutual if it is a candidate, so
+    * routing trades recall (a side-0 vector whose true match sits in
+    * an unprobed list mines nothing) for the sub-quadratic candidate
+    * volume ScaleSpec pins; precision semantics are unchanged. */
+  val q279 = Q.sql("q279_mutual_nn_ivf",
+    s"""$crossRoutedCtes,
+       |$mutualTailSql""".stripMargin) { (s, d) =>
+    mutualFromPairs(routedCrossPairs(s, d))
+  }
+
+  /** The SCALE twin of q203 (round-12 verdict item #1): the identical
+    * margin ranker — [[marginFromPairs]] — over the routed candidate
+    * stream. Note the top-[[MarginK]] normalizer sums now run over
+    * ROUTED affinities (na/nb can shrink where routing prunes a hub's
+    * pair list), exactly how CCMatrix computes margins inside its own
+    * ANN candidate graph — the margin is a property of the mined
+    * graph, not of the brute one it replaced. */
+  val q280 = Q.sql("q280_margin_mining_ivf",
+    s"""$crossRoutedCtes,
+       |pp AS MATERIALIZED (SELECT * FROM p WHERE w > 0),
+       |$marginTailSql""".stripMargin) { (s, d) =>
+    marginFromPairs(routedCrossPairs(s, d))
   }
 
   /** k-NN majority-vote classification — the zero-training classifier
@@ -600,5 +735,5 @@ object LabelProp {
       .orderBy("vec_id")
   }
 
-  val all: Seq[Q] = Seq(q178, q179, q192, q203, q224, q266, q270)
+  val all: Seq[Q] = Seq(q178, q179, q192, q203, q224, q266, q270, q279, q280)
 }

@@ -145,11 +145,61 @@ object LmScore {
     * and the census reports each (stage, source) cell's document
     * count, token mass, and xent range — the table a training-mix
     * owner reads to see WHICH sources dominate the easy and hard ends
-    * of the curriculum. The gate-scale global ntile is a single-
-    * partition window; at 100 TB the stage cuts come from a
-    * distributed quantile selection (the q261 device) and staging is
-    * a map-side bucket assignment — the census shape is unchanged. */
+    * of the curriculum. The global ntile ROUTES on the corpus size
+    * (round-12 advice, the BroadcastRankCap discipline): at or under
+    * [[CurriculumWindowCap]] scored docs it is the single-partition
+    * window (cheapest at gate scale); above it,
+    * [[globalNtileStages]] — a range-partitioned sort plus a
+    * partition-offset global rank, no single-partition stage anywhere
+    * — computes the IDENTICAL tile assignment (EngineSpec pins the two
+    * routes equal row-for-row). */
   val CurriculumStages = 4
+
+  /** Docs at/below which q276 keeps the one-partition ntile window; a
+    * few-million-row slim (doc_id, xent, source) sort on one core is
+    * cheaper than the extra pass the distributed route pays. Above it
+    * the window would serialize the whole corpus through one task —
+    * the route flips to [[globalNtileStages]]. */
+  val CurriculumWindowCap = 2000000L
+
+  /** ntile(`tiles`) over a GLOBAL total order without a global window:
+    * `orderBy` range-partitions and locally sorts (Spark's distributed
+    * sort — no single-partition stage), a first cheap pass collects
+    * per-partition row COUNTS (longs, one per partition), and a second
+    * pass assigns each row its global rank = partition offset + local
+    * position, mapping rank→tile with ntile's exact fence arithmetic
+    * (first n mod t tiles get ⌈n/t⌉ rows, the rest ⌊n/t⌋). Value-
+    * identical to `ntile(t) OVER (ORDER BY …)` by construction because
+    * the order columns are a UNIQUE key (ties don't exist, so range
+    * boundary placement can't reorder equal rows). The checkpoint pins
+    * the sorted blocks so both passes read the same layout. */
+  private[graft] def globalNtileStages(df: org.apache.spark.sql.DataFrame,
+      tiles: Int, orderCols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.orderBy(orderCols.map(col): _*).localCheckpoint(true)
+    val counts = sorted.rdd
+      .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
+      .collect().sortBy(_._1).map(_._2) // one long per partition
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val n = counts.sum
+    val q = n / tiles; val r = n % tiles
+    val schema = org.apache.spark.sql.types.StructType(sorted.schema.fields :+
+      org.apache.spark.sql.types.StructField("stage",
+        org.apache.spark.sql.types.LongType, nullable = false))
+    val offB = spark.sparkContext.broadcast(offsets)
+    val staged = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+      var rank = offB.value(i)
+      it.map { row =>
+        rank += 1
+        // ntile fence: ranks 1..r·(q+1) fall in the r fat tiles
+        val stage =
+          if (rank <= r * (q + 1)) (rank - 1) / (q + 1) + 1
+          else r + (rank - r * (q + 1) - 1) / q + 1
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ stage)
+      }
+    }
+    spark.createDataFrame(staged, schema)
+  }
 
   val q276 = Q.sql("q276_curriculum_mix",
     s"""WITH $xentOracleCtes,
@@ -164,10 +214,16 @@ object LmScore {
        |  CAST(max(xent_qb) AS BIGINT) AS xent_max_qb
        |FROM st GROUP BY 1, 2 ORDER BY stage, source""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
-    xentFrame(s, d)
+    val x = xentFrame(s, d)
       .join(Tables.documents(s, d).select("doc_id", "source"), "doc_id")
-      .withColumn("stage", ntile(CurriculumStages)
-        .over(Window.orderBy(col("xent_qb"), col("doc_id"))).cast("long"))
+      .localCheckpoint(true) // the route count + staging both read it
+    val staged =
+      if (x.count() <= CurriculumWindowCap)
+        x.withColumn("stage", ntile(CurriculumStages)
+          .over(Window.orderBy(col("xent_qb"), col("doc_id"))).cast("long"))
+      else
+        globalNtileStages(x, CurriculumStages, Seq("xent_qb", "doc_id"))
+    staged
       .groupBy("stage", "source")
       .agg(count(lit(1)).cast("long").as("n_docs"),
         sum(col("n_bigrams") + 1L).cast("long").as("n_tokens"),
@@ -293,7 +349,18 @@ object LmScore {
     * device (the qlog2 approximation can take a near-zero KL a hair
     * negative even though true KL ≥ 0). Everything past the one
     * (source, lang) count runs on a |sources|×|langs| table — the
-    * census costs one scan at any corpus size. */
+    * census costs one scan at any corpus size.
+    *
+    * Domain precondition (q252's product caveat applies): the KL terms
+    * feed qlog2 the PRODUCTS nsl·n and ns·nl, so the kernel's 2^53
+    * ceiling binds at nsl·n ≤ 2^53 — a hard `require` failure, never a
+    * silent wrong answer. With cells bounded by n that is n ≤ ~9.5·10⁷
+    * docs in the worst (single-cell) case and n ≤ 2^53/max(nsl)
+    * generally; past it, divide both log arguments by
+    * gcd-or-any-common-factor (qlog2(a·x)−qlog2(b·x) drifts only within
+    * the device's 0.0871-bit envelope) or score per-shard censuses and
+    * sum — the oracle spelling keeps computing past 2^53, so the engine
+    * guards the seam rather than diverging quietly. */
   val q275 = Q.sql("q275_source_lang_kl",
     s"""WITH c AS MATERIALIZED (
        |  SELECT source, lang, CAST(count(*) AS BIGINT) AS nsl

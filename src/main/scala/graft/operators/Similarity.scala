@@ -382,7 +382,7 @@ object Similarity {
     * 64 floats, the bounded-materialization pattern the rest of the
     * codebase uses for lookup tables. Sorted by cent_id so downstream
     * literal construction is order-stable. */
-  private[operators] def localCents(
+  private[graft] def localCents(
       cents: org.apache.spark.sql.DataFrame): Seq[(Long, Seq[Float])] =
     cents.select(col("cent_id"), col("cvec")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toVector))
@@ -413,7 +413,7 @@ object Similarity {
     * (Spark's round never produces −0.0 — it rounds through BigDecimal,
     * which has no signed zero — so the DESC double compare and the
     * oracle's agree on ties.) */
-  private[operators] def ivfAssign(df: org.apache.spark.sql.DataFrame,
+  private[graft] def ivfAssign(df: org.apache.spark.sql.DataFrame,
       cents: Seq[(Long, Seq[Float])], idCol: String,
       vecCol: String, outCol: String, keep: Int): org.apache.spark.sql.DataFrame = {
     val cands = array(cents.map { case (cid, cv) =>
@@ -536,6 +536,132 @@ object Similarity {
        |ORDER BY query_id, sim DESC, neighbor_id""".stripMargin) { (s, d) =>
     val e = Tables.embeddings(s, d)
     ivfTopK(e, kmeansCentroids(e))
+  }
+
+  /** Ceiling on [[autoNlist]] — bounds the driver-side centroid collect
+    * (the BroadcastRankCap discipline, Graph.scala): 65 536 centroids ×
+    * 64 floats ≈ 17 MB, still comfortably broadcastable; √N only
+    * reaches the cap past N ≈ 4.3·10⁹ vectors, where a single flat IVF
+    * gives way to a hierarchical coarse quantizer anyway. The oracle
+    * applies the identical least/greatest clamp, so the geometry
+    * formula replays exactly at any N. */
+  private[operators] val AUTO_NLIST_CAP = 65536
+
+  /** N-scaled IVF list count: nlist = clamp(⌈√N⌉, [[IVF_LISTS]],
+    * [[AUTO_NLIST_CAP]]) — the standard IVF sizing rule (per-list
+    * occupancy √N, probe cost probes·√N). Both engines compute it from
+    * the same count through IEEE sqrt/ceil, so the geometry is
+    * derived, not pinned. */
+  private[graft] def autoNlist(n: Long): Int =
+    math.min(AUTO_NLIST_CAP.toLong, math.max(IVF_LISTS.toLong,
+      math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
+
+  /** [[ivfAssign]]'s HOF twin for LARGE centroid tables: the same
+    * rounded-cosine rank + cent_id tie-break, but the centroid table
+    * rides as ONE array literal walked by `transform` instead of C
+    * inlined expressions — generated code size is CONSTANT in C, where
+    * the literal form's whole-stage code grows linearly and falls off
+    * the JIT/64KB cliff around a few hundred lists. The trade: HOF
+    * lambdas evaluate interpreted (one boxed kernel call per centroid
+    * per row), and slice(sort_array) is O(C log C) per row — both fine
+    * up to the cap, where candidates dominate cost anyway. Identical
+    * ranking semantics to [[ivfAssign]] by construction (same struct
+    * sort; EngineSpec pins the two assignment forms row-for-row equal
+    * on the same centroid table). */
+  private[graft] def ivfAssignHof(df: org.apache.spark.sql.DataFrame,
+      cents: Seq[(Long, Seq[Float])], idCol: String,
+      vecCol: String, outCol: String, keep: Int): org.apache.spark.sql.DataFrame = {
+    val table = typedlit(cents.map { case (cid, cv) => (-cid, cv) })
+    val ranked = transform(table, c =>
+      struct(
+        round(Exprs.cosine_sim(col(vecCol), c.getField("_2")), 4).as("csim"),
+        c.getField("_1").as("negid")))
+    df.select(col("*"),
+        explode(slice(sort_array(ranked, asc = false), 1, keep)).as("cand"))
+      .withColumn(outCol, -col("cand.negid"))
+      .drop("cand")
+  }
+
+  /** The q32 probe pipeline over an auto-sized geometry via
+    * [[ivfAssignHof]] — assignment and probing stay pure projections at
+    * any list count. */
+  def ivfTopKAuto(e: org.apache.spark.sql.DataFrame,
+      centArr: Seq[(Long, Seq[Float])],
+      probes: Int = IVF_PROBES, topK: Int = 3): org.apache.spark.sql.DataFrame = {
+    val assigned = ivfAssignHof(
+      e.select(col("vec_id").as("neighbor_id"), col("embedding").as("vb")),
+      centArr, "neighbor_id", "vb", "nlist", 1)
+    val qprobes = ivfAssignHof(
+      e.select(col("vec_id").as("query_id"), col("embedding").as("va")),
+      centArr, "query_id", "va", "qlist", probes)
+    val pairs = qprobes.join(assigned, col("qlist") === col("nlist"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(Exprs.cosine_sim(col("va"), col("vb")), 4))
+    topKPerQuery(pairs, topK)
+      .orderBy(col("query_id"), col("sim").desc, col("neighbor_id"))
+  }
+
+  /** Auto-sized routed candidate volume — the quantity the q281
+    * ScaleSpec pins: with nlist ∝ √N the per-query candidate list stays
+    * ~probes·√N, so total candidates grow ~2·N^1.5 instead of the
+    * pinned-geometry N²·probes/C. Exposed for the growth test. */
+  def autoIvfCandidateCount(e: org.apache.spark.sql.DataFrame): Long = {
+    val cents = localCents(e.orderBy("vec_id").limit(autoNlist(e.count()))
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec")))
+    val asg = ivfAssignHof(
+      e.select(col("vec_id").as("nb"), col("embedding").as("vb")),
+      cents, "nb", "vb", "lst", 1).select("nb", "lst")
+    val prb = ivfAssignHof(
+      e.select(col("vec_id").as("qid"), col("embedding").as("va")),
+      cents, "qid", "va", "lst", IVF_PROBES).select("qid", "lst")
+    prb.join(asg, "lst").filter(col("qid") =!= col("nb")).count()
+  }
+
+  /** IVF with N-SCALED geometry (round-12 verdict item #2): q32's exact
+    * probe/rerank pipeline, but nlist is DERIVED from the corpus size
+    * by [[autoNlist]] instead of pinned at 16 — the one knob that kept
+    * every pinned-geometry IVF gate in the 5×-sweep's class B
+    * (candidates N²/C at fixed C). Here 5× data grows the list count
+    * √5× and candidate volume ~N^1.5 (ScaleSpec pins the growth
+    * exponent; the pinned-16 gates stay as oracle anchors). The oracle
+    * computes the SAME nlist formula from its own count(*) —
+    * `least(cap, greatest(16, ceil(sqrt(N))))` — and takes the first
+    * nlist vectors by vec_id as centroids, so the derived geometry
+    * replays bit-for-bit at every scale factor and sweep replica. */
+  val q281 = Q.sql("q281_ann_ivf_autonlist",
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |nl AS (SELECT least($AUTO_NLIST_CAP, greatest($IVF_LISTS,
+       |         CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT))) AS nlists
+       |       FROM e),
+       |cents AS (
+       |  SELECT cent_id, cvec FROM (
+       |    SELECT vec_id AS cent_id, emb AS cvec,
+       |      row_number() OVER (ORDER BY vec_id) AS rn FROM e) t
+       |  CROSS JOIN nl WHERE t.rn <= nl.nlists),
+       |asg AS (
+       |  SELECT e.vec_id, c.cent_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY round(list_cosine_similarity(e.emb, c.cvec), 4) DESC, c.cent_id) AS crn
+       |  FROM e CROSS JOIN cents c),
+       |nlist AS (SELECT vec_id AS neighbor_id, cent_id AS lst FROM asg WHERE crn = 1),
+       |qlist AS (SELECT vec_id AS query_id, cent_id AS lst FROM asg WHERE crn <= $IVF_PROBES),
+       |scored AS (
+       |  SELECT DISTINCT q.query_id, n.neighbor_id,
+       |    round(list_cosine_similarity(qe.emb, ne.emb), 4) + 0.0 AS sim
+       |  FROM qlist q JOIN nlist n USING (lst)
+       |  JOIN e qe ON qe.vec_id = q.query_id
+       |  JOIN e ne ON ne.vec_id = n.neighbor_id
+       |  WHERE q.query_id <> n.neighbor_id)
+       |SELECT query_id, neighbor_id, sim FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+       |  FROM scored) t
+       |WHERE rn <= 3
+       |ORDER BY query_id, sim DESC, neighbor_id""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    val nl = autoNlist(e.count())
+    val cents = localCents(e.orderBy("vec_id").limit(nl)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec")))
+    ivfTopKAuto(e, cents)
   }
 
   private val SEM_BITS = 24
@@ -1222,5 +1348,5 @@ object Similarity {
   }
 
   val all: Seq[Q] = Seq(q29, q30, q31, q32, q62, q74, q139, q150, q151, q152,
-    q153, q193, q245, q271, q278)
+    q153, q193, q245, q271, q278, q281)
 }

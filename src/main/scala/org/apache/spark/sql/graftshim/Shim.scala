@@ -25,3 +25,16 @@ object Shim {
         new ExpressionInfo("graft.GraftExtensions", name),
         builder)
 }
+
+/** Base for unary expressions whose child must be LongType: mixes in
+  * `ImplicitCastInputTypes` (whose `AbstractDataType` vocabulary is
+  * `private[sql]`, hence this lives in the shim package) so the
+  * analyzer inserts an implicit cast for narrower children — keeping
+  * the interpreted `asInstanceOf[Long]` path and the codegen path in
+  * agreement on e.g. integer literals. */
+abstract class LongInputUnaryExpression
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.types.AbstractDataType] =
+    Seq(org.apache.spark.sql.types.LongType)
+}

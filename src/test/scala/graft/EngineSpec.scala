@@ -367,6 +367,29 @@ class EngineSpec extends AnyFunSuite {
     assert(c1.sameElements(c2))
   }
 
+  test("HOF centroid assignment is row-for-row the literal form (q281's ivfAssignHof vs ivfAssign)") {
+    import org.apache.spark.sql.functions._
+    // q281's constant-codegen-size assignment must rank IDENTICALLY to
+    // the inlined-literal idiom every pinned-geometry gate uses — same
+    // rounded cosine, same cent_id tie-break, both probe depths
+    val e = Tables.embeddings(spark, sf)
+    val cents = operators.Similarity.localCents(
+      e.orderBy("vec_id").limit(23)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cvec")))
+    for (keep <- Seq(1, 2)) {
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .select("vec_id", "lst").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val lit = rows(operators.Similarity.ivfAssign(
+        e.select(col("vec_id"), col("embedding")), cents,
+        "vec_id", "embedding", "lst", keep))
+      val hof = rows(operators.Similarity.ivfAssignHof(
+        e.select(col("vec_id"), col("embedding")), cents,
+        "vec_id", "embedding", "lst", keep))
+      assert(lit == hof, s"assignment forms diverge at keep=$keep")
+    }
+  }
+
   test("kmeans centroids materialize between Lloyd steps — no nested re-execution") {
     import org.apache.spark.sql.functions.col
     val e = Tables.embeddings(spark, sf)
@@ -655,6 +678,40 @@ class EngineSpec extends AnyFunSuite {
     // idempotent: redacting redacted text changes nothing
     val twice = df.select(Pii.redact(Pii.redact(col("line"))).as("r")).collect()
     assert(twice.map(_.getString(0)).sameElements(red.map(_.getString(0))))
+  }
+
+  test("graft_qlog2 accepts an INT literal identically on the interpreted and codegen paths") {
+    // ExpectsInputTypes(LongType) makes the analyzer cast narrower
+    // children; before it, constant folding (interpreted eval) threw
+    // ClassCastException on graft_qlog2(5) while codegen widened
+    // silently — round-12 advice. Both paths must agree with the kernel.
+    GraftExtensions.install(spark)
+    val want = graft.functions.TextKernels.lg2q(5L)
+    // constant-foldable (interpreted eval at optimization time)
+    assert(spark.sql("SELECT graft_qlog2(5) AS v").head().getLong(0) == want)
+    // non-foldable (whole-stage codegen per row)
+    assert(spark.range(5, 6)
+      .selectExpr("graft_qlog2(CAST(id AS INT)) AS v").head().getLong(0) == want)
+  }
+
+  test("distributed curriculum staging equals the one-partition ntile row-for-row (q276 scale route)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // the routed twin must be VALUE-identical, including the uneven
+    // fences when n mod tiles != 0 — try a divisor and a non-divisor
+    val df = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars").cast("long").as("k"))
+    for (tiles <- Seq(4, 7)) {
+      val viaWindow = df.withColumn("stage", ntile(tiles)
+          .over(Window.orderBy(col("k"), col("doc_id"))).cast("long"))
+        .select("doc_id", "stage").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val viaRank = graft.operators.LmScore
+        .globalNtileStages(df, tiles, Seq("k", "doc_id"))
+        .select("doc_id", "stage").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaRank == viaWindow, s"stage assignment diverged at tiles=$tiles")
+    }
   }
 
   test("SQL kernel surface: installed functions evaluate and match the Column API") {

@@ -619,6 +619,28 @@ class PlanSpec extends AnyFunSuite {
       s"edges must not re-shuffle per iteration:\n$p")
   }
 
+  test("routed cross-side miners never build the brute cross join (q279/q280 pin)") {
+    // the whole point of the routed twins: candidate generation is a
+    // pure projection (centroid ranking inlined as literals) plus a
+    // join on the int list id — a CartesianProduct or
+    // BroadcastNestedLoopJoin anywhere in the pair build means the
+    // brute cross join crept back in
+    val p = plan(operators.LabelProp.routedCrossPairs(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"routed pair build degraded to a nested-loop cross join:\n$p")
+  }
+
+  test("auto-sized IVF stays projection+list-join shaped: no cartesian, no nested loop (q281 pin)") {
+    // the N-scaled geometry must keep q32's plan shape: centroid
+    // ranking is a per-row projection over an array literal (no join),
+    // and the only join is qlist = nlist on the int list id
+    val p = plan(SparkEntry.queries("q281_ann_ivf_autonlist")(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"auto-sized IVF degraded to a nested-loop cross join:\n$p")
+  }
+
   test("LM scoring: model tables broadcast onto the bigram stream, no cartesian (q272/q274)") {
     // the 100 TB shape: the corpus-side bigram stream is scored by
     // BROADCAST model joins (CCNet ships its LM to every worker the

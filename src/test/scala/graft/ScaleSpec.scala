@@ -496,6 +496,67 @@ class ScaleSpec extends AnyFunSuite {
       s"routed candidate volume $routed is not ≪ brute ${nq * ndb}")
   }
 
+  test("IVF-routed cross-side mining scores a fraction of the brute pair volume (q279/q280 vs q179/q203)") {
+    import graft.operators.LabelProp
+    // q179/q203 are the ORACLE-ANCHORED brute references: every side-0 ×
+    // side-1 pair, |A|·|B| affinities. The routed twins' candidate table
+    // (side-0 probes 2 of 8 lists, side-1 sits in its assigned list)
+    // must stream well under that — the claim that makes q279/q280 the
+    // deployable 100 TB form of the miners (round-12 verdict item #1).
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), (col("label") % 2).as("side"))
+    val nA = e.filter(col("side") === 0).count()
+    val nB = e.filter(col("side") === 1).count()
+    val routed = LabelProp.routedCrossSideCandidates(spark, sf).count()
+    assert(routed > 0, "routing produced no candidates")
+    assert(routed * 2 < nA * nB,
+      s"routed candidate volume $routed is not ≪ brute ${nA * nB}")
+  }
+
+  test("routed mutual-NN/margin mining run the brute rankers verbatim: routed results agree with brute on routed-complete queries (q279 vs q179)") {
+    // semantic pin for the shared ranker: where routing kept a side-0
+    // vector's TRUE argmax in the candidate set, the routed miner must
+    // make the identical mutual decision — the twins differ only by
+    // candidate generation, never by ranking math. Every routed mutual
+    // pair whose (id_a, id_b) also wins in the brute table must carry
+    // the SAME w there (w is a function of the pair, not the route).
+    val brute = SparkEntry.queries("q179_mutual_nn")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val routed = SparkEntry.queries("q279_mutual_nn_ivf")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(routed.nonEmpty, "routed miner mined nothing")
+    val overlap = routed.keySet intersect brute.keySet
+    assert(overlap.nonEmpty, "routed and brute mined disjoint pair sets")
+    overlap.foreach { k =>
+      assert(routed(k) == brute(k),
+        s"pair $k scored ${routed(k)} routed vs ${brute(k)} brute — ranker drift")
+    }
+  }
+
+  test("auto-sized IVF geometry keeps candidate growth ~N^1.5, not N^2 (q281)") {
+    import graft.operators.Similarity
+    // round-12 verdict item #2: pinned 16-list geometry grows candidates
+    // N²/C — 4× data must NOT cost ~16× candidates once nlist ∝ √N.
+    // Build a 4× corpus from id-shifted replicas (the sweep_gen shape)
+    // and compare measured candidate volumes: √N geometry predicts
+    // 4^1.5 = 8×; fixed geometry would be 16×. Assert the exponent.
+    val e1 = Tables.embeddings(spark, sf)
+    val e4 = (0 until 4).map(k => e1.withColumn("vec_id",
+      col("vec_id") + lit(k * 100000000L))).reduce(_ unionByName _)
+    val n1 = e1.count(); val n4 = e4.count()
+    assert(n4 == 4 * n1)
+    assert(Similarity.autoNlist(n4) > Similarity.autoNlist(n1),
+      "auto geometry did not grow with N")
+    val c1 = Similarity.autoIvfCandidateCount(e1)
+    val c4 = Similarity.autoIvfCandidateCount(e4)
+    assert(c1 > 0 && c4 > 0, "auto-sized routing produced no candidates")
+    assert(c4 < 12 * c1,
+      s"candidate growth ${c4.toDouble / c1}× for 4× data — geometry is not scaling (N² is 16×, N^1.5 is 8×)")
+    // and the routing is still sub-quadratic in absolute terms
+    assert(c4 * 4 < n4 * (n4 - 1),
+      s"candidate volume $c4 is not ≪ all-pairs ${n4 * (n4 - 1)}")
+  }
+
   test("SemDeDup candidate volume is the cluster-bounded fraction of brute all-pairs (q278)") {
     import org.apache.spark.sql.functions._
     // the method's scale claim: within-cell pairs Σ|cell|²/2 ≪ n²/2 —

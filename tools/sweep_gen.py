@@ -21,6 +21,13 @@ the oracles run against the scaled dir.
   graph family's stress.
 - remaining tables: copied 1x (dims and events are not sweep targets,
   but check.py registers all ten views).
+- row groups: the replicated tables are written with EXPLICIT small
+  row groups (documents/embeddings 4096 rows, lineitem/orders 131072)
+  because parquet row groups are Spark's split unit: a single-group
+  file scans as ONE task at any SF, flooring every documents-heavy
+  gate to 1 core and understating local[32] headroom (SCALING_r12's
+  'harness artifact' note). Small groups let the timing study measure
+  the engine, not the fixture layout.
 
 Usage: python3 tools/sweep_gen.py [src_sf_dir] [dst_dir] [K]
 """
@@ -42,7 +49,7 @@ con.sql(f"""COPY (
   SELECT d.doc_id + t.r * {OFF} AS doc_id, d.text, d.lang, d.source, d.n_chars
   FROM '{src}/documents.parquet' d CROSS JOIN range({K}) t(r)
   ORDER BY doc_id
-) TO '{dst}/documents.parquet' (FORMAT PARQUET)""")
+) TO '{dst}/documents.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 4096)""")
 print("documents:", con.sql(f"SELECT count(*) FROM '{dst}/documents.parquet'").fetchone()[0])
 
 con.sql(f"""COPY (
@@ -51,19 +58,19 @@ con.sql(f"""COPY (
          e.label
   FROM '{src}/embeddings.parquet' e CROSS JOIN range({K}) t(r)
   ORDER BY vec_id
-) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)""")
+) TO '{dst}/embeddings.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 4096)""")
 print("embeddings:", con.sql(f"SELECT count(*) FROM '{dst}/embeddings.parquet'").fetchone()[0])
 
 con.sql(f"""COPY (
   SELECT l.* REPLACE (l.l_orderkey + t.r * {OFF} AS l_orderkey)
   FROM '{src}/lineitem.parquet' l CROSS JOIN range({K}) t(r)
-) TO '{dst}/lineitem.parquet' (FORMAT PARQUET)""")
+) TO '{dst}/lineitem.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 131072)""")
 print("lineitem:", con.sql(f"SELECT count(*) FROM '{dst}/lineitem.parquet'").fetchone()[0])
 
 con.sql(f"""COPY (
   SELECT o.* REPLACE (o.o_orderkey + t.r * {OFF} AS o_orderkey)
   FROM '{src}/orders.parquet' o CROSS JOIN range({K}) t(r)
-) TO '{dst}/orders.parquet' (FORMAT PARQUET)""")
+) TO '{dst}/orders.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 131072)""")
 print("orders:", con.sql(f"SELECT count(*) FROM '{dst}/orders.parquet'").fetchone()[0])
 
 for t in ["region", "nation", "customer", "supplier", "part", "events"]:
