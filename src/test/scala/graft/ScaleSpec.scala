@@ -549,6 +549,8 @@ class ScaleSpec extends AnyFunSuite {
       "auto geometry did not grow with N")
     val c1 = Similarity.autoIvfCandidateCount(e1)
     val c4 = Similarity.autoIvfCandidateCount(e4)
+    info(f"candidates: n→$c1, 4n→$c4, growth ${c4.toDouble / c1}%.2f× " +
+      f"(nlist ${Similarity.autoNlist(n1)}→${Similarity.autoNlist(n4)})")
     assert(c1 > 0 && c4 > 0, "auto-sized routing produced no candidates")
     assert(c4 < 12 * c1,
       s"candidate growth ${c4.toDouble / c1}× for 4× data — geometry is not scaling (N² is 16×, N^1.5 is 8×)")
