@@ -179,10 +179,17 @@ object Hybrid {
        |  FROM p) WHERE rn <= 5
        |ORDER BY vec_id, score DESC, nb""".stripMargin
   }) { (s, d) =>
-    import org.apache.spark.sql.expressions.Window
     val e = graft.Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val q = e.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("qid"), col("embedding").as("qx"))
+    maxsimTopK(e, e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qx")))
+  }
+
+  /** q219's unrolled MaxSim scoring + top-5 over an arbitrary query
+    * frame (qid, qx) — shared verbatim by the fraction anchor (q219)
+    * and the fixed-panel form (q283). */
+  private def maxsimTopK(e: org.apache.spark.sql.DataFrame,
+      q: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     def dot(i: Int, j: Int) = graft.functions.Exprs.qdot(
       slice(col("qx"), i * ColbertDim + 1, ColbertDim),
       slice(col("embedding"), j * ColbertDim + 1, ColbertDim))
@@ -199,5 +206,46 @@ object Hybrid {
       .orderBy(col("vec_id"), col("score").desc, col("nb"))
   }
 
-  val all: Seq[Q] = Seq(q155, q219)
+  /** The FIXED-PANEL form of the MaxSim evaluation (round-12 verdict
+    * item #8): identical late-interaction scoring — [[maxsimTopK]],
+    * the function q219 runs — over the [[EvalPanel]] query panel, so
+    * the scored pair volume is K·N (linear) instead of N²/50. This is
+    * the shape a ColBERT serving eval takes at 100 TB: a fixed query
+    * workload MaxSim-scored against the (candidate-generated) corpus;
+    * the gate scores against the full corpus because at fixture scale
+    * the candidate stage would keep everything anyway. */
+  val q283 = Q.sql("q283_colbert_maxsim_panel", {
+    def dotSql(i: Int, j: Int): String = {
+      val (qa, qb) = (i * ColbertDim + 1, (i + 1) * ColbertDim)
+      val (da, db) = (j * ColbertDim + 1, (j + 1) * ColbertDim)
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(list_zip(q.qx[$qa:$qb], e.xq[$da:$db]),
+         |                     z -> z[1] * z[2])), (x, y) -> x + y)""".stripMargin
+    }
+    val score = (0 until ColbertSlices).map { i =>
+      "greatest(" + (0 until ColbertSlices).map(j => dotSql(i, j)).mkString(", ") + ")"
+    }.mkString("\n      + ")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |                   v -> CAST(floor(v * 100000000.0) AS BIGINT)) AS xq
+       |  FROM embeddings),
+       |pnl AS MATERIALIZED (${EvalPanel.panelSql()}),
+       |q AS (SELECT vec_id AS qid, xq AS qx FROM e JOIN pnl USING (vec_id)),
+       |p AS (
+       |  SELECT q.qid, e.vec_id AS nb,
+       |    $score AS score
+       |  FROM q JOIN e ON e.vec_id <> q.qid)
+       |SELECT qid AS vec_id, nb, score FROM (
+       |  SELECT qid, nb, score,
+       |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, nb) AS rn
+       |  FROM p) WHERE rn <= 5
+       |ORDER BY vec_id, score DESC, nb""".stripMargin
+  }) { (s, d) =>
+    val e = graft.Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    maxsimTopK(e, e.join(broadcast(EvalPanel.panel(e)), "vec_id")
+      .select(col("vec_id").as("qid"), col("embedding").as("qx")))
+  }
+
+  val all: Seq[Q] = Seq(q155, q219, q283)
 }

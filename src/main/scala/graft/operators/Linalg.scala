@@ -327,7 +327,11 @@ object Linalg {
   val JlTopK = 3
   val JlQueryMod = 50
 
-  val q196 = Q.sql("q196_jl_ann_rerank",
+  /** Build the q196-family oracle: the shared projection CTEs, an
+    * optional extra CTE (the panel), the query-source clause of the
+    * shortlist, and the shared rerank tail — one template so the
+    * anchor and the panel form cannot drift. */
+  private def jlOracleSql(extraCte: String, querySrc: String): String =
     s"""WITH x AS MATERIALIZED (
       |  SELECT vec_id,
       |    list_transform(CAST(embedding AS DOUBLE[]),
@@ -353,7 +357,7 @@ object Linalg {
       |  SELECT x.vec_id, sgn.j, CAST(sum(sgn.s * x.xq[sgn.i]) AS BIGINT) AS y
       |  FROM x CROSS JOIN sgn GROUP BY 1, 2),
       |yl AS MATERIALIZED (
-      |  SELECT vec_id, list(y ORDER BY j) AS yv FROM y GROUP BY 1),
+      |  SELECT vec_id, list(y ORDER BY j) AS yv FROM y GROUP BY 1),$extraCte
       |short AS MATERIALIZED (
       |  SELECT query_id, nb FROM (
       |    SELECT q.vec_id AS query_id, c.vec_id AS nb,
@@ -362,8 +366,7 @@ object Linalg {
       |          list_transform(list_zip(q.yv, c.yv),
       |                         p -> (p[1]-p[2])*(p[1]-p[2]))),
       |          (a, b) -> a + b), c.vec_id) AS rn
-      |    FROM yl q JOIN yl c ON c.vec_id <> q.vec_id
-      |    WHERE q.vec_id % $JlQueryMod = 0) t
+      |    $querySrc) t
       |  WHERE rn <= $JlShort)
       |SELECT query_id, CAST(rn AS BIGINT) AS rank, nb, d2 FROM (
       |  SELECT s.query_id, s.nb,
@@ -379,22 +382,59 @@ object Linalg {
       |  FROM short s
       |  JOIN x xa ON xa.vec_id = s.query_id
       |  JOIN x xb ON xb.vec_id = s.nb) t
-      |WHERE rn <= $JlTopK ORDER BY query_id, rank""".stripMargin) { (s, d) =>
-    import org.apache.spark.sql.expressions.Window
+      |WHERE rn <= $JlTopK ORDER BY query_id, rank""".stripMargin
+
+  val q196 = Q.sql("q196_jl_ann_rerank",
+    jlOracleSql("",
+      s"""FROM yl q JOIN yl c ON c.vec_id <> q.vec_id
+         |    WHERE q.vec_id % $JlQueryMod = 0""".stripMargin)) { (s, d) =>
+    val proj = jlProjected(s, d)
+    jlShortlistRerank(proj, proj.filter(col("vec_id") % JlQueryMod === 0))
+  }
+
+  /** The FIXED-PANEL form of the JL shortlist+rerank evaluation
+    * (round-12 verdict item #8): identical projection, shortlist, and
+    * exact-rerank math — [[jlShortlistRerank]], the function q196
+    * runs — with the query set the [[EvalPanel]] panel instead of a
+    * corpus fraction, so the shortlist pair volume is K·N (linear in
+    * the corpus): the production shape, where the JL prefilter serves
+    * a fixed query workload against a growing index. */
+  val q284 = Q.sql("q284_jl_rerank_panel",
+    jlOracleSql(
+      s"""
+         |pnl AS MATERIALIZED (${EvalPanel.panelSql("x")}),""".stripMargin,
+      """FROM yl q JOIN pnl ON pnl.vec_id = q.vec_id
+        |    JOIN yl c ON c.vec_id <> q.vec_id""".stripMargin)) { (s, d) =>
+    val proj = jlProjected(s, d)
+    jlShortlistRerank(proj,
+      proj.join(broadcast(EvalPanel.panel(proj)), "vec_id"))
+  }
+
+  /** The (vec_id, xq, yv) projection frame q196/q284 shortlist over —
+    * checkpointed once; queries, candidates, and the rerank all read
+    * it. */
+  private def jlProjected(s: SparkSession, d: String): DataFrame = {
     val xq = transform(col("embedding"),
       e => floor(e.cast("double") * lit(1e4)).cast("long"))
     val ys = (0 until JlK).map { j =>
       aggregate(zip_with(col("xq"), lit(jlSigns(j)), (a, b) => a * b),
         lit(0L), (acc, e) => acc + e)
     }
-    val proj = Tables.embeddings(s, d)
+    Tables.embeddings(s, d)
       .select(col("vec_id"), xq.as("xq"))
       .select(col("vec_id"), col("xq"), array(ys: _*).as("yv"))
-      .localCheckpoint(true) // queries + candidates + rerank all read it
+      .localCheckpoint(true)
+  }
+
+  /** q196's shortlist + exact-rerank math over an arbitrary query
+    * subset of the projection frame — shared verbatim by the
+    * fraction anchor (q196) and the fixed-panel form (q284). */
+  private def jlShortlistRerank(proj: DataFrame, queries: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     def pd2(a: String, b: String) =
       aggregate(zip_with(col(a), col(b), (p, q) => (p - q) * (p - q)),
         lit(0L), (acc, e) => acc + e)
-    val q = proj.filter(col("vec_id") % JlQueryMod === 0)
+    val q = queries
       .select(col("vec_id").as("query_id"), col("yv").as("qy"), col("xq").as("qx"))
     val short = q.join(broadcast(proj.select(col("vec_id").as("nb"), col("yv").as("cy"))),
         col("query_id") =!= col("nb"))
@@ -456,10 +496,18 @@ object Linalg {
        |  round(count(t.nb) / 10.0, 4) AS recall_at_10
        |FROM f LEFT JOIN t ON t.qid = f.qid AND t.nb = f.nb
        |GROUP BY 1 ORDER BY vec_id""".stripMargin) { (s, d) =>
-    import org.apache.spark.sql.expressions.Window
     val e = graft.Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val q = e.filter(col("vec_id") % 10 === 0)
-      .select(col("vec_id").as("qid"), col("embedding").as("qx"))
+    mrlRecall(e, e.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qx")))
+  }
+
+  /** q210's recall math over an arbitrary query frame (qid, qx) —
+    * shared verbatim by the whole-fraction anchor (q210) and the
+    * fixed-panel form (q282), so the two can differ ONLY in the query
+    * set. */
+  private def mrlRecall(e: org.apache.spark.sql.DataFrame,
+      q: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val p = q.join(broadcast(e.filter(lit(true))), col("vec_id") =!= col("qid"))
       .withColumn("wf", graft.functions.Exprs.qdot(col("qx"), col("embedding")))
       .withColumn("wt", graft.functions.Exprs.qdot(
@@ -478,6 +526,48 @@ object Linalg {
       .agg(count(col("t_nb")).as("n_overlap"),
         round(count(col("t_nb")) / 10.0, 4).as("recall_at_10"))
       .orderBy("vec_id")
+  }
+
+  /** The FIXED-PANEL form of the matryoshka evaluation (round-12
+    * verdict item #8, the class-C graduation): identical recall math —
+    * [[mrlRecall]], the function q210 itself runs — but the query set
+    * is the [[EvalPanel]]'s deterministic hash-selected [[EvalPanel.PanelK]]
+    * vectors instead of a corpus fraction, so the brute truth table is
+    * K·N (LINEAR in the corpus) and models how eval actually runs at
+    * 100 TB: a fixed query workload against a growing index. A panel
+    * query that q210 also covers gets the IDENTICAL recall row
+    * (EngineSpec pins the overlap equality). */
+  val q282 = Q.sql("q282_matryoshka_recall_panel",
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |                   v -> CAST(floor(v * 100000000.0) AS BIGINT)) AS xq
+       |  FROM embeddings),
+       |pnl AS MATERIALIZED (${EvalPanel.panelSql()}),
+       |q AS (SELECT vec_id AS qid, xq AS qx FROM e JOIN pnl USING (vec_id)),
+       |p AS MATERIALIZED (
+       |  SELECT q.qid, e.vec_id AS nb,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(list_zip(q.qx, e.xq), z -> z[1] * z[2])),
+       |      (x, y) -> x + y) AS wf,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(list_zip(q.qx[1:$MrlDims], e.xq[1:$MrlDims]),
+       |                     z -> z[1] * z[2])),
+       |      (x, y) -> x + y) AS wt
+       |  FROM q JOIN e ON e.vec_id <> q.qid),
+       |f AS (SELECT qid, nb FROM (
+       |  SELECT qid, nb, row_number() OVER (PARTITION BY qid ORDER BY wf DESC, nb) AS rn
+       |  FROM p) WHERE rn <= 10),
+       |t AS (SELECT qid, nb FROM (
+       |  SELECT qid, nb, row_number() OVER (PARTITION BY qid ORDER BY wt DESC, nb) AS rn
+       |  FROM p) WHERE rn <= 10)
+       |SELECT f.qid AS vec_id, CAST(count(t.nb) AS BIGINT) AS n_overlap,
+       |  round(count(t.nb) / 10.0, 4) AS recall_at_10
+       |FROM f LEFT JOIN t ON t.qid = f.qid AND t.nb = f.nb
+       |GROUP BY 1 ORDER BY vec_id""".stripMargin) { (s, d) =>
+    val e = graft.Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    mrlRecall(e, e.join(broadcast(EvalPanel.panel(e)), "vec_id")
+      .select(col("vec_id").as("qid"), col("embedding").as("qx")))
   }
 
   /** Embedding-norm census — the health check an embedding store runs
@@ -528,5 +618,5 @@ object Linalg {
       .orderBy("label")
   }
 
-  val all: Seq[Q] = Seq(q162, q163, q164, q168, q196, q210, q268)
+  val all: Seq[Q] = Seq(q162, q163, q164, q168, q196, q210, q268, q282, q284)
 }

@@ -714,6 +714,23 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("panel eval runs the anchor's math verbatim: q282 recall rows equal q210's on shared queries") {
+    // the fixed-panel forms must differ from their anchors ONLY in the
+    // query set — a query in BOTH sets gets the identical recall row
+    val anchor = SparkEntry.queries("q210_matryoshka_recall")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val panel = SparkEntry.queries("q282_matryoshka_recall_panel")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(panel.size == graft.operators.EvalPanel.PanelK,
+      s"panel produced ${panel.size} rows, want ${graft.operators.EvalPanel.PanelK}")
+    val shared = anchor.keySet intersect panel.keySet
+    assert(shared.nonEmpty, "panel and anchor query sets are disjoint — can't cross-check")
+    shared.foreach { q =>
+      assert(anchor(q) == panel(q),
+        s"query $q: anchor ${anchor(q)} vs panel ${panel(q)} — eval math drifted")
+    }
+  }
+
   test("SQL kernel surface: installed functions evaluate and match the Column API") {
     import org.apache.spark.sql.functions._
     GraftExtensions.install(spark)

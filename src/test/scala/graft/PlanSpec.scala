@@ -641,6 +641,15 @@ class PlanSpec extends AnyFunSuite {
       s"auto-sized IVF degraded to a nested-loop cross join:\n$p")
   }
 
+  test("panel selection is a distributed top-K: TakeOrderedAndProject, no single-partition sort (EvalPanel pin)") {
+    // orderBy(h, vec_id).limit(K) must plan as per-partition top-K + a
+    // K-row driver merge — a global Sort under the limit would funnel
+    // the corpus through one partition at 100 TB
+    val p = plan(operators.EvalPanel.panel(Tables.embeddings(spark, sf)))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"panel selection lost its distributed top-K shape:\n$p")
+  }
+
   test("LM scoring: model tables broadcast onto the bigram stream, no cartesian (q272/q274)") {
     // the 100 TB shape: the corpus-side bigram stream is scored by
     // BROADCAST model joins (CCNet ships its LM to every worker the

@@ -559,6 +559,22 @@ class ScaleSpec extends AnyFunSuite {
       s"candidate volume $c4 is not ≪ all-pairs ${n4 * (n4 - 1)}")
   }
 
+  test("eval panel is FIXED SIZE under corpus growth: truth tables go linear, not quadratic (q282/q283/q284)") {
+    import graft.operators.EvalPanel
+    // the class-C graduation claim: the anchors' query sets are corpus
+    // FRACTIONS (|Q| ∝ N → brute truth N²·const); the panel is K rows
+    // at ANY corpus size, so panel×corpus is K·N — linear
+    val e1 = Tables.embeddings(spark, sf)
+    val e4 = (0 until 4).map(k => e1.withColumn("vec_id",
+      col("vec_id") + lit(k * 100000000L))).reduce(_ unionByName _)
+    val p1 = EvalPanel.panel(e1).collect().map(_.getLong(0)).toSet
+    val p4 = EvalPanel.panel(e4).collect().map(_.getLong(0)).toSet
+    assert(p1.size == EvalPanel.PanelK && p4.size == EvalPanel.PanelK,
+      s"panel sizes ${p1.size}/${p4.size} — not fixed at K=${EvalPanel.PanelK}")
+    // deterministic: same corpus → same panel
+    assert(EvalPanel.panel(e1).collect().map(_.getLong(0)).toSet == p1)
+  }
+
   test("SemDeDup candidate volume is the cluster-bounded fraction of brute all-pairs (q278)") {
     import org.apache.spark.sql.functions._
     // the method's scale claim: within-cell pairs Σ|cell|²/2 ≪ n²/2 —
