@@ -308,6 +308,107 @@ object LabelProp {
     propagateOn(s, d, edges).orderBy("vec_id")
   }
 
+  /** The qdot twin of [[Similarity.ivfAssignHof]]: nearest-centroid
+    * ranking by INTEGER dot product (the LabelProp family's affinity —
+    * not the rounded cosine the ANN family ranks on), with the
+    * centroid table riding as one array literal walked by `transform`,
+    * so generated code stays constant-size at any list count. Sort
+    * key (w DESC, cent_id ASC) — identical to q192's literal idiom. */
+  private def qdotAssignHof(df: DataFrame, cents: Seq[(Long, Seq[Float])],
+      keep: Int): DataFrame = {
+    import graft.functions.Exprs
+    val table = typedlit(cents.map { case (cid, cv) => (-cid, cv) })
+    val ranked = transform(table, c =>
+      struct(Exprs.qdot(col("xq"), c.getField("_2")).as("w"),
+        c.getField("_1").as("negid")))
+    df.select(col("*"),
+        explode(slice(sort_array(ranked, asc = false), 1, keep)).as("c"))
+      .withColumn("lst", -col("c.negid"))
+      .drop("c")
+  }
+
+  /** The DERIVED-GEOMETRY twin of q192 (closing SCALING_r13's one
+    * flagged number: q192's pinned 8-list candidate volume reads above
+    * the ×4 decade prediction under spill): identical propagation —
+    * [[propagateOn]], the function q178/q192 run — over candidates
+    * routed through nlist = clamp(⌈√N⌉, 16, 65536) lists
+    * ([[Similarity.autoNlist]], the q281 formula; both engines derive
+    * it from the same count), assignment via the constant-codegen-size
+    * HOF form. Candidate volume ~probes·N^1.5 instead of N²·probes/8,
+    * so the per-round vote join rides a linear edge table at any
+    * corpus size. */
+  val q285 = Q.sql("q285_label_prop_autonlist",
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |                   v -> CAST(floor(v * 100000000.0) AS BIGINT)) AS xq,
+       |    CAST(label AS BIGINT) AS label
+       |  FROM embeddings),
+       |nodes AS MATERIALIZED (
+       |  SELECT vec_id AS id,
+       |    CASE WHEN vec_id % $SeedMod = 0 THEN label END AS seed
+       |  FROM e),
+       |nl AS (SELECT least(${Similarity.AUTO_NLIST_CAP},
+       |         greatest(${Similarity.IVF_LISTS},
+       |           CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT))) AS nlists
+       |       FROM e),
+       |cents AS MATERIALIZED (
+       |  SELECT cent_id, cq FROM (
+       |    SELECT vec_id AS cent_id, xq AS cq,
+       |      row_number() OVER (ORDER BY vec_id) AS rn FROM e) t
+       |  CROSS JOIN nl WHERE t.rn <= nl.nlists),
+       |ac AS MATERIALIZED (
+       |  SELECT e.vec_id, c.cent_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(list_zip(e.xq, c.cq), q -> q[1] * q[2])),
+       |        (x, y) -> x + y) DESC, c.cent_id) AS rn
+       |  FROM e CROSS JOIN cents c),
+       |asg AS (SELECT vec_id, cent_id AS lst FROM ac WHERE rn = 1),
+       |prb AS (SELECT vec_id, cent_id AS lst FROM ac WHERE rn <= $IvfProbes),
+       |p AS MATERIALIZED (
+       |  SELECT a.vec_id AS id, b.vec_id AS nb,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(list_zip(ea.xq, eb.xq), q -> q[1] * q[2])),
+       |      (x, y) -> x + y) AS w
+       |  FROM prb a JOIN asg b ON a.lst = b.lst AND a.vec_id <> b.vec_id
+       |  JOIN e ea ON ea.vec_id = a.vec_id
+       |  JOIN e eb ON eb.vec_id = b.vec_id),
+       |knn AS MATERIALIZED (
+       |  SELECT id, nb, w FROM (
+       |    SELECT id, nb, w,
+       |      row_number() OVER (PARTITION BY id ORDER BY w DESC, nb) AS rn
+       |    FROM (SELECT DISTINCT id, nb, w FROM p) WHERE w > 0)
+       |  WHERE rn <= $K),
+       |v0 AS (SELECT id, seed AS lab FROM nodes),
+       |${(1 to Rounds).map(layer).mkString(",\n")}
+       |SELECT id AS vec_id, coalesce(lab, -1) AS lab FROM v$Rounds
+       |ORDER BY vec_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = quantized(s, d).localCheckpoint(true)
+    val nl = Similarity.autoNlist(e.count())
+    val cents = e.orderBy("vec_id").limit(nl)
+      .select(col("vec_id").as("cent_id"), col("xq").as("cq"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toVector))
+      .sortBy(_._1).toVector // capped by AUTO_NLIST_CAP — bounded collect
+    val asg = qdotAssignHof(e.select(col("vec_id"), col("xq")), cents, 1)
+    val prb = qdotAssignHof(e.select(col("vec_id"), col("xq")), cents, IvfProbes)
+    val pairs = prb.select(col("vec_id").as("id"), col("lst"))
+      .join(asg.select(col("vec_id").as("nb"), col("lst")), "lst")
+      .filter(col("id") =!= col("nb"))
+      .select("id", "nb").distinct()
+      .join(e.select(col("vec_id").as("id"), col("xq").as("xa")), "id")
+      .join(e.select(col("vec_id").as("nb"), col("xq").as("xb")), "nb")
+      .withColumn("w", graft.functions.Exprs.qdot(col("xa"), col("xb")))
+      .filter(col("w") > 0)
+    val edges = pairs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("id").orderBy(col("w").desc, col("nb"))))
+      .filter(col("rn") <= K)
+      .select("id", "nb", "w")
+    propagateOn(s, d, edges).orderBy("vec_id")
+  }
+
   /** Ratio-margin pair mining (Artetxe & Schwenk's CCMatrix scoring) —
     * q179's mutual-NN rule upgraded to the margin criterion production
     * bitext mining actually ranks by: a pair's affinity divided by the
@@ -735,5 +836,5 @@ object LabelProp {
       .orderBy("vec_id")
   }
 
-  val all: Seq[Q] = Seq(q178, q179, q192, q203, q224, q266, q270, q279, q280)
+  val all: Seq[Q] = Seq(q178, q179, q192, q203, q224, q266, q270, q279, q280, q285)
 }

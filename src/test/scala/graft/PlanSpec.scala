@@ -650,6 +650,15 @@ class PlanSpec extends AnyFunSuite {
       s"panel selection lost its distributed top-K shape:\n$p")
   }
 
+  test("derived-geometry label prop keeps the projection+list-join shape (q285 pin)") {
+    val df = SparkEntry.queries("q285_label_prop_autonlist")(spark, sf)
+    df.collect() // localCheckpoints inside force execution before explain
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"auto-geometry label prop degraded to a nested-loop cross join:\n$p")
+  }
+
   test("LM scoring: model tables broadcast onto the bigram stream, no cartesian (q272/q274)") {
     // the 100 TB shape: the corpus-side bigram stream is scored by
     // BROADCAST model joins (CCNet ships its LM to every worker the
