@@ -608,6 +608,97 @@ object LabelProp {
     marginFromPairs(routedCrossPairs(s, d))
   }
 
+  /** [[routedCrossSideCandidates]] with the DERIVED list count
+    * ([[Similarity.autoNlist]] — the q281/q285 formula) and the
+    * constant-codegen-size HOF assignment: candidate volume
+    * ~|A|·probes·√N-per-list instead of the pinned-8 fraction, the
+    * form whose per-list join stays flat at any corpus size. */
+  def routedCrossSideCandidatesAuto(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"),
+      col("embedding").as("xq"), (col("label") % 2).as("side"))
+      .localCheckpoint(true)
+    val nl = Similarity.autoNlist(e.count())
+    val cents = e.orderBy("vec_id").limit(nl)
+      .select(col("vec_id").as("cent_id"), col("xq").as("cq"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toVector))
+      .sortBy(_._1).toVector // capped by AUTO_NLIST_CAP — bounded collect
+    val prb = qdotAssignHof(
+      e.filter(col("side") === 0).select(col("vec_id"), col("xq")), cents, IvfProbes)
+    val asg = qdotAssignHof(
+      e.filter(col("side") === 1).select(col("vec_id"), col("xq")), cents, 1)
+    prb.select(col("vec_id").as("id_a"), col("lst"))
+      .join(asg.select(col("vec_id").as("id_b"), col("lst")), "lst")
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** The auto-geometry routed pair triples for q286/q287. */
+  def routedCrossPairsAuto(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    routedCrossSideCandidatesAuto(s, d)
+      .join(e.select(col("vec_id").as("id_a"), col("embedding").as("xa")), "id_a")
+      .join(e.select(col("vec_id").as("id_b"), col("embedding").as("xb")), "id_b")
+      .withColumn("w", graft.functions.Exprs.qdot(col("xa"), col("xb")))
+      .select("id_a", "id_b", "w")
+  }
+
+  /** q279/q280's routed CTE head with the list count DERIVED from
+    * count(*) — the q281/q285 oracle spelling applied to the
+    * cross-side problem. */
+  private val crossRoutedAutoCtes =
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |                   v -> CAST(floor(v * 100000000.0) AS BIGINT)) AS xq,
+       |    label % 2 AS side
+       |  FROM embeddings),
+       |nl AS (SELECT least(${Similarity.AUTO_NLIST_CAP},
+       |         greatest(${Similarity.IVF_LISTS},
+       |           CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT))) AS nlists
+       |       FROM e),
+       |cents AS MATERIALIZED (
+       |  SELECT cent_id, cq FROM (
+       |    SELECT vec_id AS cent_id, xq AS cq,
+       |      row_number() OVER (ORDER BY vec_id) AS rn FROM e) t
+       |  CROSS JOIN nl WHERE t.rn <= nl.nlists),
+       |ac AS MATERIALIZED (
+       |  SELECT e.vec_id, e.side, c.cent_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(list_zip(e.xq, c.cq), q -> q[1] * q[2])),
+       |        (x, y) -> x + y) DESC, c.cent_id) AS rn
+       |  FROM e CROSS JOIN cents c),
+       |prb AS (SELECT vec_id, cent_id AS lst FROM ac
+       |        WHERE rn <= $IvfProbes AND side = 0),
+       |asg AS (SELECT vec_id, cent_id AS lst FROM ac
+       |        WHERE rn = 1 AND side = 1),
+       |cand AS (SELECT DISTINCT pr.vec_id AS id_a, a.vec_id AS id_b
+       |         FROM prb pr JOIN asg a ON pr.lst = a.lst),
+       |p AS MATERIALIZED (
+       |  SELECT c.id_a, c.id_b,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(list_zip(ea.xq, eb.xq), q -> q[1] * q[2])),
+       |      (x, y) -> x + y) AS w
+       |  FROM cand c JOIN e ea ON ea.vec_id = c.id_a
+       |              JOIN e eb ON eb.vec_id = c.id_b)""".stripMargin
+
+  /** q279 with DERIVED geometry (removing the twins' last pinned
+    * constant — SCALING_r13's residual note): the identical
+    * [[mutualFromPairs]] ranker over auto-sized routing. */
+  val q286 = Q.sql("q286_mutual_nn_autonlist",
+    s"""$crossRoutedAutoCtes,
+       |$mutualTailSql""".stripMargin) { (s, d) =>
+    mutualFromPairs(routedCrossPairsAuto(s, d))
+  }
+
+  /** q280 with DERIVED geometry — the identical [[marginFromPairs]]
+    * ranker over auto-sized routing. */
+  val q287 = Q.sql("q287_margin_mining_autonlist",
+    s"""$crossRoutedAutoCtes,
+       |pp AS MATERIALIZED (SELECT * FROM p WHERE w > 0),
+       |$marginTailSql""".stripMargin) { (s, d) =>
+    marginFromPairs(routedCrossPairsAuto(s, d))
+  }
+
   /** k-NN majority-vote classification — the zero-training classifier
     * a labeled embedding store serves (and the evaluation q178's
     * propagation is usually compared against): vectors with
@@ -836,5 +927,5 @@ object LabelProp {
       .orderBy("vec_id")
   }
 
-  val all: Seq[Q] = Seq(q178, q179, q192, q203, q224, q266, q270, q279, q280, q285)
+  val all: Seq[Q] = Seq(q178, q179, q192, q203, q224, q266, q270, q279, q280, q285, q286, q287)
 }

@@ -629,6 +629,11 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"),
       s"routed pair build degraded to a nested-loop cross join:\n$p")
+    // the derived-geometry generator (q286/q287) keeps the same shape
+    val pa = plan(operators.LabelProp.routedCrossPairsAuto(spark, sf))
+    assert(!pa.contains("CartesianProduct") &&
+      !pa.contains("BroadcastNestedLoopJoin"),
+      s"auto-geometry pair build degraded to a cross join:\n$pa")
   }
 
   test("auto-sized IVF stays projection+list-join shaped: no cartesian, no nested loop (q281 pin)") {

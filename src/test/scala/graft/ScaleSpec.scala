@@ -511,6 +511,12 @@ class ScaleSpec extends AnyFunSuite {
     assert(routed > 0, "routing produced no candidates")
     assert(routed * 2 < nA * nB,
       s"routed candidate volume $routed is not ≪ brute ${nA * nB}")
+    // and the DERIVED-geometry generator (q286/q287) routes at least as
+    // selectively: more lists can only shrink each list's population
+    val auto = LabelProp.routedCrossSideCandidatesAuto(spark, sf).count()
+    assert(auto > 0, "auto-geometry routing produced no candidates")
+    assert(auto * 2 < nA * nB,
+      s"auto-geometry candidate volume $auto is not ≪ brute ${nA * nB}")
   }
 
   test("routed mutual-NN/margin mining run the brute rankers verbatim: routed results agree with brute on routed-complete queries (q279 vs q179)") {
