@@ -181,12 +181,18 @@ object Bench {
       case e: java.io.IOException =>
         System.err.println(s"[bench] result file write failed: $e")
     }
-    // FULL-suite runs regenerate the README's BENCH block as a side
-    // effect (rounds 6-8 each shipped a stale block because the regen
-    // was a separate manual step): the block structurally cannot lag the
-    // artifact it cites. Subset dev-loop runs skip this — a 3-gate
-    // artifact must not overwrite the full-suite block.
-    if (args.isEmpty && errors.isEmpty) {
+    // README regeneration is OPT-IN (SPARK_GRAFT_README_REGEN=1): the
+    // builder's own full-suite runs set it so the committed block is
+    // byte-derived from the committed-alongside artifact (the round-6-8
+    // staleness fix), but the DRIVER's end-of-round bench — which runs
+    // AFTER the snapshot commit — must not rewrite README as a side
+    // effect, or every round ends with a dirty tree whose README block
+    // cites an uncommitted artifact (round-13 verdict item #2, second
+    // offense: the regen-on-every-full-run design made a clean round end
+    // structurally impossible). Subset dev-loop runs skip regardless —
+    // a 3-gate artifact must not overwrite the full-suite block.
+    if (args.isEmpty && errors.isEmpty &&
+        sys.env.get("SPARK_GRAFT_README_REGEN").contains("1")) {
       // a failed regen is recorded IN the artifact (not only stderr):
       // the README block claims derivation from this artifact, so the
       // artifact must carry the evidence when that derivation failed

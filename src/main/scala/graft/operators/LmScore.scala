@@ -178,7 +178,10 @@ object LmScore {
     val spark = df.sparkSession
     val sorted = df.orderBy(orderCols.map(col): _*).localCheckpoint(true)
     val counts = sorted.rdd
-      .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
+      // fold in Long: Iterator.size returns Int, and this route is
+      // explicitly the >2M-doc path — a >2³¹-row partition would
+      // silently overflow and corrupt every rank offset (round-13 advice)
+      .mapPartitionsWithIndex((i, it) => Iterator((i, it.foldLeft(0L)((n, _) => n + 1))))
       .collect().sortBy(_._1).map(_._2) // one long per partition
     val offsets = counts.scanLeft(0L)(_ + _)
     val n = counts.sum

@@ -349,7 +349,8 @@ object Similarity {
     * bit-for-bit run-to-run, unlike MLlib's seeded-sample init. Empty
     * clusters drop out (the list count may shrink below k). */
   def kmeansCentroids(e: org.apache.spark.sql.DataFrame,
-      k: Int = IVF_LISTS, iters: Int = 2): org.apache.spark.sql.DataFrame = {
+      k: Int = IVF_LISTS, iters: Int = 2,
+      assignHof: Boolean = false): org.apache.spark.sql.DataFrame = {
     val spark = e.sparkSession
     var cents = localCents(e.orderBy("vec_id").limit(k)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cvec")))
@@ -357,8 +358,13 @@ object Similarity {
       // assignment is the map-side literal argmax — no join, no window —
       // and the ≤k×64-float result of each step is COLLECTED before the
       // next, so iteration i's plan starts from a literal centroid table
-      // instead of re-executing iteration i−1's assignment lazily
-      val assigned = ivfAssign(e.select(col("vec_id"), col("embedding")),
+      // instead of re-executing iteration i−1's assignment lazily.
+      // assignHof swaps in the constant-codegen-size HOF form (identical
+      // ranking by construction — EngineSpec pins the two forms
+      // row-for-row equal) for DERIVED k, where the literal form's
+      // generated code would grow past the JIT/64KB cliff
+      val assignFn = if (assignHof) ivfAssignHof _ else ivfAssign _
+      val assigned = assignFn(e.select(col("vec_id"), col("embedding")),
         cents, "vec_id", "embedding", "cent_id", 1)
       cents = localCents(assigned
         .select(col("cent_id"), posexplode(col("embedding")))
@@ -818,6 +824,17 @@ object Similarity {
     val asg = ivfAssign(e.select(col("vec_id"), col("embedding")),
         localCents(kmeansCentroids(e)), "vec_id", "embedding", "cent_id", 1)
       .localCheckpoint(true) // the pair self-join + the output read it
+    semDedupDecisionsOn(s, asg)
+  }
+
+  /** q278's decision tail over a GIVEN cluster assignment (vec_id,
+    * cent_id, embedding): within-cell pairs at rounded cosine ≥
+    * [[SemDedupTau]] → connected components → keep = min vec_id. Shared
+    * verbatim by the pinned-16-seed anchor (q278) and the derived-k form
+    * (q288), so the twins can differ ONLY in the quantizer geometry,
+    * never in the dedup decision. */
+  private def semDedupDecisionsOn(s: org.apache.spark.sql.SparkSession,
+      asg: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val pairs = asg
       .select(col("cent_id"), col("vec_id").as("id_a"), col("embedding").as("va"))
       .join(asg.select(col("cent_id"), col("vec_id").as("id_b"),
@@ -832,6 +849,88 @@ object Similarity {
       .withColumn("keep", col("component") === col("vec_id"))
       .select("vec_id", "cluster", "component", "keep")
       .orderBy("vec_id")
+  }
+
+  /** The derived-k cluster assignment q288 and its ScaleSpec share:
+    * k = [[autoNlist]](N) from count(*), two Lloyd steps with the
+    * constant-codegen-size HOF argmax, assignment via the same HOF form.
+    * Checkpointed — the pair self-join and the output both read it. */
+  private def semDedupAutoAssign(
+      e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val k = autoNlist(e.count())
+    ivfAssignHof(e.select(col("vec_id"), col("embedding")),
+      localCents(kmeansCentroids(e, k, assignHof = true)),
+      "vec_id", "embedding", "cent_id", 1)
+      .localCheckpoint(true)
+  }
+
+  /** Derived-k SemDeDup candidate volume — Σ within-cell pairs under the
+    * [[autoNlist]] geometry; the quantity the ScaleSpec pins: with
+    * k ∝ √N and cell occupancy ~N/k = √N, Σ|cell|² grows ~N^1.5 where
+    * the pinned-16 anchor grows N²/16. */
+  def semDedupAutoCandidateCount(e: org.apache.spark.sql.DataFrame): Long = {
+    val sizes = semDedupAutoAssign(e)
+      .groupBy("cent_id").agg(count(lit(1)).as("sz"))
+    sizes.agg(sum(col("sz") * (col("sz") - lit(1))).cast("long"))
+      .head.getLong(0) / 2
+  }
+
+  /** SemDeDup with DERIVED cluster count (round-13 verdict item #1,
+    * closing the last pinned knob on a production-path scaling claim):
+    * identical decision semantics to [[q278]] — the same
+    * [[semDedupDecisionsOn]] tail, same τ, same components — but the
+    * k-means cell count derives from the corpus as
+    * k = clamp(⌈√N⌉, [[IVF_LISTS]], [[AUTO_NLIST_CAP]]) computed from
+    * count(*) on BOTH engines (the exact q281/q285 recipe that retired
+    * pinned IVF geometry). With k fixed, cells grow ∝N and the
+    * within-cell pair volume Σ|cell|² grows N²/k; with k ∝ √N it grows
+    * ~N^1.5 — which is the paper's actual deployment shape (Abbas et
+    * al. run ~100k clusters over LAION-scale corpora, not 16). The
+    * quantizer is the same two deterministic Lloyd steps as q278/q62,
+    * seeded by the first k vectors by vec_id — the oracle unrolls them
+    * over a DERIVED-count seed CTE ([[lloydStepSql]] is geometry-blind:
+    * it takes the centroid CTE by name), so the refined centroids, the
+    * assignment, and every keep decision replay bit-for-bit at any N.
+    * Assignment uses the HOF argmax on both Lloyd and final passes —
+    * constant generated-code size at any k (the literal form would fall
+    * off the JIT cliff once ⌈√N⌉ passes a few hundred). q278 stays as
+    * the pinned oracle anchor. */
+  val q288 = Q.sql("q288_semdedup_autok",
+    s"""WITH RECURSIVE
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |nl AS (SELECT least($AUTO_NLIST_CAP, greatest($IVF_LISTS,
+       |         CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT))) AS nlists
+       |       FROM e),
+       |c0 AS (
+       |  SELECT cent_id, cvec FROM (
+       |    SELECT vec_id AS cent_id, emb AS cvec,
+       |      row_number() OVER (ORDER BY vec_id) AS rn FROM e) t
+       |  CROSS JOIN nl WHERE t.rn <= nl.nlists),
+       |${lloydStepSql("c0", "a1", "m1", "c1")},
+       |${lloydStepSql("c1", "a2", "m2", "c2")},
+       |asg AS (
+       |  SELECT e.vec_id, c.cent_id, e.emb,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY round(list_cosine_similarity(e.emb, c.cvec), 4) DESC, c.cent_id) AS crn
+       |  FROM e CROSS JOIN c2 c),
+       |a AS (SELECT vec_id, cent_id, emb FROM asg WHERE crn = 1),
+       |pairs AS (
+       |  SELECT x.vec_id AS id_a, y.vec_id AS id_b
+       |  FROM a x JOIN a y ON x.cent_id = y.cent_id AND x.vec_id < y.vec_id
+       |  WHERE round(list_cosine_similarity(x.emb, y.emb), 4) >= $SemDedupTau),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |          UNION SELECT id_b, id_a FROM pairs),
+       |lp(id, label) AS (
+       |  SELECT vec_id, vec_id FROM e
+       |  UNION
+       |  SELECT edges.src, lp.label FROM lp JOIN edges ON lp.id = edges.dst),
+       |final AS (SELECT id, min(label) AS component FROM lp GROUP BY id)
+       |SELECT a.vec_id, a.cent_id AS cluster,
+       |  coalesce(f.component, a.vec_id) AS component,
+       |  coalesce(f.component, a.vec_id) = a.vec_id AS keep
+       |FROM a LEFT JOIN final f ON a.vec_id = f.id
+       |ORDER BY a.vec_id""".stripMargin) { (s, d) =>
+    semDedupDecisionsOn(s, semDedupAutoAssign(Tables.embeddings(s, d)))
   }
 
   /** Vector-count threshold below which exact brute-force top-k (one
@@ -1348,5 +1447,5 @@ object Similarity {
   }
 
   val all: Seq[Q] = Seq(q29, q30, q31, q32, q62, q74, q139, q150, q151, q152,
-    q153, q193, q245, q271, q278, q281)
+    q153, q193, q245, q271, q278, q281, q288)
 }

@@ -594,6 +594,23 @@ class EngineSpec extends AnyFunSuite {
     val viaLoop = comps(0L)
     assert(viaDriver == viaLoop, s"driver=$viaDriver loop=$viaLoop")
     assert(viaDriver(3L) == 1L && viaDriver(25L) == 20L && viaDriver(31L) == 30L)
+    // diameter == maxRounds: the labeling COMPLETES on the last round but
+    // the in-loop flag can't observe it (needs one extra zero-change
+    // round) — the post-loop check must accept the complete labeling
+    // instead of throwing (round-13 advice)
+    def chain(edges: Int) = (0 until edges).map(i => (100L + i, 101L + i))
+      .toDF("id_a", "id_b")
+    val exact = operators.DedupClusters
+      .connectedComponents(spark, chain(4), maxRounds = 4, driverEdgeCap = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(exact == (100 to 104).map(_.toLong -> 100L).toMap,
+      s"diameter==maxRounds chain mislabeled: $exact")
+    // one hop longer genuinely under-propagates — still fails loudly
+    intercept[IllegalStateException] {
+      operators.DedupClusters
+        .connectedComponents(spark, chain(5), maxRounds = 4, driverEdgeCap = 0L)
+        .collect()
+    }
   }
 
   test("set-similarity join: dense bitmap and hashed merge-walk paths agree") {
@@ -714,20 +731,41 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
-  test("panel eval runs the anchor's math verbatim: q282 recall rows equal q210's on shared queries") {
-    // the fixed-panel forms must differ from their anchors ONLY in the
-    // query set — a query in BOTH sets gets the identical recall row
-    val anchor = SparkEntry.queries("q210_matryoshka_recall")(spark, sf)
-      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+  test("panel eval runs the anchor's math verbatim: q282 recall rows match an independent brute recomputation on panel members") {
+    // the fixed-panel form must differ from its anchor ONLY in the query
+    // set. The old cross-check compared q282 rows to q210's on queries in
+    // BOTH sets — which relied on the hash-selected panel intersecting
+    // q210's vec_id%10 set, true for this fixture but not guaranteed
+    // (round-13 advice: a fixture regen could fail it spuriously).
+    // Recompute the anchor math from scratch instead — collect the
+    // embeddings, quantize exactly as qdot does (Σ floor(aᵢ·10⁸)·
+    // floor(bᵢ·10⁸)), brute-rank full vs first-16-dim truncated, and pin
+    // q282's (n_overlap, recall) rows on provable panel members.
+    val emb = Tables.embeddings(spark, sf)
+    val xq = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(v => math.floor(v.toDouble * 1e8).toLong).toArray)
+      .toMap
     val panel = SparkEntry.queries("q282_matryoshka_recall_panel")(spark, sf)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
     assert(panel.size == graft.operators.EvalPanel.PanelK,
       s"panel produced ${panel.size} rows, want ${graft.operators.EvalPanel.PanelK}")
-    val shared = anchor.keySet intersect panel.keySet
-    assert(shared.nonEmpty, "panel and anchor query sets are disjoint — can't cross-check")
-    shared.foreach { q =>
-      assert(anchor(q) == panel(q),
-        s"query $q: anchor ${anchor(q)} vs panel ${panel(q)} — eval math drifted")
+    // q282's query set IS the panel selection — membership is exact
+    val pids = graft.operators.EvalPanel.panel(emb)
+      .collect().map(_.getLong(0)).toSet
+    assert(panel.keySet == pids, "q282 rows are not exactly the panel members")
+    def dot(a: Array[Long], b: Array[Long], d: Int): Long = {
+      var s = 0L; var i = 0
+      while (i < d) { s += a(i) * b(i); i += 1 }; s
+    }
+    pids.toSeq.sorted.take(5).foreach { qid =>
+      val qx = xq(qid)
+      def top10(d: Int): Set[Long] = xq.iterator.filter(_._1 != qid)
+        .map { case (nb, v) => (dot(qx, v, d), nb) }.toSeq
+        .sortBy { case (w, nb) => (-w, nb) }.take(10).map(_._2).toSet
+      val n = (top10(64) intersect top10(16)).size.toLong
+      assert(panel(qid) == ((n, n / 10.0)),
+        s"panel query $qid: q282 row ${panel(qid)} vs brute recomputation ($n, ${n / 10.0})")
     }
   }
 

@@ -655,6 +655,18 @@ class PlanSpec extends AnyFunSuite {
       s"panel selection lost its distributed top-K shape:\n$p")
   }
 
+  test("derived-k SemDeDup keeps the projection+cell-join shape: no cartesian, no nested loop (q288 pin)") {
+    // assignment must stay a per-row projection (HOF argmax over the
+    // centroid array — constant codegen size at any derived k) and the
+    // only join in the pair build a hash join on cent_id
+    val df = SparkEntry.queries("q288_semdedup_autok")(spark, sf)
+    df.collect() // localCheckpoint + components force execution before explain
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"derived-k SemDeDup degraded to a nested-loop cross join:\n$p")
+  }
+
   test("derived-geometry label prop keeps the projection+list-join shape (q285 pin)") {
     val df = SparkEntry.queries("q285_label_prop_autonlist")(spark, sf)
     df.collect() // localCheckpoints inside force execution before explain

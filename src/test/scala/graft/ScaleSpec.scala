@@ -543,12 +543,13 @@ class ScaleSpec extends AnyFunSuite {
     import graft.operators.Similarity
     // round-12 verdict item #2: pinned 16-list geometry grows candidates
     // N²/C — 4× data must NOT cost ~16× candidates once nlist ∝ √N.
+    // (replica construction via `replicated` — shift derived from the
+    // observed max id, round-13 advice)
     // Build a 4× corpus from id-shifted replicas (the sweep_gen shape)
     // and compare measured candidate volumes: √N geometry predicts
     // 4^1.5 = 8×; fixed geometry would be 16×. Assert the exponent.
     val e1 = Tables.embeddings(spark, sf)
-    val e4 = (0 until 4).map(k => e1.withColumn("vec_id",
-      col("vec_id") + lit(k * 100000000L))).reduce(_ unionByName _)
+    val e4 = replicated(e1, 4)
     val n1 = e1.count(); val n4 = e4.count()
     assert(n4 == 4 * n1)
     assert(Similarity.autoNlist(n4) > Similarity.autoNlist(n1),
@@ -571,8 +572,7 @@ class ScaleSpec extends AnyFunSuite {
     // FRACTIONS (|Q| ∝ N → brute truth N²·const); the panel is K rows
     // at ANY corpus size, so panel×corpus is K·N — linear
     val e1 = Tables.embeddings(spark, sf)
-    val e4 = (0 until 4).map(k => e1.withColumn("vec_id",
-      col("vec_id") + lit(k * 100000000L))).reduce(_ unionByName _)
+    val e4 = replicated(e1, 4)
     val p1 = EvalPanel.panel(e1).collect().map(_.getLong(0)).toSet
     val p4 = EvalPanel.panel(e4).collect().map(_.getLong(0)).toSet
     assert(p1.size == EvalPanel.PanelK && p4.size == EvalPanel.PanelK,
@@ -595,6 +595,43 @@ class ScaleSpec extends AnyFunSuite {
     assert(cand > 0, "clusters degenerated to singletons")
     assert(cand * 4 < brute,
       s"within-cell pair volume $cand is not ≪ brute $brute — clustering collapsed")
+  }
+
+  /** K id-shifted replicas of an embeddings frame (the sweep_gen shape).
+    * The shift is DERIVED from the observed max id — a hardcoded shift
+    * would silently collide ids on a larger fixture, deflating replica
+    * counts and invalidating every growth-exponent assertion that reads
+    * the result (round-13 advice). Floored at sweep_gen's OFF so the
+    * driver fixtures keep their historical id layout. */
+  private def replicated(e: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame = {
+    val maxId = e.agg(max(col("vec_id"))).head.getLong(0)
+    val off = math.max(100000000L, maxId + 1)
+    (0 until k).map(i => e.withColumn("vec_id", col("vec_id") + lit(i * off)))
+      .reduce(_ unionByName _)
+  }
+
+  test("derived-k SemDeDup keeps candidate growth ~N^1.5, not N² (q288)") {
+    import graft.operators.Similarity
+    // round-13 verdict item #1: with k pinned at 16, cells grow ∝N and
+    // Σ|cell|² grows N²/16 — the exact pinned-geometry pattern q281
+    // retired for IVF. With k = clamp(⌈√N⌉, 16, cap) the within-cell
+    // pair volume grows ~N^1.5: 4× data predicts ~8×, pinned predicts 16×.
+    val e1 = Tables.embeddings(spark, sf)
+    val e4 = replicated(e1, 4)
+    val n1 = e1.count(); val n4 = e4.count()
+    assert(n4 == 4 * n1)
+    assert(Similarity.autoNlist(n4) > Similarity.autoNlist(n1),
+      "derived k did not grow with N")
+    val c1 = Similarity.semDedupAutoCandidateCount(e1)
+    val c4 = Similarity.semDedupAutoCandidateCount(e4)
+    info(f"within-cell pairs: n→$c1, 4n→$c4, growth ${c4.toDouble / c1}%.2f× " +
+      f"(k ${Similarity.autoNlist(n1)}→${Similarity.autoNlist(n4)})")
+    assert(c1 > 0 && c4 > 0, "derived-k clustering produced no candidate pairs")
+    assert(c4 < 12 * c1,
+      s"candidate growth ${c4.toDouble / c1}× for 4× data — cell count is not scaling (N² is 16×, N^1.5 is 8×)")
+    // and still ≪ brute all-pairs in absolute terms
+    assert(c4 * 4 < n4 * (n4 - 1) / 2,
+      s"within-cell pair volume $c4 is not ≪ brute ${n4 * (n4 - 1) / 2}")
   }
 
   test("pagerank/PPR routed branch (cap=0) equals the broadcast branch bit-for-bit") {
