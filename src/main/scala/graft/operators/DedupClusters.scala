@@ -35,19 +35,25 @@ object DedupClusters {
   def connectedComponents(spark: SparkSession, pairs: DataFrame,
       maxRounds: Int = 8, driverEdgeCap: Long = DriverEdgeCap): DataFrame = {
     import spark.implicits._
-    // materialize the (expensive) pair-generation plan once, UNDIRECTED —
-    // the driver route needs each edge only once (union-find is
-    // direction-blind), so the single-threaded collect ships half the
-    // bytes the old doubled-set collect did (round-13 verdict item #7:
-    // q54's longest single-threaded phase was this collect); the doubled
-    // set is built only on the distributed route, which joins per round
-    // against the checkpointed edges, never the pair plan
-    val und = pairs.select($"id_a".as("src"), $"id_b".as("dst"))
-      .distinct().localCheckpoint(true)
-    val nEdges = 2L * und.count() // doubled-set size: keeps cap semantics
-    if (nEdges <= driverEdgeCap) return driverUnionFind(spark, und)
-    val edges = und.union(und.select($"dst".as("src"), $"src".as("dst")))
-      .distinct().localCheckpoint(true)
+    // materialize the (expensive) pair-generation plan once: canonical
+    // (min,max) orientation → ONE distinct shuffle over E rows (the old
+    // doubled-set distinct shuffled 2E), then the symmetric closure as a
+    // NARROW union of the distinct halves — no second shuffle, one 2E
+    // checkpoint, exactly the old materialized volume. Self-loops are
+    // dropped (they never affect components; callers coalesce singletons
+    // back). The driver route then collects only the src<dst HALF of the
+    // checkpoint — union-find is direction-blind, so the single-threaded
+    // collect ships half the bytes the old doubled-set collect did
+    // (round-13 verdict item #7: q54's longest single-threaded phase).
+    val edges = {
+      val und = pairs
+        .select(least($"id_a", $"id_b").as("src"), greatest($"id_a", $"id_b").as("dst"))
+        .filter($"src" =!= $"dst").distinct()
+      und.union(und.select($"dst".as("src"), $"src".as("dst")))
+    }.localCheckpoint(true)
+    val nEdges = edges.count()
+    if (nEdges <= driverEdgeCap)
+      return driverUnionFind(spark, edges.filter($"src" < $"dst"))
     var labels = edges.select($"src".as("id")).distinct()
       .withColumn("label", $"id")
       .localCheckpoint(true)

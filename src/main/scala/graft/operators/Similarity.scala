@@ -872,7 +872,7 @@ object Similarity {
     val sizes = semDedupAutoAssign(e)
       .groupBy("cent_id").agg(count(lit(1)).as("sz"))
     sizes.agg(sum(col("sz") * (col("sz") - lit(1))).cast("long"))
-      .head.getLong(0) / 2
+      .head().getLong(0) / 2
   }
 
   /** SemDeDup with DERIVED cluster count (round-13 verdict item #1,

@@ -634,6 +634,53 @@ class ScaleSpec extends AnyFunSuite {
       s"within-cell pair volume $c4 is not ≪ brute ${n4 * (n4 - 1) / 2}")
   }
 
+  test("governance lifecycle end-to-end at bench scale: ~5.5k-doc synthetic corpus, layer counts + well-formed XML") {
+    // round-13 verdict item #8: q98 gates the 01→04 lifecycle at fixture
+    // scale (21 gated docs). This drives the SAME Governance.run entry
+    // point over an sf0.1-sized synthetic biblio corpus — the fixture
+    // landing replicated with disjoint id ranges (every replica passes
+    // the same gates, so expected counts are closed-form) — and checks
+    // the layer counts and the Solr-XML export's well-formedness at
+    // bench scale. No oracle needed: the per-doc values are the q40-q46
+    // golden gates' job; this pins that the lifecycle SCALES.
+    val in = getClass.getResourceAsStream("/graft/gov/landing.jsonl")
+    val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+    in.close()
+    val reps = 240 // 23 docs × 240 = 5520 ≈ the sf0.1 documents grain
+    val idRe = """"id": (\d+)""".r
+    val big = (0 until reps).flatMap { r =>
+      lines.map(l => idRe.replaceAllIn(l,
+        m => s""""id": ${m.group(1).toLong + r.toLong * 100000L}"""))
+    }
+    val out = java.nio.file.Files.createTempDirectory("graft_gov_e2e").toString
+    val landing = s"$out/01_landing.jsonl"
+    java.nio.file.Files.write(java.nio.file.Paths.get(landing),
+      big.mkString("\n").getBytes("UTF-8"))
+    val layers = graft.pipeline.Governance.run(spark, landing, out,
+      graft.gov.Fixtures.lookups, graft.gov.Fixtures.instanceEcollection,
+      graft.gov.Fixtures.dbInstanceEcollection, graft.gov.Fixtures.temas,
+      nowYear = 2026)
+    // 21 of the 23 fixture docs pass the status/treatment_level gate —
+    // replicated ids keep that fraction exactly
+    val iahxN = spark.read.parquet(layers.iahx).count()
+    val enrN = spark.read.parquet(layers.enriched).count()
+    assert(iahxN == 21L * reps, s"02 layer rows $iahxN != ${21 * reps}")
+    assert(enrN == iahxN, s"03 layer rows $enrN != 02 layer rows $iahxN")
+    // the export is ONE well-formed XML document at this scale — parse it
+    // with a real namespace-aware SAX pass (not a substring check)
+    val f = javax.xml.parsers.SAXParserFactory.newInstance()
+    f.setNamespaceAware(true)
+    var docTags = 0L
+    f.newSAXParser().parse(new java.io.File(layers.xml),
+      new org.xml.sax.helpers.DefaultHandler {
+        override def startElement(uri: String, local: String, q: String,
+            a: org.xml.sax.Attributes): Unit = if (q == "doc") docTags += 1
+      })
+    assert(docTags == iahxN, s"XML export has $docTags <doc> elements, want $iahxN")
+    info(s"01→04 lifecycle over ${big.size} landing docs: 02/03 layers $iahxN rows, " +
+      s"single well-formed XML with $docTags docs")
+  }
+
   test("pagerank/PPR routed branch (cap=0) equals the broadcast branch bit-for-bit") {
     import spark.implicits._
     // a small but non-trivial directed graph, symmetrized so every node
