@@ -75,10 +75,18 @@ object Harvest {
 
   /** The page plan as a DataFrame — the distributed fetch skeleton:
     * `.repartition(workers)` then mapPartitions(httpFetch) at runtime. */
-  def planDf(spark: SparkSession, total: Int, limit: Int = 100,
+  def planDf(spark: SparkSession, total: Long, limit: Int = 100,
       workers: Int = 3): DataFrame = {
     import spark.implicits._
-    planPages(total, limit, workers).toDF("worker", "offset", "limit")
+    // generated DISTRIBUTED: spark.range splits the offset space across
+    // tasks and the worker stripe is (offset/limit) mod workers — the
+    // same assignment planPages computes (HarvestSpec pins equality), but
+    // the driver never materializes the plan and a >2³¹-document corpus
+    // plans without Int overflow (round-14 hardening; planPages stays as
+    // the driver-side helper for small plans)
+    spark.range(0, total, limit.toLong)
+      .select((($"id" / limit) % workers).cast("int").as("worker"),
+        $"id".as("offset"), lit(limit).as("limit"))
       .repartition(workers, col("worker"))
   }
 

@@ -24,7 +24,7 @@ object IngestOps {
       |  CAST(37 AS BIGINT) AS page_limit
       |FROM t, LATERAL unnest(range(0, total, 37)) u(o)
       |ORDER BY worker, page_offset""".stripMargin) { (s, d) =>
-    val total = graft.Tables.documents(s, d).count().toInt
+    val total = graft.Tables.documents(s, d).count()
     Harvest.planDf(s, total, limit = 37, workers = 5)
       .select(col("worker").cast("long").as("worker"),
         col("offset").cast("long").as("page_offset"),
@@ -109,7 +109,7 @@ object IngestOps {
       |            WHEN o % 3 = 0 THEN 3 ELSE 1 END AS BIGINT) AS attempts
       |FROM t, LATERAL unnest(range(0, total, 37)) u(o)
       |ORDER BY page_offset""".stripMargin) { (s, d) =>
-    val total = graft.Tables.documents(s, d).count().toInt
+    val total = graft.Tables.documents(s, d).count()
     val plan = Harvest.planDf(s, total, limit = 37, workers = 5)
     val (fetched, dead) =
       Fetcher.fetchPagesAware(s, plan, "https://api.example.org/biblio", new FlakyTransport)

@@ -321,10 +321,19 @@ object LabelProp {
     val ranked = transform(table, c =>
       struct(Exprs.qdot(col("xq"), c.getField("_2")).as("w"),
         c.getField("_1").as("negid")))
-    df.select(col("*"),
-        explode(slice(sort_array(ranked, asc = false), 1, keep)).as("c"))
-      .withColumn("lst", -col("c.negid"))
-      .drop("c")
+    // keep=1 assignment pass: O(C) array_max instead of the O(C log C)
+    // sort — struct max = (w, negid) lexicographic max = highest w, ties
+    // to lowest cent_id, exactly sort-desc-take-1 (Similarity.ivfAssignHof
+    // has the same branch; the routed-vs-brute agreement specs cover it)
+    if (keep == 1)
+      df.select(col("*"), array_max(ranked).as("c"))
+        .withColumn("lst", -col("c.negid"))
+        .drop("c")
+    else
+      df.select(col("*"),
+          explode(slice(sort_array(ranked, asc = false), 1, keep)).as("c"))
+        .withColumn("lst", -col("c.negid"))
+        .drop("c")
   }
 
   /** The DERIVED-GEOMETRY twin of q192 (closing SCALING_r13's one

@@ -582,10 +582,22 @@ object Similarity {
       struct(
         round(Exprs.cosine_sim(col(vecCol), c.getField("_2")), 4).as("csim"),
         c.getField("_1").as("negid")))
-    df.select(col("*"),
-        explode(slice(sort_array(ranked, asc = false), 1, keep)).as("cand"))
-      .withColumn(outCol, -col("cand.negid"))
-      .drop("cand")
+    // keep=1 — the ASSIGNMENT pass, the hot path at derived k (every
+    // Lloyd iteration plus the final pass run it over the whole corpus):
+    // array_max is one O(C) scan per row where slice(sort_array) pays
+    // O(C log C). Identical semantics: struct max = lexicographic
+    // (csim, negid) max = highest sim, ties to highest negid = LOWEST
+    // cent_id — exactly sort-desc-take-1 (EngineSpec pins the HOF and
+    // literal forms row-for-row equal, which covers this branch).
+    if (keep == 1)
+      df.select(col("*"), array_max(ranked).as("cand"))
+        .withColumn(outCol, -col("cand.negid"))
+        .drop("cand")
+    else
+      df.select(col("*"),
+          explode(slice(sort_array(ranked, asc = false), 1, keep)).as("cand"))
+        .withColumn(outCol, -col("cand.negid"))
+        .drop("cand")
   }
 
   /** The q32 probe pipeline over an auto-sized geometry via

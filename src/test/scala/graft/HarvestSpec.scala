@@ -23,6 +23,22 @@ class HarvestSpec extends AnyFunSuite {
     assert(Harvest.planPages(0, 100, 3).isEmpty)
   }
 
+  test("distributed planDf equals the driver-side planPages stripe-for-stripe") {
+    // planDf generates the plan via spark.range (no driver Seq, Long
+    // offsets — survives a >2³¹-document corpus); its (worker, offset)
+    // assignment must be EXACTLY planPages' stripe rule
+    val spark = SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    for ((total, limit, workers) <- Seq((1000, 100, 3), (537, 37, 5), (50, 100, 3), (0, 100, 3))) {
+      val viaSeq = Harvest.planPages(total, limit, workers)
+        .map(p => (p.worker, p.offset.toLong)).toSet
+      val viaDf = Harvest.planDf(spark, total.toLong, limit, workers)
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+      assert(viaDf == viaSeq, s"plan diverged at total=$total limit=$limit workers=$workers")
+    }
+  }
+
   test("incremental window is the 10-day code behavior, not the 5-day doc") {
     assert(Harvest.incrementalParams(LocalDate.of(2026, 7, 15)) ==
       Map("updated_time__gte" -> "2026-07-05"))
