@@ -767,11 +767,14 @@ object Multimodal {
     * doc_id. */
   def vadSegments(wins: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ranked = wins
-      .withColumn("rn", row_number().over(
-        Window.orderBy("energy", "doc_id", "win_idx")))
-      .withColumn("nt", count(lit(1)).over(
-        Window.partitionBy()))
+    // the median's global rank rides EVERY audio window in the corpus —
+    // routed above ScaleWindows.GlobalWindowCap to the distributed
+    // sort + partition-offset form (same selection, same tie order); the
+    // count is one aggregate, not a partition-less count() window
+    val nt = wins.agg(count(lit(1)).cast("long").as("nt"))
+    val ranked = graft.operators.ScaleWindows.globalOrderedScan(
+        wins, Seq(col("energy"), col("doc_id"), col("win_idx")), Some("rn"))
+      .crossJoin(broadcast(nt))
     val med = ranked.filter(expr("rn = (nt + 1) div 2"))
       .select(col("energy").as("med"))
     val active = wins.crossJoin(broadcast(med)).filter(col("energy") > col("med"))

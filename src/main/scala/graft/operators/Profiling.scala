@@ -856,9 +856,12 @@ object Profiling {
       .withColumn("r", row_number().over(bySource.orderBy("nt", "doc_id"))
         .cast("long"))
       .withColumn("n", count(lit(1)).over(bySource))
-    val g = f.select(col("nt").as("gnt"), col("doc_id").as("gid"))
-      .withColumn("gr", row_number().over(
-        Window.orderBy(col("gnt"), col("gid"))).cast("long"))
+    // the POOLED rank rides the corpus — routed above GlobalWindowCap to
+    // the distributed sort + partition-offset form (the per-source ranks
+    // above stay windowed: they are partitioned, never a global funnel)
+    val g = ScaleWindows.globalOrderedScan(
+        f.select(col("nt").as("gnt"), col("doc_id").as("gid")),
+        Seq(col("gnt"), col("gid")), Some("gr"))
       .select("gnt", "gr")
     val nn = f.agg(count(lit(1)).cast("long").as("nn"))
     r.crossJoin(broadcast(nn))

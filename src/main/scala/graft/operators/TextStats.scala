@@ -658,8 +658,12 @@ object TextStats {
     def ql(x: String) = s"((length(bin($x)) - 1) * 1024" +
       s" + ($x) * 1024 div shiftleft(1L, length(bin($x)) - 1) - 1024)"
     val docs = Tables.documents(s, d)
-    val dr = docs.select(col("doc_id"))
-      .withColumn("r", row_number().over(Window.orderBy("doc_id")).cast("long"))
+    // insertion rank + cumulatives route above GlobalWindowCap to the
+    // distributed sort + partition-offset form (ScaleWindows) — a
+    // partition-less window here rides the CORPUS, the one frame that
+    // must never funnel through a single task
+    val dr = ScaleWindows.globalOrderedScan(
+        docs.select(col("doc_id")), Seq(col("doc_id")), Some("r"))
       .localCheckpoint(true) // ownership ranks + cumulatives read it
     val g = docs
       .select(col("doc_id"),
@@ -669,10 +673,10 @@ object TextStats {
     val vo = g.groupBy("gram").agg(min("doc_id").as("owner"))
       .join(dr.select(col("doc_id").as("owner"), col("r").as("ro")), "owner")
       .groupBy("ro").agg(count(lit(1)).cast("long").as("v"))
-    val cum = dr.join(gt, Seq("doc_id"), "left").na.fill(0L, Seq("ng"))
-      .join(vo, dr("r") === vo("ro"), "left").na.fill(0L, Seq("v"))
-      .withColumn("ctok", sum("ng").over(Window.orderBy("r")).cast("long"))
-      .withColumn("cvoc", sum("v").over(Window.orderBy("r")).cast("long"))
+    val cum = ScaleWindows.globalOrderedScan(
+        dr.join(gt, Seq("doc_id"), "left").na.fill(0L, Seq("ng"))
+          .join(vo, dr("r") === vo("ro"), "left").na.fill(0L, Seq("v")),
+        Seq(col("r")), None, Seq("ng" -> "ctok", "v" -> "cvoc"))
       .select("r", "ctok", "cvoc")
     val nd = docs.agg(count(lit(1)).cast("long").as("nd"))
     val ck = nd.select(explode(sequence(lit(1L), lit(10L))).as("i"), col("nd"))

@@ -306,12 +306,15 @@ object Weighting {
       }
     val w = h.join(broadcast(terms), "b")
       .groupBy("doc_id").agg(sum(col("term")).as("w"))
-    base.select("doc_id")
-      .join(w, Seq("doc_id"), "left")
-      .withColumn("w_micro", coalesce(col("w"), lit(0L)))
-      .withColumn("kept",
-        row_number().over(Window.orderBy(col("w_micro").desc, col("doc_id")))
-          <= keep)
+    // the keep-top rank rides the corpus — routed above GlobalWindowCap
+    // (ScaleWindows): a partition-less window here would funnel every
+    // document through one task at selection scale
+    ScaleWindows.globalOrderedScan(
+        base.select("doc_id")
+          .join(w, Seq("doc_id"), "left")
+          .withColumn("w_micro", coalesce(col("w"), lit(0L))),
+        Seq(col("w_micro").desc, col("doc_id")), Some("__rk"))
+      .withColumn("kept", col("__rk") <= keep)
       .select("doc_id", "w_micro", "kept")
   }
 
@@ -365,7 +368,10 @@ object Weighting {
       .groupBy("tok").agg(count(lit(1)).cast("long").as("n"))
     val w = c.withColumn("w",
       round(sqrt(col("n") * sqrt(col("n"))) * 1000).cast("long"))
-    val cw = w.withColumn("cum", sum("w").over(Window.orderBy("tok")).cast("long"))
+    // the cumulative rides the token VOCABULARY (10⁷–10⁸ types at corpus
+    // scale) — routed above GlobalWindowCap like the other global scans
+    val cw = ScaleWindows.globalOrderedScan(
+        w, Seq(col("tok")), None, Seq("w" -> "cum"))
       .localCheckpoint(true) // the draw join + output both read it
     val tot = cw.agg(sum("w").cast("long").as("t"))
     val draws = s.range(0, NsDraws)

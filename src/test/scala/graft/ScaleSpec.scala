@@ -634,6 +634,35 @@ class ScaleSpec extends AnyFunSuite {
       s"within-cell pair volume $c4 is not ≪ brute ${n4 * (n4 - 1) / 2}")
   }
 
+  test("routed global window (ScaleWindows) equals the partition-less window bit-for-bit") {
+    import graft.operators.ScaleWindows
+    // the q276 routing recipe generalized: above GlobalWindowCap a global
+    // row_number/running-sum runs as distributed sort + partition-offset
+    // scan — forced here via cap=0 and pinned row-identical to the window
+    // form on every shape the registry uses (asc rank, desc rank, rank
+    // with nulls in the sum column, multi-column running sums)
+    val df = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars").cast("long").as("k"))
+      .withColumn("v", when(col("doc_id") % 7 === 0, lit(null)
+        .cast("long")).otherwise(col("k")))
+      .repartition(4)
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => r.toSeq.map(x => Option(x).fold("null")(_.toString)))
+      .toSet
+    for ((order, sums) <- Seq(
+      (Seq(col("doc_id")), Seq("k" -> "ck", "v" -> "cv")),
+      (Seq(col("k").desc, col("doc_id")), Seq.empty[(String, String)]))) {
+      val viaWindow = ScaleWindows.globalOrderedScan(
+        df, order, Some("r"), sums, cap = Long.MaxValue)
+      val viaStages = ScaleWindows.globalOrderedScan(
+        df, order, Some("r"), sums, cap = 0L)
+      val (sw, ss) = (rows(viaWindow), rows(viaStages))
+      assert(ss == sw,
+        s"routed scan diverged from the window form (order=$order sums=$sums): " +
+          s"onlyWindow=${(sw -- ss).take(3)} onlyStaged=${(ss -- sw).take(3)}")
+    }
+  }
+
   test("governance lifecycle end-to-end at bench scale: ~5.5k-doc synthetic corpus, layer counts + well-formed XML") {
     // round-13 verdict item #8: q98 gates the 01→04 lifecycle at fixture
     // scale (21 gated docs). This drives the SAME Governance.run entry
