@@ -78,6 +78,127 @@ object DataSplit {
       .orderBy("doc_id")
   }
 
+  /** Bloom bit-space size (2²¹ positions). This is what bounds the
+    * broadcast at ANY corpus size: the filter is the DISTINCT position
+    * set, ≤ M longs ≤ 16 MB, where q60's exact form must move the full
+    * distinct-gram table (billions of strings at 100 TB — broadcastable
+    * never, shuffled always). */
+  val BloomBits = 1 << 21
+
+  /** Bloom-filter decontamination — q60's production twin at corpus
+    * scale (the CCNet/Dolma-style membership test): the TRAIN side is
+    * compressed to a Bloom filter over its distinct bigrams — two
+    * oracle-replayable hash positions per gram, h = polyHash131 mod
+    * 2⁶¹−1 (the q26/q28 family), pos₁ = h mod [[BloomBits]], pos₂ =
+    * mulmod61(h, G) mod [[BloomBits]] — and each TEST doc counts the
+    * distinct bigrams whose BOTH positions are set. Bloom semantics
+    * exactly: no false negatives (n_bloom ≥ n_exact always — spec'd),
+    * false positives bounded by the (2n/M)² load. Both sides stay
+    * relational: the "bit array" is the distinct-position table, and
+    * membership is two broadcast LEFT SEMI joins — so the filter
+    * builds with one shuffle (distinct over positions, already ≤ M
+    * keys) and the test side never shuffles at all. The oracle
+    * recomputes the identical positions via HUGEINT arithmetic and
+    * replays every count bit-for-bit; the gate also carries q60's
+    * exact count so the false-positive margin is observable. */
+  val q289 = Q.sql("q289_bloom_decontam",
+    s"""WITH s AS (
+       |  SELECT doc_id, text,
+       |    CASE WHEN substr(md5(text), 1, 1) < 'c' THEN 'train'
+       |         WHEN substr(md5(text), 1, 1) < 'e' THEN 'val'
+       |         ELSE 'test' END AS split,
+       |    regexp_split_to_array(trim(text), '\\s+') AS toks
+       |  FROM documents),
+       |grams AS (
+       |  SELECT doc_id, split,
+       |    unnest(list_distinct(list_transform(range(1, len(toks)),
+       |                          i -> toks[i] || ' ' || toks[i+1]))) AS g
+       |  FROM s),
+       |gh AS (
+       |  SELECT doc_id, split, g,
+       |    CAST(list_reduce(
+       |      list_prepend(CAST(0 AS HUGEINT),
+       |        list_transform(range(1, length(g) + 1),
+       |                       i -> CAST(ascii(substr(g, i, 1)) AS HUGEINT))),
+       |      (a, b) -> (a * 131 + b) % 2305843009213693951) AS BIGINT) AS h
+       |  FROM grams),
+       |gp AS (
+       |  SELECT doc_id, split, g, h % $BloomBits AS p1,
+       |    CAST(CAST(h AS HUGEINT) * 1752450205419405103
+       |         % 2305843009213693951 AS BIGINT) % $BloomBits AS p2
+       |  FROM gh),
+       |bp AS (
+       |  SELECT DISTINCT pos FROM (
+       |    SELECT p1 AS pos FROM gp WHERE split = 'train'
+       |    UNION ALL
+       |    SELECT p2 FROM gp WHERE split = 'train')),
+       |train_g AS (SELECT DISTINCT g FROM grams WHERE split = 'train'),
+       |eg AS (SELECT * FROM gp WHERE split = 'test'),
+       |bloom AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bloom
+       |  FROM eg
+       |  WHERE p1 IN (SELECT pos FROM bp) AND p2 IN (SELECT pos FROM bp)
+       |  GROUP BY doc_id),
+       |exact AS (
+       |  SELECT eg.doc_id, CAST(count(tg.g) AS BIGINT) AS n_exact
+       |  FROM eg LEFT JOIN train_g tg ON eg.g = tg.g
+       |  GROUP BY eg.doc_id)
+       |SELECT e.doc_id, e.n_exact,
+       |  coalesce(b.n_bloom, 0) AS n_bloom,
+       |  coalesce(b.n_bloom, 0) - e.n_exact AS n_false_pos
+       |FROM exact e LEFT JOIN bloom b ON b.doc_id = e.doc_id
+       |ORDER BY e.doc_id""".stripMargin) { (s, d) =>
+    bloomDecontam(s, d, BloomBits)
+  }
+
+  /** q289's body over a given bit-space size — the spec shrinks mBits to
+    * saturate the filter and observe actual false positives (the gate's
+    * [[BloomBits]] keeps the load, and thus the FPR, near zero at
+    * fixture scale). */
+  private[graft] def bloomDecontam(s: org.apache.spark.sql.SparkSession,
+      d: String, mBits: Int): org.apache.spark.sql.DataFrame = {
+    import graft.functions.Exprs
+    val BloomG = 1752450205419405103L
+    val BloomBits = mBits
+    val split = Tables.documents(s, d)
+      .select(col("doc_id"),
+        array_distinct(Text.shingles(Text.tokens(col("text")), 2)).as("grams"),
+        when(substring(md5(col("text").cast("binary")), 1, 1) < "c", "train")
+          .when(substring(md5(col("text").cast("binary")), 1, 1) < "e", "val")
+          .otherwise("test").as("split"))
+      .localCheckpoint(true) // filter build + test side + exact all read it
+    val trainGrams = split.filter(col("split") === "train")
+      .select(explode(col("grams")).as("g")).distinct()
+      .localCheckpoint(true) // bloom positions + the exact join read it
+    // the Bloom filter: the distinct position set, ≤ BloomBits rows
+    val bloomPos = trainGrams
+      .select(Exprs.poly_hash(col("g")).as("h"))
+      .select(explode(array(col("h") % BloomBits,
+        Exprs.mulmod61(col("h"), BloomG) % BloomBits)).as("pos"))
+      .distinct()
+    val evalG = split.filter(col("split") === "test")
+      .select(col("doc_id"), explode(col("grams")).as("g"))
+      .withColumn("h", Exprs.poly_hash(col("g")))
+      .withColumn("p1", col("h") % BloomBits)
+      .withColumn("p2", Exprs.mulmod61(col("h"), BloomG) % BloomBits)
+      .localCheckpoint(true) // bloom count + exact count read it
+    val bloom = evalG
+      .join(broadcast(bloomPos.select(col("pos").as("bp1"))),
+        col("p1") === col("bp1"), "left_semi")
+      .join(broadcast(bloomPos.select(col("pos").as("bp2"))),
+        col("p2") === col("bp2"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).cast("long").as("n_bloom"))
+    val exact = evalG
+      .join(trainGrams.withColumnRenamed("g", "tg"),
+        col("g") === col("tg"), "left")
+      .groupBy("doc_id").agg(count(col("tg")).cast("long").as("n_exact"))
+    exact.join(bloom, Seq("doc_id"), "left")
+      .withColumn("n_bloom", coalesce(col("n_bloom"), lit(0L)))
+      .withColumn("n_false_pos", col("n_bloom") - col("n_exact"))
+      .select("doc_id", "n_exact", "n_bloom", "n_false_pos")
+      .orderBy("doc_id")
+  }
+
   /** Stratified deterministic sampling: each language stratum keeps a
     * different fraction of its documents (the data-mixing knob of a
     * training run — upsample scarce languages, downsample the dominant
@@ -720,5 +841,5 @@ object DataSplit {
       .orderBy("tbl", "fpr_ppm")
   }
 
-  val all: Seq[Q] = Seq(q59, q60, q67, q77, q83, q105, q133, q148, q165, q173, q186, q198, q226, q238)
+  val all: Seq[Q] = Seq(q59, q60, q67, q77, q83, q105, q133, q148, q165, q173, q186, q198, q226, q238, q289)
 }

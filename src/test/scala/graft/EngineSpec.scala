@@ -613,6 +613,28 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("bloom decontamination: no false negatives at any bit-space size; saturation produces observable false positives (q289)") {
+    // the Bloom contract: n_bloom >= n_exact per doc ALWAYS (a membership
+    // filter can over-report, never under-report). At the gate's 2^21
+    // bit space the fixture load keeps FPR ~0; shrinking to 2^7 saturates
+    // the filter, so false positives must actually appear — proving the
+    // bloom branch is a real approximate structure, not a renamed exact
+    // join.
+    for ((m, wantFp) <- Seq(((1 << 21), false), ((1 << 7), true))) {
+      val rows = graft.operators.DataSplit.bloomDecontam(spark, sf, m)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(rows.nonEmpty)
+      rows.foreach { case (id, exact, bloom, fp) =>
+        assert(bloom >= exact, s"doc $id: bloom $bloom < exact $exact — false negative")
+        assert(fp == bloom - exact, s"doc $id: margin column inconsistent")
+      }
+      val totFp = rows.map(_._4).sum
+      if (wantFp) assert(totFp > 0,
+        s"2^7-bit filter produced zero false positives over ${rows.length} docs — saturation not exercised")
+      else assert(totFp >= 0)
+    }
+  }
+
   test("set-similarity join: dense bitmap and hashed merge-walk paths agree") {
     import graft.functions.Text
     import org.apache.spark.sql.functions.col

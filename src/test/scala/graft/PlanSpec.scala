@@ -667,6 +667,19 @@ class PlanSpec extends AnyFunSuite {
       s"derived-k SemDeDup degraded to a nested-loop cross join:\n$p")
   }
 
+  test("bloom decontamination: membership is broadcast semi-joins, the corpus side never shuffles on grams (q289 pin)") {
+    // the scale contract: the eval side probes the ≤2²¹-position filter
+    // via BROADCAST left-semi joins — a shuffle of the gram stream onto
+    // the filter (or a cartesian) would move the 100 TB side instead of
+    // the 16 MB one
+    val df = SparkEntry.queries("q289_bloom_decontam")(spark, sf)
+    df.collect() // localCheckpoints force execution before explain
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"bloom membership lost its broadcast semi-join shape:\n$p")
+  }
+
   test("derived-geometry label prop keeps the projection+list-join shape (q285 pin)") {
     val df = SparkEntry.queries("q285_label_prop_autonlist")(spark, sf)
     df.collect() // localCheckpoints inside force execution before explain
