@@ -237,6 +237,26 @@ object Bench {
     // structurally impossible). Subset dev-loop runs skip regardless —
     // a 3-gate artifact must not overwrite the full-suite block.
     if (args.isEmpty && errors.isEmpty &&
+        !sys.env.get("SPARK_GRAFT_README_REGEN").contains("1")) {
+      // a full clean run that SKIPS regeneration must say so loudly and
+      // record it in the artifact — otherwise a builder run that forgot
+      // the env var silently reintroduces the rounds-6-8 stale-README
+      // failure mode the opt-in design was built to prevent (r14 advice)
+      System.err.println(
+        "[bench] full clean run WITHOUT SPARK_GRAFT_README_REGEN=1 — " +
+          "README BENCH block NOT regenerated (set it on the final " +
+          "full-suite run before committing)")
+      try {
+        val out = java.nio.file.Paths.get(
+          sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
+        val amended = json.dropRight(1) + ""","regen_skipped":true}"""
+        java.nio.file.Files.write(out, amended.getBytes("UTF-8"))
+      } catch {
+        case e: java.io.IOException =>
+          System.err.println(s"[bench] regen_skipped write failed: $e")
+      }
+    }
+    if (args.isEmpty && errors.isEmpty &&
         sys.env.get("SPARK_GRAFT_README_REGEN").contains("1")) {
       // a failed regen is recorded IN the artifact (not only stderr):
       // the README block claims derivation from this artifact, so the

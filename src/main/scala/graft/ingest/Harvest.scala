@@ -84,8 +84,12 @@ object Harvest {
     // the driver never materializes the plan and a >2³¹-document corpus
     // plans without Int overflow (round-14 hardening; planPages stays as
     // the driver-side helper for small plans)
+    // integral `div`, not Column `/` (double division — exact only
+    // below 2^53, which would undercut the Long-hardening intent);
+    // `id div limit` stays LongType end-to-end (r14 advice)
     spark.range(0, total, limit.toLong)
-      .select((($"id" / limit) % workers).cast("int").as("worker"),
+      .select((expr(s"id div ${limit.toLong}") % workers)
+          .cast("int").as("worker"),
         $"id".as("offset"), lit(limit).as("limit"))
       .repartition(workers, col("worker"))
   }

@@ -769,15 +769,19 @@ object Multimodal {
     import org.apache.spark.sql.expressions.Window
     // the median's global rank rides EVERY audio window in the corpus —
     // routed above ScaleWindows.GlobalWindowCap to the distributed
-    // sort + partition-offset form (same selection, same tie order); the
-    // count is one aggregate, not a partition-less count() window
-    val nt = wins.agg(count(lit(1)).cast("long").as("nt"))
+    // sort + partition-offset form (same selection, same tie order).
+    // Decode runs ONCE: the checkpoint materializes the window table,
+    // and the routing count, the median scan, and the active-segment
+    // pass all read the cached blocks (r14 advice — the old form
+    // re-decoded for the count, the window, and the active pass)
+    val w0 = wins.localCheckpoint(true)
+    val ntl = w0.count()
     val ranked = graft.operators.ScaleWindows.globalOrderedScan(
-        wins, Seq(col("energy"), col("doc_id"), col("win_idx")), Some("rn"))
-      .crossJoin(broadcast(nt))
-    val med = ranked.filter(expr("rn = (nt + 1) div 2"))
+        w0, Seq(col("energy"), col("doc_id"), col("win_idx")), Some("rn"),
+        knownCount = Some(ntl))
+    val med = ranked.filter(col("rn") === lit((ntl + 1L) / 2L))
       .select(col("energy").as("med"))
-    val active = wins.crossJoin(broadcast(med)).filter(col("energy") > col("med"))
+    val active = w0.crossJoin(broadcast(med)).filter(col("energy") > col("med"))
     active
       .withColumn("grp", col("win_idx") - row_number().over(
         Window.partitionBy("doc_id").orderBy("win_idx")))

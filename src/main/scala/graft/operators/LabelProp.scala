@@ -324,8 +324,11 @@ object LabelProp {
     // keep=1 assignment pass: O(C) array_max instead of the O(C log C)
     // sort — struct max = (w, negid) lexicographic max = highest w, ties
     // to lowest cent_id, exactly sort-desc-take-1 (Similarity.ivfAssignHof
-    // has the same branch; the routed-vs-brute agreement specs cover it)
-    if (keep == 1)
+    // has the same branch; the routed-vs-brute agreement specs cover it).
+    // cents.nonEmpty: the explode branch drops all rows on an empty
+    // centroid table; array_max would keep them with a null lst (r14
+    // advice — unreachable in practice, guarded for the equivalence)
+    if (keep == 1 && cents.nonEmpty)
       df.select(col("*"), array_max(ranked).as("c"))
         .withColumn("lst", -col("c.negid"))
         .drop("c")

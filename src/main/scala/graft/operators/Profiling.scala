@@ -861,7 +861,11 @@ object Profiling {
     // above stay windowed: they are partitioned, never a global funnel)
     val g = ScaleWindows.globalOrderedScan(
         f.select(col("nt").as("gnt"), col("doc_id").as("gid")),
-        Seq(col("gnt"), col("gid")), Some("gr"))
+        Seq(col("gnt"), col("gid")), Some("gr"),
+        // f is checkpointed — its count is a cached-blocks job, and
+        // passing it keeps the pooled-rank call from re-materializing
+        // the projection just to route (r14 advice)
+        knownCount = Some(f.count()))
       .select("gnt", "gr")
     val nn = f.agg(count(lit(1)).cast("long").as("nn"))
     r.crossJoin(broadcast(nn))

@@ -23,6 +23,15 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * cannot reorder equal rows — the same precondition
   * globalNtileStages documents). The localCheckpoint pins the sorted
   * blocks so the stats pass and the emit pass read the same layout.
+  *
+  * Routing cost: a caller that already knows the row count passes it
+  * via `knownCount` and the below-cap path adds ZERO jobs (the plain
+  * window is built lazily — EngineSpec pins this with a job-group
+  * audit). Without it the input is localCheckpointed FIRST and the
+  * count reads the cached blocks, so the upstream plan executes once
+  * total instead of once for the count and again for the window (the
+  * round-14 advice: TextStats' cumulative call re-executed its
+  * dr/gt/vo join solely for the routing count).
   */
 object ScaleWindows {
 
@@ -38,20 +47,26 @@ object ScaleWindows {
     * LongType (null counts as 0, matching window sum's null-skip). */
   def globalOrderedScan(df: DataFrame, order: Seq[Column],
       rankCol: Option[String], sums: Seq[(String, String)] = Nil,
-      cap: Long = GlobalWindowCap): DataFrame = {
-    val n = df.count()
+      cap: Long = GlobalWindowCap,
+      knownCount: Option[Long] = None): DataFrame = {
+    val (src, n) = knownCount match {
+      case Some(k) => (df, k)
+      case None =>
+        val c = df.localCheckpoint(true)
+        (c, c.count())
+    }
     if (n <= cap) {
       val w = Window.orderBy(order: _*)
-      val ranked = rankCol.fold(df)(rc =>
-        df.withColumn(rc, row_number().over(w).cast("long")))
+      val ranked = rankCol.fold(src)(rc =>
+        src.withColumn(rc, row_number().over(w).cast("long")))
       sums.foldLeft(ranked) { case (acc, (vc, oc)) =>
         acc.withColumn(oc, sum(col(vc))
           .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
           .cast("long"))
       }
     } else {
-      val spark = df.sparkSession
-      val sorted = df.orderBy(order: _*).localCheckpoint(true)
+      val spark = src.sparkSession
+      val sorted = src.orderBy(order: _*).localCheckpoint(true)
       val sumIdx = sums.map { case (vc, _) => sorted.schema.fieldIndex(vc) }
       // one (count, Σ…, non-null count…) tuple per partition — the only
       // driver traffic (non-null counts carry the window sum's

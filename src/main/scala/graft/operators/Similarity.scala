@@ -589,7 +589,12 @@ object Similarity {
     // (csim, negid) max = highest sim, ties to highest negid = LOWEST
     // cent_id — exactly sort-desc-take-1 (EngineSpec pins the HOF and
     // literal forms row-for-row equal, which covers this branch).
-    if (keep == 1)
+    // cents.nonEmpty guard: on an EMPTY centroid table the explode
+    // branch drops every row where array_max would keep them with a
+    // null assignment — unreachable via kmeansCentroids, but the
+    // identical-by-construction claim must hold on the degenerate
+    // input too (r14 advice)
+    if (keep == 1 && cents.nonEmpty)
       df.select(col("*"), array_max(ranked).as("cand"))
         .withColumn(outCol, -col("cand.negid"))
         .drop("cand")

@@ -673,10 +673,15 @@ object TextStats {
     val vo = g.groupBy("gram").agg(min("doc_id").as("owner"))
       .join(dr.select(col("doc_id").as("owner"), col("r").as("ro")), "owner")
       .groupBy("ro").agg(count(lit(1)).cast("long").as("v"))
+    // the left joins preserve dr's row count, and dr is checkpointed —
+    // so the cumulative call's routing count is known up front and the
+    // dr/gt/vo join is never executed solely to count it (r14 advice)
+    val ndl = dr.count()
     val cum = ScaleWindows.globalOrderedScan(
         dr.join(gt, Seq("doc_id"), "left").na.fill(0L, Seq("ng"))
           .join(vo, dr("r") === vo("ro"), "left").na.fill(0L, Seq("v")),
-        Seq(col("r")), None, Seq("ng" -> "ctok", "v" -> "cvoc"))
+        Seq(col("r")), None, Seq("ng" -> "ctok", "v" -> "cvoc"),
+        knownCount = Some(ndl))
       .select("r", "ctok", "cvoc")
     val nd = docs.agg(count(lit(1)).cast("long").as("nd"))
     val ck = nd.select(explode(sequence(lit(1L), lit(10L))).as("i"), col("nd"))

@@ -429,6 +429,41 @@ class EngineSpec extends AnyFunSuite {
     assert(cents.select(col("cvec")).head.getSeq[Float](0).size == 64)
   }
 
+  test("globalOrderedScan with a known count adds zero jobs below the cap (r14 advice)") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(0, 1000).select(col("id"), (col("id") % 7).as("v"))
+    val group = "gos-zero-jobs"
+    spark.sparkContext.setJobGroup(group, "globalOrderedScan job audit", false)
+    val out = try operators.ScaleWindows.globalOrderedScan(
+      df, Seq(col("id")), Some("rk"), Seq("v" -> "cum"),
+      knownCount = Some(1000L))
+    finally spark.sparkContext.clearJobGroup()
+    // building the below-cap form is pure plan construction — the plain
+    // window is lazy, and the routing count job the default path pays
+    // is gone when the caller supplies the count (r14 verdict item #3)
+    def jobs(): Int =
+      spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+    var prev = -1; var cur = jobs(); var tries = 0
+    while (cur != prev && tries < 20) {
+      prev = cur; Thread.sleep(50); cur = jobs(); tries += 1
+    }
+    assert(cur == 0, s"below-cap call with knownCount ran $cur jobs")
+    // value-identical to the self-counting path (which now checkpoints
+    // the input and counts the cached blocks instead of re-executing)
+    val viaDefault = operators.ScaleWindows.globalOrderedScan(
+      df, Seq(col("id")), Some("rk"), Seq("v" -> "cum"))
+    assert(out.orderBy("id").collect().toSeq ==
+      viaDefault.orderBy("id").collect().toSeq)
+  }
+
+  test("ivfAssignHof keep=1 drops rows on an empty centroid table, matching the explode form (r14 advice)") {
+    val e = Tables.embeddings(spark, sf).limit(5)
+    val assigned = operators.Similarity.ivfAssignHof(
+      e, Seq.empty, "vec_id", "embedding", "cent_id", 1)
+    assert(assigned.count() == 0,
+      "empty centroid table must yield zero assignments on both branches")
+  }
+
   test("quality checks count violations on dirty data") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
