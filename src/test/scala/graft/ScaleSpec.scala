@@ -51,6 +51,44 @@ class ScaleSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS $oT")
   }
 
+  test("derived Bloom bit-space: FPR stays under the (2n/M)^2 bound as the corpus grows 4x (q290)") {
+    import spark.implicits._
+    import operators.DataSplit
+    // synthetic corpus with per-doc-unique bigrams: 5 tokens → 4 distinct
+    // bigrams per doc, none shared across docs — so n_exact = 0 for every
+    // test doc and n_false_pos IS the observed false-positive count, and
+    // the distinct train-gram count nt scales linearly with N
+    def corpus(n: Int) = spark.range(n).select($"id".as("doc_id"),
+      format_string("w%da w%db w%dc w%dd w%de",
+        $"id", $"id", $"id", $"id", $"id").as("text"))
+    val ms = scala.collection.mutable.Map[Int, Int]()
+    for (n <- Seq(2000, 8000)) {
+      val split = DataSplit.bloomSplitOf(corpus(n))
+      val tg = DataSplit.bloomTrainGrams(split)
+      val nt = tg.count()
+      val m = DataSplit.autoBloomBits(nt)
+      ms(n) = m
+      // the derivation keeps M >= 16·nt (inside the clamp range), so the
+      // load 2nt/M <= 1/8 and the analytic FPR bound (2nt/M)^2 <= 1/64
+      // holds at ANY corpus size — the property a pinned M loses
+      assert(m >= DataSplit.BloomLoadFactor * nt,
+        s"n=$n: derived M=$m below ${DataSplit.BloomLoadFactor}x nt=$nt")
+      val rows = DataSplit.bloomDecontamOn(split, tg, m).collect()
+      val fp = rows.map(_.getAs[Long]("n_false_pos")).sum
+      assert(rows.forall(_.getAs[Long]("n_false_pos") >= 0L),
+        "Bloom false negative: n_bloom < n_exact")
+      val lookups = split.filter($"split" === "test")
+        .select(explode($"grams")).count()
+      val bound = lookups * math.pow(2.0 * nt / m, 2)
+      assert(fp <= bound,
+        s"n=$n: observed FP $fp over $lookups lookups exceeds the " +
+          s"(2n/M)^2 bound $bound (M=$m, nt=$nt)")
+    }
+    // and the knob actually derives: 4x the corpus moves the bit-space
+    assert(ms(8000) > ms(2000),
+      s"bit-space did not grow with the corpus: ${ms.toMap}")
+  }
+
   test("SetSimJoin auto-routes: prefix on sparse corpora, quadratic on dense/small") {
     import spark.implicits._
     import operators.SetSimJoin
