@@ -832,6 +832,197 @@ object Multimodal {
       .orderBy("doc_id", "seg_start")
   }
 
+  // ——— Cross-modal pair curation (CLIP-score shape) ———
+
+  /** Shared feature dimensionality of the caption and image sides. */
+  val CrossModalDim = 64
+
+  /** Images kept per caption — the top-τ curation knob. */
+  val CrossModalTopK = 3
+
+  /** Caption-side features: token-hash bucket counts scaled by 2⁻⁷ —
+    * exact in binary float, so floor(v·10⁸) = 781250·count and the
+    * quantized dot replays integer-for-integer on both engines. Bucket
+    * = polyHash(token) mod [[CrossModalDim]] (the q289 hash idiom).
+    * One explode + two aggregations; at corpus scale this is a
+    * map-side-combined shuffle on (doc, bucket) — never on raw
+    * tokens. */
+  private[graft] def captionFeatures(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.{Exprs, Text}
+    val counts = Tables.documents(s, d)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"),
+        pmod(Exprs.poly_hash(col("tok")), lit(64L)).as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("cnt"))
+    counts.groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("b"), col("cnt")))).as("m"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0L), lit(63L)),
+          j => (coalesce(element_at(col("m"), j), lit(0L)) *
+            lit(0.0078125d)).cast("float")).as("txt_vec"))
+  }
+
+  /** Image-side features: the 64 dHash bits of the REAL decoded image
+    * as a ±0.125 hypercube vector (bit j set → +0.125) — the standard
+    * sign-feature embedding of a perceptual hash, exact in binary
+    * float so floor(v·10⁸) = ±12500000 on both engines. Images are the
+    * doc_id % 10 == 0 subset (the corpus' image-bearing docs); the
+    * filter runs BEFORE decode. */
+  private[graft] def imageFeatures(s: SparkSession, d: String): DataFrame =
+    dhashAll(ppmTable(s, d).filter(col("doc_id") % 10 === 0)).toDF()
+      .select(col("doc_id").as("image_id"),
+        expr("""transform(sequence(0, 63), j -> CAST(
+          IF(IF(j < 32, shiftright(dhash_lo, CAST(j AS INT)),
+                shiftright(dhash_hi, CAST(j AS INT) - 32)) % 2 = 1,
+             0.125D, -0.125D) AS FLOAT))""").as("img_vec"))
+
+  /** The DhashSql-based oracle CTE chain shared by q291/q292: image
+    * sign table `isig` (integer ±12500000 per (image, dim)), caption
+    * bucket counts `cb`, and the exact integer pair score `sc` —
+    * score(c, i) = Σ_j cnt_j(c)·781250 · sign_j(i)·12500000, which IS
+    * qdot(txt_vec, img_vec) because every feature is binary-exact. */
+  private val CrossModalScoreSql =
+    s"""$DhashSql,
+       |imgs AS (SELECT doc_id AS image_id, dhash_hi, dhash_lo
+       |         FROM dh WHERE doc_id % 10 = 0),
+       |isig AS (
+       |  SELECT image_id, jj.j AS b,
+       |    CASE WHEN (CASE WHEN jj.j < 32 THEN (dhash_lo >> jj.j)
+       |               ELSE (dhash_hi >> (jj.j - 32)) END) % 2 = 1
+       |         THEN 12500000 ELSE -12500000 END AS sgn
+       |  FROM imgs CROSS JOIN (SELECT unnest(range(0, 64)) AS j) jj),
+       |toks AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+       |  FROM documents),
+       |th AS (
+       |  SELECT doc_id,
+       |    CAST(list_reduce(
+       |      list_prepend(CAST(0 AS HUGEINT),
+       |        list_transform(range(1, length(tok) + 1),
+       |                       i -> CAST(ascii(substr(tok, i, 1)) AS HUGEINT))),
+       |      (a, b) -> (a * 131 + b) % 2305843009213693951) AS BIGINT) % 64 AS b
+       |  FROM toks),
+       |cb AS (SELECT doc_id, b, count(*) AS cnt FROM th GROUP BY doc_id, b),
+       |sc AS (
+       |  SELECT cb.doc_id, isig.image_id,
+       |    CAST(sum(cb.cnt * 781250 * isig.sgn) AS BIGINT) AS score_q
+       |  FROM cb JOIN isig ON isig.b = cb.b
+       |  GROUP BY cb.doc_id, isig.image_id)""".stripMargin
+
+  /** Cross-modal pair curation, brute anchor: every (caption, image)
+    * pair scored by the quantized integer dot product
+    * ([[graft.functions.Exprs.qdot]] — the codegen'd kernel), keep the
+    * top-[[CrossModalTopK]] images per caption (the CLIP-score
+    * alignment-filtering shape: LAION-style curation keeps pairs whose
+    * image/text similarity ranks high). Both feature sides are
+    * binary-exact (counts·2⁻⁷ and ±2⁻³), so the oracle replays the
+    * scoring in pure integers — a quantization slip, a hash-bucket
+    * slip, or a dHash bit slip all hash-mismatch. Scale: the brute
+    * cross join is the oracle anchor (candidates = captions × images);
+    * [[q292]] is the production twin that routes candidates through
+    * the IVF machinery. */
+  val q291 = Q.sql("q291_crossmodal_align",
+    s"""WITH $CrossModalScoreSql
+       |SELECT doc_id, image_id, score_q, rnk FROM (
+       |  SELECT doc_id, image_id, score_q,
+       |    CAST(row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY score_q DESC, image_id) AS BIGINT) AS rnk
+       |  FROM sc) t
+       |WHERE rnk <= $CrossModalTopK
+       |ORDER BY doc_id, rnk""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Exprs
+    val pairs = captionFeatures(s, d)
+      .crossJoin(broadcast(imageFeatures(s, d)))
+      .withColumn("score_q", Exprs.qdot(col("txt_vec"), col("img_vec")))
+    pairs
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("doc_id")
+          .orderBy(col("score_q").desc, col("image_id"))).cast("long"))
+      .filter(col("rnk") <= CrossModalTopK)
+      .select("doc_id", "image_id", "score_q", "rnk")
+      .orderBy("doc_id", "rnk")
+  }
+
+  /** Cross-modal pair curation, routed: the candidate join reuses the
+    * IVF machinery verbatim — coarse centroids are the first
+    * IVF_LISTS image vectors (q32's deterministic quantizer), images
+    * assign to their nearest list, captions probe their IVF_PROBES
+    * nearest lists, and only within-list pairs are scored (same
+    * integer qdot, same top-[[CrossModalTopK]] rank). At 100 TB the
+    * candidate volume rides cell occupancy (∝ N·cell instead of
+    * N·images); the oracle replays the full assignment — centroid
+    * choice, rounded-cosine ranks with cent_id tie-break, probes —
+    * plus every surviving score. MultimodalSpec pins that routed
+    * scores equal the brute pair scores on shared pairs. */
+  val q292 = Q.sql("q292_crossmodal_align_ivf",
+    s"""WITH $CrossModalScoreSql,
+       |cvec AS (
+       |  SELECT dd.doc_id,
+       |    list(coalesce(cb2.cnt, 0) * CAST(0.0078125 AS DOUBLE)
+       |         ORDER BY jj.j) AS v
+       |  FROM (SELECT DISTINCT doc_id FROM documents) dd
+       |  CROSS JOIN (SELECT unnest(range(0, 64)) AS j) jj
+       |  LEFT JOIN cb cb2 ON cb2.doc_id = dd.doc_id AND cb2.b = jj.j
+       |  GROUP BY dd.doc_id),
+       |ivec AS (
+       |  SELECT image_id,
+       |    list(CASE WHEN sgn > 0 THEN CAST(0.125 AS DOUBLE)
+       |         ELSE CAST(-0.125 AS DOUBLE) END ORDER BY b) AS v
+       |  FROM isig GROUP BY image_id),
+       |cents AS (SELECT image_id AS cent_id, v AS cvec FROM ivec
+       |          ORDER BY image_id LIMIT ${graft.operators.Similarity.IVF_LISTS}),
+       |nasg AS (
+       |  SELECT i.image_id, c.cent_id,
+       |    row_number() OVER (PARTITION BY i.image_id
+       |      ORDER BY round(list_cosine_similarity(i.v, c.cvec), 4) DESC,
+       |               c.cent_id) AS crn
+       |  FROM ivec i CROSS JOIN cents c),
+       |nlist AS (SELECT image_id, cent_id AS lst FROM nasg WHERE crn = 1),
+       |qasg AS (
+       |  SELECT cv.doc_id, c.cent_id,
+       |    row_number() OVER (PARTITION BY cv.doc_id
+       |      ORDER BY round(list_cosine_similarity(cv.v, c.cvec), 4) DESC,
+       |               c.cent_id) AS crn
+       |  FROM cvec cv CROSS JOIN cents c),
+       |qlist AS (SELECT doc_id, cent_id AS lst FROM qasg
+       |          WHERE crn <= ${graft.operators.Similarity.IVF_PROBES}),
+       |cand AS (SELECT DISTINCT q.doc_id, n.image_id
+       |         FROM qlist q JOIN nlist n USING (lst)),
+       |sc2 AS (SELECT sc.doc_id, sc.image_id, sc.score_q
+       |        FROM sc JOIN cand ON cand.doc_id = sc.doc_id
+       |                         AND cand.image_id = sc.image_id)
+       |SELECT doc_id, image_id, score_q, rnk FROM (
+       |  SELECT doc_id, image_id, score_q,
+       |    CAST(row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY score_q DESC, image_id) AS BIGINT) AS rnk
+       |  FROM sc2) t
+       |WHERE rnk <= $CrossModalTopK
+       |ORDER BY doc_id, rnk""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Exprs
+    import graft.operators.Similarity
+    val cap = captionFeatures(s, d)
+    val img = imageFeatures(s, d)
+      .localCheckpoint(true) // decode once: centroids + assignment read it
+    val cents = Similarity.localCents(img.orderBy("image_id")
+      .limit(Similarity.IVF_LISTS)
+      .select(col("image_id").as("cent_id"), col("img_vec").as("cvec")))
+    val nlist = Similarity.ivfAssign(img, cents, "image_id", "img_vec", "lst", 1)
+    val qlist = Similarity.ivfAssign(cap, cents, "doc_id", "txt_vec", "qlst",
+      Similarity.IVF_PROBES)
+    // an image sits in exactly one list, so a (caption, image) pair
+    // appears at most once across the caption's probes — no dedup pass
+    qlist.join(nlist, col("qlst") === col("lst"))
+      .withColumn("score_q", Exprs.qdot(col("txt_vec"), col("img_vec")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("doc_id")
+          .orderBy(col("score_q").desc, col("image_id"))).cast("long"))
+      .filter(col("rnk") <= CrossModalTopK)
+      .select("doc_id", "image_id", "score_q", "rnk")
+      .orderBy("doc_id", "rnk")
+  }
+
   val all: Seq[Q] = Seq(q52, q53, q58, q79, q90, q134, q172, q182, q183, q184,
-    q206, q207)
+    q206, q207, q291, q292)
 }

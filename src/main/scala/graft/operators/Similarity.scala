@@ -333,8 +333,8 @@ object Similarity {
       .orderBy(col("query_id"), col("sim").desc, col("neighbor_id"))
   }
 
-  private[operators] val IVF_LISTS = 16
-  private[operators] val IVF_PROBES = 2
+  private[graft] val IVF_LISTS = 16
+  private[graft] val IVF_PROBES = 2
 
   /** IVF-style ANN: coarse quantize to the nearest of 16 deterministic
     * centroids (first 16 vectors by id), probe the 2 nearest lists.

@@ -464,6 +464,39 @@ class EngineSpec extends AnyFunSuite {
       "empty centroid table must yield zero assignments on both branches")
   }
 
+  test("cross-modal routed candidates score identically to the brute pair scores (q291/q292)") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.Exprs
+    import graft.multimodal.Multimodal
+    // every (caption, image) pair's exact integer score, brute
+    val full = Multimodal.captionFeatures(spark, sf)
+      .crossJoin(broadcast(Multimodal.imageFeatures(spark, sf)))
+      .withColumn("score_q", Exprs.qdot(col("txt_vec"), col("img_vec")))
+      .select("doc_id", "image_id", "score_q").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val routed = SparkEntry.queries("q292_crossmodal_align_ivf")(spark, sf)
+      .collect()
+    assert(routed.nonEmpty, "routed cross-modal gate returned no pairs")
+    assert(routed.groupBy(_.getLong(0)).values
+        .forall(_.length <= Multimodal.CrossModalTopK),
+      "more than top-k images for a caption")
+    // the routed form may PRUNE candidates (that's its job) but must
+    // never score a surviving pair differently from the brute kernel
+    routed.foreach { r =>
+      val k = (r.getLong(0), r.getLong(1))
+      assert(full(k) == r.getLong(2),
+        s"routed score diverges from the brute qdot at $k")
+    }
+    // candidate-pruning recall vs the brute anchor — informational
+    val brute1 = SparkEntry.queries("q291_crossmodal_align")(spark, sf)
+      .collect().filter(_.getLong(3) == 1L)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val routed1 = routed.filter(_.getLong(3) == 1L)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    info(f"top-1 agreement with brute: " +
+      f"${(brute1 & routed1).size.toDouble / brute1.size}%.2f")
+  }
+
   test("quality checks count violations on dirty data") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
