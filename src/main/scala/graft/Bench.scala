@@ -139,7 +139,20 @@ object Bench {
         "accumulation (the gate deletes its staged temp trees per " +
         "invocation, Governance q98 cleanup). Read round-over-round " +
         "q98 deltas as environment, and compare rounds via same-day " +
-        "A/B when it matters"),
+        "A/B when it matters. Round-15 PHASE BREAKDOWN (GovProfile, " +
+        "warm repeats): seed runFixture ~2.9s, the two incremental " +
+        "batches called DIRECTLY ~3.8-4.7s each, the same two batches " +
+        "through runStreamingIngest ~8.4-9.0s, metric tail ~0.7s — so " +
+        "the streaming machinery (source listing, checkpoint, query " +
+        "startup/teardown, state store) costs only ~0.5-1.0s and the " +
+        "batch REBUILD WORK dominates (each batch = landing json " +
+        "rewrite + dynamic-partition 02/03 rebuild + pruned XML " +
+        "export, ~10 small jobs of fixed latency at 21-doc scale). " +
+        "VERDICT: irreducible without changing lifecycle semantics — " +
+        "a shared warmed state dir or SPARK_GRAFT_STREAM_PARTITIONS " +
+        "tuning attacks the ~1s slice, not the 8s one; at corpus " +
+        "scale the per-batch cost is partition-pruned real work, " +
+        "which is the design"),
       "q106_pagerank" -> ("round-14 profiling of the r13 driver-bench " +
         "tripling (3.69s->9.96s with Graph.scala untouched): solo " +
         "min-of-8 on this host = 4.60s [13.4,5.6,5.6,5.0,4.7,4.6,4.6," +
