@@ -234,9 +234,10 @@ object Weighting {
       .orderBy("doc_id")
   }
 
-  /** The q124 rule over any (doc_id, source, text) frame. `keep` is the
-    * resample budget: the `kept` flag marks the top-`keep` docs by
-    * weight (weight desc, doc_id tie-break).
+  /** q124's per-doc weight frame (doc_id, w_micro), i.e. everything
+    * below the keep-top rank — split out so the gram-stream join shape
+    * stays plan-visible ([[dsirWeights]] routes this frame through
+    * ScaleWindows, whose checkpoint truncates the explained plan).
     *
     * `wide = true` forces the wide arithmetic: the per-bucket ratio
     * `(ct+1)(Nr+B)·1e6 // (cr+1)(Nt+B)` overflows BIGINT once
@@ -251,8 +252,8 @@ object Weighting {
     * counts proves no term can overflow; otherwise the call
     * auto-upgrades to wide. Identical output wherever the narrow path
     * is safe (spec-pinned). */
-  def dsirWeights(documents: DataFrame, targetSources: Set[String],
-      keep: Int, wide: Boolean = false): DataFrame = {
+  private[graft] def dsirWeightFrame(documents: DataFrame,
+      targetSources: Set[String], wide: Boolean): DataFrame = {
     val isTarget = col("source").isin(targetSources.toSeq: _*)
     val base = documents.select(col("doc_id"), col("source"), col("text"))
     def gramBuckets(df: DataFrame): DataFrame = df
@@ -306,17 +307,27 @@ object Weighting {
       }
     val w = h.join(broadcast(terms), "b")
       .groupBy("doc_id").agg(sum(col("term")).as("w"))
+    base.select("doc_id")
+      .join(w, Seq("doc_id"), "left")
+      .withColumn("w_micro", coalesce(col("w"), lit(0L)))
+  }
+
+  /** The q124 rule over any (doc_id, source, text) frame. `keep` is the
+    * resample budget: the `kept` flag marks the top-`keep` docs by
+    * weight (weight desc, doc_id tie-break); see [[dsirWeightFrame]]
+    * for the weight arithmetic and the wide/narrow overflow contract. */
+  def dsirWeights(documents: DataFrame, targetSources: Set[String],
+      keep: Int, wide: Boolean = false): DataFrame =
     // the keep-top rank rides the corpus — routed above GlobalWindowCap
     // (ScaleWindows): a partition-less window here would funnel every
-    // document through one task at selection scale
+    // document through one task at selection scale. The route's
+    // checkpoint-before-count truncates the explained plan, so the
+    // gram-join shape is pinned on [[dsirWeightFrame]] (PlanSpec).
     ScaleWindows.globalOrderedScan(
-        base.select("doc_id")
-          .join(w, Seq("doc_id"), "left")
-          .withColumn("w_micro", coalesce(col("w"), lit(0L))),
+        dsirWeightFrame(documents, targetSources, wide),
         Seq(col("w_micro").desc, col("doc_id")), Some("__rk"))
       .withColumn("kept", col("__rk") <= keep)
       .select("doc_id", "w_micro", "kept")
-  }
 
   /** Unigram^0.75 negative-sampling table + deterministic draws — the
     * word2vec/SGNS sampling-prep step (Mikolov et al.: negatives come

@@ -323,8 +323,14 @@ class PlanSpec extends AnyFunSuite {
     // q124's per-gram weight lookup is a B(=64)-row table: it must reach
     // the gram stream as a broadcast hash join, never an exchange of the
     // gram stream on the bucket key — at 100 TB the gram stream is the
-    // corpus ×~wordcount and must not shuffle for a 64-row lookup
-    val p = plan(SparkEntry.queries("q124_dsir_weights")(spark, sf))
+    // corpus ×~wordcount and must not shuffle for a 64-row lookup.
+    // Pinned on the weight FRAME: the full gate routes it through
+    // ScaleWindows, whose checkpoint-before-count truncates the
+    // explained plan above the rank stage (r15 — the routing-count
+    // economy change made the truncation unconditional).
+    val p = plan(operators.Weighting.dsirWeightFrame(
+      Tables.documents(spark, sf),
+      targetSources = Set("src0", "src1", "src2"), wide = false))
     assert(p.contains("BroadcastHashJoin"), s"q124 lost the broadcast feature join:\n$p")
     val exchangesOnB = "hashpartitioning\\(b#".r.findAllIn(p).size
     assert(exchangesOnB <= 1, // the bucket-count groupBy is the one legit b-exchange
