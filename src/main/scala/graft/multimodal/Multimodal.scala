@@ -930,17 +930,19 @@ object Multimodal {
        |  FROM sc) t
        |WHERE rnk <= $CrossModalTopK
        |ORDER BY doc_id, rnk""".stripMargin) { (s, d) =>
-    import org.apache.spark.sql.expressions.Window
     import graft.functions.Exprs
-    val pairs = captionFeatures(s, d)
+    import graft.operators.Similarity
+    // top-3 via the mergeable bounded-heap aggregate, not a window:
+    // the 3.6M-pair scored stream partial-aggregates map-side and only
+    // ≤k-element heaps cross the exchange (the q30 pattern; heap order
+    // ≡ row_number()'s (score desc, image_id) by construction)
+    val scored = captionFeatures(s, d)
       .crossJoin(broadcast(imageFeatures(s, d)))
-      .withColumn("score_q", Exprs.qdot(col("txt_vec"), col("img_vec")))
-    pairs
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("doc_id")
-          .orderBy(col("score_q").desc, col("image_id"))).cast("long"))
-      .filter(col("rnk") <= CrossModalTopK)
-      .select("doc_id", "image_id", "score_q", "rnk")
+      .select(col("doc_id").as("query_id"), col("image_id").as("neighbor_id"),
+        Exprs.qdot(col("txt_vec"), col("img_vec")).as("score"))
+    Similarity.topKPerQueryLongRanked(scored, CrossModalTopK)
+      .select(col("query_id").as("doc_id"), col("neighbor_id").as("image_id"),
+        col("score").as("score_q"), col("rnk"))
       .orderBy("doc_id", "rnk")
   }
 
@@ -1012,14 +1014,14 @@ object Multimodal {
     val qlist = Similarity.ivfAssign(cap, cents, "doc_id", "txt_vec", "qlst",
       Similarity.IVF_PROBES)
     // an image sits in exactly one list, so a (caption, image) pair
-    // appears at most once across the caption's probes — no dedup pass
-    qlist.join(nlist, col("qlst") === col("lst"))
-      .withColumn("score_q", Exprs.qdot(col("txt_vec"), col("img_vec")))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("doc_id")
-          .orderBy(col("score_q").desc, col("image_id"))).cast("long"))
-      .filter(col("rnk") <= CrossModalTopK)
-      .select("doc_id", "image_id", "score_q", "rnk")
+    // appears at most once across the caption's probes — no dedup pass;
+    // same heap-aggregate tail as q291 (no window over the candidates)
+    val scored = qlist.join(nlist, col("qlst") === col("lst"))
+      .select(col("doc_id").as("query_id"), col("image_id").as("neighbor_id"),
+        Exprs.qdot(col("txt_vec"), col("img_vec")).as("score"))
+    Similarity.topKPerQueryLongRanked(scored, CrossModalTopK)
+      .select(col("query_id").as("doc_id"), col("neighbor_id").as("image_id"),
+        col("score").as("score_q"), col("rnk"))
       .orderBy("doc_id", "rnk")
   }
 

@@ -105,6 +105,27 @@ object Similarity {
         col("h.score").as("score"))
   }
 
+  /** [[topKPerQueryLong]] with the 1-based rank materialized via
+    * posexplode — the heap's `trim` keeps the buffer sorted
+    * best-first ((score desc, neighbor_id asc), the row_number
+    * ordering), so position+1 IS the rank and no window runs at all:
+    * the pair stream partial-aggregates map-side to ≤k-element heaps
+    * and only those cross the exchange (q291/q292's tail — at corpus
+    * scale the scored candidate stream never shuffles row-wise). */
+  private[graft] def topKPerQueryLongRanked(
+      pairs: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame = {
+    val agg = udaf(new TopKSimLong(k),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong))
+    pairs.groupBy("query_id")
+      .agg(agg(col("score"), col("neighbor_id")).as("top"))
+      .select(col("query_id"),
+        posexplode(col("top")).as(Seq("pos", "h")))
+      .select(col("query_id"), col("h.neighbor_id").as("neighbor_id"),
+        col("h.score").as("score"), (col("pos") + 1).cast("long").as("rnk"))
+  }
+
   /** Top-k rows per query from a (query_id, neighbor_id, sim) pair
     * stream via [[TopKSim]] — one partial-aggregated exchange, no
     * window sort over the pairs. */
