@@ -441,6 +441,32 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges.size <= 2, s"expected <=2 non-broadcast exchanges, got ${exchanges.size}\n$p1")
   }
 
+  test("cross-modal top-k: image side broadcasts, scored stream partial-aggregates with no extra exchange") {
+    // q291's 3.6M scored pairs must never shuffle row-wise: the image
+    // feature table (corpus/10 rows of decoded dHash signs) is the
+    // broadcast side of the deliberate brute cross join, the top-3
+    // heap partial-aggregates map-side (partial_topksimlong), and the
+    // scored stream inherits the caption build's doc_id partitioning —
+    // so NO hashpartitioning(query_id) exchange may appear between the
+    // partial and final heap aggregates
+    val p = plan(SparkEntry.queries("q291_crossmodal_align")(spark, sf))
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"q291 lost the broadcast image side of the brute cross join\n$p")
+    assert(p.contains("partial_topksimlong"),
+      s"q291 top-k lost its map-side partial heap\n$p")
+    assert(!p.contains("hashpartitioning(query_id"),
+      s"q291 re-shuffles the scored pair stream for the top-k\n$p")
+    // q292's routed form: same heap tail, candidates via the list-id
+    // equi-join — never a cartesian/BNLJ
+    val p2 = plan(SparkEntry.queries("q292_crossmodal_align_ivf")(spark, sf))
+      .split("== Initial Plan ==")(0)
+    assert(!p2.contains("CartesianProduct") && !p2.contains("BroadcastNestedLoopJoin"),
+      s"q292's routed candidate join degraded to all-pairs\n$p2")
+    assert(p2.contains("partial_topksimlong"),
+      s"q292 top-k lost its map-side partial heap\n$p2")
+  }
+
   test("IVF recall curve: probe stages never cartesian; truth side is the broadcast BNLJ") {
     // q245 runs three probe settings plus the brute truth in one plan:
     // the IVF stages must stay equi-joins on the list id (assignment is
