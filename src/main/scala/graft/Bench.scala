@@ -153,6 +153,17 @@ object Bench {
         "tuning attacks the ~1s slice, not the 8s one; at corpus " +
         "scale the per-batch cost is partition-pruned real work, " +
         "which is the design"),
+      "q291_crossmodal_align" -> ("round-15 profiling (XmodalProfile, " +
+        "solo 3-rep phase split at sf0.1): image decode+dHash " +
+        "[7.9,1.9,1.8]s — the cold first rep is PPM-decode JIT, warm " +
+        "~1.8s is ~45% of the gate; caption feature build " +
+        "[1.2,0.6,0.5]s; full gate [5.4,4.1,3.9]s, so the 5000x500 " +
+        "all-pairs integer scoring + heap top-k costs ~1.6s — the " +
+        "deliberate brute-anchor arithmetic (q30 pattern: this gate " +
+        "IS the exhaustive truth table). The routed twin q292 pays " +
+        "the same decode+features over 1/5th the pairs (3.4s vs " +
+        "5.4s bench). Read an inflated q291 first repeat as decode " +
+        "JIT, not regression"),
       "q106_pagerank" -> ("round-14 profiling of the r13 driver-bench " +
         "tripling (3.69s->9.96s with Graph.scala untouched): solo " +
         "min-of-8 on this host = 4.60s [13.4,5.6,5.6,5.0,4.7,4.6,4.6," +
