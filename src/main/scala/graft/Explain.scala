@@ -37,6 +37,11 @@ object Explain {
       try {
         val df = q.fn(spark, sfDir)
         df.write.format("noop").mode("overwrite").save()
+        // formatted mode first (scan details: PushedFilters/ReadSchema,
+        // numbered operators — the optimization-round artifact format),
+        // then the executed tree (AQE-final shape) for the node list
+        println(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
         println(df.queryExecution.executedPlan.toString)
       } catch {
         case e: Throwable => println(s"ERROR: ${e.getMessage}")

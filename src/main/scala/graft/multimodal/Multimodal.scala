@@ -52,9 +52,22 @@ object Multimodal {
     * gates emit is independently predicted without DuckDB parsing PPM.
     * The payload is a REAL P6 file; [[Ppm.decode]] must parse the header
     * and land the raster offsets exactly or the gates hash-mismatch. */
-  def ppmTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+  def ppmTable(spark: SparkSession, dir: String): Dataset[MediaRow] =
+    ppmTable(spark, dir, lit(true))
+
+  /** [[ppmTable]] with a pre-synthesis document filter. The synthesis
+    * `.map` is a typed (opaque) operator, so Catalyst CANNOT push a
+    * doc_id filter applied to its OUTPUT below it — a caller that wants
+    * a subset of images must filter the documents BEFORE the map or it
+    * pays raster synthesis + MD5 + P6 encode for every discarded doc
+    * (r15: imageFeatures' %10 subset synthesized 100% of the corpus to
+    * keep 10%; guide §4's opaque-operator column/filter-pruning caveat,
+    * applied to rows). Row-wise map ⇒ filter-before ≡ filter-after. */
+  def ppmTable(spark: SparkSession, dir: String,
+      docFilter: org.apache.spark.sql.Column): Dataset[MediaRow] = {
     import spark.implicits._
-    Tables.documents(spark, dir).select("doc_id", "text").as[(Long, String)]
+    Tables.documents(spark, dir).filter(docFilter)
+      .select("doc_id", "text").as[(Long, String)]
       .map { case (id, text) =>
         val n = text.getBytes("UTF-8").length
         val w = 64 + n % 64
@@ -467,10 +480,18 @@ object Multimodal {
     * for near-uniform hashes); the verify is 2 codegen'd bit ops. */
   /** The banded Hamming pair build of q182, reusable: (id_a, id_b,
     * hamming) with id_a < id_b and hamming ≤ [[HammingMax]]. */
-  def dhashPairs(s: SparkSession, d: String): DataFrame = {
-    val dh = dhashAll(ppmTable(s, d)).toDF()
+  def dhashPairs(s: SparkSession, d: String): DataFrame =
+    dhashPairsFrom(dhashAll(ppmTable(s, d)).toDF()
       .select(col("doc_id"), col("dhash_hi"), col("dhash_lo"))
-      .localCheckpoint(true) // band explode + both verify sides reuse it
+      .localCheckpoint(true)) // band explode + both verify sides reuse it
+
+  /** The banded pair build over a PRECOMPUTED (materialized) dhash
+    * table — split out so composition gates that already hold the
+    * decoded hashes (q184 reads geometry AND dup status) feed ONE
+    * synthesize+decode pass to both consumers instead of re-running
+    * ppmTable per consumer (r15; the caller must pass an
+    * already-checkpointed frame or the two join sides re-execute it). */
+  def dhashPairsFrom(dh: DataFrame): DataFrame = {
     val bands = dh.select(col("doc_id"), col("dhash_hi"), col("dhash_lo"),
       explode(array(
         struct(lit(0).as("bi"), (col("dhash_lo") % 65536).as("bv")),
@@ -620,12 +641,22 @@ object Multimodal {
     import graft.functions.Text
     val qy = graft.Tables.documents(s, d)
       .select(col("doc_id"), Text.qualityScore(col("text")).as("quality"))
-    val dh = dhashAll(ppmTable(s, d)).toDF()
+    // ONE image synthesize+decode pass: the checkpointed dhash table
+    // feeds BOTH the geometry columns and the banded pair build (the
+    // old form ran ppmTable→dhashAll twice — once for dh, once inside
+    // dhashPairs; r15, guide §1.2 "don't compute things twice")
+    val dhAll = dhashAll(ppmTable(s, d)).toDF()
+      .select(col("doc_id"), col("width"), col("height"),
+        col("dhash_hi"), col("dhash_lo"))
+      .localCheckpoint(true)
+    val dh = dhAll
       .select(col("doc_id"), col("width").cast("long").as("width"),
         col("height").cast("long").as("height"))
     val au = audioFingerprint(wavTable(s, d)).toDF()
       .groupBy("doc_id").agg(count(lit(1)).as("n_audio_win"))
-    val dup = dhashPairs(s, d).select(col("id_b").as("doc_id")).distinct()
+    val dup = dhashPairsFrom(
+        dhAll.select(col("doc_id"), col("dhash_hi"), col("dhash_lo")))
+      .select(col("id_b").as("doc_id")).distinct()
       .withColumn("dup_image", lit(true))
     qy.join(dh, "doc_id").join(au, "doc_id")
       .join(dup, Seq("doc_id"), "left")
@@ -869,7 +900,7 @@ object Multimodal {
     * doc_id % 10 == 0 subset (the corpus' image-bearing docs); the
     * filter runs BEFORE decode. */
   private[graft] def imageFeatures(s: SparkSession, d: String): DataFrame =
-    dhashAll(ppmTable(s, d).filter(col("doc_id") % 10 === 0)).toDF()
+    dhashAll(ppmTable(s, d, col("doc_id") % 10 === 0)).toDF()
       .select(col("doc_id").as("image_id"),
         expr("""transform(sequence(0, 63), j -> CAST(
           IF(IF(j < 32, shiftright(dhash_lo, CAST(j AS INT)),

@@ -369,6 +369,11 @@ object Graph {
       .select(col("event_type").as("et"), date_trunc("hour", col("ts")).as("h"),
         col("user_id").as("u"))
       .distinct()
+      // materialized once: the hub aggregation AND the join probe both
+      // read it — un-checkpointed, each consumer re-ran the events scan
+      // + distinct shuffle (different downstream keys, no ReusedExchange)
+      // — r15, guide §1.2
+      .localCheckpoint(true)
     val hub = b.groupBy("et", "h").agg(min(col("u")).as("mu"))
     b.join(hub, Seq("et", "h"))
       .filter(col("u") > col("mu"))

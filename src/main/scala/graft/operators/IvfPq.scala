@@ -35,16 +35,21 @@ object IvfPq {
 
   def ivfPqTopK(e: DataFrame, probes: Int = Similarity.IVF_PROBES,
       shortlist: Int = SHORTLIST, topK: Int = TOPK): DataFrame = {
-    // routing quantizer: q62's refined centroids over the raw vectors
+    // routing quantizer: q62's refined centroids over the raw vectors.
+    // Queries = corpus, so ONE ranked assignment (checkpointed — 12 B
+    // of (id, lst, crn) per row, vectors do NOT ride the routing table)
+    // derives both sides instead of paying the C-cosine pass twice
+    // (the ivfTopK single-pass rationale, r15)
     val centArr = Similarity.localCents(Similarity.kmeansCentroids(e))
-    val nlist = Similarity.ivfAssign(
-      e.select(col("vec_id").as("neighbor_id"), col("embedding")),
-      centArr, "neighbor_id", "embedding", "nlist", 1)
-      .select("neighbor_id", "nlist") // vectors do NOT ride the routing table
-    val qlist = Similarity.ivfAssign(
-      e.select(col("vec_id").as("query_id"), col("embedding")),
-      centArr, "query_id", "embedding", "qlist", probes)
-      .select("query_id", "qlist")
+    val asg = Similarity.ivfAssignRanked(
+      e.select(col("vec_id"), col("embedding")),
+      centArr, "vec_id", "embedding", "lst", probes)
+      .select("vec_id", "lst", "crn")
+      .localCheckpoint(true)
+    val nlist = asg.filter(col("crn") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("lst").as("nlist"))
+    val qlist = asg
+      .select(col("vec_id").as("query_id"), col("lst").as("qlist"))
     // scoring quantizer: q154's codebooks over the normalized vectors
     val en = Pq.normalized(e).localCheckpoint(true)
     val cb = Pq.trainCodebook(en)

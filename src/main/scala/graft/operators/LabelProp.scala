@@ -286,12 +286,17 @@ object LabelProp {
       struct(Exprs.qdot(col("xq"), typedlit(cv.toSeq)).as("w"),
         lit(-cid).as("negid"))
     }: _*)
-    def listsOf(keep: Int, out: String): DataFrame = e
+    // queries = corpus: ONE ranked pass (posexplode keeps the slice
+    // position) derives nearest list (rank 1) AND probe lists — the
+    // old pair of listsOf calls paid the C-qdot ranking twice (r15,
+    // the Similarity.ivfAssignRanked single-pass rationale)
+    val asgr = e
       .select(col("vec_id"),
-        explode(slice(sort_array(ranked, asc = false), 1, keep)).as("c"))
-      .select(col("vec_id"), (-col("c.negid")).as(out))
-    val asg = listsOf(1, "lst")
-    val prb = listsOf(IvfProbes, "lst")
+        posexplode(slice(sort_array(ranked, asc = false), 1, IvfProbes)))
+      .select(col("vec_id"), (-col("col.negid")).as("lst"), col("pos"))
+      .localCheckpoint(true)
+    val asg = asgr.filter(col("pos") === 0).select("vec_id", "lst")
+    val prb = asgr.select("vec_id", "lst")
     val pairs = prb.select(col("vec_id").as("id"), col("lst"))
       .join(asg.select(col("vec_id").as("nb"), col("lst")), "lst")
       .filter(col("id") =!= col("nb"))

@@ -21,7 +21,12 @@ object Mining {
     * keeps 100 TB runs flat; the support filter then collapses the
     * long tail map-side via partial aggregation. */
   def cooccur(items: DataFrame, bk: String, it: String, minSupport: Long): DataFrame = {
+    // materialize the distinct (basket, item) table once: both sides of
+    // the self-join read it, and without the checkpoint each side
+    // re-runs the upstream scan + distinct shuffle (the two projections
+    // differ, so ReusedExchange cannot kick in) — r15, guide §1.2
     val i = items.select(col(bk).as("bk"), col(it).as("item")).distinct()
+      .localCheckpoint(true)
     val a = i.select(col("bk"), col("item").as("p1"))
     val b = i.select(col("bk"), col("item").as("p2"))
     a.join(b, Seq("bk")).filter(col("p1") < col("p2"))
@@ -209,6 +214,7 @@ object Mining {
       .localCheckpoint(true) // sampled users + ownership anti-join read it
     val i = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .localCheckpoint(true) // both sides of the co-occurrence self-join read it (r15)
     val co = i.select(col("l_orderkey"), col("l_partkey").as("p1"))
       .join(i.select(col("l_orderkey"), col("l_partkey").as("p2")), Seq("l_orderkey"))
       .filter(col("p1") =!= col("p2"))

@@ -456,19 +456,67 @@ object Similarity {
       .drop("cand")
   }
 
+  /** [[ivfAssign]] with the rank EXPOSED: posexplode of the same
+    * sorted slice, emitting `crn` = 1-based centroid rank alongside
+    * `outCol`. Exists so self-IVF pipelines (queries and corpus are
+    * the SAME table) can run the C-cosine assignment ONCE at
+    * keep = probes and derive BOTH sides — nlist = crn 1 rows,
+    * probe list = all rows — exactly how every IVF oracle's single
+    * `asg` CTE feeds its `nlist`/`qlist` filters (r15 optimization:
+    * the two-call form scanned the corpus and paid the C cosines
+    * twice per gate; guide §1.2 "don't compute things twice"). Rank
+    * semantics identical to [[ivfAssign]] by construction — same
+    * struct sort, slice position = rank. */
+  private[graft] def ivfAssignRanked(df: org.apache.spark.sql.DataFrame,
+      cents: Seq[(Long, Seq[Float])], idCol: String,
+      vecCol: String, outCol: String, keep: Int): org.apache.spark.sql.DataFrame = {
+    val cands = array(cents.map { case (cid, cv) =>
+      struct(
+        round(Exprs.cosine_sim(col(vecCol), typedlit(cv)), 4).as("csim"),
+        lit(-cid).as("negid"))
+    }: _*)
+    df.select(col("*"),
+        posexplode(slice(sort_array(cands, asc = false), 1, keep)))
+      .withColumn(outCol, -col("col.negid"))
+      .withColumn("crn", (col("pos") + 1).cast("int"))
+      .drop("col", "pos")
+  }
+
   /** The IVF probe pipeline over a given centroid table: assign every
     * vector to its nearest list, probe each query's `probes` nearest
-    * lists, exact cosine re-rank, top-`topK` per query. */
+    * lists, exact cosine re-rank, top-`topK` per query.
+    *
+    * Queries and corpus are the same table, so the assignment runs
+    * ONCE ([[ivfAssignRanked]] at keep = probes, localCheckpointed so
+    * both join sides read the materialized blocks instead of
+    * re-executing the C-cosine projection per side — one corpus scan
+    * where the old two-[[ivfAssign]] form paid two). */
   def ivfTopK(e: org.apache.spark.sql.DataFrame,
       cents: org.apache.spark.sql.DataFrame,
       probes: Int = IVF_PROBES, topK: Int = 3): org.apache.spark.sql.DataFrame = {
-    val centArr = localCents(cents) // one ≤16-row collect, shared by both passes
-    val assigned = ivfAssign(
-      e.select(col("vec_id").as("neighbor_id"), col("embedding").as("vb")),
-      centArr, "neighbor_id", "vb", "nlist", 1)
-    val qprobes = ivfAssign(
-      e.select(col("vec_id").as("query_id"), col("embedding").as("va")),
-      centArr, "query_id", "va", "qlist", probes)
+    val centArr = localCents(cents) // one ≤16-row collect, shared by both sides
+    val asg = ivfAssignRanked(
+      e.select(col("vec_id"), col("embedding")),
+      centArr, "vec_id", "embedding", "lst", probes)
+      .localCheckpoint(true)
+    ivfTopKFromRanked(asg, topK)
+  }
+
+  /** The probe/rerank tail over a precomputed ranked self-assignment
+    * (`vec_id`, `embedding`, `lst`, `crn` with crn ≤ probes): nlist =
+    * the crn 1 rows, probe stream = every row — the oracle's
+    * `nlist`/`qlist` filters over one shared `asg` CTE. Callers that
+    * evaluate SEVERAL probe settings (q245's recall curve) pass
+    * `asg.filter(crn <= p)` and pay the assignment once total. */
+  private[operators] def ivfTopKFromRanked(
+      asg: org.apache.spark.sql.DataFrame,
+      topK: Int): org.apache.spark.sql.DataFrame = {
+    val assigned = asg.filter(col("crn") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("vb"),
+        col("lst").as("nlist"))
+    val qprobes = asg
+      .select(col("vec_id").as("query_id"), col("embedding").as("va"),
+        col("lst").as("qlist"))
     // TopKSim dedupes neighbors inside the buffer, so the multi-probe
     // stream needs no separate dropDuplicates pass
     val pairs = qprobes.join(assigned, col("qlist") === col("nlist"))
@@ -626,18 +674,46 @@ object Similarity {
         .drop("cand")
   }
 
+  /** [[ivfAssignHof]] with the rank exposed (posexplode, `crn` =
+    * 1-based) — the constant-codegen-size twin of [[ivfAssignRanked]],
+    * for self-IVF pipelines over LARGE derived centroid tables. The
+    * keep = 1 array_max fast path doesn't apply (rank > 1 rows are the
+    * point), but the single shared pass replaces TWO per-row rankings,
+    * which is strictly less work than the old pair of calls
+    * (O(C log C) once vs O(C) + O(C log C)). */
+  private[graft] def ivfAssignHofRanked(df: org.apache.spark.sql.DataFrame,
+      cents: Seq[(Long, Seq[Float])], idCol: String,
+      vecCol: String, outCol: String, keep: Int): org.apache.spark.sql.DataFrame = {
+    val table = typedlit(cents.map { case (cid, cv) => (-cid, cv) })
+    val ranked = transform(table, c =>
+      struct(
+        round(Exprs.cosine_sim(col(vecCol), c.getField("_2")), 4).as("csim"),
+        c.getField("_1").as("negid")))
+    df.select(col("*"),
+        posexplode(slice(sort_array(ranked, asc = false), 1, keep)))
+      .withColumn(outCol, -col("col.negid"))
+      .withColumn("crn", (col("pos") + 1).cast("int"))
+      .drop("col", "pos")
+  }
+
   /** The q32 probe pipeline over an auto-sized geometry via
-    * [[ivfAssignHof]] — assignment and probing stay pure projections at
-    * any list count. */
+    * [[ivfAssignHofRanked]] — assignment and probing stay pure
+    * projections at any list count, and (queries = corpus) the ranking
+    * runs ONCE at keep = probes, checkpointed for both join sides
+    * (same single-pass rationale as [[ivfTopK]]). */
   def ivfTopKAuto(e: org.apache.spark.sql.DataFrame,
       centArr: Seq[(Long, Seq[Float])],
       probes: Int = IVF_PROBES, topK: Int = 3): org.apache.spark.sql.DataFrame = {
-    val assigned = ivfAssignHof(
-      e.select(col("vec_id").as("neighbor_id"), col("embedding").as("vb")),
-      centArr, "neighbor_id", "vb", "nlist", 1)
-    val qprobes = ivfAssignHof(
-      e.select(col("vec_id").as("query_id"), col("embedding").as("va")),
-      centArr, "query_id", "va", "qlist", probes)
+    val asg = ivfAssignHofRanked(
+      e.select(col("vec_id"), col("embedding")),
+      centArr, "vec_id", "embedding", "lst", probes)
+      .localCheckpoint(true)
+    val assigned = asg.filter(col("crn") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("vb"),
+        col("lst").as("nlist"))
+    val qprobes = asg
+      .select(col("vec_id").as("query_id"), col("embedding").as("va"),
+        col("lst").as("qlist"))
     val pairs = qprobes.join(assigned, col("qlist") === col("nlist"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", round(Exprs.cosine_sim(col("va"), col("vb")), 4))
@@ -1334,14 +1410,19 @@ object Similarity {
       probes: Int = IVF_PROBES): org.apache.spark.sql.DataFrame = {
     val centArr = localCents(e.orderBy("vec_id").limit(IVF_LISTS)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cvec")))
-    val assigned = ivfAssign(
-      e.select(col("vec_id").as("neighbor_id"), col("embedding").as("vb"),
-        col("label").as("lb")),
-      centArr, "neighbor_id", "vb", "nlist", 1)
-    val qprobes = ivfAssign(
-      e.select(col("vec_id").as("query_id"), col("embedding").as("va"),
-        col("label").as("la")),
-      centArr, "query_id", "va", "qlist", probes)
+    // queries = corpus: ONE ranked assignment (labels ride along),
+    // checkpointed, feeds both join sides — the ivfTopK single-pass
+    // rationale (r15)
+    val asg = ivfAssignRanked(
+      e.select(col("vec_id"), col("embedding"), col("label")),
+      centArr, "vec_id", "embedding", "lst", probes)
+      .localCheckpoint(true)
+    val assigned = asg.filter(col("crn") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("vb"),
+        col("label").as("lb"), col("lst").as("nlist"))
+    val qprobes = asg
+      .select(col("vec_id").as("query_id"), col("embedding").as("va"),
+        col("label").as("la"), col("lst").as("qlist"))
     qprobes.join(assigned, col("qlist") === col("nlist"))
       .filter(col("query_id") =!= col("neighbor_id") &&
         col("la") =!= col("lb"))
@@ -1470,8 +1551,16 @@ object Similarity {
       .select("query_id", "neighbor_id")
       .localCheckpoint(true) // size + every probe setting read it
     val tn = truth.agg(count(lit(1)).cast("long").as("n_truth"))
+    // ONE ranked assignment at keep = max(probes) feeds every probe
+    // setting (crn <= p filter) — the oracle's single shared `asg` CTE;
+    // the old per-p ivfTopK calls re-ran the C-cosine assignment twice
+    // per setting (6 corpus passes for the 3-point curve, now 1)
+    val asg = ivfAssignRanked(
+      e.select(col("vec_id"), col("embedding")),
+      localCents(cents), "vec_id", "embedding", "lst", RecallProbes.max)
+      .localCheckpoint(true)
     RecallProbes.map { p =>
-      ivfTopK(e, cents, probes = p, topK = 3)
+      ivfTopKFromRanked(asg.filter(col("crn") <= p), topK = 3)
         .select(col("query_id"), col("neighbor_id"))
         .join(truth, Seq("query_id", "neighbor_id"))
         .agg(count(lit(1)).cast("long").as("n_hits"))
