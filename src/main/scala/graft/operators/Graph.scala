@@ -689,13 +689,21 @@ object Graph {
       .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
       .select((col("o_custkey") * 2L).as("c"), (col("l_suppkey") * 2L + 1L).as("sp"))
       .distinct()
+      // materialize the join+distinct once: the symmetric union reads
+      // it twice and the projections differ, so exchange reuse cannot
+      // merge the two sides; 2 longs/row
+      .localCheckpoint(true)
     val edges = raw.select(col("c").as("src"), col("sp").as("dst"))
       .unionByName(raw.select(col("sp").as("src"), col("c").as("dst")))
     val adj = edges
       .withColumn("rk", row_number().over(Window.partitionBy("src").orderBy("dst")))
       .withColumn("deg", count(lit(1)).over(Window.partitionBy("src")))
       .localCheckpoint(true) // every step joins it
-    var frontier = edges.filter(col("src") % 20 === 0).select("src").distinct()
+    // seed off the checkpointed adjacency, not `edges`: adj is the same
+    // row multiset with rank columns added, so the start set is
+    // identical — and the whole edge build is not executed a second
+    // time just to enumerate starts
+    var frontier = adj.filter(col("src") % 20 === 0).select("src").distinct()
       .crossJoin(spark_sequence_walks(s))
       .select(col("src").as("start"), col("walk"), col("src").as("cur"),
         col("src").cast("string").as("path"))

@@ -71,7 +71,13 @@ object MinhashEstimate {
   /** Banded candidate pairs with the coordinate-agreement estimate. */
   def estimatePairs(documents: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sig = signatures(documents)
+    // Materialized once (the q269 discipline): the signature build —
+    // tokenize + shingle + explode + 16-coordinate min groupBy, the
+    // dominant corpus pass — feeds FOUR consumers (both sides of the
+    // banded self-join, then the siga/sigb lookups), whose join keys
+    // all differ, so exchange reuse cannot collapse them. The
+    // checkpoint is (doc_id, 16 longs) per doc.
+    val sig = signatures(documents).localCheckpoint(true)
     val bandCols = (0 until Bands).map { b =>
       array_join(transform(slice(col("sig"), b * Rows + 1, Rows),
         _.cast("string")), ":")

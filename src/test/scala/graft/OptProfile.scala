@@ -104,8 +104,16 @@ object OptProfile {
         .orderBy("doc_id")
     }
 
+    // optional 3rd arg: comma-separated gate labels (dev loop for a
+    // single gate's A/B without re-running the whole sweep); filters
+    // both the identity checks and the timing arms
+    val only = args.drop(2).headOption.map(_.split(",").toSet)
+    def wanted(label: String): Boolean =
+      only.forall(_.exists(o => label == o || label.startsWith(o + "/")))
+
     // ---- row-identity checks (old ≡ new) ----
-    def identical(label: String, a: DataFrame, b: DataFrame): Unit = {
+    def identical(label: String, a: => DataFrame, b: => DataFrame): Unit = {
+      if (!wanted(label)) return
       val d1 = a.exceptAll(b).count()
       val d2 = b.exceptAll(a).count()
       require(d1 == 0 && d2 == 0, s"$label old/new diverge: $d1/$d2")
@@ -192,8 +200,104 @@ object OptProfile {
       Graph.twoPhaseCC(edges, Graph.CcRounds).orderBy("node")
     }
 
+    // legacy (un-checkpointed) q132: sig recomputed by every consumer
+    def legacyQ132(s: SparkSession, d: String): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.Text
+      val documents = GTables.documents(s, d)
+      val sig = documents
+        .select(col("doc_id"),
+          explode(array_distinct(
+            Text.shingles(Text.tokens(col("text")), 2))).as("tok"))
+        .select(col("doc_id"),
+          Exprs.mulmod61(Exprs.poly_hash(col("tok")), Sketches.Kmv.G).as("h"))
+        .groupBy("doc_id")
+        .agg(min(Exprs.mulmod61(col("h"), MinhashEstimate.Gs(0))).as("s0"),
+          MinhashEstimate.Gs.zipWithIndex.drop(1).map { case (g, i) =>
+            min(Exprs.mulmod61(col("h"), g)).as(s"s$i")
+          }.toSeq: _*)
+        .select(col("doc_id"),
+          array((0 until MinhashEstimate.K).map(i => col(s"s$i")): _*).as("sig"))
+      val bandCols = (0 until MinhashEstimate.Bands).map { b =>
+        array_join(transform(
+          slice(col("sig"), b * MinhashEstimate.Rows + 1, MinhashEstimate.Rows),
+          _.cast("string")), ":")
+      }
+      val banded = sig
+        .select(col("doc_id"), posexplode(array(bandCols: _*)))
+        .withColumnRenamed("pos", "bnd").withColumnRenamed("col", "bv")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("bnd", "bv").orderBy("doc_id")))
+        .filter(col("rn") <= MinhashEstimate.BucketCap)
+        .drop("rn")
+      val cand = banded.as("a")
+        .join(banded.as("b"),
+          col("a.bnd") === col("b.bnd") && col("a.bv") === col("b.bv") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
+      cand
+        .join(sig.select(col("doc_id").as("id_a"), col("sig").as("siga")), "id_a")
+        .join(sig.select(col("doc_id").as("id_b"), col("sig").as("sigb")), "id_b")
+        .withColumn("n_match",
+          aggregate(zip_with(col("siga"), col("sigb"),
+            (x, y) => (x === y).cast("int")), lit(0), (a, x) => a + x)
+            .cast("long"))
+        .select(col("id_a"), col("id_b"), col("n_match"),
+          round(col("n_match") / lit(MinhashEstimate.K.toDouble), 4).as("est"))
+        .orderBy("id_a", "id_b")
+    }
+
+    // legacy q232: raw un-checkpointed (union reads the join+distinct
+    // twice) and frontier seeded from `edges` (a third/fourth full
+    // execution of the edge build)
+    def legacyQ232(s: SparkSession, d: String): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val raw = GTables.orders(s, d)
+        .join(GTables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2L).as("c"), (col("l_suppkey") * 2L + 1L).as("sp"))
+        .distinct()
+      val edges = raw.select(col("c").as("src"), col("sp").as("dst"))
+        .unionByName(raw.select(col("sp").as("src"), col("c").as("dst")))
+      val adj = edges
+        .withColumn("rk", row_number().over(Window.partitionBy("src").orderBy("dst")))
+        .withColumn("deg", count(lit(1)).over(Window.partitionBy("src")))
+        .localCheckpoint(true)
+      var frontier = edges.filter(col("src") % 20 === 0).select("src").distinct()
+        .crossJoin((0 until Graph.WalksPerNode).map(_.toLong).toDF("walk"))
+        .select(col("src").as("start"), col("walk"), col("src").as("cur"),
+          col("src").cast("string").as("path"))
+      for (t <- 1 to Graph.WalkLen) {
+        val h = Exprs.mulmod61(Exprs.poly_hash(
+          concat(col("start").cast("string"), lit(":"), col("walk").cast("string"),
+            lit(":"), lit(t).cast("string"), lit(":"), col("cur").cast("string"))),
+          Sketches.Kmv.G)
+        frontier = frontier
+          .join(adj, col("cur") === col("src"))
+          .filter(col("rk") === lit(1) + pmod(h, col("deg")))
+          .select(col("start"), col("walk"), col("dst").as("cur"),
+            concat(col("path"), lit(">"), col("dst").cast("string")).as("path"))
+      }
+      frontier.select(col("start"), col("walk").cast("long").as("walk"), col("path"))
+        .orderBy("start", "walk")
+    }
+
+    identical("q132",
+      legacyQ132(spark, dir),
+      MinhashEstimate.q132.fn(spark, dir))
+    identical("q232",
+      legacyQ232(spark, dir),
+      Graph.q232.fn(spark, dir))
+
     // ---- interleaved timing ----
     val arms: Seq[(String, Seq[(String, () => Unit)])] = Seq(
+      "q132" -> Seq(
+        "old" -> (() => noop(legacyQ132(spark, dir))),
+        "new" -> (() => noop(MinhashEstimate.q132.fn(spark, dir)))),
+      "q232" -> Seq(
+        "old" -> (() => noop(legacyQ232(spark, dir))),
+        "new" -> (() => noop(Graph.q232.fn(spark, dir)))),
       "q107" -> Seq(
         "old" -> (() => noop(legacyQ107(spark, dir))),
         "new" -> (() => noop(Mining.q107.fn(spark, dir)))),
@@ -289,7 +393,7 @@ object OptProfile {
           .orderBy(col("query_id"), col("sim").desc, col("neighbor_id")))),
         "new" -> (() => noop(IvfPq.q158.fn(spark, dir)))))
 
-    for ((label, variants) <- arms) {
+    for ((label, variants) <- arms if wanted(label)) {
       val times = scala.collection.mutable.Map[String, List[Double]]()
         .withDefaultValue(Nil)
       for (r <- 1 to reps; (vn, f) <- variants) {
