@@ -168,7 +168,14 @@ object SolrXml {
     * byte-equals this writer's output). */
   def writeSingleFile(ds: Dataset[IahxDoc], path: String): Unit = {
     import ds.sparkSession.implicits._
-    val it = ds.map(docXml _)(org.apache.spark.sql.Encoders.STRING).toLocalIterator()
+    // coalesce(1) first: toLocalIterator launches ONE JOB PER PARTITION,
+    // and at fixture scale those fixed-latency jobs dominate the export
+    // (q98 phase profile, r16). The narrow coalesce concatenates parent
+    // partitions in index order — the same order toLocalIterator itself
+    // iterates — so the emitted bytes are identical (q144 pins them
+    // against the sharded writer).
+    val it = ds.coalesce(1)
+      .map(docXml _)(org.apache.spark.sql.Encoders.STRING).toLocalIterator()
     val w = Files.newBufferedWriter(Paths.get(path), StandardCharsets.UTF_8)
     try {
       w.write("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n<add>\n")

@@ -90,7 +90,16 @@ object Graph {
       val next =
         if (big) nodes.join(contrib.hint("shuffle_hash"), Seq("node"), "left")
         else nodes.join(broadcast(contrib), Seq("node"), "left")
-      ranks = newRank(next).localCheckpoint()
+      // LAZY checkpoint (r16): still truncates lineage (each iteration's
+      // plan reads the previous round's RDD scan, never a growing nest),
+      // but materialization rides the FIRST job that touches the rank
+      // table — the next iteration's broadcast collect (small branch) or
+      // rank shuffle (routed branch) — instead of a separate blocking
+      // job per round. At fixture scale the iteration cost IS the job
+      // count (guide §1.2): the eager form paid iters extra fixed-latency
+      // jobs per gate; values are identical either way (EngineSpec's
+      // partition-invariance + ScaleSpec's routed≡broadcast pins).
+      ranks = newRank(next).localCheckpoint(false)
     }
     ranks.select("node", "r")
   }
@@ -334,23 +343,30 @@ object Graph {
     * to star graphs — one (node → min-of-component) edge per non-root
     * node — which EngineSpec asserts against exact driver union-find. */
   def twoPhaseCC(edges0: DataFrame, rounds: Int): DataFrame = {
+    // All in-loop materializations are LAZY local checkpoints (r16):
+    // each marked table still computes exactly once (its first consumer
+    // stage persists the blocks; every other consumer — including the
+    // next round — reads them), but the pre-r16 EAGER form ran
+    // 2 + 2·rounds blocking jobs per invocation, a fixed-latency tax
+    // that dominated the gate at bench scale (r15 verdict item 1: q167
+    // regressed 20% driver-side when the edge base gained one more).
     val nodes = edges0.select(col("a").as("node"))
       .unionByName(edges0.select(col("b").as("node")))
-      .distinct().localCheckpoint(true)
+      .distinct().localCheckpoint(false)
     // materialize once: each round re-reads e twice (both directions)
-    var e = edges0.select("a", "b").distinct().localCheckpoint(true)
+    var e = edges0.select("a", "b").distinct().localCheckpoint(false)
     for (_ <- 1 to rounds) {
       val nb = e.select(col("a").as("u"), col("b").as("v"))
         .unionByName(e.select(col("b").as("u"), col("a").as("v")))
       val mn = nb.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
       val ls = nb.join(mn, "u").filter(col("v") > col("u"))
         .select(col("v").as("a"), col("m").as("b"))
-        .distinct().localCheckpoint(true)
+        .distinct().localCheckpoint(false)
       val sm = ls.groupBy(col("a").as("u")).agg(min(col("b")).as("m"))
       e = ls.join(sm, ls("a") === sm("u")).filter(col("b") =!= col("m"))
         .select(col("b").as("a"), col("m").as("b"))
         .unionByName(sm.select(col("u").as("a"), col("m").as("b")))
-        .distinct().localCheckpoint(true)
+        .distinct().localCheckpoint(false)
     }
     nodes.join(e, nodes("node") === e("a"), "left")
       .groupBy("node")
@@ -372,8 +388,11 @@ object Graph {
       // materialized once: the hub aggregation AND the join probe both
       // read it — un-checkpointed, each consumer re-ran the events scan
       // + distinct shuffle (different downstream keys, no ReusedExchange)
-      // — r15, guide §1.2
-      .localCheckpoint(true)
+      // — r15, guide §1.2. LAZY since r16: the eager form's blocking
+      // materialization job cost more at gate scale than the sharing
+      // saved (r15 verdict item 1); the first consumer stage persists
+      // the blocks as a side effect instead.
+      .localCheckpoint(false)
     val hub = b.groupBy("et", "h").agg(min(col("u")).as("mu"))
     b.join(hub, Seq("et", "h"))
       .filter(col("u") > col("mu"))
@@ -691,14 +710,15 @@ object Graph {
       .distinct()
       // materialize the join+distinct once: the symmetric union reads
       // it twice and the projections differ, so exchange reuse cannot
-      // merge the two sides; 2 longs/row
-      .localCheckpoint(true)
+      // merge the two sides; 2 longs/row. Lazy (r16): no standalone
+      // materialization job — the first consumer stage persists it.
+      .localCheckpoint(false)
     val edges = raw.select(col("c").as("src"), col("sp").as("dst"))
       .unionByName(raw.select(col("sp").as("src"), col("c").as("dst")))
     val adj = edges
       .withColumn("rk", row_number().over(Window.partitionBy("src").orderBy("dst")))
       .withColumn("deg", count(lit(1)).over(Window.partitionBy("src")))
-      .localCheckpoint(true) // every step joins it
+      .localCheckpoint(false) // every step joins it (lazy, r16)
     // seed off the checkpointed adjacency, not `edges`: adj is the same
     // row multiset with rank columns added, so the start set is
     // identical — and the whole edge build is not executed a second

@@ -45,7 +45,7 @@ object IvfPq {
       e.select(col("vec_id"), col("embedding")),
       centArr, "vec_id", "embedding", "lst", probes)
       .select("vec_id", "lst", "crn")
-      .localCheckpoint(true)
+      .localCheckpoint(false) // lazy: first consumer stage persists it (r16)
     val nlist = asg.filter(col("crn") === 1)
       .select(col("vec_id").as("neighbor_id"), col("lst").as("nlist"))
     val qlist = asg

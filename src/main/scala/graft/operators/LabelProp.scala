@@ -294,7 +294,7 @@ object LabelProp {
       .select(col("vec_id"),
         posexplode(slice(sort_array(ranked, asc = false), 1, IvfProbes)))
       .select(col("vec_id"), (-col("col.negid")).as("lst"), col("pos"))
-      .localCheckpoint(true)
+      .localCheckpoint(false) // lazy: first consumer stage persists it (r16)
     val asg = asgr.filter(col("pos") === 0).select("vec_id", "lst")
     val prb = asgr.select("vec_id", "lst")
     val pairs = prb.select(col("vec_id").as("id"), col("lst"))

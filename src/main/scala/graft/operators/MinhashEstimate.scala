@@ -68,7 +68,13 @@ object MinhashEstimate {
     * capped semantics. */
   val BucketCap = 512
 
-  /** Banded candidate pairs with the coordinate-agreement estimate. */
+  /** Banded candidate pairs with the coordinate-agreement estimate.
+    *
+    * Plan note: building this marks the signature table for a LAZY
+    * local checkpoint — no job runs here, but the first action that
+    * touches the result materializes the signatures into executor
+    * block storage (unreplicated; lineage is truncated once stored),
+    * where they stay until the ContextCleaner reclaims them. */
   def estimatePairs(documents: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // Materialized once (the q269 discipline): the signature build —
@@ -76,8 +82,14 @@ object MinhashEstimate {
     // dominant corpus pass — feeds FOUR consumers (both sides of the
     // banded self-join, then the siga/sigb lookups), whose join keys
     // all differ, so exchange reuse cannot collapse them. The
-    // checkpoint is (doc_id, 16 longs) per doc.
-    val sig = signatures(documents).localCheckpoint(true)
+    // checkpoint is (doc_id, 16 longs) per doc, and it is LAZY (r16):
+    // the r15 eager form ran a blocking materialization job per
+    // invocation, which the driver bench showed costing more at gate
+    // scale than the sharing saved (r15 verdict item 1); lazily the
+    // first consumer's stage computes + persists the blocks and the
+    // other three read them — same single kernel execution, no extra
+    // job.
+    val sig = signatures(documents).localCheckpoint(false)
     val bandCols = (0 until Bands).map { b =>
       array_join(transform(slice(col("sig"), b * Rows + 1, Rows),
         _.cast("string")), ":")
@@ -199,7 +211,29 @@ object MinhashEstimate {
        |FROM sg a JOIN sg b ON a.source < b.source
        |ORDER BY src_a, src_b""".stripMargin
   }) { (s, d) =>
-    val sig = Tables.documents(s, d)
+    sourceOverlap(Tables.documents(s, d))
+  }
+
+  /** Routing cap for the source-overlap matrix (r16, verdict item 6):
+    * at or below this many sources the brute all-pairs signature join
+    * runs — the oracle-replayable anchor shape, fine at any realistic
+    * registry size. Above it the matrix is assembled WITHOUT an
+    * all-pairs signature comparison: pairs with n_match ≥ 1 fall out of
+    * a coordinate-equality join over the exploded (i, sᵢ) table (the
+    * count of agreeing (i, sᵢ) keys IS n_match, exactly), and the
+    * n_match = 0 complement — whose row count is inherent to the gate's
+    * full-matrix contract — is emitted by an anti-join that never
+    * touches signatures. Same routing idiom as DriverEdgeCap /
+    * BroadcastRankCap: the caller states WHAT, the router picks the
+    * plan that survives the source count. ScaleSpec pins routed ≡ brute
+    * at the flip point (cap = 0 vs cap = ∞ on the same corpus). */
+  val SourceAllPairsCap = 4096L
+
+  /** Source-grain signature table (K mergeable MinHash coordinates per
+    * source), lazily checkpointed: consumers share one materialization,
+    * and the routing count below doubles as the materializing action. */
+  private def sourceSignatures(documents: DataFrame): DataFrame =
+    documents
       .select(col("source"),
         explode(array_distinct(
           Text.shingles(Text.tokens(col("text")), 2))).as("tok"))
@@ -212,16 +246,54 @@ object MinhashEstimate {
         }.toSeq: _*)
       .select(col("source"),
         array((0 until K).map(i => col(s"s$i")): _*).as("sig"))
-      .localCheckpoint(true) // both sides of the pair join read it
-    sig.as("a").join(sig.as("b"), col("a.source") < col("b.source"))
-      .withColumn("n_match",
-        aggregate(zip_with(col("a.sig"), col("b.sig"),
-          (x, y) => (x === y).cast("int")), lit(0), (a, x) => a + x)
-          .cast("long"))
-      .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
-        col("n_match"),
-        round(col("n_match") / lit(K.toDouble), 4).as("est"))
-      .orderBy("src_a", "src_b")
+      // lazy: every consumer reads it; the routing count (or the first
+      // consumer stage) materializes the blocks (no standalone job — r16)
+      .localCheckpoint(false)
+
+  /** The q269 body with the source-count route. Both branches compute
+    * the IDENTICAL full matrix — the route only changes the physical
+    * plan (brute: S² signature comparisons; routed: coordinate-equality
+    * candidates + signature-free complement). */
+  def sourceOverlap(documents: DataFrame,
+      allPairsCap: Long = SourceAllPairsCap): DataFrame = {
+    val sig = sourceSignatures(documents)
+    val nSources = sig.count() // bounded driver scalar; materializes sig
+    if (nSources <= allPairsCap) {
+      sig.as("a").join(sig.as("b"), col("a.source") < col("b.source"))
+        .withColumn("n_match",
+          aggregate(zip_with(col("a.sig"), col("b.sig"),
+            (x, y) => (x === y).cast("int")), lit(0), (a, x) => a + x)
+            .cast("long"))
+        .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+          col("n_match"),
+          round(col("n_match") / lit(K.toDouble), 4).as("est"))
+        .orderBy("src_a", "src_b")
+    } else {
+      // n_match ≥ 1 pairs: each agreeing coordinate (i, sᵢ) contributes
+      // exactly one joined row, so the group count IS the coordinate-
+      // agreement count — no signature array ever re-read
+      val ex = sig.select(col("source"), posexplode(col("sig")))
+      val cand = ex.as("a").join(ex.as("b"),
+          col("a.pos") === col("b.pos") && col("a.col") === col("b.col") &&
+            col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).cast("long").as("n_match"))
+      // n_match = 0 complement: the output contract is the FULL matrix,
+      // so its S·(S−1)/2 row count is irreducible — but these rows are
+      // (src_a, src_b, 0, 0.0) literals, built from the source LIST
+      // without touching a signature
+      val srcs = sig.select("source")
+      val zero = srcs.select(col("source").as("src_a"))
+        .join(srcs.select(col("source").as("src_b")),
+          col("src_a") < col("src_b"))
+        .join(cand.select("src_a", "src_b"), Seq("src_a", "src_b"),
+          "left_anti")
+        .select(col("src_a"), col("src_b"), lit(0L).as("n_match"))
+      cand.select("src_a", "src_b", "n_match").unionByName(zero)
+        .select(col("src_a"), col("src_b"), col("n_match"),
+          round(col("n_match") / lit(K.toDouble), 4).as("est"))
+        .orderBy("src_a", "src_b")
+    }
   }
 
   val all: Seq[Q] = Seq(q132, q269)

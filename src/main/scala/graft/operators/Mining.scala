@@ -24,9 +24,11 @@ object Mining {
     // materialize the distinct (basket, item) table once: both sides of
     // the self-join read it, and without the checkpoint each side
     // re-runs the upstream scan + distinct shuffle (the two projections
-    // differ, so ReusedExchange cannot kick in) — r15, guide §1.2
+    // differ, so ReusedExchange cannot kick in) — r15, guide §1.2.
+    // Lazy since r16 (no standalone materialization job; the first
+    // consumer stage persists the blocks — r15 verdict item 1).
     val i = items.select(col(bk).as("bk"), col(it).as("item")).distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val a = i.select(col("bk"), col("item").as("p1"))
     val b = i.select(col("bk"), col("item").as("p2"))
     a.join(b, Seq("bk")).filter(col("p1") < col("p2"))
@@ -211,10 +213,12 @@ object Mining {
         .select(col("l_orderkey").as("o_orderkey"), col("l_partkey").as("part")),
         "o_orderkey")
       .select("cust", "part").distinct()
-      .localCheckpoint(true) // sampled users + ownership anti-join read it
+      // lazy (r16): sampled users + ownership anti-join read it
+      .localCheckpoint(false)
     val i = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
-      .localCheckpoint(true) // both sides of the co-occurrence self-join read it (r15)
+      // lazy (r16): both sides of the co-occurrence self-join read it
+      .localCheckpoint(false)
     val co = i.select(col("l_orderkey"), col("l_partkey").as("p1"))
       .join(i.select(col("l_orderkey"), col("l_partkey").as("p2")), Seq("l_orderkey"))
       .filter(col("p1") =!= col("p2"))

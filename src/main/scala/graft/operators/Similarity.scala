@@ -490,7 +490,13 @@ object Similarity {
     * ONCE ([[ivfAssignRanked]] at keep = probes, localCheckpointed so
     * both join sides read the materialized blocks instead of
     * re-executing the C-cosine projection per side — one corpus scan
-    * where the old two-[[ivfAssign]] form paid two). */
+    * where the old two-[[ivfAssign]] form paid two). The checkpoint is
+    * SLIM — (vec_id, lst, crn), the IvfPq 12 B/row discipline (r16):
+    * the r15 form stored every corpus VECTOR probes× in executor block
+    * storage, a §5 spill hazard at scale; vectors re-attach from the
+    * (column-pruned, broadcastable) base scan inside
+    * [[ivfTopKFromRanked]] BEFORE the candidate join, so the candidate
+    * stream itself still never shuffles. */
   def ivfTopK(e: org.apache.spark.sql.DataFrame,
       cents: org.apache.spark.sql.DataFrame,
       probes: Int = IVF_PROBES, topK: Int = 3): org.apache.spark.sql.DataFrame = {
@@ -498,25 +504,32 @@ object Similarity {
     val asg = ivfAssignRanked(
       e.select(col("vec_id"), col("embedding")),
       centArr, "vec_id", "embedding", "lst", probes)
-      .localCheckpoint(true)
-    ivfTopKFromRanked(asg, topK)
+      .select("vec_id", "lst", "crn")
+      .localCheckpoint(false) // lazy: first consumer stage persists it (r16)
+    ivfTopKFromRanked(asg, e, topK)
   }
 
-  /** The probe/rerank tail over a precomputed ranked self-assignment
-    * (`vec_id`, `embedding`, `lst`, `crn` with crn ≤ probes): nlist =
-    * the crn 1 rows, probe stream = every row — the oracle's
-    * `nlist`/`qlist` filters over one shared `asg` CTE. Callers that
-    * evaluate SEVERAL probe settings (q245's recall curve) pass
+  /** The probe/rerank tail over a precomputed SLIM ranked
+    * self-assignment (`vec_id`, `lst`, `crn` with crn ≤ probes): nlist
+    * = the crn 1 rows, probe stream = every row — the oracle's
+    * `nlist`/`qlist` filters over one shared `asg` CTE. Vectors attach
+    * from `e` (unique vec_id ⇒ row-preserving joins) BEFORE the
+    * list-key join so the scored candidate stream is produced and
+    * heap-reduced in-stage, never shuffled. Callers that evaluate
+    * SEVERAL probe settings (q245's recall curve) pass
     * `asg.filter(crn <= p)` and pay the assignment once total. */
   private[operators] def ivfTopKFromRanked(
       asg: org.apache.spark.sql.DataFrame,
+      e: org.apache.spark.sql.DataFrame,
       topK: Int): org.apache.spark.sql.DataFrame = {
     val assigned = asg.filter(col("crn") === 1)
-      .select(col("vec_id").as("neighbor_id"), col("embedding").as("vb"),
-        col("lst").as("nlist"))
+      .select(col("vec_id").as("neighbor_id"), col("lst").as("nlist"))
+      .join(e.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("vb")), "neighbor_id")
     val qprobes = asg
-      .select(col("vec_id").as("query_id"), col("embedding").as("va"),
-        col("lst").as("qlist"))
+      .select(col("vec_id").as("query_id"), col("lst").as("qlist"))
+      .join(e.select(col("vec_id").as("query_id"),
+        col("embedding").as("va")), "query_id")
     // TopKSim dedupes neighbors inside the buffer, so the multi-probe
     // stream needs no separate dropDuplicates pass
     val pairs = qprobes.join(assigned, col("qlist") === col("nlist"))
@@ -699,26 +712,19 @@ object Similarity {
   /** The q32 probe pipeline over an auto-sized geometry via
     * [[ivfAssignHofRanked]] — assignment and probing stay pure
     * projections at any list count, and (queries = corpus) the ranking
-    * runs ONCE at keep = probes, checkpointed for both join sides
-    * (same single-pass rationale as [[ivfTopK]]). */
+    * runs ONCE at keep = probes, checkpointed SLIM for both join sides
+    * (same single-pass + vector-free-checkpoint rationale as
+    * [[ivfTopK]]; the shared [[ivfTopKFromRanked]] tail re-attaches
+    * the vectors from `e`). */
   def ivfTopKAuto(e: org.apache.spark.sql.DataFrame,
       centArr: Seq[(Long, Seq[Float])],
       probes: Int = IVF_PROBES, topK: Int = 3): org.apache.spark.sql.DataFrame = {
     val asg = ivfAssignHofRanked(
       e.select(col("vec_id"), col("embedding")),
       centArr, "vec_id", "embedding", "lst", probes)
-      .localCheckpoint(true)
-    val assigned = asg.filter(col("crn") === 1)
-      .select(col("vec_id").as("neighbor_id"), col("embedding").as("vb"),
-        col("lst").as("nlist"))
-    val qprobes = asg
-      .select(col("vec_id").as("query_id"), col("embedding").as("va"),
-        col("lst").as("qlist"))
-    val pairs = qprobes.join(assigned, col("qlist") === col("nlist"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", round(Exprs.cosine_sim(col("va"), col("vb")), 4))
-    topKPerQuery(pairs, topK)
-      .orderBy(col("query_id"), col("sim").desc, col("neighbor_id"))
+      .select("vec_id", "lst", "crn")
+      .localCheckpoint(false) // lazy: first consumer stage persists it (r16)
+    ivfTopKFromRanked(asg, e, topK)
   }
 
   /** Auto-sized routed candidate volume — the quantity the q281
@@ -1410,19 +1416,23 @@ object Similarity {
       probes: Int = IVF_PROBES): org.apache.spark.sql.DataFrame = {
     val centArr = localCents(e.orderBy("vec_id").limit(IVF_LISTS)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cvec")))
-    // queries = corpus: ONE ranked assignment (labels ride along),
-    // checkpointed, feeds both join sides — the ivfTopK single-pass
-    // rationale (r15)
+    // queries = corpus: ONE ranked assignment, checkpointed SLIM
+    // (vec_id, lst, crn — the ivfTopK single-pass + vector-free-
+    // checkpoint rationale, r15/r16); vectors AND labels re-attach
+    // from the base scan before the list-key join
     val asg = ivfAssignRanked(
-      e.select(col("vec_id"), col("embedding"), col("label")),
+      e.select(col("vec_id"), col("embedding")),
       centArr, "vec_id", "embedding", "lst", probes)
-      .localCheckpoint(true)
+      .select("vec_id", "lst", "crn")
+      .localCheckpoint(false) // lazy: first consumer stage persists it (r16)
     val assigned = asg.filter(col("crn") === 1)
-      .select(col("vec_id").as("neighbor_id"), col("embedding").as("vb"),
-        col("label").as("lb"), col("lst").as("nlist"))
+      .select(col("vec_id").as("neighbor_id"), col("lst").as("nlist"))
+      .join(e.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("vb"), col("label").as("lb")), "neighbor_id")
     val qprobes = asg
-      .select(col("vec_id").as("query_id"), col("embedding").as("va"),
-        col("label").as("la"), col("lst").as("qlist"))
+      .select(col("vec_id").as("query_id"), col("lst").as("qlist"))
+      .join(e.select(col("vec_id").as("query_id"),
+        col("embedding").as("va"), col("label").as("la")), "query_id")
     qprobes.join(assigned, col("qlist") === col("nlist"))
       .filter(col("query_id") =!= col("neighbor_id") &&
         col("la") =!= col("lb"))
@@ -1549,18 +1559,22 @@ object Similarity {
         a.join(broadcast(b), col("query_id") =!= col("neighbor_id"))
           .withColumn("sim", round(Exprs.cosine_sim(col("va"), col("vb")), 4)), 3)
       .select("query_id", "neighbor_id")
-      .localCheckpoint(true) // size + every probe setting read it
+      // lazy (r16): size + every probe setting read it
+      .localCheckpoint(false)
     val tn = truth.agg(count(lit(1)).cast("long").as("n_truth"))
     // ONE ranked assignment at keep = max(probes) feeds every probe
     // setting (crn <= p filter) — the oracle's single shared `asg` CTE;
     // the old per-p ivfTopK calls re-ran the C-cosine assignment twice
-    // per setting (6 corpus passes for the 3-point curve, now 1)
+    // per setting (6 corpus passes for the 3-point curve, now 1).
+    // Checkpointed SLIM (vec_id, lst, crn — r16): the vectors re-attach
+    // per probe setting inside ivfTopKFromRanked.
     val asg = ivfAssignRanked(
       e.select(col("vec_id"), col("embedding")),
       localCents(cents), "vec_id", "embedding", "lst", RecallProbes.max)
-      .localCheckpoint(true)
+      .select("vec_id", "lst", "crn")
+      .localCheckpoint(false) // lazy: first consumer stage persists it (r16)
     RecallProbes.map { p =>
-      ivfTopKFromRanked(asg.filter(col("crn") <= p), topK = 3)
+      ivfTopKFromRanked(asg.filter(col("crn") <= p), e, topK = 3)
         .select(col("query_id"), col("neighbor_id"))
         .join(truth, Seq("query_id", "neighbor_id"))
         .agg(count(lit(1)).cast("long").as("n_hits"))

@@ -123,11 +123,13 @@ object Governance {
       .write.mode("overwrite").json(landingPath)
 
     // 2 — touched months: where the delta docs land now + where their ids
-    // lived before (both sides are tiny: distinct yyyymm values)
+    // lived before (both sides are tiny: distinct yyyymm values). ONE
+    // unioned collect (r16): the two separate collects were two driver
+    // round-trips per batch, and at 21-doc batch scale each fixed-latency
+    // job is a measurable slice of the gate (guide §1.2 — the q98 phase
+    // profile shows the batch cost IS the job count).
     import spark.implicits._
     val deltaIds = delta.select("id").distinct()
-    val newMonths = delta.select(landingMonth.as("m")).distinct()
-      .as[String].collect()
     // old months are keyed by the TRANSFORMED (iahx) id — derive it for
     // every delta doc, deliberately skipping the F1 gate so an update
     // that gates a doc OUT still cleans its old partition
@@ -136,17 +138,22 @@ object Governance {
       .map(d => Gov.transformDoc(d, lkB.value, nowYear).id)(
         org.apache.spark.sql.Encoders.STRING)
       .toDF("iid")
-    val oldMonths = spark.read.parquet(iahxPath)
-      .join(deltaIahxIds, col("id") === col("iid"), "left_semi")
-      .select(col("p_upd").cast("string")).distinct().as[String].collect()
-    val touched = (newMonths ++ oldMonths).toSet
+    val touched = delta.select(landingMonth.as("m"))
+      .unionByName(spark.read.parquet(iahxPath)
+        .join(deltaIahxIds, col("id") === col("iid"), "left_semi")
+        .select(col("p_upd").cast("string").as("m")))
+      .distinct().as[String].collect().toSet
     require(touched.nonEmpty, "empty delta batch")
 
-    // rebuild the touched partitions from the merged landing, pruning the
-    // landing scan to those months before the (per-row, but corpus-wide)
-    // 02 transform runs
-    val rebuiltLanding = Gov.readLanding(spark, landingPath)
-      .filter(landingMonth.isin(touched.toSeq: _*))
+    // rebuild the touched partitions from the MERGED landing frame —
+    // already materialized above (lineage cut), so the rebuild reads the
+    // checkpoint blocks instead of re-parsing the JSON zone it just
+    // wrote (r16; the landing file stays the durable state for the NEXT
+    // batch). Value-identical to the old written-file re-read: the full
+    // run's 02 feeds toIahx the same un-round-tripped frame, and the
+    // incremental≡full layer equivalence is spec-asserted.
+    val rebuiltLanding = merged.filter(landingMonth.isin(touched.toSeq: _*))
+      .as[Landing](Gov.landingEnc)
     // materialized once: the rebuilt slice feeds the 02 write, the 03
     // enrichment (which scans its docs side three times), and the
     // emptied-partition check — without the checkpoint the per-doc

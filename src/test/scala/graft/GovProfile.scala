@@ -18,9 +18,30 @@ object GovProfile {
     import spark.implicits._
     import graft.gov.{Fixtures, Gov}
     import graft.pipeline.Governance
+    // per-phase JOB COUNT alongside wall time: at 21-doc scale the batch
+    // cost is fixed-latency jobs, so the count is the noise-immune
+    // measure of a job-fusion change (r16 verdict item 3)
+    val jobs = new java.util.concurrent.atomic.AtomicLong(0L)
+    val sites = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet()
+          sites.add(j.stageInfos.lastOption.map(_.name).getOrElse("?")
+            .takeWhile(_ != '\n'))
+        }
+      })
     def t[A](label: String)(f: => A): A = {
-      val s = System.nanoTime(); val r = f
-      println(f"[govprof] $label: ${(System.nanoTime() - s) / 1e9}%.2f s"); r
+      val s = System.nanoTime(); val j0 = jobs.get(); val r = f
+      println(f"[govprof] $label: ${(System.nanoTime() - s) / 1e9}%.2f s" +
+        s" (${jobs.get() - j0} jobs)")
+      if (sys.env.contains("SPARK_GRAFT_GOVPROF_SITES")) {
+        import scala.jdk.CollectionConverters._
+        sites.asScala.drop(j0.toInt).foreach(c => println(s"[govprof]    job: $c"))
+      }
+      r
     }
     for (rep <- 1 to 3) {
       println(s"== repeat $rep ==")

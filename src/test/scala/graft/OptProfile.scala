@@ -110,6 +110,21 @@ object OptProfile {
     val only = args.drop(2).headOption.map(_.split(",").toSet)
     def wanted(label: String): Boolean =
       only.forall(_.exists(o => label == o || label.startsWith(o + "/")))
+    // fail LOUDLY on a label that matches nothing (r15 advice): a typo'd
+    // (or empty) filter would otherwise skip every identity check and
+    // timing arm and exit cleanly looking like a pass with zero checks
+    val knownLabels = Set(
+      "q32/ivfTopK", "q291/imageFeatures", "q184", "q158/ivfPqTopK",
+      "q132", "q232", "q107", "q167", "q110", "q220", "q291", "q32",
+      "q245", "q158", "q32fat", "ivfstore", "q106", "q106routed",
+      "q132banded")
+    only.foreach { req =>
+      val unknown = req.filterNot(o =>
+        knownLabels.exists(l => l == o || l.startsWith(o + "/")))
+      require(unknown.isEmpty,
+        s"unknown OptProfile label(s): ${unknown.mkString(",")} — " +
+          s"known: ${knownLabels.toSeq.sorted.mkString(",")}")
+    }
 
     // ---- row-identity checks (old ≡ new) ----
     def identical(label: String, a: => DataFrame, b: => DataFrame): Unit = {
@@ -290,6 +305,153 @@ object OptProfile {
       legacyQ232(spark, dir),
       Graph.q232.fn(spark, dir))
 
+    // legacy (pre-r16) pagerank loop: EAGER per-iteration localCheckpoint
+    // (a blocking materialization job every round; r16 ships the lazy
+    // form where materialization rides the next round's first job)
+    def legacyPagerank(edges: DataFrame, iters: Int,
+        broadcastCap: Long = Graph.BroadcastRankCap): DataFrame = {
+      val e0 = edges.select("src", "dst").localCheckpoint()
+      val nodes0 = e0.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("deg")).localCheckpoint()
+      val n = nodes0.count()
+      val r0 = 1000000000000L / n
+      val tp = 1000000000000L * 15 / 100 / n
+      val big = n > broadcastCap
+      val e = if (big) Graph.checkpointPartitionedBy(e0, "src") else e0
+      val nodes =
+        if (big) Graph.checkpointPartitionedBy(nodes0, "node") else nodes0
+      var ranks = nodes.withColumn("r", lit(r0))
+      for (_ <- 1 to iters) {
+        val joined =
+          if (big) e.join(ranks.hint("shuffle_hash"), e("src") === ranks("node"))
+          else e.join(broadcast(ranks), e("src") === ranks("node"))
+        val contrib = joined
+          .select(col("dst").as("node"), expr("r div deg").as("c"))
+          .groupBy("node").agg(sum("c").as("s"))
+        val next =
+          if (big) nodes.join(contrib.hint("shuffle_hash"), Seq("node"), "left")
+          else nodes.join(broadcast(contrib), Seq("node"), "left")
+        ranks = next.select(col("node"), col("deg"),
+          (lit(tp) + coalesce(expr("(85 * s) div 100"), lit(0L))).as("r"))
+          .localCheckpoint()
+      }
+      ranks.select("node", "r")
+    }
+    def q106Edges(s: SparkSession, d: String): DataFrame = {
+      val raw = GTables.orders(s, d)
+        .join(GTables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2L).as("c"),
+          (col("l_suppkey") * 2L + 1L).as("sp"))
+        .distinct()
+      raw.select(col("c").as("src"), col("sp").as("dst"))
+        .unionByName(raw.select(col("sp").as("src"), col("c").as("dst")))
+    }
+
+    // candidate shape for verdict item 4: q132 with the BANDED table
+    // also materialized (lazy), so the bucket-cap window runs once
+    // instead of once per side of the candidate self-join
+    def q132BandedMat(s: SparkSession, d: String): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val sig = MinhashEstimate.signatures(GTables.documents(s, d))
+        .localCheckpoint(false)
+      val bandCols = (0 until MinhashEstimate.Bands).map { b =>
+        array_join(transform(
+          slice(col("sig"), b * MinhashEstimate.Rows + 1, MinhashEstimate.Rows),
+          _.cast("string")), ":")
+      }
+      val banded = sig
+        .select(col("doc_id"), posexplode(array(bandCols: _*)))
+        .withColumnRenamed("pos", "bnd").withColumnRenamed("col", "bv")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("bnd", "bv").orderBy("doc_id")))
+        .filter(col("rn") <= MinhashEstimate.BucketCap)
+        .drop("rn")
+        .localCheckpoint(false)
+      val cand = banded.as("a")
+        .join(banded.as("b"),
+          col("a.bnd") === col("b.bnd") && col("a.bv") === col("b.bv") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
+      cand
+        .join(sig.select(col("doc_id").as("id_a"), col("sig").as("siga")), "id_a")
+        .join(sig.select(col("doc_id").as("id_b"), col("sig").as("sigb")), "id_b")
+        .withColumn("n_match",
+          aggregate(zip_with(col("siga"), col("sigb"),
+            (x, y) => (x === y).cast("int")), lit(0), (a, x) => a + x)
+            .cast("long"))
+        .select(col("id_a"), col("id_b"), col("n_match"),
+          round(col("n_match") / lit(MinhashEstimate.K.toDouble), 4).as("est"))
+        .orderBy("id_a", "id_b")
+    }
+
+    // r15 FAT-checkpoint ivfTopK (vectors stored probes× in executor
+    // block storage) — the shape r16 slims to (vec_id, lst, crn); kept
+    // here so the storage/time A/B has the exact r15 arm to compare
+    def fatIvfTopK(e: DataFrame, cents: DataFrame,
+        probes: Int, topK: Int): DataFrame = {
+      val centArr = Similarity.localCents(cents)
+      val asg = Similarity.ivfAssignRanked(
+        e.select(col("vec_id"), col("embedding")),
+        centArr, "vec_id", "embedding", "lst", probes)
+        .localCheckpoint(true)
+      val assigned = asg.filter(col("crn") === 1)
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("vb"),
+          col("lst").as("nlist"))
+      val qprobes = asg
+        .select(col("vec_id").as("query_id"), col("embedding").as("va"),
+          col("lst").as("qlist"))
+      val pairs = qprobes.join(assigned, col("qlist") === col("nlist"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("sim", round(Exprs.cosine_sim(col("va"), col("vb")), 4))
+      Similarity.topKPerQuery(pairs, topK)
+        .orderBy(col("query_id"), col("sim").desc, col("neighbor_id"))
+    }
+    identical("q32fat",
+      fatIvfTopK(e, cents16, Similarity.IVF_PROBES, 3),
+      Similarity.ivfTopK(e, cents16))
+    identical("q106",
+      legacyPagerank(q106Edges(spark, dir), 10).orderBy("node"),
+      Graph.q106.fn(spark, dir))
+    identical("q106routed",
+      legacyPagerank(q106Edges(spark, dir), 10, broadcastCap = 0)
+        .orderBy("node"),
+      Graph.pagerank(q106Edges(spark, dir), 10, broadcastCap = 0)
+        .orderBy("node"))
+    identical("q132banded",
+      MinhashEstimate.q132.fn(spark, dir),
+      q132BandedMat(spark, dir))
+
+    // checkpointed-block storage: materialize the FAT vs SLIM ranked
+    // assignment and report executor block-store bytes (guide §5 — the
+    // quantity the r15 verdict asked to measure at 10×)
+    if (wanted("ivfstore")) {
+      def storeBytes(build: => DataFrame): (Long, Long) = {
+        scrub()
+        val ckpt = build // eager localCheckpoint inside
+        ckpt.write.format("noop").mode("overwrite").save()
+        val bytes = spark.sparkContext.getRDDStorageInfo
+          .map(i => i.memSize + i.diskSize).sum
+        val rows = ckpt.count()
+        scrub()
+        (bytes, rows)
+      }
+      val centArr = Similarity.localCents(cents16)
+      val (fatB, fatR) = storeBytes(
+        Similarity.ivfAssignRanked(
+          e.select(col("vec_id"), col("embedding")),
+          centArr, "vec_id", "embedding", "lst", Similarity.IVF_PROBES)
+          .localCheckpoint(true))
+      val (slimB, slimR) = storeBytes(
+        Similarity.ivfAssignRanked(
+          e.select(col("vec_id"), col("embedding")),
+          centArr, "vec_id", "embedding", "lst", Similarity.IVF_PROBES)
+          .select("vec_id", "lst", "crn")
+          .localCheckpoint(true))
+      println(f"[optprof] ivfstore: fat=$fatB%d bytes/$fatR%d rows, " +
+        f"slim=$slimB%d bytes/$slimR%d rows, ratio=${fatB.toDouble / slimB}%.1fx")
+    }
+
     // ---- interleaved timing ----
     val arms: Seq[(String, Seq[(String, () => Unit)])] = Seq(
       "q132" -> Seq(
@@ -362,6 +524,21 @@ object OptProfile {
         "old" -> (() => noop(legacyIvfTopK(e, cents16, Similarity.IVF_PROBES, 3)
           .orderBy(col("query_id"), col("sim").desc, col("neighbor_id")))),
         "new" -> (() => noop(Similarity.q32.fn(spark, dir)))),
+      "q32fat" -> Seq(
+        "old" -> (() => noop(fatIvfTopK(e, cents16, Similarity.IVF_PROBES, 3))),
+        "new" -> (() => noop(Similarity.ivfTopK(e, cents16)))),
+      "q106" -> Seq(
+        "old" -> (() => noop(legacyPagerank(q106Edges(spark, dir), 10)
+          .orderBy("node"))),
+        "new" -> (() => noop(Graph.q106.fn(spark, dir)))),
+      "q132banded" -> Seq(
+        "old" -> (() => noop(MinhashEstimate.q132.fn(spark, dir))),
+        "new" -> (() => noop(q132BandedMat(spark, dir)))),
+      "q106routed" -> Seq(
+        "old" -> (() => noop(legacyPagerank(q106Edges(spark, dir), 10,
+          broadcastCap = 0).orderBy("node"))),
+        "new" -> (() => noop(Graph.pagerank(q106Edges(spark, dir), 10,
+          broadcastCap = 0).orderBy("node")))),
       "q245" -> Seq(
         "old" -> (() => noop({
           // pre-r15 q245: per-p legacy ivfTopK, truth pass identical

@@ -772,4 +772,30 @@ class ScaleSpec extends AnyFunSuite {
       broadcastCap = 0))
     assert(pprB == pprS)
   }
+
+  test("q269 source-overlap routed branch (cap=0) equals the brute matrix bit-for-bit") {
+    import spark.implicits._
+    // a corpus whose sources span disjoint AND overlapping shingle sets,
+    // so the matrix has n_match = 0 rows (complement path), partial
+    // agreements (coordinate-equality path), and full agreements —
+    // every routed-branch case exercised at the flip point
+    val docs = (0 until 120).map { i =>
+      val src = s"s${i % 12}"
+      val words = (0 until 8).map(j => s"w${(i % 4) * 7 + j}").mkString(" ")
+      (i.toLong, s"$words tail${i % 3}", src)
+    }.toDF("doc_id", "text", "source")
+    val brute = operators.MinhashEstimate
+      .sourceOverlap(docs, allPairsCap = Long.MaxValue)
+    val routed = operators.MinhashEstimate.sourceOverlap(docs, allPairsCap = 0)
+    // the matrix contract is ALL source pairs: 12 sources -> 66 rows,
+    // identical row-for-row (integer n_match, dyadic est) on both routes
+    val b = brute.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    val r = routed.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(b.size == 66, s"expected the full 12-source matrix, got ${b.size}")
+    assert(b == r)
+    assert(b.exists(_._3 == 0L), "fixture must exercise the complement path")
+    assert(b.exists(_._3 > 0L), "fixture must exercise the candidate path")
+  }
 }
